@@ -1,0 +1,88 @@
+"""Engine = SparkSession + stream registry + query repository.
+
+Reference: ``StreamRepository`` isolates topic namespaces with a default
+singleton (`pkg/pubsub/pub_sub.go:19-37`); streams are identified by
+``StreamID{Topic, TopicType}`` and subscribing with the wrong type is
+``ErrStreamTypeMismatch`` (`pkg/pubsub/pub_sub.go:386-397`).  Spark-first:
+a registry maps topic → DataFrame; the "type" is the DataFrame schema, and a
+schema mismatch on re-registration raises.  Engine instances isolate
+namespaces the way ``WithRepository`` does in the reference tests
+(`pkg/processing/queries_test.go:75-125`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from go_streaming_spark.session import configure_session
+from go_streaming_spark.sources.catalog import TABLES, load_stream, load_table
+
+
+class StreamTypeMismatchError(TypeError):
+    """Registering/fetching a topic with a conflicting schema
+    (≈ ``ErrStreamTypeMismatch``, `pkg/pubsub/pub_sub.go:386-397`)."""
+
+
+@dataclass
+class Engine:
+    spark: SparkSession
+    sf_dir: str | None = None
+    _streams: dict[str, DataFrame] = field(default_factory=dict)
+    _queries: dict[str, "object"] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        configure_session(self.spark)
+
+    # -- stream registry (≈ pub_sub.go stream lifecycle) --------------------
+
+    def register_stream(self, topic: str, df: DataFrame, replace: bool = False) -> None:
+        """≈ ``AddOrReplaceStream`` / auto-create (`pub_sub.go:54-74,370-384`)."""
+        existing = self._streams.get(topic)
+        if existing is not None and not replace:
+            if existing.schema != df.schema:
+                raise StreamTypeMismatchError(
+                    f"topic {topic!r} already registered with schema "
+                    f"{existing.schema.simpleString()}, got {df.schema.simpleString()}"
+                )
+        self._streams[topic] = df
+
+    def stream(self, topic: str, streaming: bool = False) -> DataFrame:
+        """Resolve a topic.  Driver tables auto-register on first reference
+        (the reference auto-creates streams on subscribe/publish,
+        `pub_sub.go:370-384`)."""
+        if topic not in self._streams:
+            if self.sf_dir and topic in TABLES:
+                loader = load_stream if streaming else load_table
+                self._streams[topic] = loader(self.spark, self.sf_dir, topic)
+            else:
+                raise KeyError(f"unknown topic {topic!r}")
+        return self._streams[topic]
+
+    def remove_stream(self, topic: str) -> None:
+        self._streams.pop(topic, None)
+
+    def topics(self) -> list[str]:
+        return sorted(self._streams)
+
+    # -- query repository (≈ pkg/processing/query_repository.go:35-103) -----
+
+    def builder(self):
+        from go_streaming_spark.plans.builder import QueryBuilder
+
+        return QueryBuilder(self)
+
+    def register_query(self, name: str, query) -> None:
+        self._queries[name] = query
+
+    def queries(self) -> dict:
+        return dict(self._queries)
+
+    def close(self) -> None:
+        """Stop registered streaming queries and clear the registry
+        (≈ query Close semantics, `continuous_query.go:142-161`)."""
+        for q in self._queries.values():
+            q.stop()
+        self._queries.clear()
+        self._streams.clear()

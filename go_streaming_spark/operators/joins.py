@@ -1,0 +1,108 @@
+"""Windowed stream-stream joins.
+
+Reference (`pkg/processing/default_operators.go:117-218`): ``Join``/``LeftJoin``
+take exactly two map-content streams sharing one temporal window
+(``DuoTemporalWindowPolicy``).  Per window: hash the right slice by ``key``,
+probe with the left; duplicate keys → cross product (`:143-149`); output event
+content = left map merged with right map, **right wins** on collision
+(`:144-147`, via ``maps.Copy`` order); LeftJoin passes unmatched left rows
+through with only their own columns (`:166-218`).
+
+Spark-first: assign window ids to both sides (pure arithmetic — see
+``windows.assign_temporal_windows``) and equi-join on ``(window_start, key)``.
+Catalyst picks broadcast/sort-merge/shuffle-hash; cross products on duplicate
+keys fall out of the equi-join naturally.  At scale this is the classic
+window-bucketed join: both sides shuffle *once* on (window, key) — set
+``broadcast_right=True`` when the right side is a small dimension-like stream.
+Streaming mode uses the same column expressions with watermarks on both sides
+(see streaming/runner.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from go_streaming_spark.operators.windows import TemporalWindow, assign_temporal_windows
+
+
+def window_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | list[str],
+    policy: TemporalWindow,
+    how: str = "inner",
+    time_col: str = "event_start",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Join two envelope streams within shared temporal windows.
+
+    ``key`` names a field of the payload: for MAP payloads a map key, for
+    STRUCT payloads a field name.  Output payload: merged map/struct with
+    right precedence; envelope: merged lineage (min start / max end,
+    `pkg/events/timestamper.go:22-50`), ``seq`` = left seq (deterministic
+    order anchor).  ``how`` = 'inner' | 'left' (reference surface); other
+    Spark join types pass through for free.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    lw = _prep_side(left, policy, time_col, keys, "l")
+    rw = _prep_side(right, policy, time_col, keys, "r")
+    if broadcast_right:
+        rw = F.broadcast(rw)
+
+    on = [lw["l_window_start"] == rw["r_window_start"]] + [
+        lw[f"l_key_{k}"] == rw[f"r_key_{k}"] for k in keys
+    ]
+    how_spark = {"left": "left_outer", "inner": "inner"}.get(how, how)
+    joined = lw.join(rw, on, how_spark)
+
+    value = _merge_payload(left, right, how_spark)
+    return joined.select(
+        F.col("l_seq").alias("seq"),
+        F.least("l_event_start", "r_event_start").alias("event_start")
+        if how_spark == "inner"
+        else F.coalesce(F.least("l_event_start", "r_event_start"), F.col("l_event_start")).alias("event_start"),
+        F.greatest("l_event_end", "r_event_end").alias("event_end")
+        if how_spark == "inner"
+        else F.coalesce(F.greatest("l_event_end", "r_event_end"), F.col("l_event_end")).alias("event_end"),
+        F.col("l_meta").alias("meta"),
+        F.col("l_window_start").alias("window_start"),
+        F.col("l_window_end").alias("window_end"),
+        value.alias("value"),
+    )
+
+
+def _prep_side(
+    df: DataFrame, policy: TemporalWindow, time_col: str, keys: list[str], prefix: str
+) -> DataFrame:
+    w = assign_temporal_windows(df, policy, time_col)
+    vt = w.schema["value"].dataType
+    key_cols = []
+    for k in keys:
+        kc = (
+            F.col("value").getItem(k)
+            if isinstance(vt, T.MapType)
+            else F.col(f"value.{k}")
+        )
+        key_cols.append(kc.alias(f"{prefix}_key_{k}"))
+    return w.select(
+        *key_cols, *[F.col(c).alias(f"{prefix}_{c}") for c in w.columns]
+    )
+
+
+def _merge_payload(left: DataFrame, right: DataFrame, how: str) -> Column:
+    """Right-wins merge of the two payloads (`default_operators.go:144-147`).
+
+    MAP+MAP → ``map_concat`` under ``mapKeyDedupPolicy=LAST_WIN``; otherwise a
+    struct ``{l, r}`` (unmatched left rows keep ``r = NULL``, mirroring
+    LeftJoin's "only its own columns").
+    """
+    lt, rt = left.schema["value"].dataType, right.schema["value"].dataType
+    if isinstance(lt, T.MapType) and isinstance(rt, T.MapType):
+        merged = F.map_concat(
+            F.col("l_value"),
+            F.coalesce(F.col("r_value"), F.create_map().cast(rt.simpleString())),
+        )
+        return merged
+    return F.struct(F.col("l_value").alias("l"), F.col("r_value").alias("r"))

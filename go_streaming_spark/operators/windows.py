@@ -1,0 +1,273 @@
+"""Window / selection policies and windowed batch aggregation.
+
+Reference policies (`pkg/events/selection_policy.go`):
+
+- ``CountingWindowPolicy(n, shift)`` — count-based window of n events sliding
+  by shift over *arrival order*; ``shift<n`` overlap, ``==n`` tumbling,
+  ``>n`` skip (`selection_policy.go:123-176`).
+- ``TemporalWindowPolicy(start, length, shift)`` — event-time window,
+  half-open ``[start, start+length)``; the boundary event belongs to the next
+  window; events before the initial start are dropped; zero allowed lateness
+  (`selection_policy.go:178-215,583-596`).
+
+Spark-first realization: window membership is pure int64 arithmetic on
+``unix_micros(event_time)`` / on the dense ``seq`` column — JVM codegen'd,
+shuffle only for the final groupBy on the window id, and trivially mirrored
+by the DuckDB oracle.  Overlapping windows explode each row into its
+``length/shift`` member windows (bounded fan-out) — the same strategy
+Spark's native ``F.window`` uses internally, but with plain columns that
+join/group/compare cleanly.
+
+Known divergence (documented in SURVEY.md §7): the reference emits *empty*
+windows (`selection_policy_test.go:146-201`); a groupBy cannot produce groups
+with no rows, and at 100 TB scale enumerating empty windows is a generate-
+series join the user can add explicitly.  We do not emit empty windows.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from go_streaming_spark.events import lineage_agg
+from go_streaming_spark.operators.base import Operator
+
+_INTERVAL_UNITS = {
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 604_800_000_000,
+}
+
+
+def interval_to_micros(interval: str | int | float) -> int:
+    """Parse '1 hour' / '30 minutes' / numeric-seconds into microseconds."""
+    if isinstance(interval, (int, float)):
+        return int(interval * 1_000_000)
+    total = 0
+    for num, unit in re.findall(r"(\d+(?:\.\d+)?)\s*([a-zA-Z]+)", interval):
+        unit = unit.rstrip("s").lower()
+        if unit not in _INTERVAL_UNITS:
+            raise ValueError(f"unknown interval unit {unit!r} in {interval!r}")
+        total += int(float(num) * _INTERVAL_UNITS[unit])
+    if total <= 0:
+        raise ValueError(f"cannot parse interval {interval!r}")
+    return total
+
+
+@dataclass(frozen=True)
+class TemporalWindow:
+    """Event-time window policy (`selection_policy.go:178-215`).
+
+    ``length``/``shift`` are interval strings or seconds; ``shift`` defaults
+    to ``length`` (tumbling).  ``origin`` is the initial window start
+    (ISO timestamp string); events before it are dropped, and window
+    boundaries align to it (reference ``WindowStart``).
+    """
+
+    length: str | int
+    shift: str | int | None = None
+    origin: str | None = None
+
+    @property
+    def length_us(self) -> int:
+        return interval_to_micros(self.length)
+
+    @property
+    def shift_us(self) -> int:
+        return interval_to_micros(self.shift) if self.shift is not None else self.length_us
+
+    @property
+    def overlapping(self) -> bool:
+        return self.shift_us < self.length_us
+
+
+@dataclass(frozen=True)
+class CountingWindow:
+    """Count-based window policy over arrival order
+    (`selection_policy.go:123-176`).  Requires a dense 0-based arrival index
+    column (``seq``) — Spark has no implicit row order, and a dense index
+    keeps membership a pure map-side computation (no global sort at scale).
+    """
+
+    n: int
+    shift: int | None = None
+
+    @property
+    def shift_n(self) -> int:
+        return self.shift if self.shift is not None else self.n
+
+
+def assign_temporal_windows(
+    df: DataFrame, policy: TemporalWindow, time_col: str = "event_start"
+) -> DataFrame:
+    """Add ``window_start`` / ``window_end`` TIMESTAMP columns; for
+    overlapping policies rows are exploded into every member window.
+
+    Membership: with ``off = unix_micros(t) - origin``, window ``w`` holds
+    rows where ``w*shift <= off < w*shift + length`` — half-open, boundary
+    event to the next window, matching `selection_policy.go:583-596`.
+    """
+    length, shift = policy.length_us, policy.shift_us
+    origin = (
+        F.unix_micros(F.lit(policy.origin).cast("timestamp"))
+        if policy.origin
+        else F.lit(0).cast("long")
+    )
+    df = df.withColumn("_off", F.unix_micros(F.col(time_col)) - origin)
+    if policy.origin:
+        df = df.filter(F.col("_off") >= 0)  # pre-start events dropped (:587-589)
+
+    # `div` = exact int64 division (floor for non-negative operands) — float
+    # division at microsecond magnitudes risks rounding across a boundary.
+    if not policy.overlapping:
+        # tumbling (shift == length) or sampling (shift > length): <=1 window
+        df = df.withColumn("_wid", F.expr(f"_off div {shift}"))
+        if shift > length:
+            df = df.filter(F.col("_off") % F.lit(shift) < length)
+    else:
+        # sliding: w_min = floor((off - length)/shift) + 1 = floor((off -
+        # length + shift)/shift).  `div` truncates toward zero, which equals
+        # floor only for non-negative numerators; when off - length + shift
+        # < 0 the true w_min is <= 0 and the clamp takes over, so the shifted
+        # numerator form is exact everywhere on the clamped domain.
+        df = df.withColumn(
+            "_wid",
+            F.explode(
+                F.sequence(
+                    F.greatest(
+                        F.lit(0).cast("long"),
+                        F.expr(f"(_off - {length} + {shift}) div {shift}"),
+                    ),
+                    F.expr(f"_off div {shift}"),
+                )
+            ),
+        )
+
+    ws_us = origin + F.col("_wid") * F.lit(shift)
+    return (
+        df.withColumn("window_start", F.timestamp_micros(ws_us))
+        .withColumn("window_end", F.timestamp_micros(ws_us + F.lit(length)))
+        .drop("_wid", "_off")
+    )
+
+
+def assign_counting_windows(
+    df: DataFrame, policy: CountingWindow, seq_col: str = "seq"
+) -> DataFrame:
+    """Add a ``window_id`` column from the dense arrival index.
+
+    Tumbling/skip (``shift >= n``): ``window_id = seq div shift`` with
+    membership ``seq mod shift < n`` — covers the reference's skip case
+    (`selection_policy_test.go:67-80`: size 1 shift 2 over e0..e2 →
+    windows [e0], [e2]).  Overlapping (``shift < n``): explode into the
+    ``~n/shift`` member windows.  Pure map-side; no sort, no global state.
+    """
+    n, shift = policy.n, policy.shift_n
+    df = df.withColumn("_seq", F.col(seq_col).cast("long"))
+    if shift >= n:
+        df = df.filter(F.col("_seq") % F.lit(shift) < n)
+        return df.withColumn("window_id", F.expr(f"_seq div {shift}")).drop("_seq")
+    # overlapping: w_min = floor((seq - n)/shift) + 1 = floor((seq - n +
+    # shift)/shift); the shifted-numerator form keeps `div` == floor on the
+    # clamped domain (see temporal note above).
+    w_min = F.greatest(
+        F.lit(0).cast("long"), F.expr(f"(_seq - {n} + {shift}) div {shift}")
+    )
+    w_max = F.expr(f"_seq div {shift}")
+    return df.withColumn("window_id", F.explode(F.sequence(w_min, w_max))).drop("_seq")
+
+
+def windowed_agg(
+    policy: TemporalWindow,
+    aggs: list[Column],
+    keys: tuple[str, ...] = (),
+    time_col: str = "event_start",
+    lineage: bool = True,
+    merge_meta: bool = False,
+) -> Operator:
+    """PipelineOperatorEngine over a temporal policy
+    (`pkg/processing/operator_engine.go:122-141`): consume a window batch,
+    emit aggregated events stamped with the window's merged lineage
+    (min start / max end — `pkg/events/timestamper.go:22-50`).
+    """
+    def fn(df: DataFrame) -> DataFrame:
+        out = assign_temporal_windows(df, policy, time_col)
+        group = ["window_start", "window_end", *keys]
+        extra = lineage_agg(merge_meta) if lineage else []
+        return out.groupBy(*group).agg(*aggs, *extra)
+    return Operator("WindowedAgg", fn, {"policy": policy, "keys": keys})
+
+
+def counting_window_agg(
+    policy: CountingWindow,
+    aggs: list[Column],
+    seq_col: str = "seq",
+    complete_only: bool = True,
+    lineage: bool = True,
+) -> Operator:
+    """PipelineOperatorEngine over a counting policy.  ``complete_only``
+    mirrors the reference's fire condition (a window emits only once n events
+    have arrived — `selection_policy.go:144-146`); the trailing partial window
+    is therefore not emitted in a finite replay.
+    """
+    def fn(df: DataFrame) -> DataFrame:
+        out = assign_counting_windows(df, policy, seq_col)
+        extra = lineage_agg(False) if lineage else []
+        agged = out.groupBy("window_id").agg(
+            *aggs, F.count(F.lit(1)).alias("_wsize"), *extra
+        )
+        if complete_only:
+            agged = agged.filter(F.col("_wsize") == policy.n)
+        return agged.drop("_wsize")
+    return Operator("CountingWindowAgg", fn, {"policy": policy})
+
+
+def batch_sum(policy: TemporalWindow | CountingWindow, **kw) -> Operator:
+    """Sum of numeric payloads per window (`default_operators.go:18-38`)."""
+    aggs = [F.sum("value").alias("value")]
+    if isinstance(policy, CountingWindow):
+        return counting_window_agg(policy, aggs, **kw)
+    return windowed_agg(policy, aggs, **kw)
+
+
+def batch_count(policy: TemporalWindow | CountingWindow, **kw) -> Operator:
+    """Count of events per window (`default_operators.go:41-58`)."""
+    aggs = [F.count(F.lit(1)).alias("value")]
+    if isinstance(policy, CountingWindow):
+        return counting_window_agg(policy, aggs, **kw)
+    return windowed_agg(policy, aggs, **kw)
+
+
+def fan_in(
+    inputs: list[DataFrame],
+    policy: TemporalWindow,
+    aggs: list[Column],
+    per_source: bool = False,
+    time_col: str = "event_start",
+) -> DataFrame:
+    """FanInOperatorEngine (`pkg/processing/operator_engine.go:164-292`):
+    N homogeneous inputs share one temporal window.  Spark-first: tag each
+    input with ``source_id``, ``unionByName``, window-aggregate once.  The
+    reference's "fire only when every input passed window end" gate is the
+    streaming watermark across the union (global watermark = slowest input);
+    in batch all windows are complete by definition.
+
+    ``per_source=True`` additionally groups by ``source_id`` (the reference
+    hands the fan-in function ``{inputIndex: [events]}``).
+    """
+    tagged = [
+        df.withColumn("source_id", F.lit(i).cast("int")) for i, df in enumerate(inputs)
+    ]
+    union = tagged[0]
+    for t in tagged[1:]:
+        union = union.unionByName(t)
+    out = assign_temporal_windows(union, policy, time_col)
+    group = ["window_start", "window_end"] + (["source_id"] if per_source else [])
+    return out.groupBy(*group).agg(*aggs)

