@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from go_streaming_spark.queries import ORACLES, QUERIES  # noqa: E402
+import go_streaming_spark.queries_llm  # noqa: E402,F401  (registers into QUERIES/ORACLES)
 
 
 def entry(spark: SparkSession) -> DataFrame:

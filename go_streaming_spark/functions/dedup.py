@@ -1,0 +1,325 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, all expressed as native DataFrame ops (no Python in the hot
+path), each designed for the 100 TB case:
+
+- **exact**: hash-groupBy on content digest — one shuffle on the digest.
+- **n-gram Jaccard**: shingle → inverted-index self-join → pair agg.  The
+  shuffle key is the shingle; hot (stopword-like) shingles are skew — cap
+  them with ``max_shingle_freq`` (a shingle shared by >N docs contributes
+  candidate pairs quadratically while carrying almost no signal).
+- **MinHash + LSH**: k deterministic universal hashes over 32-bit shingle
+  digests, banded; candidate pairs only where a band bucket collides —
+  turns the quadratic pair space into per-bucket mini cross products.
+- **SimHash**: 60-bit signature; near-dup = small Hamming distance.  Pair
+  generation uses pigeonhole blocking (split signature into d+1 chunks; a
+  pair within distance d must agree on ≥1 chunk) instead of a cross join.
+- **embedding cosine**: exact near-dup by cosine ≥ t; blocked variant via
+  SimHash-of-embedding-signs for scale.
+
+All hash math is int64-exact and engine-portable (md5-prefix → integer),
+so every operator here has a bit-exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Universal-hash parameters: h_j(x) = (A[j]*x + B[j]) mod P over 32-bit x.
+# P = 2^31 - 1 (prime); A < 2^30 keeps A*x < 2^62 — no int64 overflow.
+MINHASH_P = 2_147_483_647
+MINHASH_A = [
+    387420489, 536870923, 715827883, 129140163, 268435459, 402653189,
+    94906249, 805306457, 159432871, 673720361, 33554467, 987654323,
+    246813579, 864197531, 573214271, 111111113,
+]
+MINHASH_B = [
+    12345, 987654321, 192837465, 1029384756, 555555555, 246801357,
+    1122334455, 998877665, 443322110, 1357924680, 86420246, 975318642,
+    13571113, 864208642, 111213141, 515253545,
+]
+
+
+def md5_int(col: Column, hex_chars: int = 8) -> Column:
+    """First ``hex_chars`` hex digits of md5 as a non-negative int64.
+
+    8 chars = 32 bits (minhash base), 15 chars = 60 bits (simhash).
+    Portable: DuckDB computes the identical value via
+    ``CAST('0x' || substr(md5(x),1,n) AS BIGINT)``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, hex_chars), 16, 10).cast("long")
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document → (id, shingle)."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    if n == 1:
+        sh = F.explode(words).alias("shingle")
+        return df.select(F.col(id_col).alias("id"), sh).distinct()
+    # shingle i = words[i..i+n): transform over valid start positions
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return (
+        df.filter(F.size(words) >= n)
+        .select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFrame:
+    """Exact dedup: digest → keep the lowest id, count copies.
+
+    Scale: single shuffle on the digest; AQE handles the (rare) giant
+    duplicate group.  The digest keeps the shuffle row narrow even when the
+    content is megabytes.
+    """
+    digest = F.md5(F.concat_ws("", *content_cols))
+    return df.groupBy(digest.alias("content_hash")).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: (id_a < id_b, jaccard ≥ t).
+
+    Inverted-index join: shuffle on the shingle, so each shingle's doc list
+    meets in one partition; pair counts then aggregate on (id_a, id_b).
+    ``max_shingle_freq`` drops degenerate hot shingles (skew + noise) —
+    at 100 TB this bound is what keeps bucket cross products finite.
+    """
+    sh = word_shingles(df, id_col, text_col, n).cache()
+    if max_shingle_freq:
+        hot = (
+            sh.groupBy("shingle").count()
+            .filter(F.col("count") > max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    out = (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "n_common", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 16
+) -> DataFrame:
+    """(id, j, minhash) — k-permutation MinHash over word n-gram shingles."""
+    assert k <= len(MINHASH_A)
+    sh = word_shingles(df, id_col, text_col, n)
+    h = md5_int(F.col("shingle"), 8)
+    a_arr = F.array(*[F.lit(x) for x in MINHASH_A[:k]])
+    b_arr = F.array(*[F.lit(x) for x in MINHASH_B[:k]])
+    exploded = sh.select(
+        "id",
+        h.alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
+    )
+    hj = (
+        F.element_at(a_arr, F.col("j") + 1) * F.col("h")
+        + F.element_at(b_arr, F.col("j") + 1)
+    ) % MINHASH_P
+    return (
+        exploded.withColumn("hj", hj)
+        .groupBy("id", "j")
+        .agg(F.min("hj").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with exact Jaccard.
+
+    Pipeline: signature → band keys (k/r bands of r rows) → bucket join
+    (candidates = docs sharing ≥1 band bucket) → exact Jaccard verification
+    of the candidate set only.  At scale the bucket join shuffles on
+    (band, band_key) — the candidate set is tiny relative to the pair
+    space, which is the whole point of LSH.
+    """
+    sig = minhash_signatures(df, id_col, text_col, n, k)
+    bands = (
+        sig.withColumn("band", F.floor(F.col("j") / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        .agg(
+            F.concat_ws(
+                "_",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+            ).alias("band_key")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # Exact-Jaccard verification restricted to candidate docs only (the
+    # candidate set is tiny relative to the corpus — that's the LSH payoff;
+    # verifying against all pairs would undo it).
+    cand_docs = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    restricted = df.join(F.broadcast(cand_docs), id_col, "left_semi")
+    exact = jaccard_pairs(restricted, id_col, text_col, n, threshold=0.0)
+    return (
+        candidates.join(exact, ["id_a", "id_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 60
+) -> DataFrame:
+    """(id, simhash) — token-count-weighted SimHash over ``bits`` bits
+    (60 = the md5-prefix budget that stays int64-exact)."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(words).alias("token"))
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    h = md5_int(F.col("token"), 15)  # 60 bits
+    exploded = toks.select(
+        "id",
+        "cnt",
+        h.alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+    )
+    contrib = F.expr("cnt * ((shiftright(h, cast(j as int)) % 2) * 2 - 1)")
+    bitsum = (
+        exploded.withColumn("w", contrib)
+        .groupBy("id", "j")
+        .agg(F.sum("w").alias("s"))
+    )
+    bit_val = F.expr(
+        "case when s > 0 then shiftleft(cast(1 as bigint), cast(j as int))"
+        " else cast(0 as bigint) end"
+    )
+    return bitsum.groupBy("id").agg(F.sum(bit_val).cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 60,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ d via pigeonhole blocking.
+
+    Split the signature into d+1 chunks; a pair within distance d must match
+    exactly on ≥1 chunk, so the join key is (chunk_idx, chunk_value) — no
+    cross join.  Verification computes the true Hamming distance on the
+    collided candidates only.
+    """
+    sig = simhash_signatures(df, id_col, text_col, bits)
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+    chunks = sig.select(
+        "id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("c"),
+    ).withColumn(
+        "chunk_val",
+        F.expr(
+            f"shiftright(simhash, cast(c * {chunk_bits} as int))"
+            f" % shiftleft(cast(1 as bigint), {chunk_bits})"
+        ),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, ["c", "chunk_val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.99,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact cosine near-dup pairs (id_a < id_b, round(cos,6) ≥ t).
+
+    The baseline is the all-pairs self-join — O(n²) and only sane within
+    blocks.  ``block_col`` (e.g. an LSH bucket, IVF cluster id, or language)
+    restricts pairs to same-block, which is the scale path; see
+    similarity.lsh_bucket for a deterministic block assignment.
+    """
+    from go_streaming_spark.functions.similarity import cosine_expr
+
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    on = [F.col("a.id") < F.col("b.id")]
+    if block_col:
+        joined = a.join(b, on=[F.col("a.blk") == F.col("b.blk"), *on])
+    else:
+        joined = a.join(b, on=on)
+    cos = F.round(cosine_expr(F.col("a.vec"), F.col("b.vec")), 6)
+    return (
+        joined.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- :func:`cosine_topk` — brute-force exact top-k: one scan, per-partition
+  partial top-k, single merge (TakeOrdered) — the correctness baseline and
+  surprisingly competitive when k is small and the scan is the bottleneck.
+- :func:`lsh_bucket` / :func:`ann_lsh_topk` — random-hyperplane LSH: H
+  deterministic pseudo-hyperplanes → sign-bit bucket key.  Search touches
+  only the query's bucket (plus optional 1-bit multiprobe neighbors), so
+  the scan cost drops by ~2^H while recall stays high for near-duplicate
+  regimes.  At 100 TB the bucket key is also the partition key: writing
+  the corpus bucketed by it makes ANN a partition-pruned scan.
+- :func:`ivf_topk` — inverted-file variant: coarse centroids (any
+  deterministic assignment; a cluster/label column works), probe the
+  ``nprobe`` nearest centroids.
+
+All vector math is native Column expressions (``zip_with`` + sequential
+``aggregate`` fold — deterministic order, JVM codegen, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from go_streaming_spark.functions.dedup import md5_int
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Exact brute-force cosine top-k against a literal query vector.
+
+    Ordering is (round(cos,6) DESC, id ASC) — fully deterministic across
+    engines/partitionings.  Plans as TakeOrderedAndProject: no global sort.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = F.round(cosine_expr(F.col(vec_col).cast("array<double>"), q), 6)
+    return (
+        df.select(F.col(id_col).alias("id"), cos.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def _plane_component(h_seed: int, p: Column, d: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    md5(seed|plane|dim) → 32-bit int → scaled.  Engine-portable."""
+    raw = md5_int(F.concat_ws("|", F.lit(h_seed), p.cast("string"), d.cast("string")), 8)
+    return raw / F.lit(2_147_483_648.0) - 1.0
+
+
+def lsh_bucket(
+    vec: Column, dim: int, n_planes: int = 12, seed: int = 42
+) -> Column:
+    """Random-hyperplane LSH bucket id (int, 2^n_planes buckets).
+
+    bit_p = [ vec · plane_p >= 0 ]; planes are generated deterministically
+    from (seed, p, d) — identical on any engine, no stored model.
+    """
+    v = vec.cast("array<double>")
+    planes = F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda p: F.aggregate(
+            F.zip_with(
+                v,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda d: _plane_component(seed, p, d),
+                ),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    bits = F.transform(planes, lambda s: F.when(s >= 0, 1).otherwise(0))
+    # bucket = Σ bit_p · 2^p  (pow is exact for p < 53; n_planes ≤ 32)
+    return F.aggregate(
+        F.zip_with(
+            bits,
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            lambda bit, p: bit.cast("long") * F.pow(F.lit(2.0), p).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: score only rows whose LSH bucket matches the
+    query's bucket (or differs in one bit, with ``multiprobe``).
+
+    Pick ``n_planes ≈ log2(corpus_size / target_candidates)``: candidates
+    scale as n·(1+H)/2^H.  Recall depends on how concentrated true
+    neighbors are — LSH shines in near-duplicate regimes; for diffuse
+    similarity use more probes or the IVF variant.
+
+    Scale path: precompute/bucket-partition ``lsh_bucket`` at write time and
+    this becomes a partition-pruned scan of ~(1+H)/2^H of the corpus.
+    """
+    import math
+
+    dim = len(query_vec)
+    # query bucket computed driver-side with the same md5 formula
+    import hashlib
+
+    def plane_comp(p: int, d: int) -> float:
+        raw = int(hashlib.md5(f"{seed}|{p}|{d}".encode()).hexdigest()[:8], 16)
+        return raw / 2_147_483_648.0 - 1.0
+
+    qbits = []
+    for p in range(n_planes):
+        s = sum(query_vec[d] * plane_comp(p, d) for d in range(dim))
+        qbits.append(1 if s >= 0 else 0)
+    qbucket = sum(b << p for p, b in enumerate(qbits))
+    probes = [qbucket] + (
+        [qbucket ^ (1 << p) for p in range(n_planes)] if multiprobe else []
+    )
+
+    bucketed = df.withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, n_planes, seed))
+    cand = bucketed.filter(F.col("_bucket").isin(probes))
+    return cosine_topk(cand, id_col, vec_col, query_vec, k)
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: probe the ``nprobe`` centroids nearest to the query,
+    then exact top-k within their clusters only.
+
+    ``centroids``: (cluster, vec) — e.g. per-label means computed offline.
+    The candidate filter is a broadcast semi-join on the cluster id; at
+    scale the corpus is written partitioned by cluster so probing prunes
+    partitions.
+    """
+    probe = (
+        cosine_topk(centroids, cluster_col, "vec", query_vec, nprobe)
+        .select(F.col("id").alias(cluster_col))
+    )
+    cand = df.join(F.broadcast(probe), cluster_col, "left_semi")
+    return cosine_topk(cand, id_col, vec_col, query_vec, k)

@@ -1,0 +1,115 @@
+"""Text analysis operators over document tables.
+
+All pure Column expressions (single-pass, codegen'd, no UDFs): language ID
+(marker-word heuristic), quality scoring (length/punct/stopword ratios),
+token counting (whitespace + BPE-ish regex), and content fingerprinting
+(min-hash over character shingles — winnowing-lite).  Each is deterministic
+and engine-portable for oracle checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal marker lexicons (heuristic n-gram/stopword language ID).  Real
+# deployments swap in fastText/CLD3 via a pandas UDF; the operator shape
+# (per-doc argmax over marker-hit scores) stays the same.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "en": ["the", "a", "and", "is", "of", "to", "in", "for"],
+    "es": ["el", "la", "los", "y", "es", "de", "un", "para"],
+    "fr": ["le", "la", "les", "et", "est", "un", "pour", "dans"],
+}
+
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "is", "are", "of", "to", "in", "for",
+    "on", "with", "at", "by", "from",
+]
+
+# BPE-ish pre-tokenization: word pieces or single non-space symbols
+# (the GPT-2 pre-tokenizer shape, ASCII approximation).
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def words_expr(text: Column) -> Column:
+    return F.filter(F.split(text, r"\s+"), lambda w: w != "")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language score: distinct marker words present in the text."""
+    words = words_expr(F.lower(text))
+    return {
+        lang: F.size(F.array_intersect(words, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over marker scores; ties break alphabetically; no marker hit
+    at all → 'und'.  Deterministic CASE cascade — identical in SQL."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    result = F.lit("und")
+    # alphabetical order + .when chain: first language reaching `best` wins
+    expr = F.when(best <= 0, F.lit("und"))
+    for lang in sorted(scores):
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr.otherwise(result)
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token count + BPE-ish piece count + char count per doc."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(words_expr(t)).cast("long").alias("n_words"),
+        F.regexp_count(t, F.lit(BPE_TOKEN_RE)).cast("long").alias("n_bpe_pieces"),
+        F.length(t).cast("long").alias("n_chars"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality features + composite score per doc.
+
+    Features (all single-pass expressions): word count, mean word length,
+    stopword ratio, alpha-char ratio, punctuation density.  The composite
+    is a fixed linear blend — swap weights per corpus; the point is the
+    operator shape (scan-only, no shuffle).
+    """
+    t = F.col(text_col)
+    words = words_expr(t)
+    n_words = F.size(words).cast("long")
+    n_chars = F.length(t).cast("long")
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    mean_word_len = F.when(n_words > 0, (n_chars - (n_words - 1)) / n_words).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        n_stop.cast("long").alias("n_stopwords"),
+        n_punct.cast("long").alias("n_punct"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+    )
+
+
+def char_shingle_fingerprint(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """Winnowing-lite content fingerprint: the minimum md5 over all
+    character n-gram shingles — robust to word order at the edges, cheap
+    (one pass, array expression, no explode shuffle)."""
+    t = F.col(text_col)
+    fp = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - n + 1, F.lit(1))),
+            lambda i: F.md5(t.substr(i, F.lit(n))),
+        )
+    )
+    return df.select(F.col(id_col).alias("id"), fp.alias("fingerprint"))

@@ -1,0 +1,228 @@
+"""LLM-data-pipeline queries (dedup / similarity / text / multimodal) with
+DuckDB oracles.  Registered into the same QUERIES/ORACLES dicts as the core
+operator queries (see queries.py for the determinism rules).
+
+The hash-heavy oracles (MinHash, SimHash) mirror the engine's md5-prefix →
+int64 arithmetic exactly — both engines compute identical signatures, so the
+checks are bit-exact, not approximate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_streaming_spark.engine import Engine
+from go_streaming_spark.functions import dedup, multimodal, similarity, text
+from go_streaming_spark.queries import query
+
+# Shared oracle CTEs: word 3-gram shingles + exact jaccard over documents.
+_SH = """ws AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\\s+'), x -> x <> '') w FROM documents),
+sh AS (SELECT DISTINCT doc_id AS id, unnest(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2],' '))) AS shingle FROM ws WHERE len(w) >= 3),
+sizes AS (SELECT id, count(*) n FROM sh GROUP BY id),
+inter AS (SELECT a.id id_a, b.id id_b, count(*) n_common FROM sh a JOIN sh b USING(shingle) WHERE a.id < b.id GROUP BY 1, 2),
+jac AS (SELECT id_a, id_b, n_common, n_common/(sa.n+sb.n-n_common) AS jaccard
+        FROM inter JOIN sizes sa ON id_a=sa.id JOIN sizes sb ON id_b=sb.id)"""
+
+_COS = (
+    lambda x, y: f"list_sum(list_transform(range(1,65), i -> {x}[i]*{y}[i]))"
+    f"/(sqrt(list_sum(list_transform(range(1,65), i -> {x}[i]*{x}[i])))"
+    f"*sqrt(list_sum(list_transform(range(1,65), i -> {y}[i]*{y}[i]))))"
+)
+
+_STOP = (
+    "['the','a','an','and','or','is','are','of','to','in','for','on','with',"
+    "'at','by','from']"
+)
+_NW = "len(list_filter(regexp_split_to_array(text,'\\s+'),x->x<>''))"
+_NSTOP = (
+    "len(list_filter(regexp_split_to_array(text,'\\s+'),"
+    f" x -> x <> '' AND list_contains({_STOP}, lower(x))))"
+)
+
+
+def _docs(spark, sf_dir):
+    return Engine(spark, sf_dir=sf_dir).stream("documents")
+
+
+def _emb(spark, sf_dir):
+    return Engine(spark, sf_dir=sf_dir).stream("embeddings")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,"
+    " count(*) AS n_copies FROM documents GROUP BY 1",
+)
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir), "doc_id", ["text"])
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"WITH {_SH} SELECT id_a, id_b, n_common, jaccard FROM jac WHERE jaccard >= 0.2",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", 3, 0.2)
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""WITH {_SH},
+h32 AS (SELECT id, CAST(('0x'||substr(md5(shingle),1,8)) AS BIGINT) h FROM sh),
+sig AS (SELECT id, j, min(({dedup.MINHASH_A}[CAST(j AS INT)+1]*h
+                         + {dedup.MINHASH_B}[CAST(j AS INT)+1]) % 2147483647) minhash
+        FROM h32, (SELECT unnest(range(16)) j) jj GROUP BY 1,2),
+bands AS (SELECT id, j//4 band, string_agg(minhash, '_' ORDER BY j) band_key FROM sig GROUP BY 1,2),
+cand AS (SELECT DISTINCT a.id id_a, b.id id_b FROM bands a JOIN bands b USING(band, band_key) WHERE a.id < b.id)
+SELECT c.id_a, c.id_b, j.jaccard FROM cand c JOIN jac j USING(id_a, id_b) WHERE j.jaccard >= 0.2""",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, k=16, rows_per_band=4, threshold=0.2
+    )
+
+
+_SIMHASH_SQL = """toks AS (SELECT doc_id id, t token, count(*) cnt FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text,'\\s+'), x->x<>'')) t FROM documents) GROUP BY 1,2),
+bits AS (SELECT id, j, sum(cnt * (((CAST(('0x'||substr(md5(token),1,15)) AS BIGINT) >> CAST(j AS INT)) & 1)*2 - 1)) s
+         FROM toks, (SELECT unnest(range(60)) j) jj GROUP BY 1,2),
+sig AS (SELECT id, CAST(sum(CASE WHEN s>0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) sh FROM bits GROUP BY 1)"""
+
+
+@query(
+    "dedup_simhash",
+    f"WITH {_SIMHASH_SQL} SELECT a.id id_a, b.id id_b,"
+    " CAST(bit_count(xor(a.sh,b.sh)) AS INT) hamming"
+    " FROM sig a, sig b WHERE a.id<b.id AND bit_count(xor(a.sh,b.sh)) <= 3",
+)
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash_pairs(_docs(spark, sf_dir), "doc_id", "text", max_hamming=3)
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""WITH v AS (SELECT vec_id id, embedding::DOUBLE[] e FROM embeddings)
+SELECT a.id id_a, b.id id_b, round({_COS('a.e','b.e')}, 6) cos_sim
+FROM v a JOIN v b ON a.id < b.id WHERE round({_COS('a.e','b.e')}, 6) >= 0.4""",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    return dedup.embedding_cosine_pairs(_emb(spark, sf_dir), "vec_id", "embedding", 0.4)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_cosine_topk",
+    f"""WITH q AS (SELECT embedding::DOUBLE[] qv FROM embeddings WHERE vec_id=0),
+v AS (SELECT vec_id id, embedding::DOUBLE[] e FROM embeddings WHERE vec_id <> 0)
+SELECT id, round({_COS('e','q.qv')}, 6) cos_sim FROM v, q
+ORDER BY cos_sim DESC, id LIMIT 10""",
+)
+def ann_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return similarity.cosine_topk(
+        emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", qv, 10
+    )
+
+
+@query("ann_lsh_topk")  # no SQL oracle: LSH bucket path; recall tested in pytest
+def ann_lsh_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return similarity.ann_lsh_topk(
+        emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", qv, k=10, n_planes=6
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_LANG_SCORES = ", ".join(
+    f"len(list_intersect(list_filter(regexp_split_to_array(lower(text),'\\s+'),x->x<>''),"
+    f" {markers})) s_{lang}"
+    for lang, markers in sorted(text.LANG_MARKERS.items())
+)
+_G = "greatest(s_de, s_en, s_es, s_fr)"
+
+
+@query(
+    "text_lang_id",
+    f"""WITH s AS (SELECT doc_id, {_LANG_SCORES} FROM documents)
+SELECT doc_id, CASE WHEN {_G} <= 0 THEN 'und' WHEN s_de = {_G} THEN 'de'
+ WHEN s_en = {_G} THEN 'en' WHEN s_es = {_G} THEN 'es' WHEN s_fr = {_G} THEN 'fr'
+ END AS lang_pred FROM s""",
+)
+def text_lang_id(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", text.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "text_quality",
+    f"""SELECT doc_id,
+ {_NW}::BIGINT n_words,
+ {_NSTOP}::BIGINT n_stopwords,
+ len(regexp_replace(text, '[^.,;:!?]', '', 'g'))::BIGINT n_punct,
+ round(CASE WHEN {_NW} > 0 THEN (len(text) - ({_NW}-1))/{_NW} ELSE 0.0 END, 6) mean_word_len,
+ round(CASE WHEN {_NW} > 0 THEN {_NSTOP}/{_NW} ELSE 0.0 END, 6) stopword_ratio,
+ round(CASE WHEN len(text) > 0 THEN len(regexp_replace(text, '[^A-Za-z]', '', 'g'))/len(text) ELSE 0.0 END, 6) alpha_ratio
+FROM documents""",
+)
+def text_quality(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return text.quality_score(docs, "doc_id", "text").withColumnRenamed("id", "doc_id")
+
+
+@query(
+    "text_token_counts",
+    r"""SELECT doc_id, len(list_filter(regexp_split_to_array(text,'\s+'),x->x<>''))::BIGINT n_words,
+ len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT n_bpe_pieces,
+ len(text)::BIGINT n_chars FROM documents""",
+)
+def text_token_counts(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return text.token_counts(docs, "doc_id", "text").withColumnRenamed("id", "doc_id")
+
+
+@query(
+    "text_fingerprint",
+    "SELECT doc_id, list_min(list_transform(range(1, greatest(len(text)-4,1)+1),"
+    " i -> md5(text[i:i+4]))) fingerprint FROM documents",
+)
+def text_fingerprint(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return text.char_shingle_fingerprint(docs, "doc_id", "text", 5).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_binary_meta",
+    "SELECT doc_id, octet_length(encode(text))::BIGINT n_bytes, sha256(text) sha"
+    " FROM documents",
+)
+def multimodal_binary_meta(spark, sf_dir):
+    # real plumbing: text → BINARY payload + typed metadata struct
+    media = multimodal.attach_media(_docs(spark, sf_dir), "text", "text_blob", "utf8")
+    return media.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.sha2(F.col("media"), 256).alias("sha"),
+    )
+
+
+@query("multimodal_features")  # no SQL oracle: mapInPandas path; determinism in pytest
+def multimodal_features(spark, sf_dir):
+    media = multimodal.attach_media(_docs(spark, sf_dir), "text", "text_blob", "utf8")
+    return multimodal.extract_features(media, "doc_id", "media")
