@@ -46,14 +46,20 @@ def window_join(
     Spark join types pass through for free.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    lw = _prep_side(left, policy, time_col, keys, "l")
-    rw = _prep_side(right, policy, time_col, keys, "r")
+    streaming = left.isStreaming and right.isStreaming
+    lw = _prep_side(left, policy, time_col, keys, "l", streaming)
+    rw = _prep_side(right, policy, time_col, keys, "r", streaming)
     if broadcast_right:
         rw = F.broadcast(rw)
 
-    on = [lw["l_window_start"] == rw["r_window_start"]] + [
-        lw[f"l_key_{k}"] == rw[f"r_key_{k}"] for k in keys
-    ]
+    # Streaming joins must equate the native window struct (event-time
+    # metadata drives state eviction); batch equates the plain column.
+    wcond = (
+        lw["l_window"] == rw["r_window"]
+        if streaming
+        else lw["l_window_start"] == rw["r_window_start"]
+    )
+    on = [wcond] + [lw[f"l_key_{k}"] == rw[f"r_key_{k}"] for k in keys]
     how_spark = {"left": "left_outer", "inner": "inner"}.get(how, how)
     joined = lw.join(rw, on, how_spark)
 
@@ -74,9 +80,28 @@ def window_join(
 
 
 def _prep_side(
-    df: DataFrame, policy: TemporalWindow, time_col: str, keys: list[str], prefix: str
+    df: DataFrame,
+    policy: TemporalWindow,
+    time_col: str,
+    keys: list[str],
+    prefix: str,
+    streaming: bool = False,
 ) -> DataFrame:
-    w = assign_temporal_windows(df, policy, time_col)
+    if streaming:
+        from go_streaming_spark.operators.windows import streaming_window_col
+
+        w = streaming_window_col(df, policy, time_col)
+        w = (
+            w.withColumn("window_start", F.col("window.start"))
+            .withColumn(
+                "window_end",
+                F.timestamp_micros(
+                    F.unix_micros(F.col("window.start")) + policy.length_us
+                ),
+            )
+        )
+    else:
+        w = assign_temporal_windows(df, policy, time_col)
     vt = w.schema["value"].dataType
     key_cols = []
     for k in keys:

@@ -184,6 +184,52 @@ def assign_counting_windows(
     return df.withColumn("window_id", F.explode(F.sequence(w_min, w_max))).drop("_seq")
 
 
+def streaming_window_col(
+    df: DataFrame, policy: TemporalWindow, time_col: str = "event_start"
+) -> DataFrame:
+    """Streaming-mode window assignment: zero-lateness watermark + native
+    ``F.window`` (the state store needs Spark's own event-time window
+    metadata for eviction — watermark-driven state GC replaces the
+    reference's consumed-prefix GC, `pkg/events/buffer.go:461-475`).
+
+    Adds a ``window`` struct column.  Sampling policies (shift > length)
+    use window(shift) + a membership filter, since Spark requires
+    slide ≤ duration; the window_end is then start+shift, fixed up by
+    :func:`windowed_agg` after aggregation.
+
+    Batch mode uses :func:`assign_temporal_windows` (plain-column
+    arithmetic) — same assignments, verified equivalent in tests.
+    """
+    length, shift = policy.length_us, policy.shift_us
+    out = df.withWatermark(time_col, "0 seconds")
+    origin_us = 0
+    if policy.origin:
+        origin_us = _origin_micros(policy.origin)
+        out = out.filter(F.unix_micros(F.col(time_col)) >= origin_us)
+    start_off = f"{origin_us % shift} microseconds"
+    if shift > length:
+        off = F.unix_micros(F.col(time_col)) - F.lit(origin_us)
+        out = out.filter(off % F.lit(shift) < length)
+        win = F.window(F.col(time_col), f"{shift} microseconds", startTime=start_off)
+    else:
+        win = F.window(
+            F.col(time_col),
+            f"{length} microseconds",
+            f"{shift} microseconds",
+            start_off,
+        )
+    return out.withColumn("window", win)
+
+
+def _origin_micros(origin: str) -> int:
+    import datetime as dt
+
+    d = dt.datetime.fromisoformat(origin)
+    if d.tzinfo is None:
+        d = d.replace(tzinfo=dt.timezone.utc)
+    return int(d.timestamp() * 1_000_000)
+
+
 def windowed_agg(
     policy: TemporalWindow,
     aggs: list[Column],
@@ -196,11 +242,23 @@ def windowed_agg(
     (`pkg/processing/operator_engine.go:122-141`): consume a window batch,
     emit aggregated events stamped with the window's merged lineage
     (min start / max end — `pkg/events/timestamper.go:22-50`).
+
+    Works on batch and streaming inputs (append mode, zero-lateness
+    watermark — the reference's fire-on-first-late-event trigger).
     """
     def fn(df: DataFrame) -> DataFrame:
+        extra = lineage_agg(merge_meta) if lineage else []
+        if df.isStreaming:
+            out = streaming_window_col(df, policy, time_col)
+            agged = out.groupBy("window", *keys).agg(*aggs, *extra)
+            ws = F.col("window.start")
+            we = F.timestamp_micros(F.unix_micros(ws) + policy.length_us)
+            other = [c for c in agged.columns if c != "window"]
+            return agged.select(
+                ws.alias("window_start"), we.alias("window_end"), *other
+            )
         out = assign_temporal_windows(df, policy, time_col)
         group = ["window_start", "window_end", *keys]
-        extra = lineage_agg(merge_meta) if lineage else []
         return out.groupBy(*group).agg(*aggs, *extra)
     return Operator("WindowedAgg", fn, {"policy": policy, "keys": keys})
 
@@ -268,6 +326,5 @@ def fan_in(
     union = tagged[0]
     for t in tagged[1:]:
         union = union.unionByName(t)
-    out = assign_temporal_windows(union, policy, time_col)
-    group = ["window_start", "window_end"] + (["source_id"] if per_source else [])
-    return out.groupBy(*group).agg(*aggs)
+    keys = ("source_id",) if per_source else ()
+    return windowed_agg(policy, aggs, keys=keys, time_col=time_col, lineage=False)(union)

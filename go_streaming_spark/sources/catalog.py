@@ -66,10 +66,13 @@ def load_stream(
     """
     configure_session(spark)
     schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
-    reader = spark.readStream.schema(schema)
+    # the file stream source wants a directory; glob-filter to this table
+    reader = spark.readStream.schema(schema).option(
+        "pathGlobFilter", f"{name}.parquet"
+    )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(f"{sf_dir}/{name}.parquet")
+    df = reader.parquet(sf_dir)
     return _fix_timestamps(df, name)
 
 

@@ -1,0 +1,161 @@
+"""Streaming parity: the same operators produce the same results on a
+streaming replay (availableNow) as on the batch DataFrame — SURVEY.md §7's
+batch-first/streaming-compatible design commitment — plus the stateful
+operators Spark lacks natively (stream limit, counting windows).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_streaming_spark import operators as ops
+from go_streaming_spark.events import to_events
+from go_streaming_spark.operators.joins import window_join
+from go_streaming_spark.operators.windows import CountingWindow, TemporalWindow
+from go_streaming_spark.sources.catalog import load_stream, load_table
+from go_streaming_spark.streaming import (
+    counting_window_stream,
+    replay_to_memory,
+    stream_limit,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _env(df):
+    return to_events(df, value="value", event_time="ts", seq="event_id")
+
+
+def _collect_sorted(df, *cols):
+    return sorted(map(str, df.select(*cols).collect()))
+
+
+def _fired(batch_df, spark, time_max):
+    """Streaming (like the reference, selection_policy.go:179-184) only
+    fires windows once an event at/past their end arrives; a finite batch
+    replay also materializes the trailing open window.  Restrict the batch
+    side to fired windows for parity comparison."""
+    return batch_df.filter(F.col("window_end") <= F.lit(time_max))
+
+
+def _max_ts(spark, event_type=None):
+    df = load_table(spark, SF, "events")
+    if event_type:
+        df = df.filter(F.col("event_type") == event_type)
+    return df.agg(F.max("ts")).head()[0]
+
+
+def test_stateless_ops_stream_parity(spark):
+    batch = ops.greater(100)(_env(load_table(spark, SF, "events")))
+    stream = ops.greater(100)(_env(load_stream(spark, SF, "events")))
+    got = replay_to_memory(stream, spark)
+    assert _collect_sorted(got, "seq", "value") == _collect_sorted(batch, "seq", "value")
+
+
+def test_windowed_sum_stream_parity(spark):
+    agg = ops.batch_sum(TemporalWindow("1 hour"), lineage=False)
+    batch = _fired(agg(_env(load_table(spark, SF, "events"))), spark, _max_ts(spark))
+    stream = agg(_env(load_stream(spark, SF, "events")))
+    got = replay_to_memory(stream, spark)
+    assert _collect_sorted(got, "window_start", "value") == _collect_sorted(
+        batch, "window_start", "value"
+    )
+
+
+def test_sliding_window_stream_parity(spark):
+    agg = ops.batch_count(TemporalWindow("1 hour", "15 minutes"), lineage=False)
+    batch = _fired(agg(_env(load_table(spark, SF, "events"))), spark, _max_ts(spark))
+    got = replay_to_memory(agg(_env(load_stream(spark, SF, "events"))), spark)
+    assert _collect_sorted(got, "window_start", "value") == _collect_sorted(
+        batch, "window_start", "value"
+    )
+
+
+def test_sampling_window_stream_parity(spark):
+    agg = ops.batch_count(TemporalWindow("10 minutes", "1 hour"), lineage=False)
+    batch = _fired(agg(_env(load_table(spark, SF, "events"))), spark, _max_ts(spark))
+    got = replay_to_memory(agg(_env(load_stream(spark, SF, "events"))), spark)
+    assert _collect_sorted(got, "window_start", "window_end", "value") == _collect_sorted(
+        batch, "window_start", "window_end", "value"
+    )
+
+
+def _typed_env(df, event_type):
+    return to_events(
+        df.filter(F.col("event_type") == event_type),
+        value=["user_id", "event_id"],
+        event_time="ts",
+        seq="event_id",
+    )
+
+
+def test_window_join_stream_parity(spark):
+    policy = TemporalWindow("1 hour")
+    bt = load_table(spark, SF, "events")
+    st = load_stream(spark, SF, "events")
+    batch = window_join(
+        _typed_env(bt, "signup"), _typed_env(bt, "purchase"), "user_id", policy
+    ).filter(
+        F.col("window_end") <= F.lit(min(_max_ts(spark, "signup"), _max_ts(spark, "purchase")))
+    ).select(
+        "window_start",
+        F.col("value.l.event_id").alias("l_id"),
+        F.col("value.r.event_id").alias("r_id"),
+    )
+    stream = window_join(
+        _typed_env(st, "signup"), _typed_env(st, "purchase"), "user_id", policy
+    ).select(
+        "window_start",
+        F.col("value.l.event_id").alias("l_id"),
+        F.col("value.r.event_id").alias("r_id"),
+    )
+    got = replay_to_memory(stream, spark)
+    assert _collect_sorted(got, "window_start", "l_id", "r_id") == _collect_sorted(
+        batch, "window_start", "l_id", "r_id"
+    )
+
+
+def test_fan_in_stream(spark):
+    st = load_stream(spark, SF, "events")
+    bt = load_table(spark, SF, "events")
+    mk = lambda src, t: to_events(
+        src.filter(F.col("event_type") == t), value="value", event_time="ts", seq="event_id"
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    policy = TemporalWindow("1 day")
+    batch = _fired(
+        ops.fan_in([mk(bt, "click"), mk(bt, "purchase")], policy, aggs),
+        spark,
+        min(_max_ts(spark, "click"), _max_ts(spark, "purchase")),
+    )
+    stream = ops.fan_in([mk(st, "click"), mk(st, "purchase")], policy, aggs)
+    got = replay_to_memory(stream, spark)
+    assert _collect_sorted(got, "window_start", "n") == _collect_sorted(
+        batch, "window_start", "n"
+    )
+
+
+def test_stream_limit(spark):
+    st = _env(load_stream(spark, SF, "events"))
+    out = replay_to_memory(stream_limit(st, 25), spark)
+    rows = sorted((r.seq, r.value) for r in out.collect())
+    batch = _env(load_table(spark, SF, "events"))
+    expected = sorted(
+        (r.seq, r.value) for r in ops.limit(25)(batch).select("seq", "value").collect()
+    )
+    assert rows == expected
+
+
+@pytest.mark.parametrize("n,shift", [(100, 100), (100, 40), (50, 200)])
+def test_counting_window_stream_parity(spark, n, shift):
+    st = _env(load_stream(spark, SF, "events"))
+    got = replay_to_memory(counting_window_stream(st, n, shift), spark)
+    batch = ops.counting_window_agg(
+        CountingWindow(n, shift),
+        [F.sum("value").alias("sum_value"), F.count(F.lit(1)).alias("n_events")],
+        lineage=False,
+    )(_env(load_table(spark, SF, "events")))
+    g = sorted((r.window_id, round(r.sum_value, 6), r.n_events) for r in got.collect())
+    b = sorted((r.window_id, round(r.sum_value, 6), r.n_events) for r in batch.collect())
+    assert g == b
