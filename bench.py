@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Protocol (BASELINE.md): per query, 1 warm-up run then median of 3 timed runs.
+Each run forces full materialization through the `noop` sink so we measure
+scan+shuffle+compute, not driver-side collect serialization.
+
+Set SPARK_GRAFT_BENCH_RUNS=1 for a quick iteration loop at small SF.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from go_streaming_spark.session import get_session  # noqa: E402
+from go_streaming_spark.queries import QUERIES  # noqa: E402
+import go_streaming_spark.queries_llm  # noqa: E402,F401  (registers LLM queries)
+
+# Headline set: mirrors BASELINE.md Q1-Q8 + the LLM-pipeline scale paths.
+HEADLINE = [
+    "filter_greater",          # Q1 filter+project scan
+    "tokenize_wordcount",      # Q2 flatmap/tokenize word count
+    "window_sum_tumbling",     # Q3 tumbling temporal window sum
+    "window_count_sliding",    # Q4 sliding temporal window count
+    "window_join_inner",       # Q5 windowed inner join
+    "window_join_left",        # Q6 windowed left join
+    "counting_window_tumbling",# Q7 count-based window (stateful path)
+    "star_join_agg",           # Q8 star-schema join+agg
+    "pricing_summary",         # TPC-H Q1-style wide agg
+    "dedup_minhash_lsh",       # near-dup dedup at scale
+    "ann_cosine_topk",         # similarity search
+    "text_quality",            # text analysis sweep
+]
+
+
+def _time_query(spark, name, sf_dir, runs):
+    fn = QUERIES[name]
+    # Warm-up: build + execute once (fills file listing / codegen caches).
+    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        samples.append(time.perf_counter() - t0)
+    return statistics.median(samples)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = None
+
+    spark = get_session("go_streaming_spark_bench")
+    timings = {}
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        timings[name] = round(_time_query(spark, name, sf_dir, runs), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
