@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from go_streaming_spark.functions.util import spread
+
 # Universal-hash parameters: h_j(x) = (A[j]*x + B[j]) mod P over 32-bit x.
 # P = 2^31 - 1 (prime); A < 2^30 keeps A*x < 2^62 — no int64 overflow.
 MINHASH_P = 2_147_483_647
@@ -54,7 +56,13 @@ def md5_int(col: Column, hex_chars: int = 8) -> Column:
 def word_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document → (id, shingle)."""
+    """Distinct word n-gram shingles per document → (id, shingle).
+
+    The split+explode stage is the CPU-heavy part of every shingle-based
+    dedup — ``spread`` guarantees it parallelizes even when the input
+    arrives as a single small file split.
+    """
+    df = spread(df)
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
     if n == 1:
         sh = F.explode(words).alias("shingle")
@@ -128,28 +136,43 @@ def jaccard_pairs(
     return out.select("id_a", "id_b", "n_common", "jaccard")
 
 
-def minhash_signatures(
+def minhash_signatures_wide(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 16
 ) -> DataFrame:
-    """(id, j, minhash) — k-permutation MinHash over word n-gram shingles."""
+    """(id, mh0..mh{k-1}) — k-permutation MinHash over word n-gram shingles.
+
+    Wide layout: the k permutation mins are k aggregate columns of a single
+    ``groupBy(id)`` — one shuffle over the (id, shingle-hash) rows.  The
+    row-per-permutation alternative (explode k rows per shingle, then
+    ``groupBy(id, j)``) shuffles k× the data; at 100 TB that factor is the
+    difference between one pass and sixteen.
+    """
     assert k <= len(MINHASH_A)
     sh = word_shingles(df, id_col, text_col, n)
     h = md5_int(F.col("shingle"), 8)
-    a_arr = F.array(*[F.lit(x) for x in MINHASH_A[:k]])
-    b_arr = F.array(*[F.lit(x) for x in MINHASH_B[:k]])
-    exploded = sh.select(
-        "id",
-        h.alias("h"),
-        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
+    hashed = sh.select("id", h.alias("h"))
+    mins = [
+        F.min(
+            (F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_B[j])) % MINHASH_P
+        ).alias(f"mh{j}")
+        for j in range(k)
+    ]
+    return hashed.groupBy("id").agg(*mins)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 16
+) -> DataFrame:
+    """(id, j, minhash) — long-format view of :func:`minhash_signatures_wide`."""
+    wide = minhash_signatures_wide(df, id_col, text_col, n, k)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), F.col(f"mh{j}").alias("minhash"))
+            for j in range(k)
+        ]
     )
-    hj = (
-        F.element_at(a_arr, F.col("j") + 1) * F.col("h")
-        + F.element_at(b_arr, F.col("j") + 1)
-    ) % MINHASH_P
-    return (
-        exploded.withColumn("hj", hj)
-        .groupBy("id", "j")
-        .agg(F.min("hj").alias("minhash"))
+    return wide.select("id", F.explode(pairs).alias("p")).select(
+        "id", "p.j", "p.minhash"
     )
 
 
@@ -170,19 +193,25 @@ def minhash_lsh_pairs(
     (band, band_key) — the candidate set is tiny relative to the pair
     space, which is the whole point of LSH.
     """
-    sig = minhash_signatures(df, id_col, text_col, n, k)
-    bands = (
-        sig.withColumn("band", F.floor(F.col("j") / rows_per_band).cast("int"))
-        .groupBy("id", "band")
-        .agg(
-            F.concat_ws(
-                "_",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "minhash"))),
-                    lambda s: s["minhash"].cast("string"),
-                ),
-            ).alias("band_key")
-        )
+    sig = minhash_signatures_wide(df, id_col, text_col, n, k)
+    # Band keys straight from the wide signature — no second aggregation.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh{j}").cast("string")
+                        for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(k // rows_per_band)
+        ]
+    )
+    bands = sig.select("id", F.explode(band_structs).alias("bk")).select(
+        "id", "bk.band", "bk.band_key"
     )
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
@@ -215,28 +244,27 @@ def simhash_signatures(
     (60 = the md5-prefix budget that stays int64-exact)."""
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
     toks = (
-        df.select(F.col(id_col).alias("id"), F.explode(words).alias("token"))
+        spread(df).select(F.col(id_col).alias("id"), F.explode(words).alias("token"))
         .groupBy("id", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     h = md5_int(F.col("token"), 15)  # 60 bits
-    exploded = toks.select(
-        "id",
-        "cnt",
-        h.alias("h"),
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
-    )
-    contrib = F.expr("cnt * ((shiftright(h, cast(j as int)) % 2) * 2 - 1)")
-    bitsum = (
-        exploded.withColumn("w", contrib)
-        .groupBy("id", "j")
-        .agg(F.sum("w").alias("s"))
-    )
-    bit_val = F.expr(
-        "case when s > 0 then shiftleft(cast(1 as bigint), cast(j as int))"
-        " else cast(0 as bigint) end"
-    )
-    return bitsum.groupBy("id").agg(F.sum(bit_val).cast("long").alias("simhash"))
+    # Wide per-bit sums: one groupBy(id) with `bits` aggregate columns — the
+    # row-per-bit alternative shuffles `bits`× the token stream (see the
+    # minhash wide-signature note above).
+    hashed = toks.select("id", "cnt", h.alias("h"))
+    bit_sums = [
+        F.sum(F.expr(f"cnt * ((shiftright(h, {j}) % 2) * 2 - 1)")).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    sums = hashed.groupBy("id").agg(*bit_sums)
+    simhash = None
+    for j in range(bits):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash = bit if simhash is None else simhash + bit
+    return sums.select("id", simhash.cast("long").alias("simhash"))
 
 
 def simhash_pairs(
