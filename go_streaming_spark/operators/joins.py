@@ -116,6 +116,75 @@ def _prep_side(
     )
 
 
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_time: str,
+    right_time: str,
+    right_vals: dict[str, Column] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Backward as-of join: each left row matched to the most recent right row
+    with ``right_time <= left_time`` for the same key (the standard temporal
+    join the reference lacks — beyond-reference surface, SURVEY.md §2.5).
+
+    Scale design: the naive formulation is a range join (left × right pairs
+    filtered by time), which Spark plans as a broadcast-nested-loop or an
+    exploding theta-join.  This implementation instead unions the two sides
+    tagged, sorts within key via a window spec, and propagates the last
+    non-null right payload forward — exactly ONE shuffle on the key, O(n log n)
+    per partition, no pair explosion, skew-safe under AQE.
+
+    ``right_vals`` maps output column name → expression over the right side;
+    default carries ``right_time`` as ``asof_time``.  ``how`` = 'inner' drops
+    left rows with no prior right row; 'left' keeps them with NULLs.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    right_vals = right_vals or {"asof_time": F.col(right_time)}
+    out_names = list(right_vals)
+
+    payload = F.struct(*[c.alias(n) for n, c in right_vals.items()])
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        payload.alias("_rpayload"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+            for c in left.columns
+        ],
+    )
+    l = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_rpayload"].dataType).alias("_rpayload"),
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+    )
+
+    from pyspark.sql.window import Window
+
+    # Right rows at the same timestamp sort before left rows (_side 0 < 1),
+    # so a right row with right_time == left_time matches — ASOF `>=`.
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        r.unionByName(l)
+        .withColumn("_match", F.last("_rpayload", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    if how == "inner":
+        matched = matched.filter(F.col("_match").isNotNull())
+    return matched.select(
+        *[F.col(f"_l_{c}").alias(c) for c in left.columns],
+        *[F.col(f"_match.{n}").alias(n) for n in out_names],
+    )
+
+
 def _merge_payload(left: DataFrame, right: DataFrame, how: str) -> Column:
     """Right-wins merge of the two payloads (`default_operators.go:144-147`).
 

@@ -456,6 +456,128 @@ def pricing_summary(spark, sf_dir):
 
 
 @query(
+    "rollup_revenue",
+    "SELECT coalesce(o_orderpriority, 'ALL') AS priority,"
+    " coalesce(l_returnflag, 'ALL') AS returnflag,"
+    " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,"
+    " count(*) AS n_items"
+    " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    " GROUP BY ROLLUP(o_orderpriority, l_returnflag)",
+)
+def rollup_revenue(spark, sf_dir):
+    # hierarchical rollup (priority → returnflag → grand total); Spark plans
+    # a single Expand + one shuffle — no per-level rescans
+    eng = Engine(spark, sf_dir=sf_dir)
+    li, orders = eng.stream("lineitem"), eng.stream("orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .rollup("o_orderpriority", "l_returnflag")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast(DEC_OUT).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+@query(
+    "rank_topn_per_segment",
+    "SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM ("
+    " SELECT c_mktsegment, o_orderkey, o_totalprice,"
+    "  row_number() OVER (PARTITION BY c_mktsegment"
+    "   ORDER BY o_totalprice DESC, o_orderkey) AS rn"
+    " FROM orders JOIN customer ON o_custkey = c_custkey) t WHERE rn <= 3",
+)
+def rank_topn_per_segment(spark, sf_dir):
+    # per-group top-n via ranking window function: one shuffle on the group
+    # key; customer is broadcast so the join adds none
+    from pyspark.sql.window import Window
+
+    eng = Engine(spark, sf_dir=sf_dir)
+    orders, cust = eng.stream("orders"), eng.stream("customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "set_intersect_users",
+    "SELECT user_id FROM events WHERE event_type = 'click'"
+    " INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase'",
+)
+def set_intersect_users(spark, sf_dir):
+    # distinct set intersection (SQL INTERSECT semantics)
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+@query(
+    "set_except_user_days",
+    "SELECT user_id, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s"
+    " FROM events WHERE event_type = 'click'"
+    " EXCEPT SELECT user_id, CAST(epoch(date_trunc('day', ts)) AS BIGINT)"
+    " FROM events WHERE event_type = 'purchase'",
+)
+def set_except_user_days(spark, sf_dir):
+    # distinct set difference (SQL EXCEPT semantics): (user, day) pairs with
+    # a click but no purchase
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    day = F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_s")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", day)
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id", day)
+    return clicks.subtract(buys)
+
+
+@query(
+    "asof_join_signup",
+    "WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events"
+    "  WHERE event_type = 'purchase'),"
+    " s AS (SELECT user_id, epoch_us(ts) AS t_us FROM events"
+    "  WHERE event_type = 'signup')"
+    " SELECT p.event_id, p.user_id, s.t_us AS signup_us"
+    " FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.t_us >= s.t_us",
+)
+def asof_join_signup(spark, sf_dir):
+    # backward as-of join: each purchase → most recent signup at-or-before;
+    # union+window implementation, one shuffle on user_id (operators/joins.py)
+    from go_streaming_spark.operators.joins import as_of_join
+
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    # compare in integer microseconds on both sides (the oracle compares
+    # epoch_us too — timestamp-typed comparison would differ at ns ties)
+    with_us = ev.withColumn("t_us", F.unix_micros("ts"))
+    purchases = with_us.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "t_us"
+    )
+    signups = with_us.filter(F.col("event_type") == "signup").select(
+        "user_id", "t_us"
+    )
+    out = as_of_join(
+        purchases,
+        signups,
+        on="user_id",
+        left_time="t_us",
+        right_time="t_us",
+        right_vals={"signup_us": F.col("t_us")},
+        how="inner",
+    )
+    return out.select("event_id", "user_id", "signup_us")
+
+
+@query(
     "topk_orders",
     "SELECT o_orderkey, o_totalprice FROM orders"
     " ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
