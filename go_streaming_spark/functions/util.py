@@ -16,6 +16,10 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     stage single-threaded.  Inputs that already have enough splits (the
     100 TB case) pass through untouched — no extra shuffle.
     """
+    if df.isStreaming:
+        # micro-batch partitioning is the source's concern; .rdd is
+        # unsupported on streaming frames
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

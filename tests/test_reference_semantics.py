@@ -177,3 +177,51 @@ def test_observe_metrics(spark):
     out.collect()
     # observation is attached to the plan; presence is enough here (values
     # surface via QueryListener in streaming mode)
+
+
+# -- as-of join (beyond-reference operator, operators/joins.py) --------------
+
+
+def test_asof_join_picks_most_recent_at_or_before(spark):
+    from go_streaming_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame(
+        [("u1", 10, "p1"), ("u1", 20, "p2"), ("u2", 5, "p3")],
+        "k string, t long, id string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 8, "s1"), ("u1", 15, "s2"), ("u1", 25, "s3"), ("u2", 9, "s4")],
+        "k string, t long, sid string",
+    )
+    out = as_of_join(
+        left, right, on="k", left_time="t", right_time="t",
+        right_vals={"sid": F.col("sid"), "rt": F.col("t")},
+    )
+    got = {(r.id, r.sid, r.rt) for r in out.collect()}
+    # p1@10 -> s1@8; p2@20 -> s2@15; p3@5 has no prior right row (inner drop)
+    assert got == {("p1", "s1", 8), ("p2", "s2", 15)}
+
+
+def test_asof_join_equal_timestamp_matches(spark):
+    from go_streaming_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame([("u1", 10, "p1")], "k string, t long, id string")
+    right = spark.createDataFrame([("u1", 10, "s1")], "k string, t long, sid string")
+    out = as_of_join(
+        left, right, on="k", left_time="t", right_time="t",
+        right_vals={"sid": F.col("sid")},
+    )
+    assert [(r.id, r.sid) for r in out.collect()] == [("p1", "s1")]
+
+
+def test_asof_join_left_keeps_unmatched(spark):
+    from go_streaming_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame([("u1", 5, "p1")], "k string, t long, id string")
+    right = spark.createDataFrame([("u1", 9, "s1")], "k string, t long, sid string")
+    out = as_of_join(
+        left, right, on="k", left_time="t", right_time="t",
+        right_vals={"sid": F.col("sid")}, how="left",
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].id == "p1" and rows[0].sid is None
