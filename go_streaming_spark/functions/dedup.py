@@ -54,29 +54,33 @@ def md5_int(col: Column, hex_chars: int = 8) -> Column:
 
 
 def word_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document → (id, shingle).
+    """Word n-gram shingles per document → (id, shingle).
 
     The split+explode stage is the CPU-heavy part of every shingle-based
     dedup — ``spread`` guarantees it parallelizes even when the input
     arrives as a single small file split.
+
+    ``distinct=True`` dedupes shingles per doc (required for Jaccard set
+    counting: one shuffle).  Pass ``distinct=False`` when the consumer is
+    duplicate-insensitive (minhash min-aggregation) — skipping the dedup
+    shuffle halves the passes over the shingle stream.
     """
     df = spread(df)
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
     if n == 1:
-        sh = F.explode(words).alias("shingle")
-        return df.select(F.col(id_col).alias("id"), sh).distinct()
-    # shingle i = words[i..i+n): transform over valid start positions
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(words) - n),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-    )
-    return (
-        df.filter(F.size(words) >= n)
-        .select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+        out = df.select(F.col(id_col).alias("id"), F.explode(words).alias("shingle"))
+    else:
+        # shingle i = words[i..i+n): transform over valid start positions
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+        out = df.filter(F.size(words) >= n).select(
+            F.col(id_col).alias("id"), F.explode(grams).alias("shingle")
+        )
+    return out.distinct() if distinct else out
 
 
 def exact_dedup(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFrame:
@@ -148,7 +152,8 @@ def minhash_signatures_wide(
     difference between one pass and sixteen.
     """
     assert k <= len(MINHASH_A)
-    sh = word_shingles(df, id_col, text_col, n)
+    # min() is duplicate-insensitive — skip the per-doc distinct shuffle
+    sh = word_shingles(df, id_col, text_col, n, distinct=False)
     h = md5_int(F.col("shingle"), 8)
     hashed = sh.select("id", h.alias("h"))
     mins = [

@@ -260,6 +260,49 @@ def window_sampling(spark, sf_dir):
     )
 
 
+@query(
+    "session_window_count",
+    # gaps-and-islands oracle for Spark's session_window(gap=30m): a new
+    # session starts when the gap to the previous event is >= 30 minutes
+    # (Spark merges t < prev_end where prev_end = prev + gap)
+    "WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),"
+    " marks AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER w >= 1800000000"
+    "   OR lag(t) OVER w IS NULL THEN 1 ELSE 0 END AS new_s FROM e"
+    "   WINDOW w AS (PARTITION BY user_id ORDER BY t)),"
+    " sess AS (SELECT user_id, t, sum(new_s) OVER (PARTITION BY user_id"
+    "   ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM marks)"
+    " SELECT user_id, min(t) AS session_start_us, count(*) AS n_events"
+    " FROM sess GROUP BY user_id, sid",
+)
+def session_window_count(spark, sf_dir):
+    # session windows (gap-based) — absent in the reference (SURVEY §2.5),
+    # native in Spark; one shuffle on the session key
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "distinct_users_per_type",
+    "SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events"
+    " FROM events GROUP BY event_type",
+)
+def distinct_users_per_type(spark, sf_dir):
+    # exact distinct aggregation (Spark plans a two-phase partial-distinct)
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Counting windows (SURVEY §2.3 CountingWindowPolicy) — dense seq arithmetic
 # ---------------------------------------------------------------------------
