@@ -166,6 +166,19 @@ def select_from_map(spark, sf_dir):
 
 
 @query(
+    "observe_passthrough",
+    "SELECT event_id, value FROM events",
+)
+def observe_passthrough(spark, sf_dir):
+    # Observe: side-effect metrics, events pass through unchanged
+    # (`default_operators.go:245-261`); df.observe evaluates the metric
+    # during the action — no second pass over the data
+    env = _events(spark, sf_dir)
+    out = ops.observe("observe_passthrough_metrics")(env)
+    return out.select(F.col("seq").alias("event_id"), "value")
+
+
+@query(
     "tokenize_wordcount",
     "SELECT word, count(*) AS n FROM ("
     " SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents"
