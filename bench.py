@@ -35,7 +35,12 @@ HEADLINE = [
     "counting_window_tumbling",# Q7 count-based window (stateful path)
     "star_join_agg",           # Q8 star-schema join+agg
     "pricing_summary",         # TPC-H Q1-style wide agg
+    "rollup_revenue",          # hierarchical rollup
+    "rank_topn_per_segment",   # ranking window top-n
+    "asof_join_signup",        # backward as-of join (union+window)
+    "session_window_count",    # gap-based session windows
     "dedup_minhash_lsh",       # near-dup dedup at scale
+    "dedup_simhash",           # simhash near-dup
     "ann_cosine_topk",         # similarity search
     "text_quality",            # text analysis sweep
 ]

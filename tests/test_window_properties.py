@@ -1,0 +1,106 @@
+"""Property-based tests for window-membership arithmetic.
+
+The reference's selection-policy semantics (`pkg/events/selection_policy.go`)
+are specified procedurally (buffer + fire conditions); our batch
+implementation is closed-form int64 arithmetic.  These tests check the
+arithmetic against a direct Python model over randomized policies and event
+times — tumbling, sliding (overlap), sampling (gaps), counting windows with
+shift </=/> n, and origin alignment.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from go_streaming_spark.operators.windows import (
+    CountingWindow,
+    TemporalWindow,
+    assign_counting_windows,
+    assign_temporal_windows,
+)
+
+US = 1_000_000
+
+
+def model_temporal_windows(off_us: int, length: int, shift: int) -> set[int]:
+    """All window ids w with w*shift <= off < w*shift + length (w >= 0)."""
+    if off_us < 0:
+        return set()
+    w_max = off_us // shift
+    wins = set()
+    w = w_max
+    while w >= 0 and w * shift + length > off_us:
+        if w * shift <= off_us:
+            wins.add(w)
+        w -= 1
+    return wins
+
+
+def model_counting_windows(seq: int, n: int, shift: int) -> set[int]:
+    """All window ids w whose span [w*shift, w*shift+n) contains seq."""
+    return model_temporal_windows(seq, n, shift)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    lengths=st.integers(min_value=1, max_value=3600),
+    shift_frac=st.fractions(min_value="1/4", max_value=4),
+    offsets=st.lists(
+        st.integers(min_value=0, max_value=7200 * US), min_size=1, max_size=24
+    ),
+)
+def test_temporal_membership_matches_model(spark, lengths, shift_frac, offsets):
+    length = lengths * US
+    shift = max(1, int(length * shift_frac))
+    policy = TemporalWindow(f"{length} microseconds", f"{shift} microseconds")
+    df = spark.createDataFrame(
+        [(i, o) for i, o in enumerate(offsets)], "seq long, off long"
+    ).select("seq", F.timestamp_micros(F.col("off")).alias("event_start"))
+    out = assign_temporal_windows(df, policy)
+    got = {}
+    for r in out.select(
+        "seq", F.unix_micros("window_start").alias("ws"),
+        F.unix_micros("window_end").alias("we"),
+    ).collect():
+        assert r.we - r.ws == length
+        assert r.ws % shift == 0
+        got.setdefault(r.seq, set()).add(r.ws // shift)
+    for i, o in enumerate(offsets):
+        assert got.get(i, set()) == model_temporal_windows(o, length, shift), (
+            f"off={o} length={length} shift={shift}"
+        )
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=20),
+    shift=st.integers(min_value=1, max_value=40),
+    count=st.integers(min_value=1, max_value=60),
+)
+def test_counting_membership_matches_model(spark, n, shift, count):
+    policy = CountingWindow(n, shift)
+    df = spark.createDataFrame([(i,) for i in range(count)], "seq long")
+    out = assign_counting_windows(df, policy)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.seq, set()).add(r.window_id)
+    for i in range(count):
+        assert got.get(i, set()) == model_counting_windows(i, n, shift), (
+            f"seq={i} n={n} shift={shift}"
+        )
+
+
+def test_temporal_origin_alignment(spark):
+    # origin shifts window boundaries and drops pre-origin events
+    policy = TemporalWindow("10 seconds", origin="1970-01-01T00:00:05+00:00")
+    df = spark.createDataFrame(
+        [(0, 3), (1, 5), (2, 14), (3, 15)], "seq long, off long"
+    ).select("seq", F.timestamp_micros(F.col("off") * US).alias("event_start"))
+    rows = assign_temporal_windows(df, policy).select(
+        "seq", F.unix_micros("window_start").alias("ws")
+    ).collect()
+    got = {r.seq: r.ws // US for r in rows}
+    # t=3 dropped (pre-origin); [5,15) is window 0; 15 starts the next
+    assert got == {1: 5, 2: 5, 3: 15}
