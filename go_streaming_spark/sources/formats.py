@@ -1,0 +1,87 @@
+"""Generic source/sink format support beyond the driver parquet catalog.
+
+The reference's only transport is the in-memory topic
+(`pkg/pubsub/pub_sub.go:370-384`); a Spark engine's topics are storage- or
+broker-backed.  This module gives the engine uniform batch + streaming
+readers and a sink writer over the formats the local runtime supports
+(parquet / json / csv / orc, plus the `rate` synthetic stream).  A Kafka
+topic would slot in the same way (`format("kafka")`) but needs the broker
+package at runtime, so it is surfaced but not imported eagerly.
+
+Scale notes: readers accept explicit schemas (inference is a full extra
+pass at 100 TB — always pass one in production); sinks default to snappy
+parquet with optional partitioning columns (partition pruning on read is
+free for downstream queries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from go_streaming_spark.session import configure_session
+
+BATCH_FORMATS = ("parquet", "json", "csv", "orc")
+
+
+def read_source(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Batch read of a storage-backed topic."""
+    if fmt not in BATCH_FORMATS:
+        raise ValueError(f"unsupported batch format {fmt!r}; use one of {BATCH_FORMATS}")
+    configure_session(spark)
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("json", "csv"):
+        # schema inference is an extra full scan — fine for tests, wrong at
+        # scale; callers get it only when they didn't pass a schema
+        reader = reader.option("inferSchema", "true")
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    return reader.options(**options).load(path)
+
+
+def read_source_stream(
+    spark: SparkSession,
+    path_or_fmt: str,
+    fmt: str = "parquet",
+    schema: T.StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Streaming read: a file-backed topic (parquet/json/csv directory) or
+    the synthetic ``rate`` source (``read_source_stream(spark, "rate",
+    rowsPerSecond=...)``).  File streams need an explicit schema — streaming
+    cannot infer."""
+    configure_session(spark)
+    if path_or_fmt == "rate":
+        return spark.readStream.format("rate").options(**options).load()
+    if schema is None:
+        raise ValueError("streaming file sources require an explicit schema")
+    reader = spark.readStream.format(fmt).schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    return reader.options(**options).load(path_or_fmt)
+
+
+def write_sink(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options: str,
+) -> None:
+    """Batch write; ``partition_by`` lays out hive-style partitions so
+    downstream reads get partition pruning."""
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    writer = df.write.format(fmt).mode(mode).options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
