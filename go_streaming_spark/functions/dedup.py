@@ -96,6 +96,25 @@ def exact_dedup(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFram
     )
 
 
+def exact_dedup_stream(
+    df: DataFrame,
+    content_cols: list[str],
+    time_col: str = "event_start",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop events whose content digest was already
+    seen within the watermark horizon.
+
+    Scale: ``dropDuplicatesWithinWatermark`` keys state by the digest and
+    **evicts** entries older than the watermark — bounded state, unlike a
+    plain ``dropDuplicates`` whose seen-set grows forever.  The digest keeps
+    state entries constant-width regardless of content size.
+    """
+    digest = F.md5(F.concat_ws("", *content_cols))
+    out = df.withColumn("content_hash", digest).withWatermark(time_col, watermark)
+    return out.dropDuplicatesWithinWatermark(["content_hash"])
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -152,6 +152,30 @@ def ann_lsh_topk(
     return cosine_topk(cand, id_col, vec_col, query_vec, k)
 
 
+def label_centroids(
+    df: DataFrame,
+    cluster_col: str,
+    vec_col: str,
+    dim: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-cluster mean vectors → (cluster_col, vec).
+
+    Elementwise means as ``dim`` wide aggregate columns of one
+    ``groupBy(cluster)`` — no posexplode (which would shuffle dim× the
+    rows).  Components are rounded so centroid-based probe selection is
+    deterministic across engines (float summation order differs)."""
+    v = F.col(vec_col).cast("array<double>")
+    aggs = [
+        F.round(F.avg(F.element_at(v, i + 1)), round_to).alias(f"_c{i}")
+        for i in range(dim)
+    ]
+    return df.groupBy(cluster_col).agg(*aggs).select(
+        F.col(cluster_col),
+        F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("vec"),
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,

@@ -131,6 +131,32 @@ def ann_cosine_topk(spark, sf_dir):
     )
 
 
+@query(
+    "ann_ivf_topk",
+    f"""WITH q AS (SELECT embedding::DOUBLE[] qv FROM embeddings WHERE vec_id=0),
+v AS (SELECT vec_id id, label, embedding::DOUBLE[] e FROM embeddings WHERE vec_id <> 0),
+cent AS (SELECT label, j, round(avg(e[CAST(j AS INT)]), 6) cv
+         FROM v, (SELECT unnest(range(1,65)) j) jj GROUP BY 1,2),
+centv AS (SELECT label, list(cv ORDER BY j) cvec FROM cent GROUP BY 1),
+probe AS (SELECT label FROM centv, q
+          ORDER BY round({_COS('cvec','q.qv')}, 6) DESC, label LIMIT 2)
+SELECT id, round({_COS('e','q.qv')}, 6) cos_sim
+FROM v JOIN probe USING(label), q
+ORDER BY cos_sim DESC, id LIMIT 10""",
+)
+def ann_ivf_topk(spark, sf_dir):
+    # IVF ANN: label-mean centroids, probe the 2 nearest clusters, exact
+    # top-k within them (similarity.ivf_topk; candidate filter = broadcast
+    # semi-join on the cluster id)
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    cent = similarity.label_centroids(corpus, "label", "embedding", dim=64)
+    return similarity.ivf_topk(
+        corpus, "vec_id", "embedding", "label", cent, qv, k=10, nprobe=2
+    )
+
+
 @query("ann_lsh_topk")  # no SQL oracle: LSH bucket path; recall tested in pytest
 def ann_lsh_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)

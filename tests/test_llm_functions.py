@@ -105,3 +105,45 @@ def test_exact_dedup_finds_planted_dupes(spark):
     # keep_id is the lowest id of each duplicate group
     kept = out.filter(F.col("n_copies") > 1).select("keep_id").collect()
     assert all(r.keep_id < 100000 for r in kept)
+
+
+def test_ann_ivf_query_matches_bruteforce_when_probing_all(spark):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    cent = similarity.label_centroids(corpus, "label", "embedding", dim=64)
+    nlabels = cent.count()
+    exact = {r.id for r in similarity.cosine_topk(corpus, "vec_id", "embedding", qv, 10).collect()}
+    allprobe = {
+        r.id
+        for r in similarity.ivf_topk(
+            corpus, "vec_id", "embedding", "label", cent, qv, k=10, nprobe=nlabels
+        ).collect()
+    }
+    assert allprobe == exact  # probing every cluster must equal brute force
+
+
+def test_exact_dedup_stream(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from go_streaming_spark.functions.dedup import exact_dedup_stream
+    from go_streaming_spark.sources.formats import read_source_stream, write_sink
+    from go_streaming_spark.streaming import replay_to_memory
+
+    base = int(1e6)
+    rows = [(i, base + i * 1_000, f"text-{i % 20}") for i in range(100)]
+    staged = spark.createDataFrame(rows, "seq long, t_us long, text string")
+    path = str(tmp_path_factory.mktemp("dds") / "events")
+    write_sink(staged, path, fmt="json")
+    stream = read_source_stream(spark, path, fmt="json", schema=staged.schema)
+    env = stream.select(
+        "seq", F.timestamp_micros("t_us").alias("event_start"), "text"
+    )
+    out = replay_to_memory(
+        exact_dedup_stream(env, ["text"], watermark="1 hour"), spark
+    )
+    got = out.select("text").collect()
+    assert len(got) == 20  # one survivor per distinct content
+    assert {r.text for r in got} == {f"text-{i}" for i in range(20)}
