@@ -25,7 +25,7 @@ from go_streaming_spark.operators.windows import (
     fan_in,
     windowed_agg,
 )
-from go_streaming_spark.operators.joins import window_join
+from go_streaming_spark.operators.joins import as_of_join, window_join
 
 __all__ = [
     "Operator", "compose", "op",
@@ -33,5 +33,5 @@ __all__ = [
     "map_expr", "convert", "select_from_map", "observe", "flat_map", "tokenize",
     "TemporalWindow", "CountingWindow",
     "batch_sum", "batch_count", "windowed_agg", "counting_window_agg", "fan_in",
-    "window_join",
+    "window_join", "as_of_join",
 ]
