@@ -1,0 +1,97 @@
+"""Builder / engine lifecycle semantics, mirroring the reference's
+query-builder tests (`pkg/processing/query_builder_test.go:139-253`,
+`pkg/pubsub/pub_sub_test.go:102-118`): chained operators, fan-out → fan-in,
+build-time validation errors, and typed-topic registry rules."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_streaming_spark import operators as ops
+from go_streaming_spark.engine import Engine, StreamTypeMismatchError
+from go_streaming_spark.events import to_events
+from go_streaming_spark.plans.builder import (
+    AmbiguousOutputError,
+    OutputUndefinedError,
+)
+
+
+@pytest.fixture()
+def engine(spark):
+    eng = Engine(spark)
+    ints = spark.createDataFrame([(i, i) for i in range(1, 11)], "seq long, value long")
+    eng.register_stream("ints", to_events(ints, value="value", seq="seq"))
+    yield eng
+    eng.close()
+
+
+def test_chained_operators(spark, engine):
+    # 10 ints -> +1 -> *2; reference asserts 10 -> 22 (query_builder_test.go:139-174)
+    q = (
+        engine.builder()
+        .from_source("ints")
+        .connect(ops.map_expr(F.col("value") + 1))
+        .connect(ops.map_expr(F.col("value") * 2))
+        .build(name="chain")
+    )
+    got = sorted(r.value for r in q.collect())
+    assert got == [2 * (i + 1) for i in range(1, 11)]
+    assert "chain" in engine.queries()
+
+
+def test_fan_out_fan_in_a_plus_a(spark, engine):
+    # reuse one stream in two branches, then combine: A + A = 2A
+    # (`query_builder_test.go:195-253`)
+    b = engine.builder().from_source("ints")
+    (branch_a,) = b._frontier
+    doubled = (
+        engine.builder()
+        .from_df(branch_a)
+        .from_df(branch_a)
+        .combine(
+            lambda left, right: left.alias("l").join(
+                right.alias("r"), F.col("l.seq") == F.col("r.seq")
+            ).select(
+                F.col("l.seq").alias("seq"),
+                (F.col("l.value") + F.col("r.value")).alias("value"),
+            )
+        )
+        .build()
+    )
+    got = sorted(r.value for r in doubled.collect())
+    assert got == [2 * i for i in range(1, 11)]
+
+
+def test_build_without_source_raises(engine):
+    with pytest.raises(OutputUndefinedError):
+        engine.builder().build()
+
+
+def test_build_with_two_frontiers_raises(engine):
+    with pytest.raises(AmbiguousOutputError):
+        engine.builder().from_source("ints").from_source("ints").build()
+
+
+def test_schema_mismatch_on_reregistration(spark, engine):
+    other = spark.createDataFrame([("a",)], "value string")
+    with pytest.raises(StreamTypeMismatchError):
+        engine.register_stream("ints", other)
+    # replace=True migrates the stream (≈ AddOrReplaceStream)
+    engine.register_stream("ints", other, replace=True)
+    assert engine.stream("ints").schema == other.schema
+
+
+def test_unknown_topic_raises(engine):
+    with pytest.raises(KeyError):
+        engine.stream("nope")
+
+
+def test_engine_isolation(spark):
+    # two Engine instances are separate namespaces (≈ WithRepository,
+    # `pkg/processing/queries_test.go:75-125`)
+    e1, e2 = Engine(spark), Engine(spark)
+    e1.register_stream("t", spark.createDataFrame([(1,)], "value long"))
+    with pytest.raises(KeyError):
+        e2.stream("t")
+    assert e1.topics() == ["t"] and e2.topics() == []
