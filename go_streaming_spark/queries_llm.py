@@ -109,7 +109,9 @@ SELECT a.id id_a, b.id id_b, round({_COS('a.e','b.e')}, 6) cos_sim
 FROM v a JOIN v b ON a.id < b.id WHERE round({_COS('a.e','b.e')}, 6) >= 0.4""",
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    return dedup.embedding_cosine_pairs(_emb(spark, sf_dir), "vec_id", "embedding", 0.4)
+    return dedup.embedding_cosine_pairs(
+        _emb(spark, sf_dir), "vec_id", "embedding", 0.4, dim=64
+    )
 
 
 # ---------------------------------------------------------------------------
