@@ -22,9 +22,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from go_streaming_spark.functions.dedup import md5_int
-
-
 def dot_expr(a: Column, b: Column) -> Column:
     """Sequential left-fold dot product (deterministic summation order)."""
     return F.aggregate(
@@ -78,6 +75,10 @@ def cosine_topk(
     Ordering is (round(cos,6) DESC, id ASC) — fully deterministic across
     engines/partitionings.  Plans as TakeOrderedAndProject: no global sort.
     """
+    # fold-based cosine: this is a LINEAR scan (one evaluation per corpus
+    # row), where the compact fold wins — unrolling pays only in per-PAIR
+    # scoring (see embedding_cosine_pairs), where the same expression runs
+    # O(n²) times
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     cos = F.round(cosine_expr(F.col(vec_col).cast("array<double>"), q), 6)
     return (
@@ -87,11 +88,14 @@ def cosine_topk(
     )
 
 
-def _plane_component(h_seed: int, p: Column, d: Column) -> Column:
+def plane_component(seed: int, p: int, d: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1):
-    md5(seed|plane|dim) → 32-bit int → scaled.  Engine-portable."""
-    raw = md5_int(F.concat_ws("|", F.lit(h_seed), p.cast("string"), d.cast("string")), 8)
-    return raw / F.lit(2_147_483_648.0) - 1.0
+    md5(seed|plane|dim) → 32-bit int → scaled.  Engine-portable, and pure
+    metadata — computed driver-side, never per row."""
+    import hashlib
+
+    raw = int(hashlib.md5(f"{seed}|{p}|{d}".encode()).hexdigest()[:8], 16)
+    return raw / 2_147_483_648.0 - 1.0
 
 
 def lsh_bucket(
@@ -99,36 +103,24 @@ def lsh_bucket(
 ) -> Column:
     """Random-hyperplane LSH bucket id (int, 2^n_planes buckets).
 
-    bit_p = [ vec · plane_p >= 0 ]; planes are generated deterministically
-    from (seed, p, d) — identical on any engine, no stored model.
+    bit_p = [ vec · plane_p >= 0 ].  The plane matrix is seed-deterministic
+    *constant data*: its components are embedded as literals (an earlier
+    formulation derived each component with per-row md5 expressions —
+    n_planes×dim hashes per row); the per-row work is n_planes unrolled
+    codegen'd dot products.
     """
     v = vec.cast("array<double>")
-    planes = F.transform(
-        F.sequence(F.lit(0), F.lit(n_planes - 1)),
-        lambda p: F.aggregate(
-            F.zip_with(
-                v,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda d: _plane_component(seed, p, d),
-                ),
-                lambda x, w: x * w,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-    bits = F.transform(planes, lambda s: F.when(s >= 0, 1).otherwise(0))
-    # bucket = Σ bit_p · 2^p  (pow is exact for p < 53; n_planes ≤ 32)
-    return F.aggregate(
-        F.zip_with(
-            bits,
-            F.sequence(F.lit(0), F.lit(n_planes - 1)),
-            lambda bit, p: bit.cast("long") * F.pow(F.lit(2.0), p).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    bucket = None
+    for p in range(n_planes):
+        plane = F.array(
+            *[F.lit(plane_component(seed, p, d)) for d in range(dim)]
+        )
+        score = dot_expr(v, plane)
+        bit = F.when(score >= 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
 
 
 def ann_lsh_topk(
@@ -152,19 +144,11 @@ def ann_lsh_topk(
     Scale path: precompute/bucket-partition ``lsh_bucket`` at write time and
     this becomes a partition-pruned scan of ~(1+H)/2^H of the corpus.
     """
-    import math
-
     dim = len(query_vec)
-    # query bucket computed driver-side with the same md5 formula
-    import hashlib
-
-    def plane_comp(p: int, d: int) -> float:
-        raw = int(hashlib.md5(f"{seed}|{p}|{d}".encode()).hexdigest()[:8], 16)
-        return raw / 2_147_483_648.0 - 1.0
-
+    # query bucket computed driver-side with the same plane constants
     qbits = []
     for p in range(n_planes):
-        s = sum(query_vec[d] * plane_comp(p, d) for d in range(dim))
+        s = sum(query_vec[d] * plane_component(seed, p, d) for d in range(dim))
         qbits.append(1 if s >= 0 else 0)
     qbucket = sum(b << p for p, b in enumerate(qbits))
     probes = [qbucket] + (
