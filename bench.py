@@ -41,6 +41,7 @@ HEADLINE = [
     "session_window_count",    # gap-based session windows
     "dedup_minhash_lsh",       # near-dup dedup at scale
     "dedup_simhash",           # simhash near-dup
+    "dedup_embedding_cosine_blocked",  # exact all-pairs via block matmul
     "ann_cosine_topk",         # similarity search
     "text_quality",            # text analysis sweep
 ]

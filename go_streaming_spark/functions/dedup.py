@@ -261,6 +261,72 @@ def minhash_lsh_pairs(
     )
 
 
+def embedding_cosine_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.99,
+    n_blocks: int = 16,
+) -> DataFrame:
+    """Exact all-pairs cosine via block-matrix multiplication
+    (the Arrow/numpy formulation of :func:`embedding_cosine_pairs`).
+
+    Rows hash into ``n_blocks``; each row is replicated into every
+    unordered block pair its block participates in (B copies), and each
+    block-pair group computes its cosine submatrix with one vectorized
+    numpy matmul, emitting only pairs ≥ threshold.
+
+    Scale math: shuffle volume is B·n rows (choose B ≈ √(n/rows-per-task)),
+    against the expression join's n²/2 pair *evaluations*; the matmul runs
+    at BLAS speed.  Cosines differ from the sequential-fold version only in
+    float summation order (last-ulp); use the expression version when
+    bit-exact cross-engine parity matters, this one for throughput.
+    """
+    v = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("_b", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int"))
+    pair_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+        lambda c: F.struct(
+            F.least(F.col("_b"), c).cast("int").alias("pi"),
+            F.greatest(F.col("_b"), c).cast("int").alias("pj"),
+        ),
+    )
+    rep = v.select("id", "vec", "_b", F.explode(pair_keys).alias("pk"))
+    thr = float(threshold)
+
+    def score(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        pi, pj = key
+        M = np.vstack(pdf["vec"].to_numpy())
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1.0
+        Mn = M / norms[:, None]
+        ids = pdf["id"].to_numpy()
+        blocks = pdf["_b"].to_numpy()
+        if pi == pj:
+            S = Mn @ Mn.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            ia, ib, cs = ids[iu], ids[ju], S[iu, ju]
+        else:
+            li, rj = blocks == pi, blocks == pj
+            A, B = Mn[li], Mn[rj]
+            ia = np.repeat(ids[li], B.shape[0])
+            ib = np.tile(ids[rj], A.shape[0])
+            cs = (A @ B.T).ravel()
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        cs = np.round(cs, 6)
+        m = (cs >= thr) & (lo != hi)
+        return pd.DataFrame({"id_a": lo[m], "id_b": hi[m], "cos_sim": cs[m]})
+
+    return rep.groupBy(F.col("pk.pi"), F.col("pk.pj")).applyInPandas(
+        score, "id_a long, id_b long, cos_sim double"
+    )
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, bits: int = 60
 ) -> DataFrame:

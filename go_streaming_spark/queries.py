@@ -452,6 +452,35 @@ def fan_in_sum(spark, sf_dir):
     )
 
 
+@query(
+    "fan_in_per_source",
+    "SELECT src, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS ws,"
+    " count(*) AS n_events FROM ("
+    "  SELECT 0 AS src, ts FROM events WHERE event_type = 'click'"
+    "  UNION ALL SELECT 1, ts FROM events WHERE event_type = 'purchase'"
+    " ) t GROUP BY src, 2",
+)
+def fan_in_per_source(spark, sf_dir):
+    # fan-in with per-input grouping: the reference hands the fan-in function
+    # {inputIndex: [events]} (`operator_engine.go:241-259`)
+    eng = Engine(spark, sf_dir=sf_dir)
+    raw = eng.stream("events")
+    mk = lambda t: to_events(
+        raw.filter(F.col("event_type") == t), value="value", event_time="ts", seq="event_id"
+    )
+    out = ops.fan_in(
+        [mk("click"), mk("purchase")],
+        TemporalWindow("1 day"),
+        [F.count(F.lit(1)).alias("n_events")],
+        per_source=True,
+    )
+    return out.select(
+        F.col("source_id").alias("src"),
+        F.unix_timestamp("window_start").alias("ws"),
+        "n_events",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational completeness (SURVEY §7 M6) — Spark-native scans/joins/aggs
 # ---------------------------------------------------------------------------

@@ -133,6 +133,16 @@ def ann_cosine_topk(spark, sf_dir):
     )
 
 
+@query("dedup_embedding_cosine_blocked")  # rows-only: numpy matmul cosines
+def dedup_embedding_cosine_blocked(spark, sf_dir):
+    # differ from the sequential fold in float summation order (last ulp),
+    # so no bit-exact SQL oracle; equivalence to the oracle-checked
+    # expression variant is asserted in pytest
+    return dedup.embedding_cosine_pairs_blocked(
+        _emb(spark, sf_dir), "vec_id", "embedding", 0.4, n_blocks=16
+    )
+
+
 @query(
     "ann_ivf_topk",
     f"""WITH q AS (SELECT embedding::DOUBLE[] qv FROM embeddings WHERE vec_id=0),

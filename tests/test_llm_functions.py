@@ -147,3 +147,18 @@ def test_exact_dedup_stream(spark, tmp_path_factory):
     got = out.select("text").collect()
     assert len(got) == 20  # one survivor per distinct content
     assert {r.text for r in got} == {f"text-{i}" for i in range(20)}
+
+
+def test_embedding_cosine_blocked_matches_expression(spark):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    expr = dedup.embedding_cosine_pairs(emb, "vec_id", "embedding", 0.4, dim=64)
+    blocked = dedup.embedding_cosine_pairs_blocked(
+        emb, "vec_id", "embedding", 0.4, n_blocks=4
+    )
+    e = {(r.id_a, r.id_b): r.cos_sim for r in expr.collect()}
+    b = {(r.id_a, r.id_b): r.cos_sim for r in blocked.collect()}
+    assert set(e) == set(b)
+    for pair, cos in e.items():
+        assert abs(b[pair] - cos) <= 1e-5, pair

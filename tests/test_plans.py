@@ -88,3 +88,22 @@ def test_minhash_lsh_no_cartesian(spark):
     df = QUERIES["dedup_minhash_lsh"](spark, SF_DIR)
     plan = _optimized(df)
     assert "Join Cross" not in plan and "CartesianProduct" not in plan
+
+
+def test_window_join_broadcast_right(spark):
+    from go_streaming_spark.engine import Engine
+    from go_streaming_spark.events import to_events
+    from go_streaming_spark.operators.joins import window_join
+    from go_streaming_spark.operators.windows import TemporalWindow
+
+    eng = Engine(spark, sf_dir=SF_DIR)
+    raw = eng.stream("events")
+    mk = lambda t: to_events(
+        raw.filter(F.col("event_type") == t),
+        value=["user_id", "event_id"], event_time="ts", seq="event_id",
+    )
+    j = window_join(
+        mk("signup"), mk("purchase"), "user_id", TemporalWindow("1 hour"),
+        broadcast_right=True,
+    )
+    assert "BroadcastHashJoin" in _plan(j)

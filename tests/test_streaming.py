@@ -159,3 +159,31 @@ def test_counting_window_stream_parity(spark, n, shift):
     g = sorted((r.window_id, round(r.sum_value, 6), r.n_events) for r in got.collect())
     b = sorted((r.window_id, round(r.sum_value, 6), r.n_events) for r in batch.collect())
     assert g == b
+
+
+def test_counting_window_stream_keyed(spark):
+    """Keyed counting windows shard state by key — the scalable variant."""
+    st = load_stream(spark, SF, "events")
+    env = st.select(
+        F.col("event_type").cast("string").alias("k"),
+        F.col("event_id").alias("seq"),
+        F.col("value"),
+    )
+    got = replay_to_memory(
+        counting_window_stream(env, 10, 10, key_cols=["k"]), spark
+    )
+    bt = load_table(spark, SF, "events")
+    rows = got.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_events == 10
+    # per-key window count = floor(events_of_key / 10)
+    per_key = {
+        r.event_type: r.n
+        for r in bt.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    from collections import Counter
+
+    got_per_key = Counter(r.k for r in rows)
+    for k, n in per_key.items():
+        assert got_per_key.get(k, 0) == n // 10, k
