@@ -1,0 +1,80 @@
+"""Skew-mitigation helpers.
+
+AQE's skew-join splitting (on in `session.py`) handles most skew at
+runtime by splitting oversized partitions; these helpers cover the cases
+AQE can't: a *single* join key so hot that one task would still own it
+(salting spreads one key across S tasks), and holistic aggregations where
+map-side combine doesn't reduce (two-phase salted aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the left side's hot keys spread over ``salt`` shards.
+
+    Left rows get a random-but-deterministic shard (hash of all columns);
+    right rows are replicated ``salt`` times so every shard finds its match
+    — the standard trade of S× replication of the (smaller) right side for
+    an S-way split of the hottest key's task.  Result equals the plain
+    join exactly (no row gained or lost: each left row joins the one right
+    replica with its shard id).
+    """
+    l = left.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)).cast("int"),
+    )
+    r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return l.join(r, on=[*on, "_salt"], how=how).drop("_salt")
+
+
+_SALTED_FNS = {
+    # phase-1 aggregate, phase-2 shard merger
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys: phase 1 groups on
+    (keys, shard) — the hot key's rows split across ``salt`` tasks —
+    phase 2 merges shards.
+
+    ``aggs`` maps output column name → ``(fn, col)`` with fn one of
+    sum/count/min/max (re-aggregatable only — holistic aggs don't shard;
+    count merges by summing shard counts).
+    """
+    for name, (fn, _) in aggs.items():
+        if fn not in _SALTED_FNS:
+            raise ValueError(
+                f"non-re-aggregatable aggregate for {name!r}: {fn};"
+                f" supported: {sorted(_SALTED_FNS)}"
+            )
+    sharded = df.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt)).cast("int"),
+    )
+    partial = sharded.groupBy(*keys, "_salt").agg(
+        *[_SALTED_FNS[fn][0](col).alias(n) for n, (fn, col) in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[_SALTED_FNS[fn][1](F.col(n)).alias(n) for n, (fn, _) in aggs.items()]
+    )

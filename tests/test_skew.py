@@ -1,0 +1,56 @@
+"""Skew helpers: salted join/agg must equal their plain counterparts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_streaming_spark.operators.skew import salted_agg, salted_join
+
+
+def test_salted_join_equals_plain_join(spark):
+    # 90% of left rows share one hot key
+    left = spark.createDataFrame(
+        [(i, "hot" if i % 10 else f"k{i}", i * 1.0) for i in range(1000)],
+        "id long, k string, v double",
+    )
+    right = spark.createDataFrame(
+        [("hot", 1), ("k10", 2), ("k20", 3), ("k30", 4)], "k string, r long"
+    )
+    plain = left.join(right, on=["k"]).select("id", "k", "v", "r")
+    salted = salted_join(left, right, on=["k"], salt=8).select("id", "k", "v", "r")
+    assert sorted(map(str, salted.collect())) == sorted(map(str, plain.collect()))
+
+
+def test_salted_join_left_outer(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b")], "id long, k string")
+    right = spark.createDataFrame([("a", 10)], "k string, r long")
+    out = salted_join(left, right, on=["k"], salt=4, how="left")
+    got = {(r.id, r.r) for r in out.collect()}
+    assert got == {(1, 10), (2, None)}
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 5 else f"k{i}", float(i)) for i in range(2000)],
+        "id long, k string, v double",
+    )
+    plain = df.groupBy("k").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("lo"), F.max("v").alias("hi"),
+    )
+    salted = salted_agg(
+        df, ["k"],
+        {"s": ("sum", "v"), "n": ("count", "v"), "lo": ("min", "v"), "hi": ("max", "v")},
+        salt=16,
+    )
+    assert sorted(map(str, salted.select("k", "s", "n", "lo", "hi").collect())) == sorted(
+        map(str, plain.select("k", "s", "n", "lo", "hi").collect())
+    )
+
+
+def test_salted_agg_rejects_holistic(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "id long, k string")
+    with pytest.raises(ValueError, match="non-re-aggregatable"):
+        salted_agg(df, ["k"], {"x": ("collect_list", "id")})
