@@ -541,6 +541,65 @@ def pricing_summary(spark, sf_dir):
 
 
 @query(
+    "regional_revenue",
+    "SELECT r_name, n_name,"
+    " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+    "          * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS revenue,"
+    " count(*) AS n_items"
+    " FROM lineitem"
+    " JOIN supplier ON l_suppkey = s_suppkey"
+    " JOIN nation ON s_nationkey = n_nationkey"
+    " JOIN region ON n_regionkey = r_regionkey"
+    " GROUP BY r_name, n_name",
+)
+def regional_revenue(spark, sf_dir):
+    # TPC-H Q5-shaped snowflake rollup: the three dimension hops
+    # (supplier → nation → region) are all broadcast — the fact table
+    # shuffles once, for the final aggregation only
+    eng = Engine(spark, sf_dir=sf_dir)
+    li = eng.stream("lineitem")
+    sup, nat, reg = eng.stream("supplier"), eng.stream("nation"), eng.stream("region")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1) - F.col("l_discount").cast(DEC))
+            ).cast(DEC_OUT).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "part_type_stats",
+    "SELECT p_type,"
+    " CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,"
+    " CAST(MIN(CAST(p_retailprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS min_price,"
+    " CAST(MAX(CAST(p_retailprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS max_price,"
+    " count(DISTINCT l_partkey) AS n_parts"
+    " FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_type",
+)
+def part_type_stats(spark, sf_dir):
+    # part-dimension rollup: broadcast dim, fact shuffles once on p_type
+    eng = Engine(spark, sf_dir=sf_dir)
+    li, part = eng.stream("lineitem"), eng.stream("part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast(DEC_OUT).alias("sum_qty"),
+            F.min(F.col("p_retailprice").cast(DEC)).alias("min_price"),
+            F.max(F.col("p_retailprice").cast(DEC)).alias("max_price"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+    )
+
+
+@query(
     "rollup_revenue",
     "SELECT coalesce(o_orderpriority, 'ALL') AS priority,"
     " coalesce(l_returnflag, 'ALL') AS returnflag,"
