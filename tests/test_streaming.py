@@ -228,3 +228,35 @@ def test_checkpoint_restart_no_loss_no_duplicates(spark, tmp_path_factory):
     run_once()
 
     assert sorted(received) == [(i, float(i)) for i in range(100)]
+
+
+def test_window_left_join_stream_parity(spark):
+    """Left-outer stream-stream join: unmatched lefts emit once the global
+    watermark passes their window end; parity with the fired-window subset
+    of the batch result."""
+    policy = TemporalWindow("1 hour")
+    bt = load_table(spark, SF, "events")
+    st = load_stream(spark, SF, "events")
+    fired_end = min(_max_ts(spark, "signup"), _max_ts(spark, "purchase"))
+    batch = window_join(
+        _typed_env(bt, "signup"), _typed_env(bt, "purchase"), "user_id", policy,
+        how="left",
+    ).filter(F.col("window_end") <= F.lit(fired_end)).select(
+        "window_start",
+        F.col("value.l.event_id").alias("l_id"),
+        F.col("value.r.event_id").alias("r_id"),
+    )
+    stream = window_join(
+        _typed_env(st, "signup"), _typed_env(st, "purchase"), "user_id", policy,
+        how="left",
+    ).select(
+        "window_start",
+        F.col("value.l.event_id").alias("l_id"),
+        F.col("value.r.event_id").alias("r_id"),
+    )
+    got = replay_to_memory(stream, spark).filter(
+        F.col("window_start") < F.lit(fired_end)
+    )
+    assert _collect_sorted(got, "window_start", "l_id", "r_id") == _collect_sorted(
+        batch, "window_start", "l_id", "r_id"
+    )

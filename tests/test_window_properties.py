@@ -104,3 +104,34 @@ def test_temporal_origin_alignment(spark):
     got = {r.seq: r.ws // US for r in rows}
     # t=3 dropped (pre-origin); [5,15) is window 0; 15 starts the next
     assert got == {1: 5, 2: 5, 3: 15}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    lefts=st.lists(
+        st.tuples(st.sampled_from(["u1", "u2", "u3"]), st.integers(0, 50)),
+        min_size=1, max_size=15,
+    ),
+    rights=st.lists(
+        st.tuples(st.sampled_from(["u1", "u2", "u3"]), st.integers(0, 50)),
+        min_size=0, max_size=15,
+    ),
+)
+def test_asof_join_matches_model(spark, lefts, rights):
+    from go_streaming_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)], "k string, t long, lid long"
+    )
+    right = spark.createDataFrame([], "k string, t long") if not rights else (
+        spark.createDataFrame(rights, "k string, t long")
+    )
+    out = as_of_join(
+        left, right, on="k", left_time="t", right_time="t",
+        right_vals={"rt": F.col("t")}, how="left",
+    )
+    got = {r.lid: r.rt for r in out.collect()}
+    for i, (k, t) in enumerate(lefts):
+        prior = [rt for rk, rt in rights if rk == k and rt <= t]
+        expected = max(prior) if prior else None
+        assert got.get(i) == expected, (i, k, t)
