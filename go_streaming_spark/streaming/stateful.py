@@ -75,6 +75,91 @@ def stream_limit(
     )
 
 
+def counting_window_stream_tws(
+    df: DataFrame,
+    n: int,
+    shift: int | None = None,
+    seq_col: str = "seq",
+    value_col: str = "value",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """CountingWindowPolicy on the Spark 4 ``transformWithStateInPandas``
+    API (the successor to ``applyInPandasWithState``: typed state handles,
+    timers, multiple state variables).  Same semantics and state shape as
+    :func:`counting_window_stream` — un-consumed buffer + GC offset —
+    kept as the forward-looking implementation while the
+    ``applyInPandasWithState`` version remains the compatibility path.
+
+    Runtime requirements: the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and the
+    ``protobuf`` package (the TWS state-server protocol) — both probed by
+    the caller/test; environments without them use
+    :func:`counting_window_stream`.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    shift = shift if shift is not None else n
+    keys = key_cols or []
+    if keys:
+        gdf = df.groupBy(*[F.col(k) for k in keys])
+    else:
+        gdf = df.withColumn("_g", F.lit(0)).groupBy("_g")
+
+    out_schema = T.StructType(
+        [T.StructField(k, T.StringType()) for k in keys]
+        + [
+            T.StructField("window_id", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    w_n, w_shift, seq_c, val_c, key_list = n, shift, seq_col, value_col, list(keys)
+
+    class CountingWindowProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "buf", "offset long, next_w long, vals array<double>"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            if self._state.exists():
+                offset, next_w, vals = self._state.get()
+                vals = list(vals)
+            else:
+                offset, next_w, vals = 0, 0, []
+            for pdf in rows:
+                pdf = pdf.sort_values(seq_c)
+                vals.extend(float(v) for v in pdf[val_c])
+            out = []
+            # window w spans arrival ordinals [w*shift, w*shift + n)
+            while offset + len(vals) >= next_w * w_shift + w_n:
+                lo = next_w * w_shift - offset
+                win = vals[lo : lo + w_n]
+                out.append((next_w, float(sum(win)), len(win)))
+                next_w += 1
+                keep_from = next_w * w_shift - offset
+                if keep_from > 0:
+                    vals = vals[keep_from:]
+                    offset += keep_from
+            self._state.update((offset, next_w, vals))
+            if out:
+                pdf_out = pd.DataFrame(
+                    out, columns=["window_id", "sum_value", "n_events"]
+                )
+                for i, k in enumerate(key_list):
+                    pdf_out.insert(0, k, str(key[i]))
+                yield pdf_out
+
+        def close(self) -> None:
+            pass
+
+    return gdf.transformWithStateInPandas(
+        CountingWindowProcessor(), out_schema, "append", "None"
+    )
+
+
 def counting_window_stream(
     df: DataFrame,
     n: int,

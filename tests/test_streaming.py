@@ -260,3 +260,29 @@ def test_window_left_join_stream_parity(spark):
     assert _collect_sorted(got, "window_start", "l_id", "r_id") == _collect_sorted(
         batch, "window_start", "l_id", "r_id"
     )
+
+
+@pytest.mark.parametrize("n,shift", [(100, 100), (100, 40), (50, 200)])
+def test_counting_window_tws_parity(spark, n, shift):
+    """transformWithStateInPandas implementation matches the
+    applyInPandasWithState one (and thus the batch closed form).
+
+    Requires protobuf (the TWS state-server protocol) + RocksDB state
+    store; skipped where the runtime lacks them."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from go_streaming_spark.streaming import counting_window_stream_tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    st = _env(load_stream(spark, SF, "events"))
+    got = replay_to_memory(counting_window_stream_tws(st, n, shift), spark)
+    batch = ops.counting_window_agg(
+        CountingWindow(n, shift),
+        [F.sum("value").alias("sum_value"), F.count(F.lit(1)).alias("n_events")],
+        lineage=False,
+    )(_env(load_table(spark, SF, "events")))
+    g = sorted((r.window_id, round(r.sum_value, 6), r.n_events) for r in got.collect())
+    b = sorted((r.window_id, round(r.sum_value, 6), r.n_events) for r in batch.collect())
+    assert g == b
