@@ -66,6 +66,21 @@ class Engine:
     def topics(self) -> list[str]:
         return sorted(self._streams)
 
+    def sql(self, query: str) -> DataFrame:
+        """SQL entry point over the engine's registered topics (the
+        reference has no query language — `README.md:15-17`; Spark's is
+        free).  Registers every known topic as a temp view first, so the
+        same names work in SQL and in the builder."""
+        for topic in list(self._streams):
+            self._streams[topic].createOrReplaceTempView(topic)
+        if self.sf_dir:
+            from go_streaming_spark.sources.catalog import TABLES
+
+            for name in TABLES:
+                if name not in self._streams:
+                    self.stream(name).createOrReplaceTempView(name)
+        return self.spark.sql(query)
+
     # -- query repository (≈ pkg/processing/query_repository.go:35-103) -----
 
     def builder(self):

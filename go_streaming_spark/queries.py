@@ -257,6 +257,51 @@ def window_count_sliding(spark, sf_dir):
 
 
 @query(
+    "window_sum_per_user",
+    "SELECT user_id, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS ws,"
+    " CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value"
+    " FROM events GROUP BY user_id, 2",
+)
+def window_sum_per_user(spark, sf_dir):
+    # keyed windowed aggregation: window id + group key in ONE shuffle;
+    # the key rides inside the struct payload
+    eng = Engine(spark, sf_dir=sf_dir)
+    env = to_events(
+        eng.stream("events"), value=["user_id", "value"], event_time="ts", seq="event_id"
+    )
+    env = env.select(
+        "event_start", F.col("value.user_id").alias("user_id"),
+        F.col("value.value").cast(DEC).alias("value"),
+    )
+    agg = ops.windowed_agg(
+        TemporalWindow("1 day"),
+        [F.sum("value").cast(DEC_OUT).alias("sum_value")],
+        keys=("user_id",),
+        lineage=False,
+    )(env)
+    return agg.select(
+        "user_id", F.unix_timestamp("window_start").alias("ws"), "sum_value"
+    )
+
+
+@query(
+    "json_struct_extract",
+    "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k,"
+    " event_type FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50",
+)
+def json_struct_extract(spark, sf_dir):
+    # JSON event ingestion with a declared schema (NewEventFromJSON,
+    # `pkg/events/event.go:54-62`) — from_json to a typed struct, filter
+    # pushes through the parsed field
+    eng = Engine(spark, sf_dir=sf_dir)
+    ev = eng.stream("events")
+    parsed = ev.withColumn("p", F.from_json(F.col("props"), "k long"))
+    return parsed.filter(F.col("p.k") > 50).select(
+        "event_id", F.col("p.k").alias("k"), "event_type"
+    )
+
+
+@query(
     "window_sampling",
     # shift > length ("sampling" windows with gaps): 10-minute window every
     # hour — events outside the first 10 minutes of each hour are dropped

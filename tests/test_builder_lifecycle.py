@@ -95,3 +95,13 @@ def test_engine_isolation(spark):
     with pytest.raises(KeyError):
         e2.stream("t")
     assert e1.topics() == ["t"] and e2.topics() == []
+
+
+def test_engine_sql_entry_point(spark):
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    n = eng.sql("SELECT count(*) AS n FROM events WHERE value > 100").head()["n"]
+    direct = eng.stream("events").filter(F.col("value") > 100).count()
+    assert n == direct > 0
+    # registered topics are visible too
+    eng.register_stream("tiny", spark.createDataFrame([(1,)], "x long"))
+    assert eng.sql("SELECT sum(x) AS s FROM tiny").head()["s"] == 1
