@@ -120,6 +120,54 @@ def extract_features(
     return narrow.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def transform_media(
+    df: DataFrame,
+    id_col: str,
+    media_col: str = "media",
+    transform: Callable[[bytes], bytes] | None = None,
+    out_format: str = "bin",
+) -> DataFrame:
+    """Binary→binary media transform (resize / transcode / crop) as
+    Arrow-batched ``mapInPandas`` — same plumbing contract as
+    :func:`extract_features` but media-in, media-out, so transforms chain.
+
+    The default transform is a deterministic STUB (truncate-and-tag — no
+    image libs in this container); swap in e.g. a Pillow resize when
+    available.  Output keeps the media convention: ``media`` + refreshed
+    ``media_meta`` sizes.
+    """
+    if transform is None:
+        def transform(payload: bytes) -> bytes:
+            # STUB resize: deterministic content-preserving marker + first
+            # half of the payload — REPLACE with a real decoder+resizer
+            return b"resized:" + payload[: max(len(payload) // 2, 1)]
+    tf = transform
+    fmt = out_format
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out_bytes = pdf["_media"].map(
+                lambda b: tf(bytes(b) if b is not None else b"")
+            )
+            yield pd.DataFrame({"id": pdf["_id"], "media": out_bytes})
+
+    narrow = df.select(
+        F.col(id_col).alias("_id"), F.col(media_col).cast("binary").alias("_media")
+    )
+    out = narrow.mapInPandas(run, "id long, media binary")
+    meta = F.struct(
+        F.lit("image").alias("media_type"),
+        F.lit(fmt).alias("format"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.length("media").cast("long").alias("n_bytes"),
+    )
+    return out.withColumn("media_meta", meta)
+
+
 def frame_sample_plan(
     df: DataFrame, id_col: str, every_ms: int = 1000
 ) -> DataFrame:

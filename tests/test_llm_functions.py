@@ -162,3 +162,20 @@ def test_embedding_cosine_blocked_matches_expression(spark):
     assert set(e) == set(b)
     for pair, cos in e.items():
         assert abs(b[pair] - cos) <= 1e-5, pair
+
+
+def test_transform_media_chain(spark):
+    """Media transforms chain: attach -> transform -> extract, all Arrow
+    paths, deterministic stub outputs."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    media = multimodal.attach_media(docs, "text", "text_blob", "utf8")
+    resized = multimodal.transform_media(media, "doc_id")
+    rows = resized.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert bytes(r.media).startswith(b"resized:")
+        assert r.media_meta.n_bytes == len(bytes(r.media))
+    # chains into feature extraction
+    feats = multimodal.extract_features(resized, "id")
+    out = feats.collect()
+    assert len(out) == 50 and all(len(r.feature) == 8 for r in out)
