@@ -135,3 +135,33 @@ def test_asof_join_matches_model(spark, lefts, rights):
         prior = [rt for rk, rt in rights if rk == k and rt <= t]
         expected = max(prior) if prior else None
         assert got.get(i) == expected, (i, k, t)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=3, max_size=10),
+        min_size=2, max_size=8,
+    ),
+)
+def test_jaccard_pairs_matches_model(spark, docs):
+    from go_streaming_spark.functions.dedup import jaccard_pairs
+
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.0)
+    got = {(r.id_a, r.id_b): (r.n_common, round(r.jaccard, 9)) for r in out.collect()}
+
+    def shingles(ws):
+        return {" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)}
+
+    expected = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            si, sj = shingles(docs[i]), shingles(docs[j])
+            inter = len(si & sj)
+            if inter:
+                expected[(i, j)] = (inter, round(inter / len(si | sj), 9))
+    assert got == expected
