@@ -257,6 +257,32 @@ def window_count_sliding(spark, sf_dir):
 
 
 @query(
+    "window_lineage",
+    "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,"
+    " CAST(min(epoch_us(ts)) AS BIGINT) AS lineage_start_us,"
+    " CAST(max(epoch_us(ts)) AS BIGINT) AS lineage_end_us,"
+    " count(*) AS n_events"
+    " FROM events GROUP BY 1",
+)
+def window_lineage(spark, sf_dir):
+    # lineage merge through the oracle gate: derived events carry
+    # min(start)/max(end) of their window inputs
+    # (`pkg/events/timestamper.go:22-50`)
+    env = _events(spark, sf_dir)
+    agg = ops.windowed_agg(
+        TemporalWindow("1 hour"),
+        [F.count(F.lit(1)).alias("n_events")],
+        lineage=True,
+    )(env)
+    return agg.select(
+        F.unix_timestamp("window_start").alias("ws"),
+        F.unix_micros("event_start").alias("lineage_start_us"),
+        F.unix_micros("event_end").alias("lineage_end_us"),
+        "n_events",
+    )
+
+
+@query(
     "window_sum_per_user",
     "SELECT user_id, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS ws,"
     " CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value"
