@@ -169,7 +169,36 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
-@query("ann_lsh_topk")  # no SQL oracle: LSH bucket path; recall tested in pytest
+def _lsh_oracle(n_planes: int = 6, seed: int = 42, dim: int = 64) -> str:
+    """DuckDB oracle for the LSH ANN path: the plane matrix is deterministic
+    metadata (seed → md5 → double), so it embeds as SQL literals with
+    full-precision repr (binary64 round-trip); bucket bits and the probe set
+    (query bucket + 1-bit neighbors) are then pure SQL arithmetic with the
+    same summation order as the engine."""
+    from go_streaming_spark.functions.similarity import plane_component
+
+    planes = ", ".join(
+        "[" + ", ".join(repr(plane_component(seed, p, d)) for d in range(dim)) + "]"
+        for p in range(n_planes)
+    )
+    r = f"range(1,{dim + 1})"
+    return f"""WITH pl AS (SELECT [{planes}]::DOUBLE[][] AS m),
+q AS (SELECT embedding::DOUBLE[] qv FROM embeddings WHERE vec_id=0),
+v AS (SELECT vec_id id, embedding::DOUBLE[] e FROM embeddings WHERE vec_id <> 0),
+qb AS (SELECT sum(CASE WHEN list_sum(list_transform({r}, i -> qv[i]*m[CAST(p AS INT)+1][i])) >= 0
+                 THEN 1 << CAST(p AS INT) ELSE 0 END)::BIGINT AS b
+       FROM q, pl, (SELECT unnest(range({n_planes})) p) pp),
+vb AS (SELECT id, sum(CASE WHEN s >= 0 THEN 1 << CAST(p AS INT) ELSE 0 END)::BIGINT AS b FROM (
+         SELECT id, p, list_sum(list_transform({r}, i -> e[i]*m[CAST(p AS INT)+1][i])) s
+         FROM v, pl, (SELECT unnest(range({n_planes})) p) pp) GROUP BY id),
+probes AS (SELECT b FROM qb UNION ALL
+           SELECT xor(qb.b, 1 << CAST(p AS INT)) FROM qb, (SELECT unnest(range({n_planes})) p) pp),
+cand AS (SELECT v.id, v.e FROM v JOIN vb USING(id) WHERE vb.b IN (SELECT b FROM probes))
+SELECT id, round({_COS('e', 'q.qv')}, 6) cos_sim FROM cand, q
+ORDER BY cos_sim DESC, id LIMIT 10"""
+
+
+@query("ann_lsh_topk", _lsh_oracle())
 def ann_lsh_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
@@ -260,7 +289,15 @@ def multimodal_binary_meta(spark, sf_dir):
     )
 
 
-@query("multimodal_features")  # no SQL oracle: mapInPandas path; determinism in pytest
+@query(
+    "multimodal_features",
+    # the stub decoder is md5-byte arithmetic — exactly expressible in SQL,
+    # so even the Arrow/mapInPandas plumbing is oracle-checked end-to-end
+    "SELECT doc_id AS id, octet_length(encode(text))::BIGINT AS n_bytes,"
+    " list_transform(range(1,9), i ->"
+    "  CAST(('0x'||substr(md5(text), 2*CAST(i AS INT)-1, 2)) AS INT)/255.0) AS feature"
+    " FROM documents",
+)
 def multimodal_features(spark, sf_dir):
     media = multimodal.attach_media(_docs(spark, sf_dir), "text", "text_blob", "utf8")
     return multimodal.extract_features(media, "doc_id", "media")
