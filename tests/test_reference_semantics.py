@@ -225,3 +225,27 @@ def test_asof_join_left_keeps_unmatched(spark):
     )
     rows = out.collect()
     assert len(rows) == 1 and rows[0].id == "p1" and rows[0].sid is None
+
+
+# -- empty-input robustness ---------------------------------------------------
+
+
+def test_operators_on_empty_input(spark):
+    from go_streaming_spark.operators.joins import as_of_join
+
+    empty = spark.createDataFrame([], "seq long, event_start timestamp,"
+                                  " event_end timestamp, meta map<string,string>,"
+                                  " value double")
+    assert ops.greater(1)(empty).count() == 0
+    assert ops.batch_sum(TemporalWindow("1 hour"), lineage=False)(empty).count() == 0
+    assert ops.counting_window_agg(
+        CountingWindow(5), [F.sum("value").alias("s")], lineage=False
+    )(empty).count() == 0
+    left = spark.createDataFrame([("u", 5, "p")], "k string, t long, id string")
+    none_right = spark.createDataFrame([], "k string, t long")
+    inner = as_of_join(left, none_right, on="k", left_time="t", right_time="t",
+                       right_vals={"rt": F.col("t")})
+    assert inner.count() == 0
+    outer = as_of_join(left, none_right, on="k", left_time="t", right_time="t",
+                       right_vals={"rt": F.col("t")}, how="left")
+    assert [r.id for r in outer.collect()] == ["p"]

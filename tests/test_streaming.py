@@ -286,3 +286,30 @@ def test_counting_window_tws_parity(spark, n, shift):
     g = sorted((r.window_id, round(r.sum_value, 6), r.n_events) for r in got.collect())
     b = sorted((r.window_id, round(r.sum_value, 6), r.n_events) for r in batch.collect())
     assert g == b
+
+
+def test_session_window_stream_parity(spark):
+    """Gap-based session windows run streaming too (watermark + append);
+    fully-closed sessions match the batch result."""
+    bt = load_table(spark, SF, "events")
+    st = load_stream(spark, SF, "events")
+
+    def sessions(df):
+        src = df.withWatermark("ts", "0 seconds") if df.isStreaming else df
+        return (
+            src.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "user_id",
+                F.unix_micros("session_window.start").alias("s_us"),
+                F.unix_micros("session_window.end").alias("e_us"),
+                "n",
+            )
+        )
+
+    max_us = bt.agg(F.max(F.unix_micros("ts"))).head()[0]
+    batch = sessions(bt).filter(F.col("e_us") <= max_us)
+    got = replay_to_memory(sessions(st), spark)
+    assert _collect_sorted(got, "user_id", "s_us", "n") == _collect_sorted(
+        batch, "user_id", "s_us", "n"
+    )
