@@ -449,6 +449,42 @@ def counting_window_skip(spark, sf_dir):
     return agg.select("window_id", "n_events", "sum_value")
 
 
+@query(
+    "counting_window_per_type",
+    "WITH r AS (SELECT event_type, value,"
+    "  row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1 AS rn"
+    "  FROM events)"
+    " SELECT event_type, rn // 50 AS window_id,"
+    " CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value"
+    " FROM r GROUP BY event_type, 2 HAVING count(*) = 50",
+)
+def counting_window_per_type(spark, sf_dir):
+    # keyed counting windows: per-key dense arrival index (ranking window,
+    # one shuffle on the key) + the same closed-form window arithmetic —
+    # the scalable form of CountingWindowPolicy (state shards by key)
+    from pyspark.sql.window import Window
+    from go_streaming_spark.operators.windows import assign_counting_windows
+
+    eng = Engine(spark, sf_dir=sf_dir)
+    ev = eng.stream("events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    ranked = ev.select(
+        "event_type",
+        F.col("value").cast(DEC).alias("value"),
+        (F.row_number().over(w) - 1).alias("rn"),
+    )
+    assigned = assign_counting_windows(ranked, CountingWindow(50), seq_col="rn")
+    return (
+        assigned.groupBy("event_type", "window_id")
+        .agg(
+            F.sum("value").cast(DEC_OUT).alias("sum_value"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter(F.col("_n") == 50)
+        .drop("_n")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Windowed joins (SURVEY §2.2 #16-17)
 # ---------------------------------------------------------------------------
