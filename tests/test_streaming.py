@@ -313,3 +313,38 @@ def test_session_window_stream_parity(spark):
     assert _collect_sorted(got, "user_id", "s_us", "n") == _collect_sorted(
         batch, "user_id", "s_us", "n"
     )
+
+
+def test_stream_metrics_listener(spark):
+    """StreamMetricsListener ≈ StreamMetrics NumEventsIn/Out
+    (`pkg/pubsub/stream.go:144-195`) + df.observe metrics."""
+    import time
+
+    from go_streaming_spark import operators as ops
+    from go_streaming_spark.streaming import StreamMetricsListener
+
+    listener = StreamMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        env = _env(load_stream(spark, SF, "events"))
+        observed = ops.observe("m_in")(env)
+        q = (
+            observed.writeStream.format("memory")
+            .queryName("metrics_probe")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .queryName("metrics_probe")
+            .start()
+        )
+        q.awaitTermination()
+        n_total = load_table(spark, SF, "events").count()
+        # listener delivery is async; poll briefly
+        for _ in range(50):
+            if listener.rows_in.get("metrics_probe", 0) >= n_total:
+                break
+            time.sleep(0.2)
+        assert listener.rows_in.get("metrics_probe", 0) == n_total
+        obs = listener.observed.get("metrics_probe", {})
+        assert obs.get("m_in") is not None and obs["m_in"]["n_events"] == n_total
+    finally:
+        spark.streams.removeListener(listener)
