@@ -207,6 +207,31 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
+@query(
+    "pipeline_clean_corpus",
+    f"""WITH kept AS (SELECT doc_id, source, text FROM documents
+  WHERE {_NW} >= 5
+    AND len(text) > 0
+    AND round(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) / len(text), 6) > 0.5)
+SELECT source, count(DISTINCT md5(text)) AS n_unique, count(*) AS n_docs
+FROM kept GROUP BY source""",
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    # composed pipeline: quality gate -> exact-dedup counting -> per-source
+    # stats.  One scan + one shuffle: the gate is a pushed filter, the
+    # distinct-digest count is a partial-aggregated groupBy
+    docs = _docs(spark, sf_dir)
+    q = text.quality_score(docs, "doc_id", "text")
+    keep = q.filter((F.col("n_words") >= 5) & (F.col("alpha_ratio") > 0.5))
+    kept = docs.join(
+        keep.select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    return kept.groupBy("source").agg(
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
