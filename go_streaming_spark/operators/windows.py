@@ -88,6 +88,17 @@ class TemporalWindow:
         return self.shift_us < self.length_us
 
 
+    def to_config(self) -> dict:
+        """JSON-serializable policy config (≈ ``SelectionPolicyConfig``
+        round-trip, `pkg/events/selection_policy.go:322-348`)."""
+        return {
+            "type": "temporal",
+            "window_length": self.length,
+            "window_shift": self.shift,
+            "window_start": self.origin,
+        }
+
+
 @dataclass(frozen=True)
 class CountingWindow:
     """Count-based window policy over arrival order
@@ -102,6 +113,23 @@ class CountingWindow:
     @property
     def shift_n(self) -> int:
         return self.shift if self.shift is not None else self.n
+
+    def to_config(self) -> dict:
+        return {"type": "counting", "size": self.n, "slide": self.shift}
+
+
+def policy_from_config(cfg: dict) -> "TemporalWindow | CountingWindow":
+    """Inverse of ``to_config`` — policies round-trip through plain JSON
+    dicts, so pipelines are definable from config files the way the
+    reference's policies are (`pkg/events/selection_policy.go:43-53`)."""
+    kind = cfg.get("type")
+    if kind == "temporal":
+        return TemporalWindow(
+            cfg["window_length"], cfg.get("window_shift"), cfg.get("window_start")
+        )
+    if kind == "counting":
+        return CountingWindow(cfg["size"], cfg.get("slide"))
+    raise ValueError(f"unknown policy type {kind!r}")
 
 
 def assign_temporal_windows(

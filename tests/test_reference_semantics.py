@@ -249,3 +249,20 @@ def test_operators_on_empty_input(spark):
     outer = as_of_join(left, none_right, on="k", left_time="t", right_time="t",
                        right_vals={"rt": F.col("t")}, how="left")
     assert [r.id for r in outer.collect()] == ["p"]
+
+
+def test_policy_config_round_trip(spark):
+    # ≈ SelectionPolicyConfig JSON round-trip (selection_policy.go:322-348)
+    import json
+
+    from go_streaming_spark.operators.windows import policy_from_config
+
+    policies = [
+        TemporalWindow("1 hour"),
+        TemporalWindow("10 minutes", "1 hour", "2024-01-01T00:00:00+00:00"),
+        CountingWindow(100),
+        CountingWindow(50, 200),
+    ]
+    for p in policies:
+        back = policy_from_config(json.loads(json.dumps(p.to_config())))
+        assert back == p
