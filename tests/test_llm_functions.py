@@ -179,3 +179,22 @@ def test_transform_media_chain(spark):
     feats = multimodal.extract_features(resized, "id")
     out = feats.collect()
     assert len(out) == 50 and all(len(r.feature) == 8 for r in out)
+
+
+def test_minhash_lsh_bucket_cap(spark):
+    """max_bucket_size drops degenerate buckets: identical boilerplate docs
+    all collide into one bucket; capped, they produce no pairs while
+    normal near-dups still surface."""
+    rows = [(i, "identical boilerplate text repeated in every doc here") for i in range(20)]
+    rows += [(100, "a unique document about apples oranges and pears today"),
+             (101, "a unique document about apples oranges and pears tonight")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5)
+    capped = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.5, max_bucket_size=5
+    )
+    un = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    cp = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in un and (100, 101) in cp
+    assert any(a < 20 and b < 20 for a, b in un)      # boilerplate pairs present
+    assert not any(a < 20 and b < 20 for a, b in cp)  # ...and capped away
