@@ -266,3 +266,36 @@ def test_policy_config_round_trip(spark):
     for p in policies:
         back = policy_from_config(json.loads(json.dumps(p.to_config())))
         assert back == p
+
+
+def test_lineage_meta_union(spark):
+    # timestamper.go:22-50: meta union across merged events (right wins on
+    # key collision under LAST_WIN, matching maps.Copy order)
+    rows = [
+        (0, BASE, {"a": "1"}),
+        (1, BASE + dt.timedelta(milliseconds=50), {"b": "2"}),
+        (2, BASE + dt.timedelta(milliseconds=100), {"a": "3", "c": "4"}),
+    ]
+    df = spark.createDataFrame(rows, "seq long, ts timestamp, m map<string,string>")
+    env = to_events(df, value=F.lit(1), event_time="ts", seq="seq", meta=F.col("m"))
+    agg = ops.windowed_agg(
+        TemporalWindow("1 hour"),
+        [F.count(F.lit(1)).alias("n")],
+        merge_meta=True,
+    )(env)
+    meta = dict(agg.collect()[0].meta)
+    assert meta == {"a": "3", "b": "2", "c": "4"}
+
+
+def test_jaccard_hot_shingle_cap(spark):
+    from go_streaming_spark.functions.dedup import jaccard_pairs
+
+    # one shingle shared by all docs; unique tails otherwise
+    rows = [(i, f"common phrase here tail{i} tail{i}x tail{i}y") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.0)
+    capped = jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.0, max_shingle_freq=5
+    )
+    assert uncapped.count() == 45   # all pairs share "common phrase here"
+    assert capped.count() == 0      # the hot shingle is dropped
