@@ -159,6 +159,49 @@ def jaccard_pairs(
     return out.select("id_a", "id_b", "n_common", "jaccard")
 
 
+def shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingles array<string> distinct) — per-doc shingle set as one
+    array column, computed map-side (no explode/shuffle)."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    if n == 1:
+        arr = F.array_distinct(words)
+    else:
+        arr = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(-1))),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            )
+        )
+    return spread(df).select(F.col(id_col).alias("id"), arr.alias("shingles"))
+
+
+def jaccard_verify_pairs(
+    pairs: DataFrame, df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Exact Jaccard for an explicit candidate-pair set (id_a, id_b).
+
+    Pair-oriented: each doc's distinct-shingle ARRAY is computed once
+    map-side, the pair list joins it twice (2 equi-join shuffles), and the
+    per-pair intersection is a JVM array op — no inverted-index self-join
+    over the candidates' shingle streams.  This is the verification half of
+    LSH at scale: cost ∝ |candidates|, not |docs with shared shingles|².
+    """
+    sh = shingle_arrays(df, id_col, text_col, n)
+    a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("_sa"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("_sb"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
+    return joined.select(
+        "id_a",
+        "id_b",
+        inter.alias("n_common"),
+        (inter / union).alias("jaccard"),
+    ).filter(F.col("n_common") > 0)
+
+
 def minhash_signatures_wide(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 16
 ) -> DataFrame:
@@ -260,20 +303,12 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # Exact-Jaccard verification restricted to candidate docs only (the
-    # candidate set is tiny relative to the corpus — that's the LSH payoff;
-    # verifying against all pairs would undo it).
-    cand_docs = (
-        candidates.select(F.col("id_a").alias(id_col))
-        .union(candidates.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    restricted = df.join(F.broadcast(cand_docs), id_col, "left_semi")
-    exact = jaccard_pairs(restricted, id_col, text_col, n, threshold=0.0)
-    return (
-        candidates.join(exact, ["id_a", "id_b"])
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    # Exact-Jaccard verification of the candidate pairs only, pair-oriented
+    # (cost ∝ |candidates| — see jaccard_verify_pairs; an inverted-index
+    # re-join over candidate docs re-pays the bucket cross product).
+    exact = jaccard_verify_pairs(candidates, df, id_col, text_col, n)
+    return exact.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
     )
 
 
