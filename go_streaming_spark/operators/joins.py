@@ -124,10 +124,13 @@ def as_of_join(
     right_time: str,
     right_vals: dict[str, Column] | None = None,
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row matched to the most recent right row
-    with ``right_time <= left_time`` for the same key (the standard temporal
-    join the reference lacks — beyond-reference surface, SURVEY.md §2.5).
+    """As-of join: each left row matched to the most recent right row with
+    ``right_time <= left_time`` (``direction="backward"``, default) or the
+    earliest right row with ``right_time >= left_time`` (``"forward"``) for
+    the same key (the standard temporal join the reference lacks —
+    beyond-reference surface, SURVEY.md §2.5).
 
     Scale design: the naive formulation is a range join (left × right pairs
     filtered by time), which Spark plans as a broadcast-nested-loop or an
@@ -143,11 +146,24 @@ def as_of_join(
     keys = [on] if isinstance(on, str) else list(on)
     right_vals = right_vals or {"asof_time": F.col(right_time)}
     out_names = list(right_vals)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    # forward = backward on negated time: "latest rt <= lt" under -t is
+    # "earliest rt >= lt" under t — one code path, both directions
+    neg = direction == "forward"
+
+    def t_of(src: DataFrame, c: str) -> Column:
+        col = F.col(c)
+        if neg:
+            if isinstance(src.schema[c].dataType, T.TimestampType):
+                col = F.unix_micros(col)
+            return -col
+        return col
 
     payload = F.struct(*[c.alias(n) for n, c in right_vals.items()])
     r = right.select(
         *[F.col(k) for k in keys],
-        F.col(right_time).alias("_t"),
+        t_of(right, right_time).alias("_t"),
         F.lit(0).alias("_side"),
         payload.alias("_rpayload"),
         *[
@@ -157,7 +173,7 @@ def as_of_join(
     )
     l = left.select(
         *[F.col(k) for k in keys],
-        F.col(left_time).alias("_t"),
+        t_of(left, left_time).alias("_t"),
         F.lit(1).alias("_side"),
         F.lit(None).cast(r.schema["_rpayload"].dataType).alias("_rpayload"),
         *[F.col(c).alias(f"_l_{c}") for c in left.columns],

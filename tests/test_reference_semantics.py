@@ -299,3 +299,23 @@ def test_jaccard_hot_shingle_cap(spark):
     )
     assert uncapped.count() == 45   # all pairs share "common phrase here"
     assert capped.count() == 0      # the hot shingle is dropped
+
+
+def test_asof_join_forward_direction(spark):
+    from go_streaming_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame(
+        [("u1", 10, "p1"), ("u1", 30, "p2")], "k string, t long, id string"
+    )
+    right = spark.createDataFrame(
+        [("u1", 5, "s0"), ("u1", 12, "s1"), ("u1", 20, "s2")],
+        "k string, t long, sid string",
+    )
+    out = as_of_join(
+        left, right, on="k", left_time="t", right_time="t",
+        right_vals={"sid": F.col("sid"), "rt": F.col("t")},
+        how="left", direction="forward",
+    )
+    got = {r.id: (r.sid, r.rt) for r in out.collect()}
+    # p1@10 -> earliest right at/after 10 = s1@12; p2@30 -> none
+    assert got == {"p1": ("s1", 12), "p2": (None, None)}
