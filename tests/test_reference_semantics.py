@@ -319,3 +319,36 @@ def test_asof_join_forward_direction(spark):
     got = {r.id: (r.sid, r.rt) for r in out.collect()}
     # p1@10 -> earliest right at/after 10 = s1@12; p2@30 -> none
     assert got == {"p1": ("s1", 12), "p2": (None, None)}
+
+
+def test_window_join_multi_key(spark):
+    # composite join keys: (user_id, day) must both match
+    mk = lambda rows: to_events(
+        spark.createDataFrame(rows, "seq long, ts timestamp, user_id long, day string"),
+        value=["user_id", "day", "seq"], event_time="ts", seq="seq",
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    left = mk([(1, t0, 7, "mon"), (2, t0, 7, "tue")])
+    right = mk([(10, t0, 7, "mon"), (11, t0, 8, "mon")])
+    out = window_join(left, right, ["user_id", "day"], TemporalWindow("1 hour"))
+    got = [(r["value"]["l"]["seq"], r["value"]["r"]["seq"]) for r in out.collect()]
+    assert got == [(1, 10)]
+
+
+def test_asof_join_multi_key(spark):
+    from go_streaming_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame(
+        [("u1", "x", 10, "p1"), ("u1", "y", 10, "p2")],
+        "k1 string, k2 string, t long, id string",
+    )
+    right = spark.createDataFrame(
+        [("u1", "x", 8, "s1"), ("u1", "z", 9, "s2")],
+        "k1 string, k2 string, t long, sid string",
+    )
+    out = as_of_join(
+        left, right, on=["k1", "k2"], left_time="t", right_time="t",
+        right_vals={"sid": F.col("sid")}, how="left",
+    )
+    got = {r.id: r.sid for r in out.collect()}
+    assert got == {"p1": "s1", "p2": None}
