@@ -1,0 +1,69 @@
+"""Time-series similarity search over value streams.
+
+Sliding-window z-normalized distance between each key's recent window and a
+query pattern — the standard streaming subsequence-similarity primitive
+(UCR-suite-style z-norm + Euclidean, cf. "Time Series Similarity Search for
+Streaming Data in Distributed Systems", EDBT 2019 — PAPERS.md).
+
+Spark-first: the window materializes as an ARRAY column via a ranking
+window frame (one shuffle on the key), z-norm and distance are sequential
+array folds — deterministic summation order, engine-portable, oracle-exact.
+At 100 TB the shuffle is the per-key ordering, identical to any keyed
+window function; no state beyond the frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def znormalize(values: list[float]) -> list[float]:
+    """Driver-side z-norm for query patterns (population σ, ε-guarded)."""
+    n = len(values)
+    mu = sum(values) / n
+    var = sum(x * x for x in values) / n - mu * mu
+    sd = max(var, 0.0) ** 0.5 or 1e-12
+    return [(x - mu) / sd for x in values]
+
+
+def _fold_sum(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def znorm_sliding_distance(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    pattern: list[float],
+    round_to: int = 6,
+) -> DataFrame:
+    """Per key, per position: z-normalized Euclidean distance between the
+    trailing window of ``len(pattern)`` values and the (pre-z-normalized)
+    query pattern.  Emits only complete windows.
+
+    Output: (key, order, zdist) — smaller = more similar; a top-k on zdist
+    is subsequence search, a threshold filter is motif detection.
+    """
+    w = len(pattern)
+    q = znormalize(pattern)
+    q_arr = F.array(*[F.lit(float(x)) for x in q])
+    frame = (
+        Window.partitionBy(key_col).orderBy(order_col).rowsBetween(-(w - 1), 0)
+    )
+    win = F.collect_list(F.col(value_col).cast("double")).over(frame)
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).alias("pos"),
+        win.alias("win"),
+    ).filter(F.size("win") == w)
+    mu = _fold_sum(F.col("win")) / w
+    ex2 = _fold_sum(F.transform(F.col("win"), lambda x: x * x)) / w
+    sd = F.greatest(F.sqrt(ex2 - mu * mu), F.lit(1e-12))
+    diffs = F.zip_with(
+        F.col("win"), q_arr, lambda x, qq: ((x - mu) / sd - qq) * ((x - mu) / sd - qq)
+    )
+    dist = F.round(F.sqrt(_fold_sum(diffs)), round_to)
+    return base.select("key", "pos", dist.alias("zdist"))

@@ -207,6 +207,38 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
+def _ts_oracle(w: int = 16) -> str:
+    from go_streaming_spark.functions.timeseries import znormalize
+
+    q = ", ".join(repr(x) for x in znormalize([float(i) for i in range(w)]))
+    sq = "(win[CAST(i AS INT)]-mu)/sd - q[CAST(i AS INT)]"
+    return f"""WITH w AS (SELECT user_id, event_id,
+  list(value) OVER (PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS win
+  FROM events),
+f AS (SELECT * FROM w WHERE len(win) = {w}),
+s AS (SELECT user_id, event_id, win, list_sum(win)/{w} AS mu,
+  greatest(sqrt(list_sum(list_transform(win, x -> x*x))/{w}
+                - (list_sum(win)/{w})*(list_sum(win)/{w})), 1e-12) AS sd FROM f)
+SELECT user_id AS key, event_id AS pos,
+ round(sqrt(list_sum(list_transform(range(1,{w + 1}),
+   i -> ({sq})*({sq})))), 6) AS zdist
+FROM s, (SELECT [{q}]::DOUBLE[] q) qq"""
+
+
+@query("timeseries_znorm_search", _ts_oracle())
+def timeseries_znorm_search(spark, sf_dir):
+    # sliding-window z-normalized similarity to a ramp pattern per user —
+    # streaming subsequence search (functions/timeseries.py)
+    from go_streaming_spark.functions import timeseries
+
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    out = timeseries.znorm_sliding_distance(
+        ev, "user_id", "event_id", "value", [float(i) for i in range(16)]
+    )
+    return out.select(F.col("key"), F.col("pos"), "zdist")
+
+
 @query(
     "pipeline_clean_corpus",
     f"""WITH kept AS (SELECT doc_id, source, text FROM documents

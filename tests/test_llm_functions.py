@@ -198,3 +198,26 @@ def test_minhash_lsh_bucket_cap(spark):
     assert (100, 101) in un and (100, 101) in cp
     assert any(a < 20 and b < 20 for a, b in un)      # boilerplate pairs present
     assert not any(a < 20 and b < 20 for a, b in cp)  # ...and capped away
+
+
+def test_znorm_sliding_distance_model(spark):
+    import numpy as np
+
+    from go_streaming_spark.functions import timeseries
+
+    vals = [float(v) for v in [1, 3, 2, 8, 4, 4, 5, 9, 1, 2]]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)], "u string, i long, value double"
+    )
+    pattern = [1.0, 2.0, 3.0, 4.0]
+    out = {r.pos: r.zdist for r in timeseries.znorm_sliding_distance(
+        df, "u", "i", "value", pattern
+    ).collect()}
+    q = np.array(timeseries.znormalize(pattern))
+    for pos in range(3, len(vals)):
+        w = np.array(vals[pos - 3 : pos + 1])
+        sd = max(np.sqrt((w * w).mean() - w.mean() ** 2), 1e-12)
+        z = (w - w.mean()) / sd
+        expected = round(float(np.sqrt(((z - q) ** 2).sum())), 6)
+        assert abs(out[pos] - expected) < 1e-9, pos
+    assert set(out) == set(range(3, len(vals)))  # only complete windows
