@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from go_streaming_spark.functions.util import spread
+
 # Minimal marker lexicons (heuristic n-gram/stopword language ID).  Real
 # deployments swap in fastText/CLD3 via a pandas UDF; the operator shape
 # (per-doc argmax over marker-hit scores) stays the same.
@@ -61,7 +63,7 @@ def lang_id(text: Column) -> Column:
 def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Whitespace token count + BPE-ish piece count + char count per doc."""
     t = F.col(text_col)
-    return df.select(
+    return spread(df).select(
         F.col(id_col).alias("id"),
         F.size(words_expr(t)).cast("long").alias("n_words"),
         F.regexp_count(t, F.lit(BPE_TOKEN_RE)).cast("long").alias("n_bpe_pieces"),
@@ -77,6 +79,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     is a fixed linear blend — swap weights per corpus; the point is the
     operator shape (scan-only, no shuffle).
     """
+    df = spread(df)
     t = F.col(text_col)
     words = words_expr(t)
     n_words = F.size(words).cast("long")
@@ -112,4 +115,4 @@ def char_shingle_fingerprint(
             lambda i: F.md5(t.substr(i, F.lit(n))),
         )
     )
-    return df.select(F.col(id_col).alias("id"), fp.alias("fingerprint"))
+    return spread(df).select(F.col(id_col).alias("id"), fp.alias("fingerprint"))

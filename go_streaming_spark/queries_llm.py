@@ -284,7 +284,9 @@ SELECT doc_id, CASE WHEN {_G} <= 0 THEN 'und' WHEN s_de = {_G} THEN 'de'
  END AS lang_pred FROM s""",
 )
 def text_lang_id(spark, sf_dir):
-    docs = _docs(spark, sf_dir)
+    from go_streaming_spark.functions.util import spread
+
+    docs = spread(_docs(spark, sf_dir))
     return docs.select("doc_id", text.lang_id(F.col("text")).alias("lang_pred"))
 
 
