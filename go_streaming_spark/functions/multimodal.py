@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from go_streaming_spark.functions.util import spread
+
 MEDIA_META_SCHEMA = T.StructType(
     [
         T.StructField("media_type", T.StringType()),   # image|audio|video
@@ -114,7 +116,7 @@ def extract_features(
             )
             yield out
 
-    narrow = df.select(
+    narrow = spread(df).select(
         F.col(id_col).alias("_id"), F.col(media_col).cast("binary").alias("_media")
     )
     return narrow.mapInPandas(run, FEATURE_SCHEMA)
@@ -153,7 +155,7 @@ def transform_media(
             )
             yield pd.DataFrame({"id": pdf["_id"], "media": out_bytes})
 
-    narrow = df.select(
+    narrow = spread(df).select(
         F.col(id_col).alias("_id"), F.col(media_col).cast("binary").alias("_media")
     )
     out = narrow.mapInPandas(run, "id long, media binary")
