@@ -384,17 +384,17 @@ def simhash_signatures(
     """(id, simhash) — token-count-weighted SimHash over ``bits`` bits
     (60 = the md5-prefix budget that stays int64-exact)."""
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
-    # Hash BEFORE the shuffle: rows carry (id, int64) instead of raw token
-    # strings, and the md5 runs once per occurrence map-side.  Counts that
-    # merge on a (vanishingly unlikely) 60-bit collision contribute the
-    # same per-bit sum either way — output is bit-identical.
-    h = md5_int(F.col("token"), 15)  # 60 bits
-    hashed = (
+    # Count-then-hash: the groupBy's map-side combine collapses repeated
+    # tokens before the shuffle, so md5 runs once per DISTINCT (id, token)
+    # — with zipfian token distributions that is far fewer hashes than
+    # per-occurrence hashing.
+    toks = (
         spread(df).select(F.col(id_col).alias("id"), F.explode(words).alias("token"))
-        .select("id", h.alias("h"))
-        .groupBy("id", "h")
+        .groupBy("id", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    h = md5_int(F.col("token"), 15)  # 60 bits
+    hashed = toks.select("id", "cnt", h.alias("h"))
     # Wide per-bit sums: one groupBy(id) with `bits` aggregate columns — the
     # row-per-bit alternative shuffles `bits`× the token stream (see the
     # minhash wide-signature note above).
