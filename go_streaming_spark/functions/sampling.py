@@ -1,0 +1,67 @@
+"""Deterministic sampling and dataset splitting.
+
+Training-data pipelines need samples and train/test splits that are
+REPRODUCIBLE — across reruns, engines, and partitionings.  Spark's
+``sample()``/``randomSplit()`` depend on partition layout and seed plumbing;
+here membership is a pure function of the row's id: ``md5(seed|id)`` mapped
+to a uniform 32-bit value.  Same id → same bucket, on any engine (the DuckDB
+oracle computes the identical expression), any cluster size, any day.
+
+Scale: membership is a map-side filter/projection — no shuffle, no state,
+prunes straight into downstream scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from go_streaming_spark.functions.dedup import md5_int
+
+_BUCKETS = 1 << 32
+
+
+def hash_bucket(id_col: Column, seed: str = "sample") -> Column:
+    """Uniform value in [0, 2^32) derived from (seed, id) — the shared
+    primitive for sampling and splitting."""
+    return md5_int(F.concat_ws("|", F.lit(seed), id_col.cast("string")), 8)
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float, seed: str = "sample"
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by id hash — stable under reruns
+    and engine changes, unlike ``DataFrame.sample``."""
+    threshold = int(fraction * _BUCKETS)
+    return df.filter(hash_bucket(F.col(id_col), seed) < threshold)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, float],
+    seed: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a deterministic split label (e.g. train/val/test).
+
+    ``splits`` maps label → fraction (must sum to ≤ 1; remainder gets the
+    last label).  Boundaries are cumulative-fraction thresholds over the
+    hash bucket, so the same id always lands in the same split.
+    """
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    bucket = hash_bucket(F.col(id_col), seed)
+    expr = None
+    cum = 0.0
+    labels = list(splits)
+    for label in labels[:-1]:
+        cum += splits[label]
+        cond = bucket < int(cum * _BUCKETS)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    last = F.lit(labels[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, out)

@@ -207,6 +207,29 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
+_T_TRAIN = int(0.8 * (1 << 32))
+_T_VAL = int(0.9 * (1 << 32))
+
+
+@query(
+    "hash_split_counts",
+    f"""WITH b AS (SELECT source,
+  CAST(('0x'||substr(md5('split|'||CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) h
+  FROM documents)
+SELECT CASE WHEN h < {_T_TRAIN} THEN 'train' WHEN h < {_T_VAL} THEN 'val'
+       ELSE 'test' END AS split, source, count(*) AS n
+FROM b GROUP BY 1, 2""",
+)
+def hash_split_counts(spark, sf_dir):
+    # deterministic train/val/test split by id hash (reproducible across
+    # engines/partitionings — functions/sampling.py), counted per source
+    from go_streaming_spark.functions.sampling import hash_split
+
+    docs = _docs(spark, sf_dir)
+    split = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return split.groupBy("split", "source").agg(F.count(F.lit(1)).alias("n"))
+
+
 def _ts_oracle(w: int = 16) -> str:
     from go_streaming_spark.functions.timeseries import znormalize
 

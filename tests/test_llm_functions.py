@@ -221,3 +221,23 @@ def test_znorm_sliding_distance_model(spark):
         expected = round(float(np.sqrt(((z - q) ** 2).sum())), 6)
         assert abs(out[pos] - expected) < 1e-9, pos
     assert set(out) == set(range(3, len(vals)))  # only complete windows
+
+
+def test_deterministic_sampling_and_split(spark):
+    from go_streaming_spark.functions.sampling import deterministic_sample, hash_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    s1 = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.3).collect()}
+    s2 = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.3).collect()}
+    assert s1 == s2 and 0.15 < len(s1) / docs.count() < 0.45   # stable + roughly 30%
+    # different seed -> different (but stable) sample
+    s3 = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.3, seed="other").collect()}
+    assert s3 != s1
+    # splits partition the corpus and are label-stable
+    split = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == docs.count()
+    assert counts["train"] > counts.get("val", 0) and counts["train"] > counts.get("test", 0)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hash_split(docs, "doc_id", {"a": 0.9, "b": 0.2})
