@@ -353,21 +353,41 @@ def embedding_cosine_pairs_blocked(
 
         pi, pj = key
         M = np.vstack(pdf["vec"].to_numpy())
-        norms = np.linalg.norm(M, axis=1)
-        norms[norms == 0] = 1.0
-        Mn = M / norms[:, None]
         ids = pdf["id"].to_numpy()
         blocks = pdf["_b"].to_numpy()
+        dim = M.shape[1]
+
+        # Sequential-order accumulation (d = 0..dim-1), vectorized across
+        # pairs: bit-identical to the expression path's left-fold and the
+        # DuckDB oracle's list_sum — a BLAS matmul would differ in the last
+        # ulp (pairwise summation) and break exact oracle hashing.
+        def seq_norms(X):
+            s = np.zeros(X.shape[0])
+            for d in range(dim):
+                s += X[:, d] * X[:, d]
+            n = np.sqrt(s)
+            n[n == 0] = 1.0
+            return n
+
+        def seq_dots(A, B):
+            S = np.zeros((A.shape[0], B.shape[0]))
+            for d in range(dim):
+                S += A[:, d, None] * B[None, :, d]
+            return S
+
         if pi == pj:
-            S = Mn @ Mn.T
+            n = seq_norms(M)
+            S = seq_dots(M, M) / (n[:, None] * n[None, :])
             iu, ju = np.triu_indices(len(ids), k=1)
             ia, ib, cs = ids[iu], ids[ju], S[iu, ju]
         else:
             li, rj = blocks == pi, blocks == pj
-            A, B = Mn[li], Mn[rj]
+            A, B = M[li], M[rj]
+            na, nb = seq_norms(A), seq_norms(B)
+            S = seq_dots(A, B) / (na[:, None] * nb[None, :])
             ia = np.repeat(ids[li], B.shape[0])
             ib = np.tile(ids[rj], A.shape[0])
-            cs = (A @ B.T).ravel()
+            cs = S.ravel()
         lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
         cs = np.round(cs, 6)
         m = (cs >= thr) & (lo != hi)

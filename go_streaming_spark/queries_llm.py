@@ -133,11 +133,16 @@ def ann_cosine_topk(spark, sf_dir):
     )
 
 
-@query("dedup_embedding_cosine_blocked")  # rows-only: numpy matmul cosines
+@query(
+    "dedup_embedding_cosine_blocked",
+    # same oracle as the expression variant: the blocked path accumulates
+    # in the same sequential dim order (no BLAS pairwise summation), so its
+    # cosines are bit-identical
+    f"""WITH v AS (SELECT vec_id id, embedding::DOUBLE[] e FROM embeddings)
+SELECT a.id id_a, b.id id_b, round({_COS('a.e','b.e')}, 6) cos_sim
+FROM v a JOIN v b ON a.id < b.id WHERE round({_COS('a.e','b.e')}, 6) >= 0.4""",
+)
 def dedup_embedding_cosine_blocked(spark, sf_dir):
-    # differ from the sequential fold in float summation order (last ulp),
-    # so no bit-exact SQL oracle; equivalence to the oracle-checked
-    # expression variant is asserted in pytest
     return dedup.embedding_cosine_pairs_blocked(
         _emb(spark, sf_dir), "vec_id", "embedding", 0.4, n_blocks=16
     )

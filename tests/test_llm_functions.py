@@ -159,9 +159,8 @@ def test_embedding_cosine_blocked_matches_expression(spark):
     )
     e = {(r.id_a, r.id_b): r.cos_sim for r in expr.collect()}
     b = {(r.id_a, r.id_b): r.cos_sim for r in blocked.collect()}
-    assert set(e) == set(b)
-    for pair, cos in e.items():
-        assert abs(b[pair] - cos) <= 1e-5, pair
+    # sequential-order accumulation on both paths: bit-identical
+    assert e == b
 
 
 def test_transform_media_chain(spark):
