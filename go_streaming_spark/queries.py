@@ -520,6 +520,36 @@ def window_join_inner(spark, sf_dir):
     return _join_query(spark, sf_dir, "inner")
 
 
+@query(
+    "window_join_sliding",
+    # 1h windows sliding by 30m: each event in 2 windows; pairs join once
+    # per SHARED window (overlap semantics of DuoTemporalWindowPolicy)
+    "WITH l AS (SELECT user_id, event_id, unnest(range("
+    " (epoch_us(ts) - 3600000000 + 1800000000) // 1800000000,"
+    " epoch_us(ts) // 1800000000 + 1)) AS w"
+    " FROM events WHERE event_type = 'signup'),"
+    " r AS (SELECT user_id, event_id, unnest(range("
+    " (epoch_us(ts) - 3600000000 + 1800000000) // 1800000000,"
+    " epoch_us(ts) // 1800000000 + 1)) AS w"
+    " FROM events WHERE event_type = 'purchase')"
+    " SELECT l.w * 1800 AS ws, l.user_id AS user_id,"
+    " l.event_id AS l_event_id, r.event_id AS r_event_id"
+    " FROM l JOIN r ON l.user_id = r.user_id AND l.w = r.w",
+)
+def window_join_sliding(spark, sf_dir):
+    left = _events_typed(spark, sf_dir, "signup")
+    right = _events_typed(spark, sf_dir, "purchase")
+    j = window_join(
+        left, right, "user_id", TemporalWindow("1 hour", "30 minutes"), how="inner"
+    )
+    return j.select(
+        F.unix_timestamp("window_start").alias("ws"),
+        F.col("value.l.user_id").alias("user_id"),
+        F.col("value.l.event_id").alias("l_event_id"),
+        F.col("value.r.event_id").alias("r_event_id"),
+    )
+
+
 @query("window_join_left", _JOIN_ORACLE.format(join="LEFT"))
 def window_join_left(spark, sf_dir):
     return _join_query(spark, sf_dir, "left")
