@@ -737,6 +737,25 @@ def part_type_stats(spark, sf_dir):
 
 
 @query(
+    "value_percentiles",
+    "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,"
+    " round(quantile_cont(value, 0.9), 6) AS p90,"
+    " round(quantile_cont(value, 0.99), 6) AS p99"
+    " FROM events GROUP BY event_type",
+)
+def value_percentiles(spark, sf_dir):
+    # exact linear-interpolation percentiles (SURVEY §2.5: absent in the
+    # reference, free in Spark); for 100 TB use approx_percentile — exact
+    # percentile is a per-group sort
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+@query(
     "rollup_revenue",
     "SELECT coalesce(o_orderpriority, 'ALL') AS priority,"
     " coalesce(l_returnflag, 'ALL') AS returnflag,"
