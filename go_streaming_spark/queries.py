@@ -737,6 +737,25 @@ def part_type_stats(spark, sf_dir):
 
 
 @query(
+    "stat_aggregates",
+    "SELECT l_returnflag,"
+    " round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,"
+    " round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price,"
+    " round(stddev_samp(l_quantity), 6) AS stddev_qty"
+    " FROM lineitem GROUP BY l_returnflag",
+)
+def stat_aggregates(spark, sf_dir):
+    # statistical aggregates (SURVEY §2.5: absent in the reference, free in
+    # Spark) — single-pass partial-aggregated moments, one shuffle
+    li = Engine(spark, sf_dir=sf_dir).stream("lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("stddev_qty"),
+    )
+
+
+@query(
     "value_percentiles",
     "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,"
     " round(quantile_cont(value, 0.9), 6) AS p90,"
