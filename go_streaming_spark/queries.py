@@ -737,6 +737,23 @@ def part_type_stats(spark, sf_dir):
 
 
 @query(
+    "revenue_by_dow",
+    # DuckDB dow(): 0=Sunday; Spark dayofweek(): 1=Sunday — aligned by +1
+    "SELECT CAST(date_part('dow', o_orderdate) AS INT) + 1 AS dow,"
+    " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,"
+    " count(*) AS n_orders"
+    " FROM orders GROUP BY 1",
+)
+def revenue_by_dow(spark, sf_dir):
+    # calendar extraction (date functions — SURVEY §2.5 free-from-Spark)
+    orders = Engine(spark, sf_dir=sf_dir).stream("orders")
+    return orders.groupBy(F.dayofweek("o_orderdate").alias("dow")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast(DEC_OUT).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
     "stat_aggregates",
     "SELECT l_returnflag,"
     " round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,"
