@@ -737,6 +737,44 @@ def part_type_stats(spark, sf_dir):
 
 
 @query(
+    "semi_join_urgent_customers",
+    "SELECT c_mktsegment, count(*) AS n_customers FROM customer c"
+    " WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey"
+    "  AND o.o_orderpriority = '1-URGENT')"
+    " GROUP BY c_mktsegment",
+)
+def semi_join_urgent_customers(spark, sf_dir):
+    # EXISTS → left-semi join (no row multiplication, probe-only hash join)
+    eng = Engine(spark, sf_dir=sf_dir)
+    cust, orders = eng.stream("customer"), eng.stream("orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "anti_join_no_urgent_customers",
+    "SELECT c_mktsegment, count(*) AS n_customers FROM customer c"
+    " WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey"
+    "  AND o.o_orderpriority = '1-URGENT')"
+    " GROUP BY c_mktsegment",
+)
+def anti_join_no_urgent_customers(spark, sf_dir):
+    # NOT EXISTS → left-anti join
+    eng = Engine(spark, sf_dir=sf_dir)
+    cust, orders = eng.stream("customer"), eng.stream("orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
     "revenue_by_dow",
     # DuckDB dow(): 0=Sunday; Spark dayofweek(): 1=Sunday — aligned by +1
     "SELECT CAST(date_part('dow', o_orderdate) AS INT) + 1 AS dow,"
