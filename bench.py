@@ -35,6 +35,8 @@ HEADLINE = [
     "counting_window_tumbling",# Q7 count-based window (stateful path)
     "star_join_agg",           # Q8 star-schema join+agg
     "pricing_summary",         # TPC-H Q1-style wide agg
+    "regional_revenue",        # snowflake broadcast chain
+    "timeseries_znorm_search", # sliding z-norm similarity
     "rollup_revenue",          # hierarchical rollup
     "rank_topn_per_segment",   # ranking window top-n
     "asof_join_signup",        # backward as-of join (union+window)

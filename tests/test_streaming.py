@@ -348,3 +348,24 @@ def test_stream_metrics_listener(spark):
         assert obs.get("m_in") is not None and obs["m_in"]["n_events"] == n_total
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_fan_in_per_source_stream(spark):
+    """Per-source fan-in (the reference's {inputIndex: [events]} shape) in
+    streaming mode matches batch."""
+    st = load_stream(spark, SF, "events")
+    bt = load_table(spark, SF, "events")
+    mk = lambda src, t: _env(src.filter(F.col("event_type") == t))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    policy = TemporalWindow("1 day")
+    fired_end = min(_max_ts(spark, "click"), _max_ts(spark, "purchase"))
+    batch = ops.fan_in(
+        [mk(bt, "click"), mk(bt, "purchase")], policy, aggs, per_source=True
+    ).filter(F.col("window_end") <= F.lit(fired_end))
+    stream = ops.fan_in(
+        [mk(st, "click"), mk(st, "purchase")], policy, aggs, per_source=True
+    )
+    got = replay_to_memory(stream, spark)
+    assert _collect_sorted(got, "window_start", "source_id", "n") == _collect_sorted(
+        batch, "window_start", "source_id", "n"
+    )
