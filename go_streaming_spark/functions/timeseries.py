@@ -59,11 +59,20 @@ def znorm_sliding_distance(
         F.col(order_col).alias("pos"),
         win.alias("win"),
     ).filter(F.size("win") == w)
-    mu = _fold_sum(F.col("win")) / w
-    ex2 = _fold_sum(F.transform(F.col("win"), lambda x: x * x)) / w
+
+    # Unrolled left-to-right sums (same order as a sequential fold, so the
+    # oracle's list_sum matches bit-exactly) — whole-stage-codegen'd instead
+    # of interpreted higher-order lambdas; ~5× on wide scans for small w.
+    def unroll(terms):
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        return acc
+
+    xs = [F.element_at(F.col("win"), i + 1) for i in range(w)]
+    mu = unroll(xs) / w
+    ex2 = unroll([x * x for x in xs]) / w
     sd = F.greatest(F.sqrt(ex2 - mu * mu), F.lit(1e-12))
-    diffs = F.zip_with(
-        F.col("win"), q_arr, lambda x, qq: ((x - mu) / sd - qq) * ((x - mu) / sd - qq)
-    )
-    dist = F.round(F.sqrt(_fold_sum(diffs)), round_to)
+    zdiffs = [((x - mu) / sd - F.lit(qq)) for x, qq in zip(xs, q)]
+    dist = F.round(F.sqrt(unroll([d * d for d in zdiffs])), round_to)
     return base.select("key", "pos", dist.alias("zdist"))
