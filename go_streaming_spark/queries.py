@@ -737,6 +737,48 @@ def part_type_stats(spark, sf_dir):
 
 
 @query(
+    "event_gaps",
+    "SELECT user_id, event_id, epoch_us(ts) -"
+    " lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS gap_us"
+    " FROM events",
+)
+def event_gaps(spark, sf_dir):
+    # lag analytic: per-user inter-event gap (first event → NULL)
+    from pyspark.sql.window import Window
+
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    t = F.unix_micros("ts")
+    return ev.select(
+        "user_id", "event_id", (t - F.lag(t).over(w)).alias("gap_us")
+    )
+
+
+@query(
+    "running_totals",
+    "SELECT user_id, event_id,"
+    " CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id"
+    "  ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,4))"
+    " AS running_value FROM events",
+)
+def running_totals(spark, sf_dir):
+    # cumulative window aggregate: exact decimal running sum per user
+    from pyspark.sql.window import Window
+
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast(DEC)).over(w).cast(DEC_OUT).alias("running_value"),
+    )
+
+
+@query(
     "semi_join_urgent_customers",
     "SELECT c_mktsegment, count(*) AS n_customers FROM customer c"
     " WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey"
