@@ -268,6 +268,31 @@ def timeseries_znorm_search(spark, sf_dir):
 
 
 @query(
+    "pandas_udf_normalize",
+    "SELECT doc_id, lower(text) AS norm_text, len(text)::BIGINT AS n_chars"
+    " FROM documents",
+)
+def pandas_udf_normalize(spark, sf_dir):
+    # Arrow-vectorized scalar pandas UDF, value-checked against the SQL
+    # oracle — proves the Arrow batch path end-to-end (operators/maps.py
+    # map_pandas is the same shape).  Native F.lower would be the
+    # production choice; the UDF here IS the point.
+    # no type hints: `from __future__ import annotations` stringifies them,
+    # which pandas_udf's signature inference rejects; hint-less defaults to
+    # the scalar (Series -> Series) eval type
+    @F.pandas_udf("string")
+    def norm(s):
+        return s.str.lower()
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        norm(F.col("text")).alias("norm_text"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@query(
     "pipeline_clean_corpus",
     f"""WITH kept AS (SELECT doc_id, source, text FROM documents
   WHERE {_NW} >= 5
