@@ -369,3 +369,27 @@ def test_fan_in_per_source_stream(spark):
     assert _collect_sorted(got, "window_start", "source_id", "n") == _collect_sorted(
         batch, "window_start", "source_id", "n"
     )
+
+
+def test_stream_limit_keyed(spark):
+    """Keyed limit: first n events per key (state shards by key)."""
+    st = load_stream(spark, SF, "events")
+    env = st.select(
+        F.col("event_type").cast("string").alias("k"),
+        F.col("event_id").alias("seq"),
+        F.col("value"),
+    )
+    got = replay_to_memory(stream_limit(env, 5, key_cols=["k"]), spark)
+    rows = got.collect()
+    from collections import Counter
+
+    per_key = Counter(r.k for r in rows)
+    bt = load_table(spark, SF, "events")
+    types = [r.event_type for r in bt.select("event_type").distinct().collect()]
+    assert per_key == {t: 5 for t in types}
+    # the kept events are the lowest-seq ones per key
+    for t in types:
+        expected = sorted(
+            r.event_id for r in bt.filter(F.col("event_type") == t).collect()
+        )[:5]
+        assert sorted(r.seq for r in rows if r.k == t) == expected
