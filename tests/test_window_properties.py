@@ -165,3 +165,43 @@ def test_jaccard_pairs_matches_model(spark, docs):
             if inter:
                 expected[(i, j)] = (inter, round(inter / len(si | sj), 9))
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 120)), min_size=1, max_size=10
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 120)), min_size=1, max_size=10
+    ),
+    length_s=st.integers(min_value=10, max_value=60),
+)
+def test_window_join_matches_model(spark, lefts, rights, length_s):
+    """Tumbling window join == brute force: pairs with equal key whose times
+    fall in the same window bucket (duplicate keys -> cross products)."""
+    from go_streaming_spark.events import to_events
+    from go_streaming_spark.operators.joins import window_join
+    from go_streaming_spark.operators.windows import TemporalWindow
+
+    def mk(rows):
+        df = spark.createDataFrame(
+            [(i, k, t) for i, (k, t) in enumerate(rows)], "seq long, k long, t long"
+        ).select(
+            "seq", F.timestamp_micros(F.col("t") * US).alias("ts"), "k", "t"
+        )
+        return to_events(df, value=["k", "seq"], event_time="ts", seq="seq")
+
+    out = window_join(
+        mk(lefts), mk(rights), "k", TemporalWindow(f"{length_s} seconds")
+    )
+    got = sorted(
+        (r["value"]["l"]["seq"], r["value"]["r"]["seq"]) for r in out.collect()
+    )
+    expected = sorted(
+        (i, j)
+        for i, (lk, lt) in enumerate(lefts)
+        for j, (rk, rt) in enumerate(rights)
+        if lk == rk and lt // length_s == rt // length_s
+    )
+    assert got == expected
