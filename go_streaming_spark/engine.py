@@ -70,7 +70,14 @@ class Engine:
         """SQL entry point over the engine's registered topics (the
         reference has no query language — `README.md:15-17`; Spark's is
         free).  Registers every known topic as a temp view first, so the
-        same names work in SQL and in the builder."""
+        same names work in SQL and in the builder.
+
+        Scope note: Spark temp views are *session*-global, so two Engine
+        instances sharing one SparkSession share the SQL view namespace —
+        each ``sql()`` call re-registers this engine's topics and the last
+        registration wins.  The registry itself (``stream``/``builder``)
+        stays per-engine-isolated; give each engine its own
+        ``spark.newSession()`` if SQL-level isolation matters."""
         for topic in list(self._streams):
             self._streams[topic].createOrReplaceTempView(topic)
         if self.sf_dir:

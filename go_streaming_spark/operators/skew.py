@@ -28,7 +28,16 @@ def salted_join(
     an S-way split of the hottest key's task.  Result equals the plain
     join exactly (no row gained or lost: each left row joins the one right
     replica with its shard id).
+
+    Only left-preserving join types are valid: a right/full-outer join
+    would emit each unmatched right row once per salt replica.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti", "leftsemi", "leftanti", "leftouter", "cross"}
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in allowed}:
+        raise ValueError(
+            f"salted_join: right-preserving join type {how!r} unsupported "
+            f"(salt replicas would duplicate unmatched right rows); use one of {sorted(allowed)}"
+        )
     l = left.withColumn(
         "_salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)).cast("int"),

@@ -152,30 +152,29 @@ def assign_temporal_windows(
     if policy.origin:
         df = df.filter(F.col("_off") >= 0)  # pre-start events dropped (:587-589)
 
-    # `div` = exact int64 division (floor for non-negative operands) — float
-    # division at microsecond magnitudes risks rounding across a boundary.
+    # Exact int64 *floor* division — `div` truncates toward zero, which
+    # differs from floor for negative offsets (pre-epoch event times with no
+    # origin), and Spark's % returns negative remainders; pmod + the shifted
+    # numerator give true floor semantics everywhere.  Float division at
+    # microsecond magnitudes risks rounding across a boundary.
+    def _fdiv(x: str, s: int) -> str:
+        return f"((({x}) - pmod({x}, {s})) div {s})"
+
     if not policy.overlapping:
         # tumbling (shift == length) or sampling (shift > length): <=1 window
-        df = df.withColumn("_wid", F.expr(f"_off div {shift}"))
+        df = df.withColumn("_wid", F.expr(_fdiv("_off", shift)))
         if shift > length:
-            df = df.filter(F.col("_off") % F.lit(shift) < length)
+            df = df.filter(F.pmod(F.col("_off"), F.lit(shift)) < length)
     else:
-        # sliding: w_min = floor((off - length)/shift) + 1 = floor((off -
-        # length + shift)/shift).  `div` truncates toward zero, which equals
-        # floor only for non-negative numerators; when off - length + shift
-        # < 0 the true w_min is <= 0 and the clamp takes over, so the shifted
-        # numerator form is exact everywhere on the clamped domain.
+        # sliding: w_min = floor((off - length)/shift) + 1; window ids may be
+        # negative for pre-epoch events, so clamp at 0 only when an origin is
+        # set (pre-origin rows were already dropped; window 0 starts there).
+        w_min = F.expr(f"{_fdiv(f'_off - {length}', shift)} + 1")
+        if policy.origin:
+            w_min = F.greatest(F.lit(0).cast("long"), w_min)
         df = df.withColumn(
             "_wid",
-            F.explode(
-                F.sequence(
-                    F.greatest(
-                        F.lit(0).cast("long"),
-                        F.expr(f"(_off - {length} + {shift}) div {shift}"),
-                    ),
-                    F.expr(f"_off div {shift}"),
-                )
-            ),
+            F.explode(F.sequence(w_min, F.expr(_fdiv("_off", shift)))),
         )
 
     ws_us = origin + F.col("_wid") * F.lit(shift)
@@ -237,7 +236,7 @@ def streaming_window_col(
     start_off = f"{origin_us % shift} microseconds"
     if shift > length:
         off = F.unix_micros(F.col(time_col)) - F.lit(origin_us)
-        out = out.filter(off % F.lit(shift) < length)
+        out = out.filter(F.pmod(off, F.lit(shift)) < length)
         win = F.window(F.col(time_col), f"{shift} microseconds", startTime=start_off)
     else:
         win = F.window(

@@ -9,6 +9,12 @@ Determinism rules (so Spark and DuckDB hash-match exactly):
   2-decimal-ish double to 4 decimals is deterministic across engines (the
   value is far from a 4th-decimal rounding boundary); rounding *after* a
   double aggregation is not (sum order / shortest-repr differences).
+- The FINAL output column is then cast DECIMAL → DOUBLE on BOTH sides.
+  The decimal value is exact, and decimal→double is the correctly-rounded
+  conversion in both engines (scaled magnitudes stay < 2^53), so the two
+  doubles are bit-identical — and the driver's value-hash canonicalizes
+  doubles stably, unlike wide decimals (round-1 gate failed 14 queries on
+  DECIMAL(38,4) stringification alone; see ADVICE.md).
 - Window starts are emitted as epoch seconds BIGINT, not timestamps.
 - Float→int truncation is explicit ``trunc`` (Go ``int()`` truncates toward
   zero; DuckDB's CAST rounds — the oracle uses trunc()).
@@ -29,7 +35,8 @@ from go_streaming_spark.operators.joins import window_join
 from go_streaming_spark.operators.windows import CountingWindow, TemporalWindow
 
 DEC = "decimal(18,4)"
-DEC_OUT = "decimal(38,4)"
+# final-output type for exact-decimal aggregates: see determinism rules above
+DEC_OUT = "double"
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -217,7 +224,7 @@ def flatmap_chars(spark, sf_dir):
 @query(
     "window_sum_tumbling",
     "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,"
-    " CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value,"
+    " CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,"
     " count(*) AS n_events"
     " FROM events GROUP BY 1",
 )
@@ -285,7 +292,7 @@ def window_lineage(spark, sf_dir):
 @query(
     "window_sum_per_user",
     "SELECT user_id, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS ws,"
-    " CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value"
+    " CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value"
     " FROM events GROUP BY user_id, 2",
 )
 def window_sum_per_user(spark, sf_dir):
@@ -394,7 +401,7 @@ def distinct_users_per_type(spark, sf_dir):
 @query(
     "counting_window_tumbling",
     "SELECT event_id // 100 AS window_id,"
-    " CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value"
+    " CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value"
     " FROM events GROUP BY 1 HAVING count(*) = 100",
 )
 def counting_window_tumbling(spark, sf_dir):
@@ -411,7 +418,7 @@ def counting_window_tumbling(spark, sf_dir):
 @query(
     "counting_window_sliding",
     "SELECT w AS window_id,"
-    " CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value"
+    " CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value"
     " FROM (SELECT value, unnest(range("
     "   CASE WHEN event_id - 100 + 40 < 0 THEN 0 ELSE (event_id - 100 + 40) // 40 END,"
     "   event_id // 40 + 1)) AS w FROM events) t"
@@ -432,7 +439,7 @@ def counting_window_sliding(spark, sf_dir):
     "counting_window_skip",
     # shift > n: windows of 50 every 200 events — 150-event gaps skipped
     "SELECT event_id // 200 AS window_id, count(*) AS n_events,"
-    " CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value"
+    " CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value"
     " FROM events WHERE event_id % 200 < 50 GROUP BY 1 HAVING count(*) = 50",
 )
 def counting_window_skip(spark, sf_dir):
@@ -455,7 +462,7 @@ def counting_window_skip(spark, sf_dir):
     "  row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1 AS rn"
     "  FROM events)"
     " SELECT event_type, rn // 50 AS window_id,"
-    " CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value"
+    " CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value"
     " FROM r GROUP BY event_type, 2 HAVING count(*) = 50",
 )
 def counting_window_per_type(spark, sf_dir):
@@ -562,7 +569,7 @@ def window_join_left(spark, sf_dir):
 @query(
     "fan_in_sum",
     "SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS ws,"
-    " CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value,"
+    " CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,"
     " count(*) AS n_events"
     " FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1",
 )
@@ -626,7 +633,7 @@ def fan_in_per_source(spark, sf_dir):
     "star_join_agg",
     "SELECT c_mktsegment,"
     " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
-    "          * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4))"
+    "          * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)"
     "   AS revenue,"
     " count(*) AS n_items"
     " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
@@ -655,10 +662,10 @@ def star_join_agg(spark, sf_dir):
 @query(
     "pricing_summary",
     "SELECT l_returnflag, l_linestatus,"
-    " CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,"
-    " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,"
+    " CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,"
+    " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,"
     " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
-    "          * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS sum_disc_price,"
+    "          * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,"
     " count(*) AS count_order"
     " FROM lineitem GROUP BY l_returnflag, l_linestatus",
 )
@@ -681,7 +688,7 @@ def pricing_summary(spark, sf_dir):
     "regional_revenue",
     "SELECT r_name, n_name,"
     " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
-    "          * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS revenue,"
+    "          * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,"
     " count(*) AS n_items"
     " FROM lineitem"
     " JOIN supplier ON l_suppkey = s_suppkey"
@@ -714,9 +721,9 @@ def regional_revenue(spark, sf_dir):
 @query(
     "part_type_stats",
     "SELECT p_type,"
-    " CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,"
-    " CAST(MIN(CAST(p_retailprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS min_price,"
-    " CAST(MAX(CAST(p_retailprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS max_price,"
+    " CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,"
+    " CAST(MIN(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS min_price,"
+    " CAST(MAX(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS max_price,"
     " count(DISTINCT l_partkey) AS n_parts"
     " FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_type",
 )
@@ -729,8 +736,8 @@ def part_type_stats(spark, sf_dir):
         .groupBy("p_type")
         .agg(
             F.sum(F.col("l_quantity").cast(DEC)).cast(DEC_OUT).alias("sum_qty"),
-            F.min(F.col("p_retailprice").cast(DEC)).alias("min_price"),
-            F.max(F.col("p_retailprice").cast(DEC)).alias("max_price"),
+            F.min(F.col("p_retailprice").cast(DEC)).cast(DEC_OUT).alias("min_price"),
+            F.max(F.col("p_retailprice").cast(DEC)).cast(DEC_OUT).alias("max_price"),
             F.countDistinct("l_partkey").alias("n_parts"),
         )
     )
@@ -758,7 +765,7 @@ def event_gaps(spark, sf_dir):
     "running_totals",
     "SELECT user_id, event_id,"
     " CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id"
-    "  ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,4))"
+    "  ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE)"
     " AS running_value FROM events",
 )
 def running_totals(spark, sf_dir):
@@ -820,7 +827,7 @@ def anti_join_no_urgent_customers(spark, sf_dir):
     "revenue_by_dow",
     # DuckDB dow(): 0=Sunday; Spark dayofweek(): 1=Sunday — aligned by +1
     "SELECT CAST(date_part('dow', o_orderdate) AS INT) + 1 AS dow,"
-    " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,"
+    " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,"
     " count(*) AS n_orders"
     " FROM orders GROUP BY 1",
 )
@@ -875,7 +882,7 @@ def value_percentiles(spark, sf_dir):
     "rollup_revenue",
     "SELECT coalesce(o_orderpriority, 'ALL') AS priority,"
     " coalesce(l_returnflag, 'ALL') AS returnflag,"
-    " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,"
+    " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,"
     " count(*) AS n_items"
     " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
     " GROUP BY ROLLUP(o_orderpriority, l_returnflag)",

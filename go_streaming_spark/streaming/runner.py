@@ -60,13 +60,14 @@ class StreamMetricsListener(StreamingQueryListener):
 
     def onQueryProgress(self, event) -> None:
         p = event.progress
-        self.rows_in[p.name] = self.rows_in.get(p.name or "", 0) + (p.numInputRows or 0)
+        # unnamed queries (name=None) accumulate under "" — one key for both
+        # the read and the write, so counters survive across micro-batches
+        key = p.name or ""
+        self.rows_in[key] = self.rows_in.get(key, 0) + (p.numInputRows or 0)
         if p.sink and p.sink.numOutputRows is not None and p.sink.numOutputRows >= 0:
-            self.rows_out[p.name] = (
-                self.rows_out.get(p.name or "", 0) + p.sink.numOutputRows
-            )
+            self.rows_out[key] = self.rows_out.get(key, 0) + p.sink.numOutputRows
         if p.observedMetrics:
-            self.observed.setdefault(p.name or "", {}).update(dict(p.observedMetrics))
+            self.observed.setdefault(key, {}).update(dict(p.observedMetrics))
 
     def onQueryTerminated(self, event) -> None:  # pragma: no cover
         pass

@@ -86,6 +86,18 @@ def test_query_matches_oracle(spark, duck, name):
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
 
 
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_no_decimal_output_columns(spark, name):
+    """The driver's value-hash canonicalizes wide DECIMAL columns unstably
+    (round-1 gate: 14 false hash-mismatches on DECIMAL(38,4) — ADVICE.md).
+    Policy: aggregate exactly in decimal, cast the OUTPUT to double."""
+    from pyspark.sql.types import DecimalType
+
+    sdf = entry_mod.queries()[name](spark, SF_DIR)
+    bad = [f.name for f in sdf.schema.fields if isinstance(f.dataType, DecimalType)]
+    assert not bad, f"{name}: decimal-typed output columns {bad}"
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()

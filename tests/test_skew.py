@@ -48,6 +48,17 @@ def test_salted_agg_equals_plain_agg(spark):
     )
 
 
+def test_salted_join_rejects_right_preserving(spark):
+    # right/full-outer would emit each unmatched right row once per replica
+    import pytest
+
+    left = spark.createDataFrame([(1, "a")], "id long, k string")
+    right = spark.createDataFrame([("a", 10), ("b", 20)], "k string, r long")
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="right-preserving"):
+            salted_join(left, right, on=["k"], how=how)
+
+
 def test_salted_agg_rejects_holistic(spark):
     import pytest
 

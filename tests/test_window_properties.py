@@ -25,13 +25,13 @@ US = 1_000_000
 
 
 def model_temporal_windows(off_us: int, length: int, shift: int) -> set[int]:
-    """All window ids w with w*shift <= off < w*shift + length (w >= 0)."""
-    if off_us < 0:
-        return set()
-    w_max = off_us // shift
+    """All window ids w with w*shift <= off < w*shift + length.  With no
+    origin the grid extends below the epoch: w may be negative (floor
+    semantics — the round-1 `div`-truncation bug mis-assigned these)."""
+    w_max = off_us // shift  # Python // floors, negative offsets included
     wins = set()
     w = w_max
-    while w >= 0 and w * shift + length > off_us:
+    while w * shift + length > off_us:
         if w * shift <= off_us:
             wins.add(w)
         w -= 1
@@ -39,8 +39,9 @@ def model_temporal_windows(off_us: int, length: int, shift: int) -> set[int]:
 
 
 def model_counting_windows(seq: int, n: int, shift: int) -> set[int]:
-    """All window ids w whose span [w*shift, w*shift+n) contains seq."""
-    return model_temporal_windows(seq, n, shift)
+    """All window ids w >= 0 whose span [w*shift, w*shift+n) contains seq
+    (arrival indexes are dense from 0; window 0 starts at the first event)."""
+    return {w for w in model_temporal_windows(seq, n, shift) if w >= 0}
 
 
 @settings(max_examples=12, deadline=None)
@@ -48,7 +49,9 @@ def model_counting_windows(seq: int, n: int, shift: int) -> set[int]:
     lengths=st.integers(min_value=1, max_value=3600),
     shift_frac=st.fractions(min_value="1/4", max_value=4),
     offsets=st.lists(
-        st.integers(min_value=0, max_value=7200 * US), min_size=1, max_size=24
+        st.integers(min_value=-7200 * US, max_value=7200 * US),
+        min_size=1,
+        max_size=24,
     ),
 )
 def test_temporal_membership_matches_model(spark, lengths, shift_frac, offsets):
