@@ -178,7 +178,12 @@ def shingle_arrays(
 
 
 def jaccard_verify_pairs(
-    pairs: DataFrame, df: DataFrame, id_col: str, text_col: str, n: int = 3
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard for an explicit candidate-pair set (id_a, id_b).
 
@@ -187,8 +192,10 @@ def jaccard_verify_pairs(
     per-pair intersection is a JVM array op — no inverted-index self-join
     over the candidates' shingle streams.  This is the verification half of
     LSH at scale: cost ∝ |candidates|, not |docs with shared shingles|².
+
+    ``shingles``: optionally pass a precomputed :func:`shingle_arrays` frame.
     """
-    sh = shingle_arrays(df, id_col, text_col, n)
+    sh = shingles if shingles is not None else shingle_arrays(df, id_col, text_col, n)
     a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("_sa"))
     b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("_sb"))
     joined = pairs.join(a, "id_a").join(b, "id_b")
@@ -203,28 +210,43 @@ def jaccard_verify_pairs(
 
 
 def minhash_signatures_wide(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 16
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 16,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, mh0..mh{k-1}) — k-permutation MinHash over word n-gram shingles.
 
-    Wide layout: the k permutation mins are k aggregate columns of a single
-    ``groupBy(id)`` — one shuffle over the (id, shingle-hash) rows.  The
-    row-per-permutation alternative (explode k rows per shingle, then
-    ``groupBy(id, j)``) shuffles k× the data; at 100 TB that factor is the
-    difference between one pass and sixteen.
+    Entirely **map-side**: the per-doc shingle set is an ARRAY column
+    (:func:`shingle_arrays`), its md5→int64 image is one ``transform``, and
+    each permutation min is an ``array_min`` — the signature computation
+    never shuffles.  A groupBy(id)-over-exploded-shingles formulation
+    shuffles the entire (id, hash) shingle stream first; at 100 TB that
+    shuffle dominates the whole LSH pipeline and is pure overhead, because a
+    signature is a per-row property of the document.
+
+    ``shingles``: optionally pass a precomputed :func:`shingle_arrays`
+    frame (e.g. cached and shared with the verification stage).
     """
     assert k <= len(MINHASH_A)
-    # min() is duplicate-insensitive — skip the per-doc distinct shuffle
-    sh = word_shingles(df, id_col, text_col, n, distinct=False)
-    h = md5_int(F.col("shingle"), 8)
-    hashed = sh.select("id", h.alias("h"))
+    sh = shingles if shingles is not None else shingle_arrays(df, id_col, text_col, n)
+    # docs with no shingles (< n words) have no signature, as in the
+    # exploded formulation (and the DuckDB oracle's len(w) >= n filter).
+    # SQL-string lambdas parse JVM-side in one py4j round-trip (see the
+    # simhash build-cost note).
+    hashed = sh.filter(F.size("shingles") > 0).selectExpr(
+        "id",
+        "transform(shingles,"
+        " s -> cast(conv(substring(md5(s), 1, 8), 16, 10) AS bigint)) AS _h",
+    )
     mins = [
-        F.min(
-            (F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_B[j])) % MINHASH_P
-        ).alias(f"mh{j}")
+        f"array_min(transform(_h,"
+        f" x -> ({MINHASH_A[j]}L * x + {MINHASH_B[j]}L) % {MINHASH_P}L)) AS mh{j}"
         for j in range(k)
     ]
-    return hashed.groupBy("id").agg(*mins)
+    return hashed.selectExpr("id", *mins)
 
 
 def minhash_signatures(
@@ -267,7 +289,13 @@ def minhash_lsh_pairs(
     cap is what bounds the worst bucket's cross product (AQE skew-join
     splits the task, but cannot shrink the output).
     """
-    sig = minhash_signatures_wide(df, id_col, text_col, n, k)
+    # One shared per-doc shingle-array frame feeds the signature (map-side)
+    # AND both sides of the verification join — cached so the text split /
+    # shingling runs once, not three times.
+    sh = shingle_arrays(df, id_col, text_col, n)
+    if not df.isStreaming:
+        sh = sh.cache()
+    sig = minhash_signatures_wide(df, id_col, text_col, n, k, shingles=sh)
     # Band keys straight from the wide signature — no second aggregation.
     band_structs = F.array(
         *[
@@ -306,7 +334,7 @@ def minhash_lsh_pairs(
     # Exact-Jaccard verification of the candidate pairs only, pair-oriented
     # (cost ∝ |candidates| — see jaccard_verify_pairs; an inverted-index
     # re-join over candidate docs re-pays the bucket cross product).
-    exact = jaccard_verify_pairs(candidates, df, id_col, text_col, n)
+    exact = jaccard_verify_pairs(candidates, df, id_col, text_col, n, shingles=sh)
     return exact.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
     )
@@ -401,35 +429,32 @@ def embedding_cosine_pairs_blocked(
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, bits: int = 60
 ) -> DataFrame:
-    """(id, simhash) — token-count-weighted SimHash over ``bits`` bits
-    (60 = the md5-prefix budget that stays int64-exact)."""
+    """(id, simhash) — token-frequency-weighted SimHash over ``bits`` bits
+    (60 = the md5-prefix budget that stays int64-exact).
+
+    One narrow shuffle: tokens are hashed map-side (md5 per occurrence —
+    summing ±1 per occurrence equals the count-weighted distinct-token
+    sum), then a single ``groupBy(id)`` computes all ``bits`` sums as
+    codegen'd sum aggregates whose map-side combine collapses each doc to
+    one 60-column row before the exchange.  The round-1 formulation
+    shuffled the token stream twice (groupBy(id, token) + groupBy(id)); a
+    fully map-side array-``aggregate`` variant avoids the shuffle entirely
+    but runs 60 interpreted HOF passes per row — measurably slower than
+    the codegen'd sums.
+    """
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
-    # Count-then-hash: the groupBy's map-side combine collapses repeated
-    # tokens before the shuffle, so md5 runs once per DISTINCT (id, token)
-    # — with zipfian token distributions that is far fewer hashes than
-    # per-occurrence hashing.
-    toks = (
-        spread(df).select(F.col(id_col).alias("id"), F.explode(words).alias("token"))
-        .groupBy("id", "token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    h = md5_int(F.col("token"), 15)  # 60 bits
-    hashed = toks.select("id", "cnt", h.alias("h"))
-    # Wide per-bit sums: one groupBy(id) with `bits` aggregate columns — the
-    # row-per-bit alternative shuffles `bits`× the token stream (see the
-    # minhash wide-signature note above).
-    bit_sums = [
-        F.sum(F.expr(f"cnt * ((shiftright(h, {j}) % 2) * 2 - 1)")).alias(f"s{j}")
-        for j in range(bits)
-    ]
-    sums = hashed.groupBy("id").agg(*bit_sums)
-    simhash = None
-    for j in range(bits):
-        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        simhash = bit if simhash is None else simhash + bit
-    return sums.select("id", simhash.cast("long").alias("simhash"))
+    toks = spread(df).select(F.col(id_col).alias("id"), F.explode(words).alias("token"))
+    hashed = toks.select("id", md5_int(F.col("token"), 15).alias("h"))  # 60 bits
+    # Whole expression trees as single SQL strings: composing 60 sums +
+    # 60 bit-packs Column-by-Column costs thousands of py4j round-trips
+    # (~1.4 s of driver build time per call — profiled); one expr string
+    # parses JVM-side in one round-trip.
+    sums_sql = "struct(" + ", ".join(
+        f"sum((shiftright(h, {j}) % 2) * 2 - 1) AS s{j}" for j in range(bits)
+    ) + ")"
+    sums = hashed.groupBy("id").agg(F.expr(sums_sql).alias("s"))
+    pack_sql = " + ".join(f"IF(s.s{j} > 0, {1 << j}L, 0L)" for j in range(bits))
+    return sums.select("id", F.expr(pack_sql).cast("long").alias("simhash"))
 
 
 def simhash_pairs(
