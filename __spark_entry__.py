@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from go_streaming_spark.queries import ORACLES, QUERIES  # noqa: E402
 import go_streaming_spark.queries_llm  # noqa: E402,F401  (registers into QUERIES/ORACLES)
+import go_streaming_spark.queries_ext  # noqa: E402,F401  (round-2 extensions)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from go_streaming_spark.session import get_session  # noqa: E402
 from go_streaming_spark.queries import QUERIES  # noqa: E402
 import go_streaming_spark.queries_llm  # noqa: E402,F401  (registers LLM queries)
+import go_streaming_spark.queries_ext  # noqa: E402,F401  (round-2 extensions)
 
 # Headline set: mirrors BASELINE.md Q1-Q8 + the LLM-pipeline scale paths.
 HEADLINE = [
@@ -46,6 +47,8 @@ HEADLINE = [
     "dedup_embedding_cosine_blocked",  # exact all-pairs via block matmul
     "ann_cosine_topk",         # similarity search
     "text_quality",            # text analysis sweep
+    "burst_follow_counts",     # bucketed range join (round 2)
+    "tfidf_top_terms",         # tf-idf keyword extraction (round 2)
 ]
 
 

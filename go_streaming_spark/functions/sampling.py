@@ -36,6 +36,37 @@ def deterministic_sample(
     return df.filter(hash_bucket(F.col(id_col), seed) < threshold)
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    seed: str = "strat",
+    default: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep ~``fractions[stratum]`` of
+    each stratum's rows, chosen by id hash (strata absent from ``fractions``
+    get ``default``).
+
+    The standard rebalancing step for skewed training corpora (downsample
+    the over-represented source/language).  Map-side filter like
+    :func:`deterministic_sample` — no shuffle, no per-stratum passes; one
+    CASE over the stratum column picks the threshold.
+    """
+    bucket = hash_bucket(F.col(id_col), seed)
+    thr = None
+    for stratum, frac in fractions.items():
+        t = F.lit(int(frac * _BUCKETS))
+        cond = F.col(strata_col) == stratum
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = (
+        thr.otherwise(F.lit(int(default * _BUCKETS)))
+        if thr is not None
+        else F.lit(int(default * _BUCKETS))
+    )
+    return df.filter(bucket < thr)
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,

@@ -102,6 +102,44 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def tf_idf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_n: int = 3,
+) -> DataFrame:
+    """Per-document top-``top_n`` characteristic terms by a tf·(N/df) score
+    (the corpus keyword-extraction primitive; log-free so the score is a
+    single exact-int product + one double division — bit-identical across
+    engines, unlike ln()).
+
+    Shuffles: (1) groupBy(id, token) for tf with map-side combine,
+    (2) groupBy(token) for document frequency (tf rows are already distinct
+    (id, token), so df = count), (3) equi-join tf⋈df on token, (4) the
+    per-doc ranking window.  The corpus size N joins in as a broadcast
+    single-row aggregate — no driver-side action.
+    """
+    from pyspark.sql.window import Window
+
+    toks = spread(df).select(
+        F.col(id_col).alias("id"), F.explode(words_expr(F.col(text_col))).alias("token")
+    )
+    tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.round((F.col("tf") * F.col("n_docs")) / F.col("df"), 6))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .select("id", "token", "score", "rn")
+    )
+
+
 def char_shingle_fingerprint(
     df: DataFrame, id_col: str, text_col: str, n: int = 5
 ) -> DataFrame:

@@ -125,12 +125,18 @@ def as_of_join(
     right_vals: dict[str, Column] | None = None,
     how: str = "inner",
     direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
     """As-of join: each left row matched to the most recent right row with
     ``right_time <= left_time`` (``direction="backward"``, default) or the
     earliest right row with ``right_time >= left_time`` (``"forward"``) for
     the same key (the standard temporal join the reference lacks —
     beyond-reference surface, SURVEY.md §2.5).
+
+    ``tolerance`` (same units as the numeric time columns; convert
+    timestamps to ``unix_micros`` first) bounds ``|left_time - right_time|``:
+    a nearest match farther than the tolerance is discarded — the left row
+    becomes unmatched (dropped under ``how='inner'``, NULLs under 'left').
 
     Scale design: the naive formulation is a range join (left × right pairs
     filtered by time), which Spark plans as a broadcast-nested-loop or an
@@ -148,6 +154,14 @@ def as_of_join(
     out_names = list(right_vals)
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if tolerance is not None and (
+        isinstance(left.schema[left_time].dataType, T.TimestampType)
+        or isinstance(right.schema[right_time].dataType, T.TimestampType)
+    ):
+        raise ValueError(
+            "tolerance requires numeric time columns (unix_micros the"
+            " timestamps first)"
+        )
     # forward = backward on negated time: "latest rt <= lt" under -t is
     # "earliest rt >= lt" under t — one code path, both directions
     neg = direction == "forward"
@@ -160,7 +174,12 @@ def as_of_join(
             return -col
         return col
 
-    payload = F.struct(*[c.alias(n) for n, c in right_vals.items()])
+    payload = F.struct(
+        *[c.alias(n) for n, c in right_vals.items()],
+        # matched-side time rides along for the tolerance check (same
+        # negation as _t, so left._t - match.__t >= 0 in both directions)
+        t_of(right, right_time).alias("__t"),
+    )
     r = right.select(
         *[F.col(k) for k in keys],
         t_of(right, right_time).alias("_t"),
@@ -193,11 +212,78 @@ def as_of_join(
         .withColumn("_match", F.last("_rpayload", ignorenulls=True).over(w))
         .filter(F.col("_side") == 1)
     )
+    if tolerance is not None:
+        in_tol = (F.col("_t") - F.col("_match.__t")) <= F.lit(tolerance)
+        matched = matched.withColumn("_match", F.when(in_tol, F.col("_match")))
     if how == "inner":
         matched = matched.filter(F.col("_match").isNotNull())
     return matched.select(
         *[F.col(f"_l_{c}").alias(c) for c in left.columns],
         *[F.col(f"_match.{n}").alias(n) for n in out_names],
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_time: str,
+    right_time: str,
+    lower: int,
+    upper: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Range join: all (left, right) pairs with the same key and
+    ``lower <= right_time - left_time < upper`` (times are numeric, e.g.
+    ``unix_micros``; half-open like every window in this engine).
+
+    Scale design: the naive formulation is a theta-join, which Spark plans
+    as a broadcast-nested-loop (right side must fit in memory) or an
+    exploding cartesian.  This implementation buckets both sides by
+    ``width = upper - lower``: a right row lands in ``floor(t/width)``, a
+    left row's admissible interval spans at most two buckets, so the left
+    side is duplicated ≤2× and the join is a plain **equi-join on
+    (key, bucket)** — one shuffle per side, Catalyst-planned (broadcast /
+    sort-merge / AQE skew split all apply), then the exact range predicate
+    filters within buckets.  Inner-join pairs only (aggregate + join back on
+    a left id for outer semantics); right columns come back ``r_``-prefixed.
+    """
+    if how != "inner":
+        raise ValueError(f"interval_join is inner-only, got how={how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    width = upper - lower
+    if width <= 0:
+        raise ValueError(f"empty interval: lower={lower}, upper={upper}")
+
+    # floor-division bucket ids (negative times included — see
+    # windows.assign_temporal_windows for the pmod identity)
+    def bucket(c: str) -> Column:
+        return F.expr(f"((({c}) - pmod({c}, {width})) div {width})")
+
+    # a left row's admissible right interval [t+lower, t+upper) spans at
+    # most two width-sized buckets
+    lb = left.withColumn(
+        "_b",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    bucket(f"{left_time} + {lower}"),
+                    bucket(f"{left_time} + {upper} - 1"),
+                )
+            )
+        ),
+    )
+    rb = right.select(
+        *[F.col(c).alias(f"r_{c}") for c in right.columns]
+    ).withColumn("_rb", bucket(f"r_{right_time}"))
+    cond = [F.col("_b") == F.col("_rb")] + [
+        F.col(k) == F.col(f"r_{k}") for k in keys
+    ]
+    diff = F.col(f"r_{right_time}") - F.col(left_time)
+    return (
+        lb.join(rb, on=cond, how="inner")
+        .filter((diff >= lower) & (diff < upper))
+        .drop("_b", "_rb")
     )
 
 

@@ -15,6 +15,11 @@ Determinism rules (so Spark and DuckDB hash-match exactly):
   doubles are bit-identical — and the driver's value-hash canonicalizes
   doubles stably, unlike wide decimals (round-1 gate failed 14 queries on
   DECIMAL(38,4) stringification alone; see ADVICE.md).
+- Sums of 4-dec × 4-dec PRODUCTS carry scale 8, whose scaled int can top
+  2^53 (~3e9 in money units) — there DuckDB's int→double + /10^8 double-
+  rounds while Spark single-rounds.  Such sums are cast to DECIMAL(38,4)
+  FIRST (exact: the factors have ≤2 real decimals, so digits 5-8 are 0),
+  then to DOUBLE, on both sides.
 - Window starts are emitted as epoch seconds BIGINT, not timestamps.
 - Float→int truncation is explicit ``trunc`` (Go ``int()`` truncates toward
   zero; DuckDB's CAST rounds — the oracle uses trunc()).
@@ -632,8 +637,8 @@ def fan_in_per_source(spark, sf_dir):
 @query(
     "star_join_agg",
     "SELECT c_mktsegment,"
-    " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
-    "          * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)"
+    " CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+    "          * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE)"
     "   AS revenue,"
     " count(*) AS n_items"
     " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
@@ -653,7 +658,7 @@ def star_join_agg(spark, sf_dir):
             F.sum(
                 F.col("l_extendedprice").cast(DEC)
                 * (F.lit(1) - F.col("l_discount").cast(DEC))
-            ).cast(DEC_OUT).alias("revenue"),
+            ).cast("decimal(38,4)").cast(DEC_OUT).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -664,8 +669,8 @@ def star_join_agg(spark, sf_dir):
     "SELECT l_returnflag, l_linestatus,"
     " CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,"
     " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,"
-    " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
-    "          * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,"
+    " CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+    "          * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,"
     " count(*) AS count_order"
     " FROM lineitem GROUP BY l_returnflag, l_linestatus",
 )
@@ -679,7 +684,7 @@ def pricing_summary(spark, sf_dir):
         F.sum(
             F.col("l_extendedprice").cast(DEC)
             * (F.lit(1) - F.col("l_discount").cast(DEC))
-        ).cast(DEC_OUT).alias("sum_disc_price"),
+        ).cast("decimal(38,4)").cast(DEC_OUT).alias("sum_disc_price"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -687,8 +692,8 @@ def pricing_summary(spark, sf_dir):
 @query(
     "regional_revenue",
     "SELECT r_name, n_name,"
-    " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
-    "          * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,"
+    " CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+    "          * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,"
     " count(*) AS n_items"
     " FROM lineitem"
     " JOIN supplier ON l_suppkey = s_suppkey"
@@ -712,7 +717,7 @@ def regional_revenue(spark, sf_dir):
             F.sum(
                 F.col("l_extendedprice").cast(DEC)
                 * (F.lit(1) - F.col("l_discount").cast(DEC))
-            ).cast(DEC_OUT).alias("revenue"),
+            ).cast("decimal(38,4)").cast(DEC_OUT).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )

@@ -1,0 +1,255 @@
+"""Round-2 extension queries: relational breadth (cube / grouping sets /
+pivot / correlated-aggregate shapes) and training-pipeline depth (range
+join, forward as-of with tolerance, TF-IDF keywords, stratified sampling).
+Registered into the same QUERIES/ORACLES dicts (see queries.py for the
+determinism rules — exact-decimal aggregation, DOUBLE outputs, identical
+aliases on both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_streaming_spark.engine import Engine
+from go_streaming_spark.queries import DEC, DEC_OUT, query
+
+_B32 = 1 << 32
+
+
+@query(
+    "cube_revenue",
+    "SELECT coalesce(l_returnflag, 'ALL') AS returnflag,"
+    " coalesce(l_linestatus, 'ALL') AS linestatus,"
+    " CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,"
+    " count(*) AS n_items"
+    " FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)",
+)
+def cube_revenue(spark, sf_dir):
+    # full cube over two dimensions: Spark plans ONE Expand + one shuffle
+    # (4 grouping sets in a single pass, no per-level rescans)
+    li = Engine(spark, sf_dir=sf_dir).stream("lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast(DEC_OUT).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_items",
+        )
+    )
+
+
+_GS_SQL = (
+    "SELECT coalesce(o_orderpriority, 'ALL') AS priority,"
+    " coalesce(l_returnflag, 'ALL') AS returnflag,"
+    " CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+    "          * (1 - CAST(l_discount AS DECIMAL(18,4))))"
+    "       AS DECIMAL(38,4)) AS DOUBLE) AS revenue,"
+    " count(*) AS n_items"
+    " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    " GROUP BY GROUPING SETS ((o_orderpriority), (l_returnflag), ())"
+)
+
+
+@query("grouping_sets_revenue", _GS_SQL)
+def grouping_sets_revenue(spark, sf_dir):
+    # explicit GROUPING SETS through the engine's SQL entry point — the SQL
+    # text is valid for Spark AND DuckDB, so the oracle IS the query (one
+    # Expand + one shuffle, like cube/rollup)
+    return Engine(spark, sf_dir=sf_dir).sql(_GS_SQL)
+
+
+@query(
+    "pivot_status_counts",
+    "SELECT o_orderpriority AS priority,"
+    " sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,"
+    " sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,"
+    " sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p"
+    " FROM orders GROUP BY 1",
+)
+def pivot_status_counts(spark, sf_dir):
+    # pivot with an explicit value list: single shuffle (the list keeps
+    # Spark from a distinct-values pre-pass — mandatory at scale)
+    orders = Engine(spark, sf_dir=sf_dir).stream("orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "priority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+@query(
+    "small_qty_revenue",
+    # TPC-H Q17 shape: lineitems with quantity below 1/5 of their part's
+    # average.  avg compared exactly: qty < sum/cnt ⇔ qty*5*cnt < sum
+    # (all-positive), keeping both sides exact decimals — no double-avg
+    # boundary rows
+    "WITH pq AS (SELECT l_partkey AS pk,"
+    "  SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sq, count(*) AS cnt"
+    "  FROM lineitem GROUP BY 1)"
+    " SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)"
+    "   AS small_qty_revenue,"
+    " count(*) AS n_items"
+    " FROM lineitem JOIN pq ON l_partkey = pk"
+    " WHERE CAST(l_quantity AS DECIMAL(18,4)) * 5 * cnt < sq",
+)
+def small_qty_revenue(spark, sf_dir):
+    # correlated-aggregate filter via a partition window instead of a
+    # self-join: one shuffle on l_partkey computes the per-part sum+count
+    # alongside the rows that consume them
+    from pyspark.sql.window import Window
+
+    li = Engine(spark, sf_dir=sf_dir).stream("lineitem")
+    w = Window.partitionBy("l_partkey")
+    qty = F.col("l_quantity").cast(DEC)
+    below = (
+        li.select(
+            "l_partkey",
+            qty.alias("qty"),
+            F.col("l_extendedprice").cast(DEC).alias("price"),
+        )
+        .withColumn("sq", F.sum("qty").over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
+        .filter(F.col("qty") * 5 * F.col("cnt") < F.col("sq"))
+    )
+    return below.agg(
+        F.sum("price").cast(DEC_OUT).alias("small_qty_revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "burst_follow_counts",
+    # for every error event: how many events its user produced in the next
+    # 10 minutes (exclusive of the error itself)
+    "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events"
+    "  WHERE event_type = 'error'),"
+    " f AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events)"
+    " SELECT e.event_id, count(f.event_id) AS n_follow"
+    " FROM e LEFT JOIN f ON f.user_id = e.user_id"
+    "  AND f.t - e.t >= 1 AND f.t - e.t < 600000000"
+    " GROUP BY 1",
+)
+def burst_follow_counts(spark, sf_dir):
+    # bucketed range join (operators/joins.py:interval_join): equi-join on
+    # (user, 10-minute bucket) with ≤2× left duplication — no
+    # broadcast-nested-loop; zero-count errors re-attach via a left join on
+    # the (small) error base
+    from go_streaming_spark.operators.joins import interval_join
+
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    with_t = ev.select("event_id", "user_id", F.unix_micros("ts").alias("t"))
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t")
+    )
+    pairs = interval_join(
+        errors, with_t, on="user_id", left_time="t", right_time="t",
+        lower=1, upper=600_000_000,
+    )
+    counts = pairs.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_follow"))
+    return errors.select("event_id").join(counts, "event_id", "left").select(
+        "event_id", F.coalesce("n_follow", F.lit(0).cast("long")).alias("n_follow")
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    r"""WITH toks AS (SELECT doc_id AS id,
+  unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token
+  FROM documents),
+tf AS (SELECT id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+nn AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (SELECT id, token, round((tf * n_docs) / df, 6) AS score,
+  row_number() OVER (PARTITION BY id
+    ORDER BY round((tf * n_docs) / df, 6) DESC, token) AS rn
+ FROM tf JOIN dfq USING(token), nn)
+SELECT id AS doc_id, token, score, rn FROM scored WHERE rn <= 3""",
+)
+def tfidf_top_terms(spark, sf_dir):
+    from go_streaming_spark.functions.text import tf_idf_top_terms
+
+    docs = Engine(spark, sf_dir=sf_dir).stream("documents")
+    out = tf_idf_top_terms(docs, "doc_id", "text", top_n=3)
+    return out.withColumnRenamed("id", "doc_id")
+
+
+_STRAT = {"src0": 0.5, "src1": 0.25, "src2": 0.1}
+_STRAT_DEFAULT = 0.05
+_STRAT_CASE = (
+    "CASE source"
+    + "".join(f" WHEN '{s}' THEN {int(f * _B32)}" for s, f in _STRAT.items())
+    + f" ELSE {int(_STRAT_DEFAULT * _B32)} END"
+)
+
+
+@query(
+    "stratified_sample_counts",
+    "WITH b AS (SELECT source,"
+    " CAST(('0x'||substr(md5('strat|'||CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) AS h"
+    " FROM documents)"
+    f" SELECT source, count(*) AS n_kept FROM b WHERE h < ({_STRAT_CASE})"
+    " GROUP BY 1",
+)
+def stratified_sample_counts(spark, sf_dir):
+    # per-source downsampling with deterministic id-hash membership
+    # (functions/sampling.py:stratified_sample — map-side filter, no
+    # shuffle, reproducible across engines/partitionings), counted per source
+    from go_streaming_spark.functions.sampling import stratified_sample
+
+    docs = Engine(spark, sf_dir=sf_dir).stream("documents")
+    kept = stratified_sample(
+        docs, "doc_id", "source", _STRAT, default=_STRAT_DEFAULT
+    )
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+_WEEK_US = 7 * 86_400_000_000
+
+
+@query(
+    "asof_forward_next_purchase",
+    # earliest purchase at-or-after each signup, within 7 days; the min
+    # within tolerance IS the as-of-forward nearest (or out-of-range → drop)
+    f"""WITH s AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+  WHERE event_type = 'signup'),
+p AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase')
+SELECT s.event_id, s.user_id, min(p.t) AS next_purchase_us
+FROM s JOIN p ON p.user_id = s.user_id AND p.t >= s.t AND p.t - s.t <= {_WEEK_US}
+GROUP BY 1, 2""",
+)
+def asof_forward_next_purchase(spark, sf_dir):
+    # forward as-of with tolerance: union+window (one shuffle on user_id,
+    # no pair explosion — operators/joins.py:as_of_join)
+    from go_streaming_spark.operators.joins import as_of_join
+
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    with_us = ev.withColumn("t_us", F.unix_micros("ts"))
+    signups = with_us.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "t_us"
+    )
+    purchases = with_us.filter(F.col("event_type") == "purchase").select(
+        "user_id", "t_us"
+    )
+    out = as_of_join(
+        signups,
+        purchases,
+        on="user_id",
+        left_time="t_us",
+        right_time="t_us",
+        right_vals={"next_purchase_us": F.col("t_us")},
+        how="inner",
+        direction="forward",
+        tolerance=_WEEK_US,
+    )
+    return out.select("event_id", "user_id", "next_purchase_us")

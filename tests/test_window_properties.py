@@ -140,6 +140,78 @@ def test_asof_join_matches_model(spark, lefts, rights):
         assert got.get(i) == expected, (i, k, t)
 
 
+@settings(max_examples=10, deadline=None)
+@given(
+    lefts=st.lists(
+        st.tuples(st.sampled_from(["u1", "u2"]), st.integers(-40, 40)),
+        min_size=1, max_size=12,
+    ),
+    rights=st.lists(
+        st.tuples(st.sampled_from(["u1", "u2"]), st.integers(-40, 40)),
+        min_size=0, max_size=12,
+    ),
+    tol=st.integers(0, 30),
+)
+def test_asof_forward_tolerance_matches_model(spark, lefts, rights, tol):
+    from go_streaming_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)], "k string, t long, lid long"
+    )
+    right = spark.createDataFrame([], "k string, t long") if not rights else (
+        spark.createDataFrame(rights, "k string, t long")
+    )
+    out = as_of_join(
+        left, right, on="k", left_time="t", right_time="t",
+        right_vals={"rt": F.col("t")}, how="left",
+        direction="forward", tolerance=tol,
+    )
+    got = {r.lid: r.rt for r in out.collect()}
+    for i, (k, t) in enumerate(lefts):
+        nxt = [rt for rk, rt in rights if rk == k and rt >= t]
+        expected = min(nxt) if nxt and min(nxt) - t <= tol else None
+        assert got.get(i) == expected, (i, k, t, tol)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    lefts=st.lists(
+        st.tuples(st.sampled_from(["u1", "u2"]), st.integers(-60, 60)),
+        min_size=1, max_size=12,
+    ),
+    rights=st.lists(
+        st.tuples(st.sampled_from(["u1", "u2"]), st.integers(-60, 60)),
+        min_size=0, max_size=12,
+    ),
+    bounds=st.tuples(st.integers(-20, 20), st.integers(1, 25)),
+)
+def test_interval_join_matches_model(spark, lefts, rights, bounds):
+    """Bucketed range join == brute-force pairs (negative times and negative
+    lower bounds included — exercises the floor-division bucket ids)."""
+    from go_streaming_spark.operators.joins import interval_join
+
+    lower, width = bounds
+    upper = lower + width
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)], "k string, t long, lid long"
+    )
+    right = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(rights)], "k string, t long, rid long"
+    ) if rights else spark.createDataFrame([], "k string, t long, rid long")
+    out = interval_join(
+        left, right, on="k", left_time="t", right_time="t",
+        lower=lower, upper=upper,
+    )
+    got = {(r.lid, r.r_rid) for r in out.collect()}
+    expected = {
+        (i, j)
+        for i, (lk, lt) in enumerate(lefts)
+        for j, (rk, rt) in enumerate(rights)
+        if lk == rk and lower <= rt - lt < upper
+    }
+    assert got == expected, (lower, upper)
+
+
 @settings(max_examples=8, deadline=None)
 @given(
     docs=st.lists(
