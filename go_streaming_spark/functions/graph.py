@@ -1,0 +1,74 @@
+"""Graph operators for dedup clustering.
+
+Near-dup pair generation (MinHash/SimHash — functions/dedup.py) yields an
+EDGE LIST; deduplication keeps one canonical document per *connected
+component* of that graph.  ``connected_components`` computes the component
+id (= min member id, deterministic) with min-label propagation over
+DataFrame joins — the MapReduce-CC pattern (cf. Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14).
+
+Scale notes:
+- Each round is one equi-join + one groupBy(min) — both shuffle on the
+  node id, AQE-managed.  Rounds needed = graph diameter; near-dup cluster
+  graphs are small and dense (diameter ≲ 3), so 3-4 rounds typical.  For
+  adversarial long-path graphs switch to large-star/small-star (O(log n)
+  rounds) — same join primitives, not needed for dedup workloads.
+- ``localCheckpoint`` after every round truncates the lineage, keeping
+  round N's plan O(1) instead of O(N) (an iterative-algorithm requirement
+  in Spark, or analysis time grows quadratically).
+- Convergence is detected by the (monotonically decreasing, integer) sum
+  of labels going stable — one tiny aggregate action per round, no extra
+  join against the previous labels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; component =
+    min node id of the connected component (deterministic — independent of
+    partitioning, iteration order, and round count)."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = (
+        sym.select("u")
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("label"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).head()[0]
+    for _ in range(max_iter):
+        neighbor = sym.join(labels, sym["v"] == labels["node"]).select(
+            sym["u"].alias("node"), F.col("label")
+        )
+        labels = (
+            labels.union(neighbor)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        s = labels.agg(F.sum("label")).head()[0]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """(doc_id, cluster_id) for every document in a near-dup pair — the
+    keep/drop decision is then "keep doc_id == cluster_id" (the canonical
+    minimum) and drop the rest."""
+    comps = connected_components(pairs, src=id_a, dst=id_b)
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )

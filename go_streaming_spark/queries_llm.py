@@ -69,21 +69,48 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return dedup.jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", 3, 0.2)
 
 
-@query(
-    "dedup_minhash_lsh",
-    f"""WITH {_SH},
+# MinHash LSH pipeline CTEs, shared by the pair query and the cluster query
+_MINHASH_CTES = f"""{_SH},
 h32 AS (SELECT id, CAST(('0x'||substr(md5(shingle),1,8)) AS BIGINT) h FROM sh),
 sig AS (SELECT id, j, min(({dedup.MINHASH_A}[CAST(j AS INT)+1]*h
                          + {dedup.MINHASH_B}[CAST(j AS INT)+1]) % 2147483647) minhash
         FROM h32, (SELECT unnest(range(16)) j) jj GROUP BY 1,2),
 bands AS (SELECT id, j//4 band, string_agg(minhash, '_' ORDER BY j) band_key FROM sig GROUP BY 1,2),
-cand AS (SELECT DISTINCT a.id id_a, b.id id_b FROM bands a JOIN bands b USING(band, band_key) WHERE a.id < b.id)
+cand AS (SELECT DISTINCT a.id id_a, b.id id_b FROM bands a JOIN bands b USING(band, band_key) WHERE a.id < b.id)"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""WITH {_MINHASH_CTES}
 SELECT c.id_a, c.id_b, j.jaccard FROM cand c JOIN jac j USING(id_a, id_b) WHERE j.jaccard >= 0.2""",
 )
 def dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(
         _docs(spark, sf_dir), "doc_id", "text", n=3, k=16, rows_per_band=4, threshold=0.2
     )
+
+
+@query(
+    "dedup_clusters",
+    # transitive closure of the verified near-dup pair graph; component id =
+    # min member id — both engines deterministic (DuckDB: recursive CTE;
+    # Spark: min-label propagation, functions/graph.py)
+    f"""WITH RECURSIVE {_MINHASH_CTES},
+pairs AS (SELECT c.id_a, c.id_b FROM cand c JOIN jac j USING(id_a, id_b) WHERE j.jaccard >= 0.2),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach AS (SELECT u AS node, v AS r FROM edges
+          UNION SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u)
+SELECT node AS doc_id, least(node, min(r)) AS cluster_id FROM reach GROUP BY node""",
+)
+def dedup_clusters(spark, sf_dir):
+    # the keep/drop step of near-dup dedup: pairs → connected components →
+    # canonical member per cluster (keep doc_id == cluster_id, drop rest)
+    from go_streaming_spark.functions.graph import dedup_components
+
+    pairs = dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, k=16, rows_per_band=4, threshold=0.2
+    )
+    return dedup_components(pairs)
 
 
 _SIMHASH_SQL = """toks AS (SELECT doc_id id, t token, count(*) cnt FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text,'\\s+'), x->x<>'')) t FROM documents) GROUP BY 1,2),

@@ -90,6 +90,52 @@ def test_minhash_lsh_no_cartesian(spark):
     assert "Join Cross" not in plan and "CartesianProduct" not in plan
 
 
+def test_interval_join_is_equijoin_not_nested_loop(spark):
+    # the bucketed range join must plan as a hash/sort-merge equi-join on
+    # (bucket, key) — never a BroadcastNestedLoopJoin over the theta range
+    import go_streaming_spark.queries_ext  # noqa: F401
+
+    df = QUERIES["burst_follow_counts"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cube_single_expand_single_shuffle(spark):
+    import go_streaming_spark.queries_ext  # noqa: F401
+
+    df = QUERIES["cube_revenue"](spark, SF_DIR)
+    plan = _plan(df)
+    # all 4 grouping sets in one Expand + one aggregation exchange
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange") == 1
+    assert "partial_sum" in plan
+
+
+def test_pivot_two_tiny_shuffles(spark):
+    import go_streaming_spark.queries_ext  # noqa: F401
+
+    df = QUERIES["pivot_status_counts"](spark, SF_DIR)
+    plan = _plan(df)
+    # explicit value list → no distinct-values job.  Native pivot plans two
+    # exchanges, but both are partial-aggregated first: exchange 1 carries
+    # ≤ |priorities|×|statuses| rows per map task, exchange 2 the pivoted
+    # |priorities| rows — constant-size at any input scale.
+    assert plan.count("Exchange") == 2
+    assert "partial_count" in plan and "partial_pivotfirst" in plan
+
+
+def test_small_qty_revenue_no_self_join(spark):
+    # correlated-aggregate via partition window: exactly one join-free
+    # shuffle on l_partkey + the final single-row aggregation
+    import go_streaming_spark.queries_ext  # noqa: F401
+
+    df = QUERIES["small_qty_revenue"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
 def test_window_join_broadcast_right(spark):
     from go_streaming_spark.engine import Engine
     from go_streaming_spark.events import to_events

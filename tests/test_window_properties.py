@@ -212,6 +212,38 @@ def test_interval_join_matches_model(spark, lefts, rights, bounds):
     assert got == expected, (lower, upper)
 
 
+@settings(max_examples=10, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)).filter(lambda e: e[0] != e[1]),
+        min_size=1, max_size=25,
+    ),
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Min-label propagation == union-find ground truth (includes long
+    paths, cycles, and multi-component graphs)."""
+    from go_streaming_spark.functions.graph import connected_components
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+    assert got == expected
+
+
 @settings(max_examples=8, deadline=None)
 @given(
     docs=st.lists(
