@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from go_streaming_spark.engine import Engine
-from go_streaming_spark.queries import DEC, DEC_OUT, query
+from go_streaming_spark.queries import DEC, DEC_OUT, ORACLES, query
 
 _B32 = 1 << 32
 
@@ -212,6 +212,73 @@ def stratified_sample_counts(spark, sf_dir):
         docs, "doc_id", "source", _STRAT, default=_STRAT_DEFAULT
     )
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+# --- Structured Streaming queries under the SAME batch oracles -------------
+# A finite availableNow replay through a complete-mode memory sink must
+# reproduce the batch result exactly (SURVEY.md §7 batch-first /
+# streaming-compatible) — so the streaming engine itself is value-hash
+# checked by the driver gate, not just by local parity tests.
+
+
+@query("stream_window_sum_tumbling", ORACLES["window_sum_tumbling"])
+def stream_window_sum_tumbling(spark, sf_dir):
+    # native streaming window aggregation (watermark + window struct,
+    # operators/windows.py:streaming_window_col), replayed to completion;
+    # complete mode emits every window including the trailing open one,
+    # matching the batch grouping
+    from go_streaming_spark import operators as ops
+    from go_streaming_spark.events import to_events
+    from go_streaming_spark.operators.windows import TemporalWindow
+    from go_streaming_spark.sources.catalog import load_stream
+    from go_streaming_spark.streaming.runner import replay_to_memory
+
+    env = to_events(
+        load_stream(spark, sf_dir, "events"), value="value", event_time="ts",
+        seq="event_id",
+    ).withColumn("value", F.col("value").cast(DEC))
+    agg = ops.windowed_agg(
+        TemporalWindow("1 hour"),
+        [
+            F.sum("value").cast(DEC_OUT).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        ],
+        lineage=False,
+    )(env)
+    out = agg.select(
+        F.unix_timestamp("window_start").alias("ws"), "sum_value", "n_events"
+    )
+    return replay_to_memory(out, spark, output_mode="complete")
+
+
+@query("stream_window_sum_per_user", ORACLES["window_sum_per_user"])
+def stream_window_sum_per_user(spark, sf_dir):
+    # keyed streaming windowed aggregation: window + group key in one
+    # stateful shuffle, replayed to completion
+    from go_streaming_spark import operators as ops
+    from go_streaming_spark.events import to_events
+    from go_streaming_spark.operators.windows import TemporalWindow
+    from go_streaming_spark.sources.catalog import load_stream
+    from go_streaming_spark.streaming.runner import replay_to_memory
+
+    env = to_events(
+        load_stream(spark, sf_dir, "events"),
+        value=["user_id", "value"], event_time="ts", seq="event_id",
+    ).select(
+        "event_start",
+        F.col("value.user_id").alias("user_id"),
+        F.col("value.value").cast(DEC).alias("value"),
+    )
+    agg = ops.windowed_agg(
+        TemporalWindow("1 day"),
+        [F.sum("value").cast(DEC_OUT).alias("sum_value")],
+        keys=("user_id",),
+        lineage=False,
+    )(env)
+    out = agg.select(
+        "user_id", F.unix_timestamp("window_start").alias("ws"), "sum_value"
+    )
+    return replay_to_memory(out, spark, output_mode="complete")
 
 
 _WEEK_US = 7 * 86_400_000_000
