@@ -140,6 +140,63 @@ def tf_idf_top_terms(
     )
 
 
+# PII-ish patterns for corpus scrubbing (ASCII approximations; swap for
+# production-grade recognizers via the same regexp_replace chain)
+REDACT_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "PHONE": r"\+?[0-9][0-9()\-\s]{6,}[0-9]",
+    "IPV4": r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def redact(text: Column, patterns: dict[str, str] | None = None) -> Column:
+    """Replace each PII-ish pattern with its ``[TAG]`` placeholder — the
+    standard corpus-scrubbing pass.  A chain of ``regexp_replace`` column
+    expressions: single scan, codegen'd, no UDF; order follows the dict
+    (email before phone so digit-bearing local parts redact as EMAIL)."""
+    out = text
+    for tag, pat in (patterns or REDACT_PATTERNS).items():
+        out = F.regexp_replace(out, pat, f"[{tag}]")
+    return out
+
+
+def decontaminate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    banned_ngrams: DataFrame,
+    ngram_col: str = "ngram",
+    n: int = 3,
+) -> DataFrame:
+    """Drop documents containing ANY banned word n-gram — test-set
+    decontamination for training corpora.
+
+    Docs explode to their distinct n-grams (map-side array, one explode),
+    a **left-semi join against the broadcast banned set** finds offending
+    ids (the banned list is small — benchmark suites — so the corpus never
+    shuffles for the membership test), and a left-anti join on the narrow
+    id column drops them.  Matching is exact on the space-joined lowercase
+    n-gram.
+    """
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(-1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+    banned = F.broadcast(
+        banned_ngrams.select(F.lower(F.col(ngram_col)).alias("_banned_ngram")).distinct()
+    )
+    offender_ids = (
+        df.select(F.col(id_col), F.explode(grams).alias("_g"))
+        .join(banned, F.col("_g") == F.col("_banned_ngram"), "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(offender_ids, id_col, "left_anti")
+
+
 def char_shingle_fingerprint(
     df: DataFrame, id_col: str, text_col: str, n: int = 5
 ) -> DataFrame:

@@ -214,6 +214,67 @@ def stratified_sample_counts(spark, sf_dir):
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+# --- Corpus scrubbing -------------------------------------------------------
+
+_FAKE_PII = (
+    " contact user{id}@example.com or +1 (555) 000-1234 at 10.0.0.{id}"
+)
+
+
+@query(
+    "redact_pii",
+    # synthesize PII onto each doc (both engines build the identical string)
+    # so every pattern demonstrably fires, then scrub
+    "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("
+    " text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com"
+    " or +1 (555) 000-1234 at 10.0.0.' || CAST(doc_id AS VARCHAR),"
+    r" '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),"
+    r" '\+?[0-9][0-9()\-\s]{6,}[0-9]', '[PHONE]', 'g'),"
+    r" '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IPV4]', 'g') AS clean"
+    " FROM documents",
+)
+def redact_pii(spark, sf_dir):
+    # PII scrubbing pass (functions/text.py:redact): chained regexp_replace
+    # expressions — single scan, codegen'd, no UDF; email redacts before
+    # phone so digit-bearing local parts tag as EMAIL
+    from go_streaming_spark.functions.text import redact
+
+    docs = Engine(spark, sf_dir=sf_dir).stream("documents")
+    sid = F.col("doc_id").cast("string")
+    with_pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), sid, F.lit("@example.com or +1 (555) 000-1234 at 10.0.0."),
+        sid,
+    )
+    return docs.select("doc_id", redact(with_pii).alias("clean"))
+
+
+_BANNED = ["stream table hash", "row column sort"]
+_BANNED_SQL = ", ".join(f"'{g}'" for g in _BANNED)
+
+
+@query(
+    "decontaminate_counts",
+    r"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),'\s+'),
+  x -> x <> '') AS w FROM documents),
+sh AS (SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
+  i -> array_to_string(w[i:i+2], ' '))) AS g FROM w WHERE len(w) >= 3),
+bad AS (SELECT DISTINCT doc_id FROM sh WHERE g IN (""" + _BANNED_SQL + """))
+SELECT source, count(*) AS n_kept FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM bad) GROUP BY source""",
+)
+def decontaminate_counts(spark, sf_dir):
+    # test-set decontamination (functions/text.py:decontaminate): banned
+    # n-grams broadcast, membership test map-side, offenders dropped by a
+    # narrow id anti-join; counted per source
+    from go_streaming_spark.functions.text import decontaminate
+
+    docs = Engine(spark, sf_dir=sf_dir).stream("documents")
+    banned = spark.createDataFrame([(g,) for g in _BANNED], "ngram string")
+    kept = decontaminate(docs, "doc_id", "text", banned, n=3)
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
 # --- Structured Streaming queries under the SAME batch oracles -------------
 # A finite availableNow replay through a complete-mode memory sink must
 # reproduce the batch result exactly (SURVEY.md §7 batch-first /
@@ -279,6 +340,28 @@ def stream_window_sum_per_user(spark, sf_dir):
         "user_id", F.unix_timestamp("window_start").alias("ws"), "sum_value"
     )
     return replay_to_memory(out, spark, output_mode="complete")
+
+
+@query("stream_counting_window_sum")  # no oracle: rows-only driver check
+def stream_counting_window_sum(spark, sf_dir):
+    """Stateful streaming CountingWindowPolicy (applyInPandasWithState
+    buffer + consume-prefix GC).  Genuinely non-SQL-expressible: window
+    membership follows *arrival order* within the stream, which no batch
+    oracle reproduces — the driver records the weaker rows-only check here
+    (window COUNT is order-independent: floor(total/n)); exact-value
+    verification lives in test_streaming.py's ordered-replay parity test,
+    and the batch counting-window twin (counting_window_tumbling) is fully
+    oracle-checked."""
+    from go_streaming_spark.events import to_events
+    from go_streaming_spark.sources.catalog import load_stream
+    from go_streaming_spark.streaming import counting_window_stream, replay_to_memory
+
+    env = to_events(
+        load_stream(spark, sf_dir, "events"), value="value", event_time="ts",
+        seq="event_id",
+    )
+    out = counting_window_stream(env, 100, seq_col="seq", value_col="value")
+    return replay_to_memory(out.drop("_g"), spark)
 
 
 _WEEK_US = 7 * 86_400_000_000
