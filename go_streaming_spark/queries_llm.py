@@ -429,6 +429,48 @@ def multimodal_binary_meta(spark, sf_dir):
 
 
 @query(
+    "multimodal_frame_plan",
+    # duration synthesized deterministically from the id (metadata is NULL
+    # until a real decode); the sampling plan itself is pure arithmetic
+    "WITH m AS (SELECT doc_id, 500 + (doc_id % 10) * 700 AS duration_ms"
+    " FROM documents)"
+    " SELECT doc_id AS id, unnest(list_transform("
+    "  range(0, greatest(duration_ms // 1000, 1)), i -> i * 1000))"
+    "  AS frame_ts_ms FROM m",
+)
+def multimodal_frame_plan(spark, sf_dir):
+    # frame-sampling plan: explode (video, frame_ts) BEFORE the decode so
+    # per-frame work fans out across executors (multimodal.frame_sample_plan)
+    media = multimodal.attach_media(_docs(spark, sf_dir), "text", "video", "bin")
+    with_duration = media.withColumn(
+        "media_meta",
+        F.col("media_meta").withField(
+            "duration_ms", (F.lit(500) + (F.col("doc_id") % 10) * 700).cast("long")
+        ),
+    )
+    return multimodal.frame_sample_plan(with_duration, "doc_id", every_ms=1000)
+
+
+@query(
+    "multimodal_transform_chain",
+    # attach → stub-resize (binary→binary mapInPandas) → stub feature
+    # extraction: the chained Arrow plumbing is value-checked end-to-end
+    # because both stubs are deterministic byte arithmetic
+    "WITH r AS (SELECT doc_id,"
+    " 'resized:' || text[1:greatest(len(text)//2, 1)] AS resized FROM documents)"
+    " SELECT doc_id AS id, (8 + greatest(len(text)//2, 1))::BIGINT AS n_bytes,"
+    " list_transform(range(1,9), i ->"
+    "  CAST(('0x'||substr(md5(resized), 2*CAST(i AS INT)-1, 2)) AS INT)/255.0)"
+    "  AS feature"
+    " FROM r JOIN documents USING (doc_id)",
+)
+def multimodal_transform_chain(spark, sf_dir):
+    media = multimodal.attach_media(_docs(spark, sf_dir), "text", "text_blob", "utf8")
+    resized = multimodal.transform_media(media, "doc_id", "media")
+    return multimodal.extract_features(resized, "id", "media")
+
+
+@query(
     "multimodal_features",
     # the stub decoder is md5-byte arithmetic — exactly expressible in SQL,
     # so even the Arrow/mapInPandas plumbing is oracle-checked end-to-end
