@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from go_streaming_spark.engine import Engine
 from go_streaming_spark.queries import DEC, DEC_OUT, ORACLES, query
+from go_streaming_spark.queries_llm import _COS as _COS_EXT
 
 _B32 = 1 << 32
 
@@ -275,6 +276,63 @@ def decontaminate_counts(spark, sf_dir):
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+@query(
+    "funnel_counts",
+    # strict-order funnel: first click after first signup, first purchase
+    # after that qualifying click
+    "WITH s AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events"
+    "  WHERE event_type = 'signup' GROUP BY 1),"
+    " c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e"
+    "  JOIN s ON e.user_id = s.user_id AND epoch_us(e.ts) > s.t"
+    "  WHERE e.event_type = 'click' GROUP BY 1),"
+    " p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e"
+    "  JOIN c ON e.user_id = c.user_id AND epoch_us(e.ts) > c.t"
+    "  WHERE e.event_type = 'purchase' GROUP BY 1)"
+    " SELECT 'signup' AS stage, count(*) AS n_users FROM s"
+    " UNION ALL SELECT 'click', count(*) FROM c"
+    " UNION ALL SELECT 'purchase', count(*) FROM p",
+)
+def funnel_counts(spark, sf_dir):
+    # sequential funnel (functions/funnel.py): one min-groupBy + one user
+    # equi-join per stage — no per-user event collection, no global window
+    from go_streaming_spark.functions.funnel import funnel_counts as funnel
+
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    return funnel(ev, "user_id", "event_type", "ts", ["signup", "click", "purchase"])
+
+
+@query(
+    "knn_label_vote",
+    # classify the query vector by majority label of its 10 nearest
+    # neighbors (ties break to the smaller label)
+    f"""WITH q AS (SELECT embedding::DOUBLE[] qv FROM embeddings WHERE vec_id=0),
+v AS (SELECT vec_id id, label, embedding::DOUBLE[] e FROM embeddings WHERE vec_id <> 0),
+topk AS (SELECT id, label, round({_COS_EXT('e', 'q.qv')}, 6) cos_sim FROM v, q
+         ORDER BY cos_sim DESC, id LIMIT 10)
+SELECT label AS pred_label, count(*) AS n_votes FROM topk
+GROUP BY 1 ORDER BY n_votes DESC, pred_label LIMIT 1""",
+)
+def knn_label_vote(spark, sf_dir):
+    # similarity-search classification: brute-force cosine top-k (map-only
+    # scoring + TakeOrderedAndProject), then a majority vote over the k
+    # neighbor labels
+    from go_streaming_spark.functions import similarity
+
+    emb = Engine(spark, sf_dir=sf_dir).stream("embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    topk = similarity.cosine_topk(corpus, "vec_id", "embedding", qv, 10)
+    labeled = topk.join(
+        corpus.select(F.col("vec_id").alias("id"), "label"), "id"
+    )
+    return (
+        labeled.groupBy(F.col("label").alias("pred_label"))
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+        .orderBy(F.col("n_votes").desc(), "pred_label")
+        .limit(1)
+    )
+
+
 # --- Structured Streaming queries under the SAME batch oracles -------------
 # A finite availableNow replay through a complete-mode memory sink must
 # reproduce the batch result exactly (SURVEY.md §7 batch-first /
@@ -340,6 +398,51 @@ def stream_window_sum_per_user(spark, sf_dir):
         "user_id", F.unix_timestamp("window_start").alias("ws"), "sum_value"
     )
     return replay_to_memory(out, spark, output_mode="complete")
+
+
+@query(
+    "stream_window_join_inner",
+    # the batch join oracle restricted to windows the stream actually
+    # fires: a window emits once the global watermark (min over both
+    # watermarked inputs of max event time) passes its end — the trailing
+    # open windows stay in state, exactly the reference's
+    # fire-on-first-event-past-end trigger
+    """WITH wm AS (SELECT least(
+  (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'signup'),
+  (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'purchase')) AS w)
+SELECT CAST(epoch(date_trunc('hour', l.ts)) AS BIGINT) AS ws,
+       l.user_id AS user_id, l.event_id AS l_event_id,
+       r.event_id AS r_event_id, r.value AS r_value
+FROM (SELECT * FROM events WHERE event_type = 'signup') l
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id
+ AND date_trunc('hour', l.ts) = date_trunc('hour', r.ts)
+WHERE epoch_us(date_trunc('hour', l.ts)) + 3600000000 <= (SELECT w FROM wm)""",
+)
+def stream_window_join_inner(spark, sf_dir):
+    # watermarked stream-stream windowed equi-join, replayed to completion
+    from go_streaming_spark.events import to_events
+    from go_streaming_spark.operators.joins import window_join
+    from go_streaming_spark.operators.windows import TemporalWindow
+    from go_streaming_spark.sources.catalog import load_stream
+    from go_streaming_spark.streaming.runner import replay_to_memory
+
+    st = load_stream(spark, sf_dir, "events")
+    mk = lambda t: to_events(
+        st.filter(F.col("event_type") == t),
+        value=["user_id", "event_id", "value"], event_time="ts", seq="event_id",
+    )
+    j = window_join(
+        mk("signup"), mk("purchase"), "user_id", TemporalWindow("1 hour"), how="inner"
+    )
+    out = j.select(
+        F.unix_timestamp("window_start").alias("ws"),
+        F.col("value.l.user_id").alias("user_id"),
+        F.col("value.l.event_id").alias("l_event_id"),
+        F.col("value.r.event_id").alias("r_event_id"),
+        F.col("value.r.value").alias("r_value"),
+    )
+    return replay_to_memory(out, spark)
 
 
 @query("stream_counting_window_sum")  # no oracle: rows-only driver check
