@@ -1,7 +1,13 @@
-"""Beyond-reference showcase: a training-data pipeline over the driver's
-``documents`` and ``embeddings`` tables — quality filtering, exact +
-near-duplicate removal, and similarity search, all as composable DataFrame
-stages.
+"""Beyond-reference showcase: an end-to-end training-corpus curation
+pipeline over the driver's ``documents`` and ``embeddings`` tables —
+
+    quality gate -> test-set decontamination -> PII redaction
+    -> exact dedup -> near-dup clustering (MinHash+LSH + connected
+    components, keep canonical) -> stratified sampling -> train/val/test
+    split -> similarity search sanity probe
+
+every stage a composable DataFrame transform (no driver-side data paths,
+each stage's physical plan documented in SCALE.md).
 
 Run: python examples/llm_pipeline.py [sf_dir]   (default /root/testdata/sf0.001)
 """
@@ -17,6 +23,8 @@ from pyspark.sql import functions as F
 
 from go_streaming_spark.engine import Engine
 from go_streaming_spark.functions import dedup, similarity, text
+from go_streaming_spark.functions.graph import dedup_components
+from go_streaming_spark.functions.sampling import hash_split, stratified_sample
 from go_streaming_spark.session import get_session
 
 
@@ -25,25 +33,49 @@ def main() -> None:
     spark = get_session("example-llm-pipeline", cores=8)
     engine = Engine(spark, sf_dir=sf_dir)
     docs = engine.stream("documents")
+    n0 = docs.count()
 
-    # 1. quality gate: keep docs with enough words and mostly-alpha content
-    quality = text.quality_score(docs, "doc_id", "text")  # id column: "id"
+    # 1. quality gate: enough words, mostly-alpha content
+    quality = text.quality_score(docs, "doc_id", "text")
     keep = quality.filter((F.col("n_words") >= 5) & (F.col("alpha_ratio") > 0.5))
-    docs_kept = docs.join(
-        keep.select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+    docs = docs.join(keep.select(F.col("id").alias("doc_id")), "doc_id", "left_semi")
+    print(f"quality gate:        {n0} -> {docs.count()} docs")
+
+    # 2. decontamination: drop docs containing benchmark n-grams
+    banned = spark.createDataFrame(
+        [("stream table hash",), ("row column sort",)], "ngram string"
     )
-    print(f"quality gate: {docs.count()} -> {docs_kept.count()} docs")
+    docs = text.decontaminate(docs, "doc_id", "text", banned, n=3)
+    print(f"decontamination:     -> {docs.count()} docs")
 
-    # 2. exact dedup: one survivor per identical text
-    exact = dedup.exact_dedup(docs_kept, "doc_id", ["text"])
-    survivors = exact.filter(F.col("n_copies") > 1)
-    print(f"exact dedup: {survivors.count()} hash groups had copies")
+    # 3. PII redaction (map-side regexp chain, no UDF)
+    docs = docs.withColumn("text", text.redact(F.col("text")))
 
-    # 3. near-dup sweep (MinHash + LSH, verified Jaccard >= 0.4)
-    near = dedup.minhash_lsh_pairs(docs_kept, "doc_id", "text", threshold=0.4)
-    print(f"near-dup pairs (jaccard >= 0.4): {near.count()}")
+    # 4. exact dedup: keep the lowest doc_id per identical text
+    groups = dedup.exact_dedup(docs, "doc_id", ["text"])
+    docs = docs.join(
+        groups.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    print(f"exact dedup:         -> {docs.count()} docs")
 
-    # 4. similarity search: top-5 neighbors of the first embedding
+    # 5. near-dup clustering: MinHash+LSH pairs -> connected components ->
+    #    keep only each cluster's canonical (minimum) member
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.4)
+    clusters = dedup_components(pairs)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    docs = docs.join(drop, "doc_id", "left_anti")
+    print(f"near-dup clustering: -> {docs.count()} docs")
+
+    # 6. stratified rebalancing + deterministic train/val/test split
+    docs = stratified_sample(
+        docs, "doc_id", "source", {"src0": 1.0, "src1": 1.0}, default=0.8
+    )
+    final = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    print("final corpus by split:")
+    for row in final.groupBy("split").count().orderBy("split").collect():
+        print(f"  {row['split']:<6} {row['count']}")
+
+    # 7. similarity-search sanity probe on the embedding table
     emb = engine.stream("embeddings")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     topk = similarity.cosine_topk(

