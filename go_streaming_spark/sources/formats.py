@@ -85,3 +85,31 @@ def write_sink(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed catalog table: rows hash-partitioned into ``n_buckets``
+    files by ``bucket_cols`` at write time.
+
+    THE shuffle-avoidance tool for repeated fact-fact joins at 100 TB: two
+    tables bucketed (and sorted) on the same key with the same bucket count
+    sort-merge-join with **no Exchange on either side** — the join cost is
+    paid once at write, then every downstream join/aggregation on the
+    bucket key is shuffle-free (asserted in
+    test_plans.py::test_bucketed_join_no_exchange).  Catalog-backed
+    (``saveAsTable``): bucket metadata lives in the table definition.
+    """
+    writer = (
+        df.write.format(fmt).mode(mode).bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

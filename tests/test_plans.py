@@ -136,6 +136,42 @@ def test_small_qty_revenue_no_self_join(spark):
     assert "Window" in plan
 
 
+def test_bucketed_join_no_exchange(spark):
+    """Two tables bucketed on the join key with equal bucket counts must
+    sort-merge-join with NO Exchange on either side — the co-located join
+    that makes repeated fact-fact joins viable at 100 TB."""
+    import shutil
+
+    from go_streaming_spark.sources.formats import write_bucketed
+
+    eng = Engine(spark, sf_dir=SF_DIR)
+    li = eng.stream("lineitem").select("l_orderkey", "l_quantity")
+    orders = eng.stream("orders").select("o_orderkey", "o_totalprice")
+    # at test scale the dimension auto-broadcasts, masking the bucketed
+    # path; disable broadcast to exercise the fact-fact (100 TB) case
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(li, "li_bucketed", ["l_orderkey"], 8, ["l_orderkey"])
+        write_bucketed(orders, "ord_bucketed", ["o_orderkey"], 8, ["o_orderkey"])
+        j = spark.table("li_bucketed").join(
+            spark.table("ord_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan
+        # and the join result is right
+        assert j.count() == li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
 def test_window_join_broadcast_right(spark):
     from go_streaming_spark.engine import Engine
     from go_streaming_spark.events import to_events
