@@ -445,6 +445,32 @@ def stream_window_join_inner(spark, sf_dir):
     return replay_to_memory(out, spark)
 
 
+@query("approx_distinct_users")  # no oracle: sketch values are engine-specific
+def approx_distinct_users(spark, sf_dir):
+    """HyperLogLog++ distinct counts — the 100 TB form of
+    distinct_users_per_type (exact distinct shuffles every distinct value;
+    the sketch shuffles a constant-size register set per group).  Sketch
+    estimates are engine-specific, so the driver records the rows-only
+    check; the ±5% agreement with the exact twin is asserted in
+    test_reference_semantics.py::test_approx_aggregates_near_exact."""
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query("approx_value_percentiles")  # no oracle: sketch values are engine-specific
+def approx_value_percentiles(spark, sf_dir):
+    """approx_percentile — the 100 TB form of value_percentiles (exact
+    percentile sorts each group).  Rows-only in the gate; accuracy asserted
+    against the exact twin in tests."""
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("p_approx"),
+    )
+
+
 @query("stream_counting_window_sum")  # no oracle: rows-only driver check
 def stream_counting_window_sum(spark, sf_dir):
     """Stateful streaming CountingWindowPolicy (applyInPandasWithState

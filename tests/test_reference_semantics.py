@@ -352,3 +352,47 @@ def test_asof_join_multi_key(spark):
     )
     got = {r.id: r.sid for r in out.collect()}
     assert got == {"p1": "s1", "p2": None}
+
+
+def test_approx_aggregates_near_exact(spark):
+    """The approx gate queries have no oracle (sketches are engine-specific)
+    — pin their accuracy here against the exact twins instead."""
+    from go_streaming_spark.queries import QUERIES
+    import go_streaming_spark.queries_ext  # noqa: F401
+
+    sf = "/root/testdata/sf0.001"
+    exact_d = {
+        r.event_type: r.n_users
+        for r in QUERIES["distinct_users_per_type"](spark, sf).collect()
+    }
+    approx_d = {
+        r.event_type: r.n_users_approx
+        for r in QUERIES["approx_distinct_users"](spark, sf).collect()
+    }
+    assert set(exact_d) == set(approx_d)
+    for k, n in exact_d.items():
+        assert abs(approx_d[k] - n) <= max(0.05 * n, 2), (k, n, approx_d[k])
+
+    # percentile sketches use nearest-rank, exact uses interpolation — on
+    # sparse tails the VALUES can differ widely while the RANK is right.
+    # Check rank: the empirical quantile of each approx value must bracket
+    # the requested quantile (sketch accuracy 10k → rank error ≲ 1e-4;
+    # allow 0.01 for discreteness of small groups).
+    from go_streaming_spark.engine import Engine
+
+    ev = Engine(spark, sf_dir=sf).stream("events").select("event_type", "value").collect()
+    by_type: dict[str, list[float]] = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    approx_p = {
+        r.event_type: tuple(r.p_approx)
+        for r in QUERIES["approx_value_percentiles"](spark, sf).collect()
+    }
+    for k, vals in by_type.items():
+        n = len(vals)
+        for q, a in zip((0.5, 0.9, 0.99), approx_p[k]):
+            below = sum(v < a for v in vals) / n
+            at_or_below = sum(v <= a for v in vals) / n
+            assert below <= q + 0.01 and at_or_below >= q - 0.01, (
+                k, q, a, below, at_or_below
+            )
