@@ -445,6 +445,63 @@ def stream_window_join_inner(spark, sf_dir):
     return replay_to_memory(out, spark)
 
 
+@query(
+    "moving_range_sum",
+    # RANGE frame keyed on the event id: all events of the user within the
+    # last 10 ids (value-based frame, not row-count-based)
+    "SELECT user_id, event_id,"
+    " CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER ("
+    "  PARTITION BY user_id ORDER BY event_id"
+    "  RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum,"
+    " COUNT(*) OVER (PARTITION BY user_id ORDER BY event_id"
+    "  RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS n_in_frame"
+    " FROM events",
+)
+def moving_range_sum(spark, sf_dir):
+    # value-based (RANGE) window frame — one shuffle on the partition key,
+    # per-partition ordered scan; exact-decimal sum cast to double
+    from pyspark.sql.window import Window
+
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rangeBetween(-10, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast(DEC)).over(w).cast(DEC_OUT).alias("moving_sum"),
+        F.count(F.lit(1)).over(w).alias("n_in_frame"),
+    )
+
+
+@query(
+    "rank_distributions",
+    # the analytic-distribution trio over orders within each priority
+    "SELECT o_orderpriority AS priority, o_orderkey,"
+    " ntile(4) OVER w AS quartile,"
+    " round(percent_rank() OVER w, 6) AS pct_rank,"
+    " round(cume_dist() OVER w, 6) AS cume"
+    " FROM orders WINDOW w AS (PARTITION BY o_orderpriority"
+    "  ORDER BY o_totalprice DESC, o_orderkey)",
+)
+def rank_distributions(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    orders = Engine(spark, sf_dir=sf_dir).stream("orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 @query("approx_distinct_users")  # no oracle: sketch values are engine-specific
 def approx_distinct_users(spark, sf_dir):
     """HyperLogLog++ distinct counts — the 100 TB form of
