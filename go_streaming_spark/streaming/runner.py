@@ -26,6 +26,19 @@ def with_zero_lateness(df: DataFrame, time_col: str = "event_start") -> DataFram
     return df.withWatermark(time_col, "0 seconds")
 
 
+def with_lateness(
+    df: DataFrame, delay: str, time_col: str = "event_start"
+) -> DataFrame:
+    """Configurable allowed lateness — beyond-reference surface (the
+    reference hard-codes zero: a window fires on the first event past its
+    end and late arrivals are lost,
+    `pkg/events/selection_policy.go:178-215`).  With a delay, events up to
+    ``delay`` behind the max seen event time still join their window;
+    state eviction follows the watermark.  Semantics asserted in
+    test_streaming.py::test_allowed_lateness_keeps_and_drops."""
+    return df.withWatermark(time_col, delay)
+
+
 def replay_to_memory(
     df: DataFrame,
     spark: SparkSession,

@@ -393,3 +393,79 @@ def test_stream_limit_keyed(spark):
             r.event_id for r in bt.filter(F.col("event_type") == t).collect()
         )[:5]
         assert sorted(r.seq for r in rows if r.k == t) == expected
+
+
+def test_allowed_lateness_keeps_and_drops(spark, tmp_path):
+    """Configurable lateness (beyond the reference's hard-coded zero).
+
+    Realistic scenario: a run processes on-time events and commits its
+    watermark to the checkpoint; a straggler arrives before the next run.
+    Under a 30-minute allowed lateness the 9:00 event is dropped by the
+    persisted 10:30 watermark (numRowsDroppedByWatermark=1); under 3 hours
+    the watermark is 8:00 and the straggler aggregates normally."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_streaming_spark.streaming.runner import with_lateness
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    h = dt.timedelta(hours=1)
+
+    def write_file(src, name, ts_list):
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array(ts_list, type=pa.timestamp("us")),
+                    "v": pa.array([1.0] * len(ts_list)),
+                }
+            ),
+            str(src / name),
+        )
+
+    def scenario(tag, delay):
+        src = tmp_path / f"src_{tag}"
+        src.mkdir()
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        write_file(src, "f1.parquet", [base, base + h])
+
+        def run():
+            got = []
+            stream = spark.readStream.schema("ts timestamp, v double").parquet(
+                str(src)
+            )
+            agg = (
+                with_lateness(stream, delay, "ts")
+                .groupBy(F.window("ts", "1 hour"))
+                .count()
+            )
+            q = (
+                agg.writeStream.outputMode("update")
+                .foreachBatch(lambda df, bid: got.extend(df.collect()))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return got, q
+
+        run()  # commits watermark = 11:00 - delay to the checkpoint
+        write_file(src, "f2.parquet", [base - h])  # 9:00 straggler
+        rows, q = run()
+        dropped = sum(
+            p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            if p["stateOperators"]
+        )
+        return {
+            r["window"]["start"].strftime("%H:%M"): r["count"] for r in rows
+        }, dropped
+
+    strict_rows, strict_dropped = scenario("strict", "30 minutes")
+    assert strict_rows == {} and strict_dropped == 1, (strict_rows, strict_dropped)
+
+    lenient_rows, lenient_dropped = scenario("lenient", "3 hours")
+    assert lenient_rows == {"09:00": 1} and lenient_dropped == 0, (
+        lenient_rows, lenient_dropped
+    )
