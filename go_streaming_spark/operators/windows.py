@@ -290,6 +290,46 @@ def windowed_agg(
     return Operator("WindowedAgg", fn, {"policy": policy, "keys": keys})
 
 
+def with_empty_windows(
+    agg: DataFrame,
+    policy: TemporalWindow,
+    fill: dict[str, "Column | int | float"] | None = None,
+) -> DataFrame:
+    """Reference-parity opt-in: ``TemporalWindowPolicy`` emits EMPTY windows
+    (`pkg/events/selection_policy_test.go:146-201`), a groupBy cannot.
+    Generates the full window grid between the observed min and max
+    ``window_start`` (one `sequence` over a single aggregated row — no scan
+    of the input) and left-joins the aggregate; missing windows appear with
+    ``fill`` values (default NULL).  Keyed aggregates should densify per
+    key *before* this (or accept a global grid crossed with keys).
+
+    Scale: the grid size is (span / shift) rows — independent of input
+    volume; the join broadcasts whichever side is smaller under AQE.
+    """
+    shift_s = policy.shift_us / 1_000_000
+    grid = (
+        agg.agg(
+            F.min("window_start").alias("lo"), F.max("window_start").alias("hi")
+        )
+        .select(
+            F.explode(
+                F.sequence(
+                    "lo", "hi", F.expr(f"interval {shift_s} seconds")
+                )
+            ).alias("window_start")
+        )
+        .withColumn(
+            "window_end",
+            F.timestamp_micros(F.unix_micros("window_start") + policy.length_us),
+        )
+    )
+    out = grid.join(agg, ["window_start", "window_end"], "left")
+    for name, val in (fill or {}).items():
+        col = val if isinstance(val, Column) else F.lit(val)
+        out = out.withColumn(name, F.coalesce(F.col(name), col))
+    return out
+
+
 def counting_window_agg(
     policy: CountingWindow,
     aggs: list[Column],

@@ -277,6 +277,46 @@ def decontaminate_counts(spark, sf_dir):
 
 
 @query(
+    "window_count_dense_errors",
+    # hourly error counts with EMPTY windows emitted (zero-filled) — the
+    # reference's empty-window semantics (selection_policy_test.go:146-201)
+    "WITH e AS (SELECT date_trunc('hour', ts) AS h FROM events"
+    "  WHERE event_type = 'error'),"
+    " agg AS (SELECT h, count(*) AS n FROM e GROUP BY 1),"
+    " grid AS (SELECT unnest(generate_series((SELECT min(h) FROM agg),"
+    "  (SELECT max(h) FROM agg), INTERVAL 1 HOUR)) AS h)"
+    " SELECT CAST(epoch(grid.h) AS BIGINT) AS ws, coalesce(n, 0) AS n_events"
+    " FROM grid LEFT JOIN agg USING (h)",
+)
+def window_count_dense_errors(spark, sf_dir):
+    # with_empty_windows (operators/windows.py): window grid generated from
+    # ONE aggregated row (grid size = span/shift, independent of input
+    # volume), left-joined and zero-filled — reference parity for
+    # empty-window emission, off by default (SURVEY §2.3 divergence note)
+    from go_streaming_spark import operators as ops
+    from go_streaming_spark.events import to_events
+    from go_streaming_spark.operators.windows import (
+        TemporalWindow,
+        windowed_agg,
+        with_empty_windows,
+    )
+
+    eng = Engine(spark, sf_dir=sf_dir)
+    env = to_events(
+        eng.stream("events").filter(F.col("event_type") == "error"),
+        value="value", event_time="ts", seq="event_id",
+    )
+    policy = TemporalWindow("1 hour")
+    agg = windowed_agg(
+        policy, [F.count(F.lit(1)).alias("n_events")], lineage=False
+    )(env)
+    dense = with_empty_windows(agg, policy, fill={"n_events": 0})
+    return dense.select(
+        F.unix_timestamp("window_start").alias("ws"), "n_events"
+    )
+
+
+@query(
     "funnel_counts",
     # strict-order funnel: first click after first signup, first purchase
     # after that qualifying click
