@@ -66,6 +66,32 @@ class Engine:
     def topics(self) -> list[str]:
         return sorted(self._streams)
 
+    # -- config serialization (≈ StreamID/StreamConfig JSON round-trip,
+    # `pkg/pubsub/config.go:165-188`, `pkg/pubsub/stream_id.go:59-96`) ------
+
+    def to_config(self) -> dict:
+        """Serialize the registry to a plain-JSON dict: topic → schema DDL.
+        The reference round-trips ``StreamID{Topic, TopicType}`` through a
+        type-name registry; Spark's portable type name IS the DDL string."""
+        return {
+            "topics": {
+                topic: df.schema.simpleString()
+                for topic, df in sorted(self._streams.items())
+            },
+            "sf_dir": self.sf_dir,
+        }
+
+    @classmethod
+    def from_config(cls, spark: SparkSession, cfg: dict) -> "Engine":
+        """Rebuild an engine whose topics are empty streams with the
+        recorded schemas (sources re-attach via ``register_stream`` /
+        ``stream``; a type mismatch then raises, like the reference's
+        ``ErrStreamTypeMismatch`` on re-subscribe)."""
+        eng = cls(spark, sf_dir=cfg.get("sf_dir"))
+        for topic, ddl in cfg.get("topics", {}).items():
+            eng._streams[topic] = spark.createDataFrame([], ddl)
+        return eng
+
     def sql(self, query: str) -> DataFrame:
         """SQL entry point over the engine's registered topics (the
         reference has no query language — `README.md:15-17`; Spark's is

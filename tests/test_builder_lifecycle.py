@@ -105,3 +105,25 @@ def test_engine_sql_entry_point(spark):
     # registered topics are visible too
     eng.register_stream("tiny", spark.createDataFrame([(1,)], "x long"))
     assert eng.sql("SELECT sum(x) AS s FROM tiny").head()["s"] == 1
+
+
+def test_engine_config_round_trip(spark):
+    """Registry serialization parity (StreamID/StreamConfig JSON round-trip,
+    pkg/pubsub/config.go:165-188): topic -> schema DDL survives a round
+    trip, and re-registering with a conflicting schema still raises."""
+    import pytest
+    from go_streaming_spark.engine import Engine, StreamTypeMismatchError
+
+    eng = Engine(spark)
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    eng.register_stream("people", df)
+    cfg = eng.to_config()
+    assert cfg["topics"]["people"] == df.schema.simpleString()
+
+    rebuilt = Engine.from_config(spark, cfg)
+    assert rebuilt.topics() == ["people"]
+    assert rebuilt.stream("people").schema == df.schema
+    with pytest.raises(StreamTypeMismatchError):
+        rebuilt.register_stream(
+            "people", spark.createDataFrame([(1.0,)], "id double")
+        )
