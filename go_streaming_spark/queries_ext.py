@@ -568,6 +568,31 @@ def approx_value_percentiles(spark, sf_dir):
     )
 
 
+@query(
+    "stream_static_enrich",
+    # stream-static enrichment: every purchase event decorated with the
+    # customer dimension row (inner join on the customer key)
+    "SELECT e.event_id, e.user_id, c.c_mktsegment, e.value"
+    " FROM events e JOIN customer c ON e.user_id = c.c_custkey"
+    " WHERE e.event_type = 'purchase'",
+)
+def stream_static_enrich(spark, sf_dir):
+    # the enrichment pattern: a STREAMING fact joined to a broadcast STATIC
+    # dimension — no watermark, no stream-stream state; each micro-batch
+    # hash-probes the broadcast relation map-side
+    from go_streaming_spark.sources.catalog import load_stream
+    from go_streaming_spark.streaming.runner import replay_to_memory
+
+    ev = load_stream(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cust = Engine(spark, sf_dir=sf_dir).stream("customer")
+    enriched = ev.join(
+        F.broadcast(cust), ev["user_id"] == cust["c_custkey"], "inner"
+    ).select("event_id", "user_id", "c_mktsegment", "value")
+    return replay_to_memory(enriched, spark)
+
+
 @query("stream_counting_window_sum")  # no oracle: rows-only driver check
 def stream_counting_window_sum(spark, sf_dir):
     """Stateful streaming CountingWindowPolicy (applyInPandasWithState
