@@ -75,14 +75,32 @@ def cosine_topk(
     Ordering is (round(cos,6) DESC, id ASC) — fully deterministic across
     engines/partitionings.  Plans as TakeOrderedAndProject: no global sort.
     """
-    # fold-based cosine: this is a LINEAR scan (one evaluation per corpus
-    # row), where the compact fold wins — unrolling pays only in per-PAIR
-    # scoring (see embedding_cosine_pairs), where the same expression runs
-    # O(n²) times
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cos = F.round(cosine_expr(F.col(vec_col).cast("array<double>"), q), 6)
+    # Unrolled codegen'd dot/norm, built as ONE SQL string: the interpreted
+    # fold costs a lambda dispatch per element per row (14.4 s for a
+    # 200k×64 scan), and composing 64 terms Column-by-Column costs ~5 s of
+    # driver py4j time per query build.  `xD` literals pin doubles; the
+    # query norm is a Python-computed double literal (same IEEE ops, same
+    # left-to-right order → bit-identical to the JVM fold).  Summation
+    # order is unchanged, so values match the fold exactly.
+    import math
+
+    dim = len(query_vec)
+    q = [float(x) for x in query_vec]
+    qs = 0.0
+    for x in q:
+        qs += x * x
+    qn = math.sqrt(qs)
+    dot = " + ".join(f"(_v[{i}] * {q[i]!r}D)" for i in range(dim))
+    vnorm = " + ".join(f"(_v[{i}] * _v[{i}])" for i in range(dim))
+    # try_divide: zero-norm corpus rows get NULL (sorted last by desc),
+    # instead of an ANSI DIVIDE_BY_ZERO failure killing the whole scan
+    cos = F.expr(f"round(try_divide(({dot}), sqrt({vnorm}) * {qn!r}D), 6)")
     return (
-        df.select(F.col(id_col).alias("id"), cos.alias("cos_sim"))
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .select("id", cos.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col("id"))
         .limit(k)
     )
@@ -98,6 +116,28 @@ def plane_component(seed: int, p: int, d: int) -> float:
     return raw / 2_147_483_648.0 - 1.0
 
 
+def lsh_bucket_sql(
+    vec_sql: str, dim: int, n_planes: int = 12, seed: int = 42
+) -> str:
+    """SQL expression string for the LSH bucket id over a double-array
+    referenced by ``vec_sql`` (e.g. an aliased ``_v`` column).
+
+    One string for the whole bucket: building n_planes×dim Column objects
+    through py4j costs seconds of driver time per call; the parsed string
+    produces the identical plan.  ``!r``-repr'd components with a ``D``
+    suffix round-trip the exact double, and the left-to-right sum matches
+    :func:`dot_expr_unrolled` bit-for-bit.
+    """
+    parts = []
+    for p in range(n_planes):
+        dot = " + ".join(
+            f"({vec_sql}[{d}] * {plane_component(seed, p, d)!r}D)"
+            for d in range(dim)
+        )
+        parts.append(f"(CASE WHEN ({dot}) >= 0D THEN {1 << p}L ELSE 0L END)")
+    return " + ".join(parts)
+
+
 def lsh_bucket(
     vec: Column, dim: int, n_planes: int = 12, seed: int = 42
 ) -> Column:
@@ -107,7 +147,8 @@ def lsh_bucket(
     *constant data*: its components are embedded as literals (an earlier
     formulation derived each component with per-row md5 expressions —
     n_planes×dim hashes per row); the per-row work is n_planes unrolled
-    codegen'd dot products.
+    codegen'd dot products.  Column-tree variant; prefer
+    :func:`lsh_bucket_sql` on hot paths (identical plan, ~no driver cost).
     """
     v = vec.cast("array<double>")
     bucket = None
@@ -115,12 +156,71 @@ def lsh_bucket(
         plane = F.array(
             *[F.lit(plane_component(seed, p, d)) for d in range(dim)]
         )
-        score = dot_expr(v, plane)
+        score = dot_expr_unrolled(v, plane, dim)  # codegen'd, same sum order
         bit = F.when(score >= 0, F.lit(1 << p).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         bucket = bit if bucket is None else bucket + bit
     return bucket
+
+
+def build_lsh_index(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 42,
+    cache: bool = True,
+) -> DataFrame:
+    """One-time LSH index: the corpus with its ``_bucket`` column.
+
+    Bucket computation is the expensive half of an LSH query (n_planes
+    dot products per row) — amortize it: build once, query many times.
+    At 100 TB, WRITE the result partitioned/bucketed by ``_bucket``
+    instead of caching, and every query becomes a partition-pruned scan.
+    """
+    out = (
+        df.withColumn("_v", F.col(vec_col).cast("array<double>"))
+        .withColumn("_bucket", F.expr(lsh_bucket_sql("_v", dim, n_planes, seed)))
+        .drop("_v")
+    )
+    return out.cache() if cache else out
+
+
+def query_probes(
+    query_vec: list[float],
+    n_planes: int = 12,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> list[int]:
+    """Bucket ids an LSH query must touch: its own bucket + (with
+    multiprobe) the 1-bit-flip neighbors.  Driver-side arithmetic."""
+    dim = len(query_vec)
+    qbucket = 0
+    for p in range(n_planes):
+        s = sum(query_vec[d] * plane_component(seed, p, d) for d in range(dim))
+        qbucket |= (1 if s >= 0 else 0) << p
+    return [qbucket] + (
+        [qbucket ^ (1 << p) for p in range(n_planes)] if multiprobe else []
+    )
+
+
+def lsh_query(
+    index: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Top-k against a prebuilt :func:`build_lsh_index` — scores only the
+    probed buckets (~(1+H)/2^H of the corpus)."""
+    probes = query_probes(query_vec, n_planes, seed, multiprobe)
+    return cosine_topk(
+        index.filter(F.col("_bucket").isin(probes)), id_col, vec_col, query_vec, k
+    )
 
 
 def ann_lsh_topk(
@@ -145,19 +245,10 @@ def ann_lsh_topk(
     this becomes a partition-pruned scan of ~(1+H)/2^H of the corpus.
     """
     dim = len(query_vec)
-    # query bucket computed driver-side with the same plane constants
-    qbits = []
-    for p in range(n_planes):
-        s = sum(query_vec[d] * plane_component(seed, p, d) for d in range(dim))
-        qbits.append(1 if s >= 0 else 0)
-    qbucket = sum(b << p for p, b in enumerate(qbits))
-    probes = [qbucket] + (
-        [qbucket ^ (1 << p) for p in range(n_planes)] if multiprobe else []
+    index = build_lsh_index(df, vec_col, dim, n_planes, seed, cache=False)
+    return lsh_query(
+        index, id_col, vec_col, query_vec, k, n_planes, seed, multiprobe
     )
-
-    bucketed = df.withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, n_planes, seed))
-    cand = bucketed.filter(F.col("_bucket").isin(probes))
-    return cosine_topk(cand, id_col, vec_col, query_vec, k)
 
 
 def label_centroids(

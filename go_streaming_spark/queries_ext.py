@@ -316,6 +316,38 @@ def window_count_dense_errors(spark, sf_dir):
     )
 
 
+_Q19_PRED = (
+    "((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15"
+    "  AND l_quantity >= 1 AND l_quantity <= 30)"
+    " OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30"
+    "  AND l_quantity >= 5 AND l_quantity <= 40)"
+    " OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50"
+    "  AND l_quantity >= 10 AND l_quantity <= 50))"
+)
+
+
+@query(
+    "disjunctive_filter_revenue",
+    # TPC-H Q19 shape: OR-of-ANDs across both join sides — Catalyst
+    # factors the common per-side conjuncts below the join
+    "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)"
+    "  AS revenue, count(*) AS n_items"
+    " FROM lineitem JOIN part ON l_partkey = p_partkey"
+    f" WHERE {_Q19_PRED}",
+)
+def disjunctive_filter_revenue(spark, sf_dir):
+    eng = Engine(spark, sf_dir=sf_dir)
+    li, part = eng.stream("lineitem"), eng.stream("part")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .filter(F.expr(_Q19_PRED))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast(DEC_OUT).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 @query(
     "funnel_counts",
     # strict-order funnel: first click after first signup, first purchase
