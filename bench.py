@@ -49,6 +49,8 @@ HEADLINE = [
     "text_quality",            # text analysis sweep
     "burst_follow_counts",     # bucketed range join (round 2)
     "tfidf_top_terms",         # tf-idf keyword extraction (round 2)
+    "big_order_customers",     # Q18 shape: HAVING + broadcast join-back (round 2)
+    "sole_return_suppliers",   # Q21 shape: exists-pair as one aggregation (round 2)
 ]
 
 

@@ -686,3 +686,154 @@ def asof_forward_next_purchase(spark, sf_dir):
         tolerance=_WEEK_US,
     )
     return out.select("event_id", "user_id", "next_purchase_us")
+
+
+@query(
+    "custdist_order_counts",
+    # TPC-H Q13 shape: order-count distribution over ALL customers —
+    # the left outer join's compound ON condition (key + residual filter)
+    # keeps zero-order customers with c_count = 0
+    "WITH oc AS (SELECT c_custkey,"
+    "  count(o_orderkey) AS c_count"
+    "  FROM customer LEFT JOIN orders"
+    "    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'"
+    "  GROUP BY c_custkey)"
+    " SELECT c_count, count(*) AS custdist FROM oc GROUP BY c_count",
+)
+def custdist_order_counts(spark, sf_dir):
+    # two-level aggregation: shuffle 1 on c_custkey (the join and the
+    # per-customer count share it), shuffle 2 on the tiny c_count domain
+    eng = Engine(spark, sf_dir=sf_dir)
+    cust, orders = eng.stream("customer"), eng.stream("orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust["c_custkey"] == orders["o_custkey"])
+            & (orders["o_orderpriority"] != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "above_avg_balance_by_nation",
+    # TPC-H Q11/Q22 shape: rows filtered against a GLOBAL scalar aggregate.
+    # The avg compare stays exact: bal > sum/cnt ⇔ bal*cnt > sum (cnt>0),
+    # both sides decimals — no double-avg boundary rows
+    "WITH s AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS sb,"
+    "  count(*) AS cnt FROM customer)"
+    " SELECT n_name, count(*) AS n_cust,"
+    " CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal"
+    " FROM customer CROSS JOIN s JOIN nation ON c_nationkey = n_nationkey"
+    " WHERE CAST(c_acctbal AS DECIMAL(18,4)) * cnt > sb"
+    " GROUP BY n_name",
+)
+def above_avg_balance_by_nation(spark, sf_dir):
+    # the scalar aggregate is a 1-row DataFrame broadcast-cross-joined in
+    # (BroadcastNestedLoopJoin degenerates to a literal at runtime); nation
+    # is a broadcast hash join — zero extra shuffles beyond the final group
+    eng = Engine(spark, sf_dir=sf_dir)
+    cust, nation = eng.stream("customer"), eng.stream("nation")
+    bal = F.col("c_acctbal").cast(DEC)
+    stats = cust.agg(
+        F.sum(bal).alias("sb"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        cust.crossJoin(F.broadcast(stats))
+        .filter(bal * F.col("cnt") > F.col("sb"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(bal).cast(DEC_OUT).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "big_order_customers",
+    # TPC-H Q18 shape: orders whose total quantity clears a HAVING
+    # threshold, joined back to their customer
+    "WITH big AS (SELECT l_orderkey,"
+    "  SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty"
+    "  FROM lineitem GROUP BY l_orderkey"
+    "  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 250)"
+    " SELECT c_name, o_orderkey, CAST(sum_qty AS DOUBLE) AS sum_qty"
+    " FROM big JOIN orders ON l_orderkey = o_orderkey"
+    " JOIN customer ON o_custkey = c_custkey",
+)
+def big_order_customers(spark, sf_dir):
+    # HAVING = post-aggregation filter (map-side partial agg first); the
+    # surviving orders are a tiny set, so BOTH enrichment joins broadcast —
+    # at 100 TB the orderkey agg is the only shuffle in the plan
+    eng = Engine(spark, sf_dir=sf_dir)
+    li, orders, cust = (
+        eng.stream("lineitem"),
+        eng.stream("orders"),
+        eng.stream("customer"),
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > 250)
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("sum_qty_dec").cast(DEC_OUT).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "sole_return_suppliers",
+    # TPC-H Q21 shape (EXISTS + NOT EXISTS): for each returned lineitem,
+    # some OTHER supplier served the order (EXISTS) but NO other supplier
+    # had a return on it (NOT EXISTS) — the classic "who alone caused the
+    # return" double-correlated query
+    "WITH po AS (SELECT l_orderkey AS ok,"
+    "   count(DISTINCT l_suppkey) AS n_supp,"
+    "   count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)"
+    "     AS n_r_supp"
+    "  FROM lineitem GROUP BY l_orderkey)"
+    " SELECT s_name, count(*) AS n_fault_items"
+    " FROM lineitem JOIN po ON l_orderkey = ok"
+    " JOIN supplier ON l_suppkey = s_suppkey"
+    " WHERE l_returnflag = 'R' AND n_supp > 1 AND n_r_supp = 1"
+    " GROUP BY s_name",
+)
+def sole_return_suppliers(spark, sf_dir):
+    # Spark-first rewrite: the reference SQL's EXISTS/NOT EXISTS pair is
+    # TWO correlated self-joins of the fact table; one groupBy(l_orderkey)
+    # computes both predicates as aggregates (n_supp, n_r_supp), turning
+    # 3 fact-fact joins into 1 shuffle + 1 equi-join + broadcast supplier
+    eng = Engine(spark, sf_dir=sf_dir)
+    li, supp = eng.stream("lineitem"), eng.stream("supplier")
+    # two-level agg instead of two countDistinct()s: multiple distinct
+    # aggregates plan an Expand (2x the shuffle volume); pre-aggregating
+    # per (orderkey, suppkey) ships each pair once
+    per_supp = li.groupBy(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    ).agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "has_r"
+        )
+    )
+    po = per_supp.groupBy("ok").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("has_r").alias("n_r_supp"),
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(po, F.col("l_orderkey") == F.col("ok"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_fault_items"))
+    )

@@ -189,3 +189,37 @@ def test_window_join_broadcast_right(spark):
         broadcast_right=True,
     )
     assert "BroadcastHashJoin" in _plan(j)
+
+def test_big_order_single_shuffle_broadcast_joins(spark):
+    # HAVING reduces orders to a tiny set → both enrichment joins must
+    # broadcast; the orderkey aggregation is the only exchange
+    import go_streaming_spark.queries_ext  # noqa: F401
+
+    df = QUERIES["big_order_customers"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "partial_sum" in plan
+
+
+def test_scalar_subquery_broadcasts(spark):
+    # the 1-row global aggregate joins via broadcast, never a shuffle
+    import go_streaming_spark.queries_ext  # noqa: F401
+
+    df = QUERIES["above_avg_balance_by_nation"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats cross join
+    assert "BroadcastHashJoin" in plan        # nation dimension
+    assert plan.count("Exchange hashpartitioning") == 1  # final groupBy only
+
+
+def test_sole_return_no_expand_no_self_join_explosion(spark):
+    # the EXISTS/NOT-EXISTS pair must NOT plan as correlated self-joins or
+    # a multi-distinct Expand: two-level agg + one equi-join + broadcast
+    import go_streaming_spark.queries_ext  # noqa: F401
+
+    df = QUERIES["sole_return_suppliers"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Expand" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # supplier
