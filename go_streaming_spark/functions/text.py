@@ -179,11 +179,16 @@ def decontaminate(
     n-gram.
     """
     words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    # short-doc guard: sequence(0, -1) descends ([0, -1]) and the slice at
+    # start 0 throws — docs with fewer than n words contribute no grams
     grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(-1))),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        )
+        F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     )
     banned = F.broadcast(
         banned_ngrams.select(F.lower(F.col(ngram_col)).alias("_banned_ngram")).distinct()
@@ -211,3 +216,61 @@ def char_shingle_fingerprint(
         )
     )
     return spread(df).select(F.col(id_col).alias("id"), fp.alias("fingerprint"))
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 16,
+    stride: int = 12,
+) -> DataFrame:
+    """Split each document's whitespace tokens into overlapping windows —
+    the fixed-context chunking step of a training-data pipeline
+    (stride < chunk_size ⇒ chunk_size - stride tokens of overlap).
+
+    One generated-column explode per doc (no shuffle, no UDF): chunk
+    starts are ``sequence(0, n_tokens-1, stride)``; each chunk is an
+    ``array_join(slice(...))``.  Emits (id, chunk_id, n_tokens, chunk).
+    The tail chunk keeps whatever tokens remain (standard sliding window).
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    toks = words_expr(F.col(text_col))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+    )
+    out = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("_toks"),
+        F.explode(starts).alias("_start"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_size)
+    return out.select(
+        "id",
+        (F.col("_start") / stride).cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk"),
+    )
+
+
+def repetition_ratio(text: Column, n: int = 2) -> Column:
+    """Fraction of within-document duplicate word n-grams (Gopher-style
+    repetition quality signal): 1 - distinct/total.  0.0 for documents
+    with fewer than n tokens.  Single array expression — map-only,
+    and exact: an integer ratio divided once, so engines agree bitwise."""
+    words = words_expr(text)
+    # guard BEFORE building the sequence: sequence(0, -1) descends to
+    # [0, -1] in Spark and slice(start=0) then throws — short docs must
+    # short-circuit to an empty gram list
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / total.cast("double")
+    )

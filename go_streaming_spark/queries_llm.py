@@ -482,3 +482,47 @@ def multimodal_transform_chain(spark, sf_dir):
 def multimodal_features(spark, sf_dir):
     media = multimodal.attach_media(_docs(spark, sf_dir), "text", "text_blob", "utf8")
     return multimodal.extract_features(media, "doc_id", "media")
+
+
+@query(
+    "chunk_documents",
+    # fixed-context training chunks: starts at 0, stride 12, window 16 —
+    # generate_series/sequence agree on the inclusive upper bound, and both
+    # engines' list slicing clips at the array end
+    r"""WITH t AS (SELECT doc_id,
+   list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id, CAST(gs // 12 AS BIGINT) AS chunk_id,
+ len(toks[gs+1 : gs+16])::BIGINT AS n_tokens,
+ array_to_string(toks[gs+1 : gs+16], ' ') AS chunk
+FROM t, unnest(generate_series(0, greatest(len(toks)-1, 0), 12)) AS u(gs)""",
+)
+def chunk_documents(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return text.chunk_tokens(
+        docs, "doc_id", "text", chunk_size=16, stride=12
+    ).withColumnRenamed("id", "doc_id")
+
+
+@query(
+    "doc_repetition_scores",
+    # Gopher-style duplicate-bigram fraction; the ratio is one integer
+    # division (distinct/total) so engines agree bitwise, rounded anyway
+    r"""WITH t AS (SELECT doc_id,
+   list_transform(range(1, greatest(len(toks)-1, 0) + 1),
+                  i -> toks[i] || ' ' || toks[i+1]) AS grams
+  FROM (SELECT doc_id,
+          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        FROM documents))
+SELECT doc_id,
+ CASE WHEN len(grams) > 0
+      THEN round(1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE), 6)
+      ELSE 0.0 END AS rep_ratio
+FROM t""",
+)
+def doc_repetition_scores(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.round(text.repetition_ratio(F.col("text"), 2), 6).alias("rep_ratio"),
+    )

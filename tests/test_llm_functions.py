@@ -240,3 +240,57 @@ def test_deterministic_sampling_and_split(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         hash_split(docs, "doc_id", {"a": 0.9, "b": 0.2})
+
+
+def test_chunk_tokens_overlap_and_tail(spark):
+    from go_streaming_spark.functions import text
+
+    df = spark.createDataFrame([(1, "t1 t2 t3 t4 t5")], ["doc_id", "text"])
+    rows = sorted(
+        text.chunk_tokens(df, "doc_id", "text", chunk_size=4, stride=2).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [(r.chunk_id, r.n_tokens, r.chunk) for r in rows] == [
+        (0, 4, "t1 t2 t3 t4"),   # full window
+        (1, 3, "t3 t4 t5"),      # overlap of 2 with previous
+        (2, 1, "t5"),            # clipped tail kept
+    ]
+    # empty text -> one empty chunk, not a crash
+    empty = text.chunk_tokens(
+        spark.createDataFrame([(2, "")], ["doc_id", "text"]),
+        "doc_id", "text", chunk_size=4, stride=2,
+    ).collect()
+    assert len(empty) == 1 and empty[0].n_tokens == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        text.chunk_tokens(df, "doc_id", "text", chunk_size=4, stride=0)
+
+
+def test_repetition_ratio_values_and_short_docs(spark):
+    from go_streaming_spark.functions import text
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "all words unique here"), (3, "solo"), (4, "")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.ratio
+        for r in df.select(
+            "doc_id", text.repetition_ratio(F.col("text"), 2).alias("ratio")
+        ).collect()
+    }
+    assert got[1] == 0.5        # 4 bigrams, 2 distinct
+    assert got[2] == 0.0        # no repetition
+    assert got[3] == 0.0        # shorter than n: defined as 0, no crash
+    assert got[4] == 0.0
+
+
+def test_decontaminate_short_docs_no_crash(spark):
+    from go_streaming_spark.functions import text
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "the quick brown fox jumps")], ["doc_id", "text"]
+    )
+    banned = spark.createDataFrame([("quick brown fox",)], ["ngram"])
+    kept = {r.doc_id for r in text.decontaminate(docs, "doc_id", "text", banned).collect()}
+    assert kept == {1}          # short doc survives, contaminated doc dropped
