@@ -837,3 +837,42 @@ def sole_return_suppliers(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("n_fault_items"))
     )
+
+
+@query(
+    "stream_dedup_exact",
+    # the streaming dedup's first-seen-per-digest equals global DISTINCT
+    # when the watermark horizon covers the whole replay, and the output
+    # carries only the content columns — fully order-insensitive, so the
+    # stateful streaming path gets a real value-hash oracle
+    "SELECT DISTINCT user_id, event_type, CAST(value AS DOUBLE) AS value"
+    " FROM events",
+)
+def stream_dedup_exact(spark, sf_dir):
+    # dropDuplicatesWithinWatermark keyed by content digest: state is
+    # bounded by the horizon (here: wider than the replay, so it IS global
+    # distinct; production uses minutes and accepts re-emits past the
+    # horizon). Append mode — dedup is a filter, rows emit immediately.
+    from go_streaming_spark.events import to_events
+    from go_streaming_spark.functions.dedup import exact_dedup_stream
+    from go_streaming_spark.sources.catalog import load_stream
+    from go_streaming_spark.streaming.runner import replay_to_memory
+
+    env = to_events(
+        load_stream(spark, sf_dir, "events"),
+        value=["user_id", "event_type", "value"], event_time="ts",
+        seq="event_id",
+    ).select(
+        "event_start",
+        F.col("value.user_id").alias("user_id"),
+        F.col("value.event_type").alias("event_type"),
+        F.col("value.value").cast("double").alias("value"),
+    )
+    deduped = exact_dedup_stream(
+        env,
+        ["user_id", "event_type", "value"],
+        time_col="event_start",
+        watermark="3650 days",
+    )
+    out = replay_to_memory(deduped, spark)
+    return out.select("user_id", "event_type", "value")
