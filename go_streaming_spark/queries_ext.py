@@ -876,3 +876,29 @@ def stream_dedup_exact(spark, sf_dir):
     )
     out = replay_to_memory(deduped, spark)
     return out.select("user_id", "event_type", "value")
+
+
+@query("stream_session_window_count", ORACLES["session_window_count"])
+def stream_session_window_count(spark, sf_dir):
+    # gap-based session windows ARE streaming-native (state merges
+    # overlapping sessions per key); complete-mode availableNow replay
+    # reproduces the batch gaps-and-islands result exactly
+    from go_streaming_spark.events import to_events
+    from go_streaming_spark.sources.catalog import load_stream
+    from go_streaming_spark.streaming.runner import replay_to_memory
+
+    env = to_events(
+        load_stream(spark, sf_dir, "events"), value=["user_id"],
+        event_time="ts", seq="event_id",
+    ).select("event_start", F.col("value.user_id").alias("user_id"))
+    agg = (
+        env.withWatermark("event_start", "0 seconds")
+        .groupBy(F.session_window("event_start", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("session_start_us"),
+            "n_events",
+        )
+    )
+    return replay_to_memory(agg, spark, output_mode="complete")
