@@ -893,16 +893,26 @@ def value_percentiles(spark, sf_dir):
     " GROUP BY ROLLUP(o_orderpriority, l_returnflag)",
 )
 def rollup_revenue(spark, sf_dir):
-    # hierarchical rollup (priority → returnflag → grand total); Spark plans
-    # a single Expand + one shuffle — no per-level rescans
+    # two-phase rollup: aggregate to the finest cells FIRST (priority ×
+    # returnflag ≈ 15 rows), then rollup the cell table.  A direct
+    # .rollup() Expands every fact row 3× before aggregating; here the
+    # Expand runs over the cells.  Decimal sums are exact and associative,
+    # so sum-of-sums equals the one-phase result bit-for-bit.
     eng = Engine(spark, sf_dir=sf_dir)
     li, orders = eng.stream("lineitem"), eng.stream("orders")
-    return (
+    cells = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .rollup("o_orderpriority", "l_returnflag")
+        .groupBy("o_orderpriority", "l_returnflag")
         .agg(
-            F.sum(F.col("l_extendedprice").cast(DEC)).cast(DEC_OUT).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).alias("rev_dec"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return (
+        cells.rollup("o_orderpriority", "l_returnflag")
+        .agg(
+            F.sum("rev_dec").cast(DEC_OUT).alias("revenue"),
+            F.sum("n").alias("n_items"),
         )
         .select(
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),

@@ -26,14 +26,20 @@ _B32 = 1 << 32
     " FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)",
 )
 def cube_revenue(spark, sf_dir):
-    # full cube over two dimensions: Spark plans ONE Expand + one shuffle
-    # (4 grouping sets in a single pass, no per-level rescans)
+    # two-phase cube: collapse to the finest cells first (returnflag ×
+    # linestatus ≈ 6 rows), then cube the cells — the 4-way Expand runs
+    # over the cell table, not over every fact row.  Decimal sums are
+    # exact/associative so sum-of-sums is bit-identical to one-phase.
     li = Engine(spark, sf_dir=sf_dir).stream("lineitem")
+    cells = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("qty_dec"),
+        F.count(F.lit(1)).alias("n"),
+    )
     return (
-        li.cube("l_returnflag", "l_linestatus")
+        cells.cube("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).cast(DEC_OUT).alias("sum_qty"),
-            F.count(F.lit(1)).alias("n_items"),
+            F.sum("qty_dec").cast(DEC_OUT).alias("sum_qty"),
+            F.sum("n").alias("n_items"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),

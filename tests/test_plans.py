@@ -101,15 +101,28 @@ def test_interval_join_is_equijoin_not_nested_loop(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_cube_single_expand_single_shuffle(spark):
+def test_cube_two_phase_expand_over_cells(spark):
     import go_streaming_spark.queries_ext  # noqa: F401
 
     df = QUERIES["cube_revenue"](spark, SF_DIR)
     plan = _plan(df)
-    # all 4 grouping sets in one Expand + one aggregation exchange
+    # two-phase: the fact rows collapse to cells in exchange 1; the 4-way
+    # Expand and the rollup exchange then run over the tiny cell table —
+    # never over the raw fact (Expand must sit above the first HashAggregate)
     assert plan.count("Expand") == 1
-    assert plan.count("Exchange") == 1
+    assert plan.count("Exchange") == 2
     assert "partial_sum" in plan
+    # the Expand's input must be the post-aggregation cell stream: in the
+    # top-down plan text the raw-fact (first-phase) HashAggregate prints
+    # BELOW the Expand
+    assert plan.rindex("HashAggregate") > plan.index("Expand")
+
+
+def test_rollup_two_phase_expand_over_cells(spark):
+    df = QUERIES["rollup_revenue"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
 
 
 def test_pivot_two_tiny_shuffles(spark):

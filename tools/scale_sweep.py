@@ -1,0 +1,93 @@
+"""Scale sweep: measure how headline queries scale from sf0.01 → sf0.1 →
+sf≈1 (a 10× key-offset replication of sf0.1 built in /tmp).
+
+The replicated fact tables (lineitem, orders, events, documents,
+embeddings) get per-copy key offsets so join/groupBy cardinalities scale
+realistically (10× orders, not 10 duplicates of each order); dimensions
+(region/nation/customer/supplier/part) stay fixed, as they would at a real
+larger scale factor.  Foreign keys into dimensions are preserved verbatim.
+
+Run: python tools/scale_sweep.py [--skip-build]
+Prints one JSON line per scale with per-query seconds — paste into
+SCALE.md.  Timing is end-to-end (plan + execute + collect-to-count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/scale_sf1"
+COPIES = 10
+
+# fact tables and the key columns that must stay distinct across copies
+FACTS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+QUERIES = [
+    "pricing_summary",        # wide scan + groupBy (Q1)
+    "star_join_agg",          # fact + broadcast dims
+    "window_sum_tumbling",    # event-time windows
+    "session_window_count",   # session state
+    "sole_return_suppliers",  # two-level agg + join-back
+    "dedup_minhash_lsh",      # shingle → minhash → band join
+    "ann_cosine_topk",        # embedding scan top-k
+    "text_quality",           # map-only text features
+]
+
+
+def build(spark) -> None:
+    for t, keys in FACTS.items():
+        src = spark.read.parquet(f"{SRC}/{t}.parquet")
+        offsets = {k: src.agg(F.max(k)).first()[0] + 1 for k in keys}
+        parts = []
+        for i in range(COPIES):
+            c = src
+            for k, off in offsets.items():
+                c = c.withColumn(k, (F.col(k) + F.lit(i * off)).cast(src.schema[k].dataType))
+            parts.append(c)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
+        print(f"built {t}: {COPIES}x", flush=True)
+    for t in DIMS:
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{DST}/{t}.parquet"
+        )
+
+
+def main() -> None:
+    from go_streaming_spark.session import get_session
+    import __spark_entry__ as entry_mod
+
+    spark = get_session("scale-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    if "--skip-build" not in sys.argv:
+        build(spark)
+
+    qs = entry_mod.queries()
+    for sf, sf_dir in [(0.01, "/root/testdata/sf0.01"), (0.1, SRC), (1.0, DST)]:
+        times, rows = {}, {}
+        for name in QUERIES:
+            t0 = time.time()
+            rows[name] = qs[name](spark, sf_dir).count()
+            times[name] = round(time.time() - t0, 3)
+        print(json.dumps({"sf": sf, "sec": times, "rows": rows}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
