@@ -7,9 +7,15 @@ realistically (10× orders, not 10 duplicates of each order); dimensions
 (region/nation/customer/supplier/part) stay fixed, as they would at a real
 larger scale factor.  Foreign keys into dimensions are preserved verbatim.
 
-Run: python tools/scale_sweep.py [--skip-build]
+Run: python tools/scale_sweep.py --build     # once: writes /tmp/scale_sf1
+     python tools/scale_sweep.py             # measure (fresh process!)
 Prints one JSON line per scale with per-query seconds — paste into
 SCALE.md.  Timing is end-to-end (plan + execute + collect-to-count).
+
+Measure in a PROCESS THAT DID NOT BUILD: the 10-way union/write leaves the
+JVM with enough GC/memory pressure to inflate subsequent query times 5-15×
+(measured: dedup_ngram_jaccard 229 s post-build vs 13.6 s clean).  The
+sf0.01 pass doubles as the JIT warm-up for the larger scales.
 """
 
 from __future__ import annotations
@@ -44,6 +50,8 @@ QUERIES = [
     "session_window_count",   # session state
     "sole_return_suppliers",  # two-level agg + join-back
     "dedup_minhash_lsh",      # shingle → minhash → band join
+    "dedup_ngram_jaccard",    # exact inverted-index pairs (quadratic terms)
+    "dedup_simhash",          # hamming-band near-dup
     "ann_cosine_topk",        # embedding scan top-k
     "text_quality",           # map-only text features
 ]
@@ -58,6 +66,23 @@ def build(spark) -> None:
             c = src
             for k, off in offsets.items():
                 c = c.withColumn(k, (F.col(k) + F.lit(i * off)).cast(src.schema[k].dataType))
+            if t == "documents" and i > 0:
+                # de-correlate text across copies (every word gets a
+                # copy-salt prefix, so no shingle survives between copies):
+                # a naive 10x replication makes EVERY doc 9 exact clones
+                # and near-dup pair counts explode ~1000x — that's a dup
+                #-rate change, not a scale change.  Within-copy near-dup
+                # structure is preserved exactly (uniform transformation).
+                c = c.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(
+                            F.split(F.col("text"), " "),
+                            lambda w: F.concat(F.lit(f"c{i}"), w),
+                        ),
+                        " ",
+                    ),
+                )
             parts.append(c)
         out = parts[0]
         for p in parts[1:]:
@@ -76,8 +101,9 @@ def main() -> None:
 
     spark = get_session("scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
-    if "--skip-build" not in sys.argv:
+    if "--build" in sys.argv:
         build(spark)
+        return
 
     qs = entry_mod.queries()
     for sf, sf_dir in [(0.01, "/root/testdata/sf0.01"), (0.1, SRC), (1.0, DST)]:
