@@ -357,9 +357,14 @@ def embedding_cosine_pairs_blocked(
 
     Scale math: shuffle volume is B·n rows (choose B ≈ √(n/rows-per-task)),
     against the expression join's n²/2 pair *evaluations*; the matmul runs
-    at BLAS speed.  Cosines differ from the sequential-fold version only in
-    float summation order (last-ulp); use the expression version when
-    bit-exact cross-engine parity matters, this one for throughput.
+    at BLAS speed.  Bit-exactness is preserved without paying for it in the
+    hot path: the BLAS scores (pairwise summation, differs from the
+    sequential fold only in the last ulp) are used solely to SELECT
+    candidate pairs within a safety band below the threshold; every
+    emitted pair's cosine is then recomputed with the sequential
+    left-fold (cost ∝ candidates ≈ output size, not n²), so outputs are
+    bit-identical to :func:`embedding_cosine_pairs` and the DuckDB
+    oracle's ``list_sum``.
     """
     v = df.select(
         F.col(id_col).cast("long").alias("id"),
@@ -386,9 +391,10 @@ def embedding_cosine_pairs_blocked(
         dim = M.shape[1]
 
         # Sequential-order accumulation (d = 0..dim-1), vectorized across
-        # pairs: bit-identical to the expression path's left-fold and the
-        # DuckDB oracle's list_sum — a BLAS matmul would differ in the last
-        # ulp (pairwise summation) and break exact oracle hashing.
+        # rows/pairs: bit-identical to the expression path's left-fold and
+        # the DuckDB oracle's list_sum.  Norms are O(n·dim) — cheap enough
+        # to always compute sequentially; the O(n²·dim) dot matrix runs at
+        # BLAS speed and is only used to pick candidates (band below).
         def seq_norms(X):
             s = np.zeros(X.shape[0])
             for d in range(dim):
@@ -397,29 +403,38 @@ def embedding_cosine_pairs_blocked(
             n[n == 0] = 1.0
             return n
 
-        def seq_dots(A, B):
-            S = np.zeros((A.shape[0], B.shape[0]))
+        def seq_dots_rowwise(A, B):
+            # A, B row-aligned (k, dim) candidate pairs → k exact dots
+            s = np.zeros(A.shape[0])
             for d in range(dim):
-                S += A[:, d, None] * B[None, :, d]
-            return S
+                s += A[:, d] * B[:, d]
+            return s
 
+        # Candidate band: BLAS vs sequential fold differ by ≲1e-13 relative;
+        # the output rounds to 6 decimals before the >= thr test, so any
+        # pair that could round up to thr sits above thr - 5e-7.  2e-6
+        # dominates both effects with orders of magnitude to spare.
+        band = thr - 2e-6
         if pi == pj:
             n = seq_norms(M)
-            S = seq_dots(M, M) / (n[:, None] * n[None, :])
+            S = (M @ M.T) / (n[:, None] * n[None, :])
             iu, ju = np.triu_indices(len(ids), k=1)
-            ia, ib, cs = ids[iu], ids[ju], S[iu, ju]
+            cand = S[iu, ju] >= band
+            iu, ju = iu[cand], ju[cand]  # gather AFTER masking: O(candidates)
+            ia, ib = ids[iu], ids[ju]
+            cs_exact = seq_dots_rowwise(M[iu], M[ju]) / (n[iu] * n[ju])
         else:
             li, rj = blocks == pi, blocks == pj
             A, B = M[li], M[rj]
             na, nb = seq_norms(A), seq_norms(B)
-            S = seq_dots(A, B) / (na[:, None] * nb[None, :])
-            ia = np.repeat(ids[li], B.shape[0])
-            ib = np.tile(ids[rj], A.shape[0])
-            cs = S.ravel()
+            S = (A @ B.T) / (na[:, None] * nb[None, :])
+            ka, kb = np.nonzero(S >= band)
+            ia, ib = ids[li][ka], ids[rj][kb]
+            cs_exact = seq_dots_rowwise(A[ka], B[kb]) / (na[ka] * nb[kb])
         lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
-        cs = np.round(cs, 6)
-        m = (cs >= thr) & (lo != hi)
-        return pd.DataFrame({"id_a": lo[m], "id_b": hi[m], "cos_sim": cs[m]})
+        cs_exact = np.round(cs_exact, 6)
+        m = (cs_exact >= thr) & (lo != hi)
+        return pd.DataFrame({"id_a": lo[m], "id_b": hi[m], "cos_sim": cs_exact[m]})
 
     return rep.groupBy(F.col("pk.pi"), F.col("pk.pj")).applyInPandas(
         score, "id_a long, id_b long, cos_sim double"
