@@ -1,13 +1,15 @@
 """Batch + streaming readers for the driver-provided parquet tables.
 
 The driver generates TPC-H-ish tables plus ``events``, ``documents`` and
-``embeddings`` (see TESTDATA.md).  Timestamps in those files are parquet
-TIMESTAMP(NANOS), which Spark's reader rejects; with
-``spark.sql.legacy.parquet.nanosAsLong=true`` they surface as int64 nanos and
-are converted here with integer arithmetic (``ts div 1000`` — floor division
-keeps exact microseconds; a double division would lose precision at 1.7e18).
-DuckDB truncates nanos→micros on read the same way, so oracle comparisons line
-up exactly.
+``embeddings`` (see TESTDATA.md).  Timestamp columns have shipped in two
+encodings across driver versions, both normalized here to Spark TIMESTAMP:
+
+* parquet TIMESTAMP(NANOS) — read as int64 nanos under
+  ``spark.sql.legacy.parquet.nanosAsLong=true`` and converted with integer
+  arithmetic (``ts div 1000`` — floor division keeps exact microseconds;
+  DuckDB truncates nanos→micros on read the same way).
+* parquet timestamp[us] without timezone — read as TIMESTAMP_NTZ and cast to
+  TIMESTAMP, value-exact under the session's UTC zone.
 """
 
 from __future__ import annotations
@@ -48,8 +50,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _fix_timestamps(df: DataFrame, name: str) -> DataFrame:
     for col in _NANOS_TS_COLS.get(name, []):
-        if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
+        if col not in df.columns:
+            continue
+        dtype = df.schema[col].dataType
+        if isinstance(dtype, T.LongType):
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        elif isinstance(dtype, T.TimestampNTZType):
+            # Newer driver data stores timestamp[us] without timezone, which
+            # Spark reads as TIMESTAMP_NTZ.  unix_micros()/withWatermark need
+            # TIMESTAMP; with spark.sql.session.timeZone=UTC (session.py) the
+            # cast is value-exact and matches DuckDB's native micros read.
+            df = df.withColumn(col, F.col(col).cast(T.TimestampType()))
     return df
 
 
