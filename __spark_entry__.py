@@ -31,42 +31,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate runs the FIRST 50 queries in registration
-# order (CORRECTNESS_r01/r02 are both exactly 50 rows).  Rounds 1-2 gated the
-# core-operator set; the 48 queries below (ANN / text / multimodal / sampling
-# / streaming replays / TPC-H shapes) never earned a driver row, so they lead
-# this round, plus two canaries from the already-green core.  Every family
-# ends up with a hard gate row across the r1-r3 union.
+# order.  Round-4 rotation: (a) the 14 queries red in r3 — all fixed this
+# round (TIMESTAMP_NTZ ingestion + gate canonicalization) — lead so the fixes
+# earn hard rows; (b) dedup_simhash, green only in r1, is the stalest row in
+# the repo; (c) every timestamp-dependent r2-green — their green rows predate
+# the driver's switch to TIMESTAMP_NTZ parquet, so they are unverified on the
+# current data; (d) a family-diverse sample of the remaining r2 greens.  The
+# 14 deferred r2 greens are all trivial stateless ops (filters/maps/limits),
+# scheduled for the r5 rotation.
 GATE_PRIORITY = [
-    # embeddings / ANN
-    "dedup_embedding_cosine", "dedup_embedding_cosine_blocked",
-    "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
-    "timeseries_znorm_search", "knn_label_vote",
-    # text / LLM pipeline
-    "text_lang_id", "text_quality", "text_token_counts", "text_fingerprint",
-    "chunk_documents", "doc_repetition_scores", "tfidf_top_terms",
-    "redact_pii", "decontaminate_counts", "pipeline_clean_corpus",
-    "hash_split_counts", "stratified_sample_counts", "pandas_udf_normalize",
-    # multimodal Arrow plumbing
-    "multimodal_binary_meta", "multimodal_frame_plan",
-    "multimodal_transform_chain", "multimodal_features",
-    # relational / TPC-H shapes
-    "cube_revenue", "grouping_sets_revenue", "pivot_status_counts",
-    "small_qty_revenue", "burst_follow_counts", "disjunctive_filter_revenue",
-    "funnel_counts", "moving_range_sum", "rank_distributions",
-    "asof_forward_next_purchase", "custdist_order_counts",
-    "above_avg_balance_by_nation", "big_order_customers",
-    "sole_return_suppliers",
-    # approximate aggregates (bound-checked against exact twins)
+    # (a) red in r3, fixed this round
+    "multimodal_transform_chain", "multimodal_features", "pivot_status_counts",
+    "burst_follow_counts", "asof_forward_next_purchase",
     "approx_distinct_users", "approx_value_percentiles",
-    # reference-parity divergence (empty-window emission)
     "window_count_dense_errors",
-    # streaming replays (availableNow) of the core semantics
     "stream_window_sum_tumbling", "stream_window_sum_per_user",
-    "stream_window_join_inner", "stream_static_enrich",
-    "stream_counting_window_sum", "stream_dedup_exact",
-    "stream_session_window_count",
-    # canaries from the r1/r2-green core
-    "filter_greater", "window_sum_tumbling",
+    "stream_window_join_inner", "stream_counting_window_sum",
+    "stream_dedup_exact", "stream_session_window_count",
+    # (b) stalest green (r1 only)
+    "dedup_simhash",
+    # (c) timestamp-dependent r2 greens, unverified on NTZ data until now
+    "window_sum_tumbling", "window_sum_per_user", "window_count_sliding",
+    "window_join_inner", "window_join_left", "window_join_sliding",
+    "window_lineage", "window_sampling",
+    "counting_window_tumbling", "counting_window_sliding",
+    "counting_window_skip", "counting_window_per_type",
+    "fan_in_sum", "fan_in_per_source",
+    "session_window_count", "asof_join_signup", "event_gaps",
+    "running_totals", "revenue_by_dow",
+    "set_except_user_days", "set_intersect_users",
+    # (d) family-diverse canaries from the r2/r3-green core
+    "pricing_summary", "regional_revenue", "star_join_agg", "rollup_revenue",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_clusters", "distinct_users_per_type", "value_percentiles",
+    "stat_aggregates", "topk_orders", "rank_topn_per_segment",
+    "tokenize_wordcount",
 ]
 
 
