@@ -830,8 +830,12 @@ def above_avg_balance_by_nation(spark, sf_dir):
 )
 def big_order_customers(spark, sf_dir):
     # HAVING = post-aggregation filter (map-side partial agg first); the
-    # surviving orders are a tiny set, so BOTH enrichment joins broadcast —
-    # at 100 TB the orderkey agg is the only shuffle in the plan
+    # surviving orders are a TINY set, so it must be the broadcast BUILD
+    # side of both enrichment joins — without the explicit hints Spark
+    # builds on orders/customer instead (fine at sf0.1, fatal at 100 TB
+    # where the dimension tables dwarf the driver).  With the hints the
+    # orderkey agg is the only shuffle in the plan and orders/customer
+    # stream through map-side hash probes.
     eng = Engine(spark, sf_dir=sf_dir)
     li, orders, cust = (
         eng.stream("lineitem"),
@@ -843,8 +847,11 @@ def big_order_customers(spark, sf_dir):
         .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty_dec"))
         .filter(F.col("sum_qty_dec") > 250)
     )
+    enriched = F.broadcast(big).join(
+        orders, big["l_orderkey"] == orders["o_orderkey"]
+    ).select("o_orderkey", "o_custkey", "sum_qty_dec")
     return (
-        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        F.broadcast(enriched)
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
