@@ -12,9 +12,16 @@ namespaces the way ``WithRepository`` does in the reference tests
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+
+# One lock per JVM-side session namespace: Engine.sql() registers temp views
+# then analyzes, and two engines sharing a SparkSession must not interleave
+# those two steps (the registry itself is per-engine; only the SQL view
+# namespace is session-global).
+_SQL_LOCK = threading.Lock()
 
 from go_streaming_spark.session import configure_session
 from go_streaming_spark.sources.catalog import TABLES, load_stream, load_table
@@ -98,21 +105,32 @@ class Engine:
         free).  Registers every known topic as a temp view first, so the
         same names work in SQL and in the builder.
 
-        Scope note: Spark temp views are *session*-global, so two Engine
-        instances sharing one SparkSession share the SQL view namespace —
-        each ``sql()`` call re-registers this engine's topics and the last
-        registration wins.  The registry itself (``stream``/``builder``)
-        stays per-engine-isolated; give each engine its own
-        ``spark.newSession()`` if SQL-level isolation matters."""
-        for topic in list(self._streams):
-            self._streams[topic].createOrReplaceTempView(topic)
-        if self.sf_dir:
-            from go_streaming_spark.sources.catalog import TABLES
+        Isolation semantics (Spark temp views are *session*-global, so two
+        Engine instances sharing one SparkSession share the SQL view
+        namespace):
 
-            for name in TABLES:
-                if name not in self._streams:
-                    self.stream(name).createOrReplaceTempView(name)
-        return self.spark.sql(query)
+        * each call re-registers THIS engine's topics immediately before
+          parsing, and ``spark.sql`` analyzes eagerly, so the returned
+          DataFrame's view bindings are pinned at call time — a later
+          ``sql()`` on another engine cannot rebind them;
+        * the register+analyze critical section is serialized under a
+          process-wide lock, so concurrent ``sql()`` calls from engines
+          with conflicting topic schemas can't interleave.
+
+        The registry itself (``stream``/``builder``) is per-engine-isolated
+        either way."""
+        with _SQL_LOCK:
+            for topic in list(self._streams):
+                self._streams[topic].createOrReplaceTempView(topic)
+            if self.sf_dir:
+                from go_streaming_spark.sources.catalog import TABLES
+
+                for name in TABLES:
+                    if name not in self._streams:
+                        self.stream(name).createOrReplaceTempView(name)
+            df = self.spark.sql(query)
+            df.schema  # force analysis inside the lock — pins view bindings
+            return df
 
     # -- query repository (≈ pkg/processing/query_repository.go:35-103) -----
 

@@ -107,6 +107,48 @@ def test_engine_sql_entry_point(spark):
     assert eng.sql("SELECT sum(x) AS s FROM tiny").head()["s"] == 1
 
 
+def test_engine_sql_isolation_under_clobber(spark):
+    """Two engines sharing one SparkSession register CONFLICTING views for
+    the same topic name; each sql() must see its own data, and a DataFrame
+    returned earlier must keep its pinned bindings after the other engine
+    re-registers (eager analysis in Engine.sql)."""
+    e1, e2 = Engine(spark), Engine(spark)
+    e1.register_stream("clash", spark.createDataFrame([(1,), (2,)], "v long"))
+    e2.register_stream("clash", spark.createDataFrame([("a",)], "v string"))
+
+    df1 = e1.sql("SELECT sum(v) AS s FROM clash")
+    # e2 clobbers the session-global view AFTER df1 is analyzed...
+    df2 = e2.sql("SELECT count(v) AS c FROM clash")
+    # ...but df1's bindings were pinned at call time
+    assert df1.head()["s"] == 3
+    assert df2.head()["c"] == 1
+    # interleave again the other way
+    assert e1.sql("SELECT count(*) AS c FROM clash").head()["c"] == 2
+
+
+def test_engine_sql_concurrent_engines(spark):
+    """Concurrent sql() from engines with conflicting schemas: the
+    register+analyze critical section is locked, so no call can analyze
+    against the other engine's registration."""
+    import concurrent.futures
+
+    e1, e2 = Engine(spark), Engine(spark)
+    e1.register_stream("hot", spark.createDataFrame([(i,) for i in range(10)], "v long"))
+    e2.register_stream("hot", spark.createDataFrame([("x",)] * 3, "v string"))
+
+    def run(eng, sql, expect):
+        for _ in range(10):
+            assert eng.sql(sql).head()["n"] == expect
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [
+            ex.submit(run, e1, "SELECT count(*) AS n FROM hot WHERE v >= 0", 10),
+            ex.submit(run, e2, "SELECT count(*) AS n FROM hot WHERE v = 'x'", 3),
+        ]
+        for f in futs:
+            f.result()
+
+
 def test_engine_config_round_trip(spark):
     """Registry serialization parity (StreamID/StreamConfig JSON round-trip,
     pkg/pubsub/config.go:165-188): topic -> schema DDL survives a round
