@@ -35,28 +35,29 @@ def main() -> None:
     spark = get_session("example-pubsub-basics", cores=4)
     engine = Engine(spark)
 
-    # --- 1. basics: subscribe a callback, publish one event ---------------
+    # --- 1. basics: per-event Subscribe callback, publish events ----------
+    # ≈ query.Subscribe(func(e events.Event[int]) { ... }) — the reference's
+    # primary sink (`continuous_query.go:103-116`, `examples/pubsub/main.go`)
     path = "/tmp/example_pubsub_topic"
-    staged = spark.createDataFrame([(1, 1_000_000, 42)], "seq long, t_us long, value long")
-    write_sink(staged, path, fmt="json")           # ≈ pub.Publish(NewEvent(42))
+    staged = spark.createDataFrame(
+        [(i, 1_000_000 + i * 1000, 42 + i) for i in range(5)],
+        "seq long, t_us long, value long",
+    )
+    write_sink(staged, path, fmt="json")           # ≈ pub.Publish(NewEvent(v))
 
     received: list[int] = []
 
-    def on_event(batch_df, batch_id: int) -> None:
-        for row in batch_df.select("value").collect():
-            received.append(row.value)
-            print(f"Received: {row.value}")
+    def on_event(row) -> None:                     # one call per event
+        received.append(row.value)
+        print(f"Received: {row.value}")
 
     stream = read_source_stream(spark, path, fmt="json", schema=staged.schema)
     env = to_events(stream, value="value", event_time=F.timestamp_micros("t_us"), seq="seq")
-    q = (
-        env.writeStream.foreachBatch(on_event)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", "/tmp/example_pubsub_ckpt")
-        .start()
-    )
-    q.awaitTermination()
-    assert received == [42], received
+    cq = engine.builder().from_df(env).build()
+    cq.subscribe(on_event, ordered_by=["seq"])
+    cq.await_done()
+    # per-event delivery, in stream (seq) order within each micro-batch
+    assert received == [42, 43, 44, 45, 46], received
 
     # --- 2. counting-window batch subscription: 150 ints, batches of 5 ----
     n_events, batch_size = 150, 5

@@ -47,6 +47,7 @@ class QueryBuilder:
 
     def from_df(self, df: DataFrame) -> "QueryBuilder":
         self._frontier.append(df)
+        self._streaming = self._streaming or df.isStreaming
         return self
 
     # ConnectTo (`query_builder.go:158-194`): applies to the whole frontier.
@@ -100,6 +101,34 @@ class ContinuousQuery:
             .start()
         )
         return self._sq
+
+    def subscribe(self, callback, ordered_by=None, output_mode: str = "append"):
+        """Per-event subscriber: one ``callback(row)`` call per event — the
+        reference's primary sink (``Subscribe(func(Event[T]))``,
+        `continuous_query.go:103-116`; every example uses it).
+
+        Delivery is driver-side, matching the reference's model: its
+        subscriber is a single consumer goroutine fed from the stream's
+        notifier (`pkg/pubsub/stream.go:309-339`) — a convergence point, not
+        a distributed path.  Rows stream through ``toLocalIterator`` so a
+        large micro-batch never materializes on the driver at once; use
+        ``subscribe_batch`` for distributed/bulk sinks.
+
+        ``ordered_by``: optional column list to sort each micro-batch before
+        dispatch (the reference delivers in stream order; Spark partitions
+        are unordered without an explicit sort).  Works on batch queries too
+        (one "micro-batch" = the whole result)."""
+        cols = list(ordered_by) if ordered_by else None
+
+        def dispatch(batch_df, batch_id=None):
+            it = batch_df.orderBy(*cols) if cols else batch_df
+            for row in it.toLocalIterator():
+                callback(row)
+
+        if not self.streaming:
+            dispatch(self.df)
+            return None
+        return self.subscribe_batch(dispatch, output_mode=output_mode)
 
     def run_memory(self, query_name: str, output_mode: str = "append"):
         """Run to a memory sink (test harness; ≈ Run, `continuous_query.go:118-139`)."""

@@ -63,6 +63,52 @@ def test_fan_out_fan_in_a_plus_a(spark, engine):
     assert got == [2 * i for i in range(1, 11)]
 
 
+def test_per_event_subscribe_batch_query(spark, engine):
+    """≈ Subscribe(func(Event[T])) on a batch query: one callback per event,
+    in the requested order (`continuous_query.go:103-116`)."""
+    q = (
+        engine.builder()
+        .from_source("ints")
+        .connect(ops.map_expr(F.col("value") * 10))
+        .build()
+    )
+    seen: list[int] = []
+    ret = q.subscribe(lambda row: seen.append(row.value), ordered_by=["seq"])
+    assert ret is None  # batch: delivery completes synchronously
+    assert seen == [i * 10 for i in range(1, 11)]
+
+
+def test_per_event_subscribe_streaming(spark, tmp_path):
+    """Streaming per-event delivery across multiple micro-batches: each
+    batch's events arrive one callback at a time, ordered within the batch
+    (maxFilesPerTrigger=1 forces ≥2 micro-batches)."""
+    import json as _json
+
+    eng = Engine(spark)
+    src = tmp_path / "topic"
+    src.mkdir()
+    for fidx, base in enumerate((0, 100)):
+        with open(src / f"part-{fidx}.json", "w") as f:
+            for i in range(3):
+                f.write(_json.dumps({"seq": base + i, "value": base + i}) + "\n")
+
+    stream = (
+        spark.readStream.schema("seq long, value long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    cq = eng.builder().from_df(stream).build()
+    assert cq.streaming  # from_df picks up df.isStreaming
+
+    events: list[int] = []
+    cq.subscribe(lambda row: events.append(row.seq), ordered_by=["seq"])
+    cq.await_done()
+    # all events delivered exactly once; order holds within each micro-batch
+    assert sorted(events) == [0, 1, 2, 100, 101, 102]
+    batches = [events[i : i + 3] for i in range(0, len(events), 3)]
+    assert all(b == sorted(b) for b in batches), events
+
+
 def test_build_without_source_raises(engine):
     with pytest.raises(OutputUndefinedError):
         engine.builder().build()
