@@ -31,6 +31,46 @@ def _sorted_rows(df):
     return sorted(map(str, df.select("event_id", "user_id", "event_type", "value").collect()))
 
 
+def test_timestamp_encodings_normalize_identically(spark, tmp_path_factory):
+    """The driver's parquet has shipped `ts` in two encodings across rounds:
+    TIMESTAMP(NANOS) (read as int64 under nanosAsLong) and timestamp[us]
+    without timezone (read as TIMESTAMP_NTZ).  _fix_timestamps must map BOTH
+    to identical TIMESTAMP values — a third encoding change should fail here
+    before it fails 50 gate rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    base = tmp_path_factory.mktemp("ts_encodings")
+    micros = [1_700_000_000_000_000 + i * 1_234_567 for i in range(10)]
+
+    nanos_dir, ntz_dir = base / "nanos", base / "ntz"
+    for d in (nanos_dir, ntz_dir):
+        d.mkdir()
+    pq.write_table(
+        pa.table({"ts": pa.array([m * 1000 for m in micros], pa.timestamp("ns"))}),
+        str(nanos_dir / "events.parquet"),
+        use_deprecated_int96_timestamps=False,
+        coerce_timestamps=None,
+    )
+    pq.write_table(
+        pa.table({"ts": pa.array(micros, pa.timestamp("us"))}),
+        str(ntz_dir / "events.parquet"),
+    )
+
+    got = {}
+    for label, d in (("nanos", nanos_dir), ("ntz", ntz_dir)):
+        df = load_table(spark, str(d), "events")
+        assert isinstance(df.schema["ts"].dataType, T.TimestampType), (
+            label,
+            df.schema["ts"].dataType,
+        )
+        got[label] = sorted(
+            r.us for r in df.select(F.unix_micros("ts").alias("us")).collect()
+        )
+    assert got["nanos"] == got["ntz"] == sorted(micros)
+
+
 @pytest.mark.parametrize("fmt", ["json", "csv", "orc"])
 def test_format_round_trip(spark, events_sample, tmp_path_factory, fmt):
     path = str(tmp_path_factory.mktemp("fmt") / f"events_{fmt}")
