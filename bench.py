@@ -51,6 +51,8 @@ HEADLINE = [
     "tfidf_top_terms",         # tf-idf keyword extraction (round 2)
     "big_order_customers",     # Q18 shape: HAVING + broadcast join-back (round 2)
     "sole_return_suppliers",   # Q21 shape: exists-pair as one aggregation (round 2)
+    "pack_sequences",          # token-budget sequence packing (round 4)
+    "dedup_incremental_exact", # delta-vs-corpus digest anti-join (round 4)
 ]
 
 

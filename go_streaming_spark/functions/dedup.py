@@ -96,6 +96,33 @@ def exact_dedup(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFram
     )
 
 
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    content_cols: list[str],
+) -> DataFrame:
+    """Incremental exact dedup: from a NEW batch, keep only documents whose
+    content digest is (a) unseen in the existing CORPUS and (b) unique
+    within the batch (lowest id wins) — the recurring-crawl ingestion step:
+    dedup the delta against the accumulated corpus without re-deduping the
+    corpus.
+
+    Scale: both sides project to 16-byte digests before the LEFT ANTI join,
+    so the shuffle moves digests, not documents — at 100 TB the corpus side
+    is a digest index, not the corpus.  The anti-join and the in-batch
+    groupBy share the digest key, so AQE plans one exchange per side.
+    """
+    digest = F.md5(F.concat_ws("", *content_cols))
+    batch = (
+        new_df.withColumn("content_hash", digest)
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+    seen = corpus_df.select(digest.alias("content_hash")).distinct()
+    return batch.join(seen, "content_hash", "left_anti")
+
+
 def exact_dedup_stream(
     df: DataFrame,
     content_cols: list[str],

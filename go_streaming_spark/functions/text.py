@@ -254,6 +254,53 @@ def chunk_tokens(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int = 512,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences (the
+    "pack docs into context windows" step of a training-data pipeline).
+
+    Policy: token-OFFSET packing — within a bucket, documents are laid out
+    contiguously in id order and each doc joins the sequence containing its
+    first token's offset (``seq_id = start_offset div budget``).  This is a
+    pure window cumsum: deterministic, engine-agnostic, and oracle-able —
+    unlike greedy bin-packing, whose sequential accept/reject state neither
+    distributes nor reproduces across engines.
+
+    Scale: the cumsum window is PARTITIONED by a hash bucket of the id, so
+    packing runs as ``n_buckets`` independent sorted partitions — one
+    shuffle, no global sort.  At 100 TB raise ``n_buckets`` until each
+    bucket's docs fit a task; sequences never cross buckets, which is the
+    point (any worker can materialize its sequences without coordination).
+
+    Emits (id, bucket, n_tokens, start_off, seq_id).
+    """
+    if budget <= 0 or n_buckets <= 0:
+        raise ValueError("budget and n_buckets must be positive")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = F.size(words_expr(F.col(text_col))).cast("long")
+    return (
+        spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.pmod(F.col(id_col), F.lit(n_buckets)).cast("long").alias("bucket"),
+            toks.alias("n_tokens"),
+        )
+        .withColumn("start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .withColumn("seq_id", F.expr(f"start_off div {budget}"))
+    )
+
+
 def repetition_ratio(text: Column, n: int = 2) -> Column:
     """Fraction of within-document duplicate word n-grams (Gopher-style
     repetition quality signal): 1 - distinct/total.  0.0 for documents

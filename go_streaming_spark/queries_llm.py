@@ -76,6 +76,48 @@ def dedup_exact(spark, sf_dir):
 
 
 @query(
+    "dedup_incremental_exact",
+    # recurring-crawl ingestion: docs with doc_id%10==0 play the accumulated
+    # corpus; the rest are the new batch.  Survivors = batch digests unseen
+    # in the corpus, lowest id per in-batch duplicate group
+    "WITH corpus AS (SELECT md5(text) AS content_hash FROM documents"
+    "  WHERE doc_id % 10 = 0),"
+    " batch AS (SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,"
+    "   count(*) AS n_copies FROM documents WHERE doc_id % 10 <> 0 GROUP BY 1)"
+    " SELECT b.content_hash, b.keep_id, b.n_copies FROM batch b"
+    " WHERE NOT EXISTS (SELECT 1 FROM corpus c"
+    "  WHERE c.content_hash = b.content_hash)",
+)
+def dedup_incremental_exact(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 == 0)
+    new_batch = docs.filter(F.col("doc_id") % 10 != 0)
+    return dedup.incremental_exact_dedup(new_batch, corpus, "doc_id", ["text"])
+
+
+@query(
+    "pack_sequences",
+    # token-offset packing into 512-token training sequences, bucketed so
+    # the cumsum window never needs a global sort (functions/text.py)
+    r"""WITH t AS (SELECT doc_id AS id, doc_id % 64 AS bucket,
+   CAST(len(list_filter(regexp_split_to_array(text,'\s+'), x -> x <> ''))
+        AS BIGINT) AS n_tokens
+  FROM documents),
+o AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+      FROM t)
+SELECT id, CAST(bucket AS BIGINT) AS bucket, n_tokens,
+ CAST(start_off AS BIGINT) AS start_off,
+ CAST(start_off // 512 AS BIGINT) AS seq_id
+FROM o""",
+)
+def pack_sequences(spark, sf_dir):
+    return text.pack_sequences(
+        _docs(spark, sf_dir), "doc_id", "text", budget=512, n_buckets=64
+    )
+
+
+@query(
     "dedup_ngram_jaccard",
     f"WITH {_SH} SELECT id_a, id_b, n_common, jaccard FROM jac WHERE jaccard >= 0.2",
 )

@@ -294,3 +294,57 @@ def test_decontaminate_short_docs_no_crash(spark):
     banned = spark.createDataFrame([("quick brown fox",)], ["ngram"])
     kept = {r.doc_id for r in text.decontaminate(docs, "doc_id", "text", banned).collect()}
     assert kept == {1}          # short doc survives, contaminated doc dropped
+
+
+def test_pack_sequences_semantics(spark):
+    """Token-offset packing: within a bucket, start_off is the exclusive
+    cumsum of token counts in id order, and seq_id = start_off div budget
+    — docs land in the sequence containing their first token."""
+    from go_streaming_spark.functions import text as text_fns
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate([5, 3, 4, 6, 2, 7])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.id: r
+        for r in text_fns.pack_sequences(
+            df, "doc_id", "text", budget=8, n_buckets=1
+        ).collect()
+    }
+    # one bucket -> ids in order; offsets 0,5,8,12,18,20
+    expect_off = {0: 0, 1: 5, 2: 8, 3: 12, 4: 18, 5: 20}
+    expect_seq = {i: off // 8 for i, off in expect_off.items()}
+    assert {i: r.start_off for i, r in out.items()} == expect_off
+    assert {i: r.seq_id for i, r in out.items()} == expect_seq
+    assert all(r.bucket == 0 for r in out.values())
+
+    # bucketed: cumsum restarts per bucket, sequences never cross buckets
+    out2 = text_fns.pack_sequences(df, "doc_id", "text", budget=8, n_buckets=2)
+    for r in out2.collect():
+        assert r.bucket == r.id % 2
+    firsts = {r.id: r.start_off for r in out2.collect() if r.id < 2}
+    assert firsts == {0: 0, 1: 0}
+
+
+def test_incremental_exact_dedup(spark):
+    """New-batch docs drop when their digest exists in the corpus OR when a
+    lower-id in-batch duplicate wins; unseen uniques survive."""
+    corpus = spark.createDataFrame(
+        [(100, "seen before"), (101, "also seen")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "seen before"),   # dropped: in corpus
+            (2, "brand new"),     # survives
+            (3, "brand new"),     # dropped: in-batch dupe of 2
+            (4, "also seen"),     # dropped: in corpus
+            (5, "unique too"),    # survives
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.keep_id: r.n_copies
+        for r in dedup.incremental_exact_dedup(
+            batch, corpus, "doc_id", ["text"]
+        ).collect()
+    }
+    assert got == {2: 2, 5: 1}
