@@ -60,12 +60,15 @@ GATE_PRIORITY = [
     "session_window_count", "asof_join_signup", "event_gaps",
     "running_totals", "revenue_by_dow",
     "set_except_user_days", "set_intersect_users",
-    # (d) family-diverse canaries from the r2/r3-green core
+    # (d) the round-4 additions — never gated, so they outrank stale greens
+    "pack_sequences", "dedup_incremental_exact",
+    # (e) family-diverse canaries from the r2/r3-green core
+    # (distinct_users_per_type / value_percentiles are exercised indirectly:
+    # their gated sketch twins compare against the exact computation inline)
     "pricing_summary", "regional_revenue", "star_join_agg", "rollup_revenue",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_clusters", "distinct_users_per_type", "value_percentiles",
-    "stat_aggregates", "topk_orders", "rank_topn_per_segment",
-    "tokenize_wordcount",
+    "dedup_clusters", "stat_aggregates", "topk_orders",
+    "rank_topn_per_segment", "tokenize_wordcount",
 ]
 
 
