@@ -4,7 +4,7 @@ pipeline over the driver's ``documents`` and ``embeddings`` tables —
     quality gate -> test-set decontamination -> PII redaction
     -> exact dedup -> near-dup clustering (MinHash+LSH + connected
     components, keep canonical) -> stratified sampling -> train/val/test
-    split -> similarity search sanity probe
+    split -> token-budget sequence packing -> similarity search sanity probe
 
 every stage a composable DataFrame transform (no driver-side data paths,
 each stage's physical plan documented in SCALE.md).
@@ -75,7 +75,14 @@ def main() -> None:
     for row in final.groupBy("split").count().orderBy("split").collect():
         print(f"  {row['split']:<6} {row['count']}")
 
-    # 7. similarity-search sanity probe on the embedding table
+    # 7. pack the train split into fixed-token-budget training sequences
+    #    (bucketed cumsum window — one shuffle, no global sort)
+    train = final.filter(F.col("split") == "train")
+    packed = text.pack_sequences(train, "doc_id", "text", budget=256, n_buckets=8)
+    n_seqs = packed.select("bucket", "seq_id").distinct().count()
+    print(f"sequence packing:    {train.count()} docs -> {n_seqs} sequences of <=256 tokens")
+
+    # 8. similarity-search sanity probe on the embedding table
     emb = engine.stream("embeddings")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     topk = similarity.cosine_topk(
