@@ -54,6 +54,9 @@ QUERIES = [
     "dedup_simhash",          # hamming-band near-dup
     "ann_cosine_topk",        # embedding scan top-k
     "text_quality",           # map-only text features
+    "big_order_customers",    # Q18: derived-small-side broadcast (round 4)
+    "pack_sequences",         # bucketed cumsum packing (round 4)
+    "dedup_incremental_exact",# digest anti-join vs corpus (round 4)
 ]
 
 
