@@ -236,3 +236,44 @@ def test_sole_return_no_expand_no_self_join_explosion(spark):
     assert "Expand" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # supplier
+
+
+def test_big_order_customers_broadcasts_derived_side(spark):
+    """Q18 shape: the HAVING-filtered aggregate (tiny forever, even at
+    100 TB) must be the BUILD side of both joins — never orders/customer,
+    which only fit a broadcast at test scale."""
+    import re
+
+    import go_streaming_spark.queries_ext  # noqa: F401
+
+    df = QUERIES["big_order_customers"](spark, SF_DIR)
+    plan = _plan(df)
+    joins = re.findall(r"BroadcastHashJoin .*?(BuildLeft|BuildRight)", plan)
+    assert joins and all(side == "BuildLeft" for side in joins), plan
+
+
+def test_pack_sequences_single_shuffle_no_global_sort(spark):
+    """Bucketed cumsum packing: exactly one hash exchange (the bucket
+    partition), and no single-partition/global Exchange — the property that
+    keeps packing parallel at 100 TB."""
+    import go_streaming_spark.queries_llm  # noqa: F401
+
+    df = QUERIES["pack_sequences"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_incremental_dedup_shuffles_digests_not_documents(spark):
+    """Delta-vs-corpus dedup: every exchange row must be digest-width —
+    the text column may never reach a shuffle."""
+    import re
+
+    import go_streaming_spark.queries_llm  # noqa: F401
+
+    df = QUERIES["dedup_incremental_exact"](spark, SF_DIR)
+    plan = _plan(df)
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
+    # and the join itself is digest-keyed anti semantics
+    assert "LeftAnti" in plan, plan
