@@ -96,3 +96,70 @@ def hash_split(
     last = F.lit(labels[-1])
     out = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, out)
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: str = "shuffle",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic pseudorandom training ORDER: every row gets a shuffle
+    key ``md5(seed|id)``, a bucket, and its rank within the bucket — read
+    buckets in order, positions within, and you have a reproducible global
+    shuffle of the corpus (epoch 2 = new seed).
+
+    Scale: the rank window is PARTITIONED by bucket (same shape as
+    ``text.pack_sequences``) — one shuffle, ``n_buckets`` independent
+    sorts, no global sort; a reader streams bucket files independently.
+    Emits (id, bucket, pos).
+    """
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    from pyspark.sql.window import Window
+
+    key = hash_bucket(F.col(id_col), seed)
+    w = Window.partitionBy("bucket").orderBy("_key", "id")
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            key.alias("_key"),
+            F.pmod(key, F.lit(n_buckets)).cast("long").alias("bucket"),
+        )
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("_key")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    weights: dict[str, float],
+    seed: str = "mix",
+    default: float = 1.0,
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Epoch-weighted data mixing: repeat each stratum's rows ``weight``
+    times — ``floor(w)`` guaranteed copies plus one more iff the id hash
+    falls under ``frac(w)`` ("source A for 2.5 epochs, B for 0.5").
+    Deterministic by id, so the mix reproduces across reruns and engines.
+
+    Map-only: one generated-sequence explode, no shuffle; rows whose copy
+    count is 0 drop out at the explode.  Guard: ``sequence(1, 0)`` DESCENDS
+    in Spark, so the sequence is built only when n_copies ≥ 1.
+    """
+    bucket = hash_bucket(F.col(id_col), seed)
+    n_copies = None
+    for stratum, w in weights.items():
+        whole, frac = int(w), w - int(w)
+        n = F.lit(whole) + (bucket < F.lit(int(frac * _BUCKETS))).cast("int")
+        cond = F.col(strata_col) == stratum
+        n_copies = F.when(cond, n) if n_copies is None else n_copies.when(cond, n)
+    d_whole, d_frac = int(default), default - int(default)
+    d_n = F.lit(d_whole) + (bucket < F.lit(int(d_frac * _BUCKETS))).cast("int")
+    n_copies = d_n if n_copies is None else n_copies.otherwise(d_n)
+    copies = F.when(
+        n_copies >= 1, F.sequence(F.lit(1), n_copies)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn(copy_col, F.explode(copies))

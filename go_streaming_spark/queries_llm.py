@@ -318,6 +318,54 @@ def hash_split_counts(spark, sf_dir):
     return split.groupBy("split", "source").agg(F.count(F.lit(1)).alias("n"))
 
 
+@query(
+    "corpus_shuffle_order",
+    # deterministic pseudorandom training order: md5(seed|id) shuffle key,
+    # bucketed rank (no global sort) — epoch 2 = new seed
+    """WITH k AS (SELECT doc_id AS id,
+  CAST(('0x'||substr(md5('shuffle|'||CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) h
+  FROM documents)
+SELECT id, CAST(h % 16 AS BIGINT) AS bucket,
+ CAST(ROW_NUMBER() OVER (PARTITION BY h % 16 ORDER BY h, id) - 1 AS BIGINT)
+   AS pos
+FROM k""",
+)
+def corpus_shuffle_order(spark, sf_dir):
+    from go_streaming_spark.functions.sampling import corpus_shuffle
+
+    return corpus_shuffle(_docs(spark, sf_dir), "doc_id", n_buckets=16)
+
+
+_T_MIX_HALF = int(0.5 * (1 << 32))
+
+
+@query(
+    "mixture_sample_counts",
+    # epoch-weighted data mixing: src0 ×2.5, src1 ×0.5, default ×1 —
+    # copies = floor(w) + (id hash under frac(w)); counted per source
+    f"""WITH b AS (SELECT source, doc_id,
+  CAST(('0x'||substr(md5('mix|'||CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) h
+  FROM documents),
+c AS (SELECT source, doc_id,
+  CASE WHEN source = 'src0' THEN 2 + CASE WHEN h < {_T_MIX_HALF} THEN 1 ELSE 0 END
+       WHEN source = 'src1' THEN 0 + CASE WHEN h < {_T_MIX_HALF} THEN 1 ELSE 0 END
+       ELSE 1 END AS n FROM b)
+SELECT source, CAST(sum(n) AS BIGINT) AS n_rows,
+ CAST(count(CASE WHEN n >= 1 THEN 1 END) AS BIGINT) AS n_docs
+FROM c GROUP BY 1""",
+)
+def mixture_sample_counts(spark, sf_dir):
+    from go_streaming_spark.functions.sampling import mixture_sample
+
+    mixed = mixture_sample(
+        _docs(spark, sf_dir), "doc_id", "source", {"src0": 2.5, "src1": 0.5}
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+
+
 def _ts_oracle(w: int = 16) -> str:
     from go_streaming_spark.functions.timeseries import znormalize
 

@@ -348,3 +348,58 @@ def test_incremental_exact_dedup(spark):
         ).collect()
     }
     assert got == {2: 2, 5: 1}
+
+
+def test_corpus_shuffle_deterministic_permutation(spark):
+    """Shuffle order is a permutation (each (bucket,pos) unique, every id
+    present), reproducible across calls, and seed changes reorder."""
+    from go_streaming_spark.functions.sampling import corpus_shuffle
+
+    docs = _docs(spark)
+    a = corpus_shuffle(docs, "doc_id", n_buckets=4)
+    b = corpus_shuffle(docs, "doc_id", n_buckets=4)
+    rows_a = sorted((r.id, r.bucket, r.pos) for r in a.collect())
+    rows_b = sorted((r.id, r.bucket, r.pos) for r in b.collect())
+    assert rows_a == rows_b  # reproducible
+    n = docs.count()
+    assert len(rows_a) == n
+    assert len({(r[1], r[2]) for r in rows_a}) == n  # (bucket,pos) unique
+    # per-bucket positions are dense 0..k-1
+    from collections import defaultdict
+
+    by_bucket = defaultdict(list)
+    for _id, bkt, pos in rows_a:
+        by_bucket[bkt].append(pos)
+    assert all(sorted(v) == list(range(len(v))) for v in by_bucket.values())
+    c = corpus_shuffle(docs, "doc_id", seed="epoch2", n_buckets=4)
+    rows_c = sorted((r.id, r.bucket, r.pos) for r in c.collect())
+    assert rows_c != rows_a  # new seed = new order
+
+
+def test_mixture_sample_epoch_weights(spark):
+    """weight 2.5 -> every doc twice + ~half a third time; weight 0.5 ->
+    ~half the docs once; weight 0 -> none; integer weights exact."""
+    from go_streaming_spark.functions.sampling import mixture_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    mixed = mixture_sample(df, "doc_id", "source", {"a": 2.5, "b": 0.0}, default=1.0)
+    counts = {
+        (r.source, r.doc_id): r.n
+        for r in mixed.groupBy("source", "doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    a_counts = [n for (s, _), n in counts.items() if s == "a"]
+    assert all(n in (2, 3) for n in a_counts)          # floor(2.5)=2, +1 for ~half
+    assert 0 < sum(n == 3 for n in a_counts) < len(a_counts)
+    assert not any(s == "b" for (s, _) in counts)       # weight 0 drops all
+    # exact integer weight: every row exactly w copies
+    exact = mixture_sample(df, "doc_id", "source", {"a": 2, "b": 1})
+    got = {
+        (r.source, r.n): r.c
+        for r in exact.groupBy("source", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("source", "n")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert got == {("a", 2): 100, ("b", 1): 100}
