@@ -62,14 +62,14 @@ GATE_PRIORITY = [
     "set_except_user_days", "set_intersect_users",
     # (d) the round-4 additions — never gated, so they outrank stale greens
     "pack_sequences", "dedup_incremental_exact",
-    "corpus_shuffle_order", "mixture_sample_counts",
+    "corpus_shuffle_order", "mixture_sample_counts", "winsorized_stats",
     # (e) family-diverse canaries from the r2/r3-green core
     # (distinct_users_per_type / value_percentiles are exercised indirectly
     # by their gated sketch twins; stat_aggregates / topk_orders rotate to
     # r5 with the deferred stateless ops)
     "pricing_summary", "regional_revenue", "star_join_agg", "rollup_revenue",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_clusters", "rank_topn_per_segment", "tokenize_wordcount",
+    "dedup_clusters", "rank_topn_per_segment",
 ]
 
 

@@ -972,3 +972,44 @@ def stream_session_window_count(spark, sf_dir):
         )
     )
     return replay_to_memory(agg, spark, output_mode="complete")
+
+
+@query(
+    "winsorized_stats",
+    # robust corpus statistics: clamp each group's values to its own
+    # [p05, p95] before averaging (winsorized mean + clamp count)
+    "WITH b AS (SELECT event_type,"
+    "  quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi"
+    "  FROM events GROUP BY 1)"
+    " SELECT e.event_type,"
+    " round(avg(least(greatest(e.value, b.lo), b.hi)), 6) AS wins_mean,"
+    " CAST(sum(CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 ELSE 0 END)"
+    "   AS BIGINT) AS n_clamped,"
+    " count(*) AS n"
+    " FROM events e JOIN b USING(event_type) GROUP BY 1",
+)
+def winsorized_stats(spark, sf_dir):
+    """Winsorized (outlier-clamped) per-group mean — the robust-statistics
+    pass a corpus-quality pipeline runs before trusting averages.  Two
+    aggregations over one scan lineage: per-group exact [p05, p95] bounds
+    (Spark `percentile` ≡ DuckDB `quantile_cont`, the proven parity pair
+    from value_percentiles), broadcast back, clamp, re-aggregate.  At
+    100 TB swap the bounds pass to percentile_approx — the clamp join and
+    second aggregation are unchanged."""
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clamped = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias("cv"),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+        .cast("long")
+        .alias("is_cl"),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.round(F.avg("cv"), 6).alias("wins_mean"),
+        F.sum("is_cl").alias("n_clamped"),
+        F.count(F.lit(1)).alias("n"),
+    )
