@@ -31,45 +31,43 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate runs the FIRST 50 queries in registration
-# order.  Round-4 rotation: (a) the 14 queries red in r3 — all fixed this
-# round (TIMESTAMP_NTZ ingestion + gate canonicalization) — lead so the fixes
-# earn hard rows; (b) dedup_simhash, green only in r1, is the stalest row in
-# the repo; (c) every timestamp-dependent r2-green — their green rows predate
-# the driver's switch to TIMESTAMP_NTZ parquet, so they are unverified on the
-# current data; (d) a family-diverse sample of the remaining r2 greens.  The
-# 14 deferred r2 greens are all trivial stateless ops (filters/maps/limits),
-# scheduled for the r5 rotation.
+# order.  Round-5 rotation: (a) the 19 queries whose last green row is r2 —
+# two rounds unwatched, pre-verified green locally in r4's judge sweep —
+# lead so they earn fresh hard rows; (b) every query whose implementation or
+# oracle changes this round (exact streaming oracle, real multimodal decode,
+# null-safe pack_sequences, dropout-safe mixture counts); (c) 25 of the 35
+# r3-green rows so they don't cross the two-round staleness line at r6.  The
+# 10 deferred r3 greens (filter_greater, small_qty_revenue,
+# disjunctive_filter_revenue, custdist_order_counts,
+# above_avg_balance_by_nation, sole_return_suppliers, big_order_customers,
+# funnel_counts, moving_range_sum, rank_distributions) are TPC-H-style
+# filter/agg variants with close cousins gated this round; at end of r5 they
+# are exactly two rounds old and MUST lead the r6 rotation together with the
+# r4-green block.
 GATE_PRIORITY = [
-    # (a) red in r3, fixed this round
-    "multimodal_transform_chain", "multimodal_features", "pivot_status_counts",
-    "burst_follow_counts", "asof_forward_next_purchase",
-    "approx_distinct_users", "approx_value_percentiles",
-    "window_count_dense_errors",
-    "stream_window_sum_tumbling", "stream_window_sum_per_user",
-    "stream_window_join_inner", "stream_counting_window_sum",
-    "stream_dedup_exact", "stream_session_window_count",
-    # (b) stalest green (r1 only)
-    "dedup_simhash",
-    # (c) timestamp-dependent r2 greens, unverified on NTZ data until now
-    "window_sum_tumbling", "window_sum_per_user", "window_count_sliding",
-    "window_join_inner", "window_join_left", "window_join_sliding",
-    "window_lineage", "window_sampling",
-    "counting_window_tumbling", "counting_window_sliding",
-    "counting_window_skip", "counting_window_per_type",
-    "fan_in_sum", "fan_in_per_source",
-    "session_window_count", "asof_join_signup", "event_gaps",
-    "running_totals", "revenue_by_dow",
-    "set_except_user_days", "set_intersect_users",
-    # (d) the round-4 additions — never gated, so they outrank stale greens
-    "pack_sequences", "dedup_incremental_exact",
-    "corpus_shuffle_order", "mixture_sample_counts", "winsorized_stats",
-    # (e) family-diverse canaries from the r2/r3-green core
-    # (distinct_users_per_type / value_percentiles are exercised indirectly
-    # by their gated sketch twins; stat_aggregates / topk_orders rotate to
-    # r5 with the deferred stateless ops)
-    "pricing_summary", "regional_revenue", "star_join_agg", "rollup_revenue",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_clusters", "rank_topn_per_segment",
+    # (a) last green in r2 — the mandatory staleness fix
+    "anti_join_no_urgent_customers", "convert_long", "distinct_users_per_type",
+    "filter_contains", "filter_even", "filter_odd", "filter_smaller",
+    "flatmap_chars", "json_struct_extract", "limit_first", "map_affine",
+    "observe_passthrough", "part_type_stats", "select_from_map",
+    "semi_join_urgent_customers", "stat_aggregates", "tokenize_wordcount",
+    "topk_orders", "value_percentiles",
+    # (b) changed this round — fixes must earn hard rows
+    "stream_counting_window_sum",          # exact per-window oracle now
+    "multimodal_features", "multimodal_transform_chain",  # real byte decoders
+    "pack_sequences",                      # null-safe token counts
+    "mixture_sample_counts",               # pre-explode counts (dropout-safe)
+    "winsorized_stats",                    # r4 canary re-check
+    # (c) r3-green rows re-gated before they go stale
+    "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
+    "chunk_documents", "cube_revenue", "decontaminate_counts",
+    "dedup_embedding_cosine", "dedup_embedding_cosine_blocked",
+    "doc_repetition_scores", "grouping_sets_revenue", "hash_split_counts",
+    "knn_label_vote", "multimodal_binary_meta", "multimodal_frame_plan",
+    "pandas_udf_normalize", "pipeline_clean_corpus", "redact_pii",
+    "stratified_sample_counts", "stream_static_enrich",
+    "text_fingerprint", "text_lang_id", "text_quality", "text_token_counts",
+    "tfidf_top_terms", "timeseries_znorm_search",
 ]
 
 
