@@ -13,15 +13,29 @@ namespaces the way ``WithRepository`` does in the reference tests
 from __future__ import annotations
 
 import threading
+import weakref
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-# One lock per JVM-side session namespace: Engine.sql() registers temp views
+# One lock per SparkSession namespace: Engine.sql() registers temp views
 # then analyzes, and two engines sharing a SparkSession must not interleave
 # those two steps (the registry itself is per-engine; only the SQL view
-# namespace is session-global).
-_SQL_LOCK = threading.Lock()
+# namespace is session-global).  Keyed per session — temp views are
+# session-scoped, so engines on DISTINCT SparkSessions cannot conflict and
+# must not serialize behind each other's (possibly slow) analysis.
+_SQL_LOCKS: "weakref.WeakKeyDictionary[SparkSession, threading.Lock]" = (
+    weakref.WeakKeyDictionary()
+)
+_SQL_LOCKS_GUARD = threading.Lock()
+
+
+def _sql_lock(spark: SparkSession) -> threading.Lock:
+    with _SQL_LOCKS_GUARD:
+        lock = _SQL_LOCKS.get(spark)
+        if lock is None:
+            lock = _SQL_LOCKS[spark] = threading.Lock()
+        return lock
 
 from go_streaming_spark.session import configure_session
 from go_streaming_spark.sources.catalog import TABLES, load_stream, load_table
@@ -114,12 +128,13 @@ class Engine:
           DataFrame's view bindings are pinned at call time — a later
           ``sql()`` on another engine cannot rebind them;
         * the register+analyze critical section is serialized under a
-          process-wide lock, so concurrent ``sql()`` calls from engines
-          with conflicting topic schemas can't interleave.
+          per-SparkSession lock, so concurrent ``sql()`` calls from engines
+          with conflicting topic schemas can't interleave — while engines
+          on distinct sessions (disjoint view namespaces) don't contend.
 
         The registry itself (``stream``/``builder``) is per-engine-isolated
         either way."""
-        with _SQL_LOCK:
+        with _sql_lock(self.spark):
             for topic in list(self._streams):
                 self._streams[topic].createOrReplaceTempView(topic)
             if self.sf_dir:

@@ -131,6 +131,35 @@ def corpus_shuffle(
     )
 
 
+def mixture_copy_counts(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    weights: dict[str, float],
+    seed: str = "mix",
+    default: float = 1.0,
+    count_col: str = "n_copies",
+) -> DataFrame:
+    """Per-row epoch-weighted copy count WITHOUT materializing the copies:
+    ``floor(w)`` guaranteed plus one more iff the id hash falls under
+    ``frac(w)``.  This is the accounting view of :func:`mixture_sample` —
+    every input row survives (possibly with count 0), so per-stratum
+    statistics stay visible even for strata whose rows all get 0 copies
+    (which :func:`mixture_sample` drops entirely at the explode).
+    Map-only, no shuffle."""
+    bucket = hash_bucket(F.col(id_col), seed)
+    n_copies = None
+    for stratum, w in weights.items():
+        whole, frac = int(w), w - int(w)
+        n = F.lit(whole) + (bucket < F.lit(int(frac * _BUCKETS))).cast("int")
+        cond = F.col(strata_col) == stratum
+        n_copies = F.when(cond, n) if n_copies is None else n_copies.when(cond, n)
+    d_whole, d_frac = int(default), default - int(default)
+    d_n = F.lit(d_whole) + (bucket < F.lit(int(d_frac * _BUCKETS))).cast("int")
+    n_copies = d_n if n_copies is None else n_copies.otherwise(d_n)
+    return df.withColumn(count_col, n_copies)
+
+
 def mixture_sample(
     df: DataFrame,
     id_col: str,
@@ -146,20 +175,15 @@ def mixture_sample(
     Deterministic by id, so the mix reproduces across reruns and engines.
 
     Map-only: one generated-sequence explode, no shuffle; rows whose copy
-    count is 0 drop out at the explode.  Guard: ``sequence(1, 0)`` DESCENDS
-    in Spark, so the sequence is built only when n_copies ≥ 1.
+    count is 0 drop out at the explode — a stratum whose rows ALL get 0
+    copies vanishes from the output (use :func:`mixture_copy_counts` for
+    accounting that must see dropped strata).  Guard: ``sequence(1, 0)``
+    DESCENDS in Spark, so the sequence is built only when n_copies ≥ 1.
     """
-    bucket = hash_bucket(F.col(id_col), seed)
-    n_copies = None
-    for stratum, w in weights.items():
-        whole, frac = int(w), w - int(w)
-        n = F.lit(whole) + (bucket < F.lit(int(frac * _BUCKETS))).cast("int")
-        cond = F.col(strata_col) == stratum
-        n_copies = F.when(cond, n) if n_copies is None else n_copies.when(cond, n)
-    d_whole, d_frac = int(default), default - int(default)
-    d_n = F.lit(d_whole) + (bucket < F.lit(int(d_frac * _BUCKETS))).cast("int")
-    n_copies = d_n if n_copies is None else n_copies.otherwise(d_n)
+    counted = mixture_copy_counts(
+        df, id_col, strata_col, weights, seed, default, count_col="__n_copies"
+    )
     copies = F.when(
-        n_copies >= 1, F.sequence(F.lit(1), n_copies)
+        F.col("__n_copies") >= 1, F.sequence(F.lit(1), F.col("__n_copies"))
     ).otherwise(F.array().cast("array<int>"))
-    return df.withColumn(copy_col, F.explode(copies))
+    return counted.withColumn(copy_col, F.explode(copies)).drop("__n_copies")

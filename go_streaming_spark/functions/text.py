@@ -288,7 +288,12 @@ def pack_sequences(
         .orderBy("id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    toks = F.size(words_expr(F.col(text_col))).cast("long")
+    # NULL text must count as 0 tokens, not Spark's size-of-null -1 (which
+    # would corrupt every later start_off in the bucket); DuckDB's oracle
+    # says NULL here, so both sides coalesce to 0 explicitly.
+    toks = F.when(
+        F.col(text_col).isNull(), F.lit(0).cast("long")
+    ).otherwise(F.size(words_expr(F.col(text_col))).cast("long"))
     return (
         spread(df)
         .select(

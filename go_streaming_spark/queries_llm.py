@@ -100,8 +100,8 @@ def dedup_incremental_exact(spark, sf_dir):
     # token-offset packing into 512-token training sequences, bucketed so
     # the cumsum window never needs a global sort (functions/text.py)
     r"""WITH t AS (SELECT doc_id AS id, doc_id % 64 AS bucket,
-   CAST(len(list_filter(regexp_split_to_array(text,'\s+'), x -> x <> ''))
-        AS BIGINT) AS n_tokens
+   CAST(COALESCE(len(list_filter(regexp_split_to_array(text,'\s+'),
+        x -> x <> '')), 0) AS BIGINT) AS n_tokens
   FROM documents),
 o AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY id
        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
@@ -355,14 +355,18 @@ SELECT source, CAST(sum(n) AS BIGINT) AS n_rows,
 FROM c GROUP BY 1""",
 )
 def mixture_sample_counts(spark, sf_dir):
-    from go_streaming_spark.functions.sampling import mixture_sample
+    # aggregate from the PRE-explode copy-count frame so a stratum whose
+    # rows all get 0 copies still emits its (source, 0, 0) group row —
+    # mixture_sample itself would drop it entirely at the explode and
+    # silently disagree with the oracle on fully-dropped strata
+    from go_streaming_spark.functions.sampling import mixture_copy_counts
 
-    mixed = mixture_sample(
+    counted = mixture_copy_counts(
         _docs(spark, sf_dir), "doc_id", "source", {"src0": 2.5, "src1": 0.5}
     )
-    return mixed.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count_distinct("doc_id").alias("n_docs"),
+    return counted.groupBy("source").agg(
+        F.sum("n_copies").cast("long").alias("n_rows"),
+        F.count(F.when(F.col("n_copies") >= 1, 1)).alias("n_docs"),
     )
 
 

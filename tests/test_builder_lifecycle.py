@@ -78,6 +78,33 @@ def test_per_event_subscribe_batch_query(spark, engine):
     assert seen == [i * 10 for i in range(1, 11)]
 
 
+def test_per_event_subscribe_multipartition_order_no_collect(
+    spark, monkeypatch
+):
+    """Per-event delivery under load: a 20k-row, 16-partition batch arrives
+    in global ``ordered_by`` order, and the dispatch path streams rows via
+    ``toLocalIterator`` — it must never call ``DataFrame.collect`` (which
+    would materialize the whole batch on the driver at once)."""
+    from pyspark.sql import DataFrame as _DF
+
+    n = 20_000
+    df = (
+        spark.range(n)
+        .repartition(16)
+        .select(F.col("id").alias("seq"), (F.col("id") * 3).alias("value"))
+    )
+    eng = Engine(spark)
+    cq = eng.builder().from_df(df).build()
+
+    def _boom(self):
+        raise AssertionError("subscribe() dispatch must not collect()")
+
+    monkeypatch.setattr(_DF, "collect", _boom)
+    seen: list[int] = []
+    cq.subscribe(lambda row: seen.append(row.seq), ordered_by=["seq"])
+    assert seen == list(range(n))  # exactly once, globally ordered
+
+
 def test_per_event_subscribe_streaming(spark, tmp_path):
     """Streaming per-event delivery across multiple micro-batches: each
     batch's events arrive one callback at a time, ordered within the batch
@@ -193,6 +220,28 @@ def test_engine_sql_concurrent_engines(spark):
         ]
         for f in futs:
             f.result()
+
+
+def test_engine_sql_lock_is_per_session(spark):
+    """The sql() critical section is keyed by SparkSession: engines on the
+    SAME session share one lock (their temp-view namespaces conflict),
+    engines on DISTINCT sessions get distinct locks (session-scoped views
+    can't conflict, so they must not serialize behind each other)."""
+    from go_streaming_spark.engine import _sql_lock
+
+    assert _sql_lock(spark) is _sql_lock(spark)
+    other = spark.newSession()  # fresh temp-view namespace, same context
+    try:
+        assert _sql_lock(other) is not _sql_lock(spark)
+        # distinct namespaces really are isolated: same view name, no clash
+        e1, e2 = Engine(spark), Engine(other)
+        e1.register_stream("ns", spark.createDataFrame([(1,)], "v long"))
+        e2.register_stream("ns", other.createDataFrame([("x",)], "v string"))
+        with _sql_lock(spark):  # held lock must not block the other session
+            assert e2.sql("SELECT count(*) AS n FROM ns").head()["n"] == 1
+        assert e1.sql("SELECT sum(v) AS s FROM ns").head()["s"] == 1
+    finally:
+        pass  # newSession shares the SparkContext; nothing to stop
 
 
 def test_engine_config_round_trip(spark):

@@ -325,6 +325,23 @@ def test_pack_sequences_semantics(spark):
     assert firsts == {0: 0, 1: 0}
 
 
+def test_pack_sequences_null_and_empty_text(spark):
+    """NULL or empty text counts 0 tokens (not Spark's size-of-null -1) so
+    downstream start_off stays a valid non-decreasing cumsum."""
+    from go_streaming_spark.functions import text as text_fns
+
+    rows = [(0, "a b c"), (1, None), (2, ""), (3, "d e")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.id: r
+        for r in text_fns.pack_sequences(
+            df, "doc_id", "text", budget=4, n_buckets=1
+        ).collect()
+    }
+    assert {i: r.n_tokens for i, r in out.items()} == {0: 3, 1: 0, 2: 0, 3: 2}
+    assert {i: r.start_off for i, r in out.items()} == {0: 0, 1: 3, 2: 3, 3: 3}
+
+
 def test_incremental_exact_dedup(spark):
     """New-batch docs drop when their digest exists in the corpus OR when a
     lower-id in-batch duplicate wins; unseen uniques survive."""
@@ -403,3 +420,37 @@ def test_mixture_sample_epoch_weights(spark):
         .collect()
     }
     assert got == {("a", 2): 100, ("b", 1): 100}
+
+
+def test_mixture_copy_counts_sees_dropped_strata(spark):
+    """The pre-explode accounting frame keeps every input row — a stratum
+    whose rows ALL get 0 copies still shows up with count 0, whereas
+    mixture_sample drops it entirely at the explode; the two views agree
+    on every surviving copy count."""
+    from go_streaming_spark.functions.sampling import (
+        mixture_copy_counts,
+        mixture_sample,
+    )
+
+    rows = [(i, "a" if i % 2 == 0 else "gone") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    weights = {"a": 1.5, "gone": 0.0}
+    counted = mixture_copy_counts(df, "doc_id", "source", weights)
+    by_source = {
+        r.source: (r.rows, r.copies)
+        for r in counted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("n_copies").alias("copies"),
+        )
+        .collect()
+    }
+    assert by_source["gone"] == (50, 0)  # visible with 0 copies
+    assert by_source["a"][0] == 50 and 50 <= by_source["a"][1] <= 100
+    # exploded view drops the stratum entirely...
+    mixed = mixture_sample(df, "doc_id", "source", weights)
+    assert mixed.filter(F.col("source") == "gone").count() == 0
+    # ...but matches the accounting on what survives
+    assert (
+        mixed.filter(F.col("source") == "a").count() == by_source["a"][1]
+    )
