@@ -3,11 +3,19 @@
 Design: media payloads are opaque ``BINARY`` columns + a typed metadata
 struct; heavy per-item work (decode / feature-extract / resize / frame
 sample) runs as Arrow-batched ``mapInPandas`` so each Python worker touches
-a partition-sized batch, never a row at a time.  The decode step itself is
-STUBBED in this environment (no image/audio libs in the container): the
-Spark-side plumbing — schema, partitioning, UDF signature, batch shape — is
-real and tested; ``decoder=`` accepts a real implementation when Pillow /
-torchaudio / ffmpeg are available.
+a partition-sized batch, never a row at a time.
+
+Two decode tiers:
+
+* **Container/header decode is REAL**: :func:`parse_media_header` reads
+  PNG / JPEG / GIF / BMP / WAV bytes directly (format sniff, dimensions,
+  bit depth, audio duration) with no external libraries, and
+  :func:`decode_media_meta` runs it Arrow-batched over a binary column.
+* **Content decode (pixel/sample → feature vector) is STUBBED** in this
+  environment (no image/audio libs in the container): the Spark-side
+  plumbing — schema, partitioning, UDF signature, batch shape — is real
+  and tested; ``decoder=`` accepts a real implementation when Pillow /
+  torchaudio / ffmpeg are available.
 
 Scale notes: binary payloads make rows wide — keep
 ``spark.sql.files.maxPartitionBytes`` small enough that a partition of
@@ -57,6 +65,270 @@ def attach_media(
         F.length(payload).cast("long").alias("n_bytes"),
     )
     return df.withColumn("media", payload).withColumn("media_meta", meta)
+
+
+def parse_media_header(payload: bytes) -> dict:
+    """REAL byte-level container decode — no external libraries.
+
+    Sniffs the format from magic bytes and reads the header fields the
+    container actually stores:
+
+    * **PNG**  — IHDR chunk: width/height (big-endian u32), bit depth.
+    * **JPEG** — marker walk (skipping APPn/COM/DQT... by their stored
+      lengths, tolerating restart markers) to the first SOF frame header:
+      sample precision, height, width.
+    * **GIF**  — 87a/89a logical screen descriptor: width/height (LE u16),
+      bit depth from the color-resolution bits.
+    * **BMP**  — BITMAPINFOHEADER: width/height (LE i32), bit count.
+    * **WAV**  — RIFF chunk walk: ``fmt `` (channels, sample rate, byte
+      rate, bits per sample) + ``data`` size → duration_ms =
+      data_bytes * 1000 // byte_rate.
+
+    Returns ``{media_type, format, width, height, bit_depth, duration_ms}``
+    with ``format=None`` (all fields None) for unrecognized or truncated
+    payloads — malformed bytes must degrade to NULL metadata, not raise,
+    because one bad blob in a 100 TB scan must not kill the stage.
+    """
+    none = {
+        "media_type": None, "format": None, "width": None,
+        "height": None, "bit_depth": None, "duration_ms": None,
+    }
+    p = payload or b""
+    try:
+        if p.startswith(b"\x89PNG\r\n\x1a\n"):
+            if len(p) >= 26 and p[12:16] == b"IHDR":
+                return {
+                    "media_type": "image", "format": "png",
+                    "width": int.from_bytes(p[16:20], "big"),
+                    "height": int.from_bytes(p[20:24], "big"),
+                    "bit_depth": p[24], "duration_ms": None,
+                }
+            return none
+        if p[:2] == b"\xff\xd8":  # JPEG SOI
+            i = 2
+            while i + 4 <= len(p):
+                if p[i] != 0xFF:
+                    break
+                marker = p[i + 1]
+                if marker == 0xFF:      # fill byte
+                    i += 1
+                    continue
+                if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+                    i += 2              # standalone marker, no length
+                    continue
+                seglen = int.from_bytes(p[i + 2:i + 4], "big")
+                if seglen < 2:
+                    break
+                # SOF0..SOF15 excluding DHT/JPG/DAC pseudo-markers
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    if i + 9 <= len(p):
+                        return {
+                            "media_type": "image", "format": "jpeg",
+                            "width": int.from_bytes(p[i + 7:i + 9], "big"),
+                            "height": int.from_bytes(p[i + 5:i + 7], "big"),
+                            "bit_depth": p[i + 4], "duration_ms": None,
+                        }
+                    return none
+                i += 2 + seglen
+            return none
+        if p[:6] in (b"GIF87a", b"GIF89a"):
+            if len(p) >= 11:
+                packed = p[10]
+                return {
+                    "media_type": "image", "format": "gif",
+                    "width": int.from_bytes(p[6:8], "little"),
+                    "height": int.from_bytes(p[8:10], "little"),
+                    "bit_depth": ((packed >> 4) & 0x07) + 1,
+                    "duration_ms": None,
+                }
+            return none
+        if p[:2] == b"BM" and len(p) >= 30:
+            return {
+                "media_type": "image", "format": "bmp",
+                "width": int.from_bytes(p[18:22], "little", signed=True),
+                "height": abs(int.from_bytes(p[22:26], "little", signed=True)),
+                "bit_depth": int.from_bytes(p[28:30], "little"),
+                "duration_ms": None,
+            }
+        if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+            i, bits, byte_rate, data_size = 12, None, None, None
+            while i + 8 <= len(p):
+                cid = p[i:i + 4]
+                csize = int.from_bytes(p[i + 4:i + 8], "little")
+                if cid == b"fmt " and i + 24 <= len(p):
+                    byte_rate = int.from_bytes(p[i + 16:i + 20], "little")
+                    bits = int.from_bytes(p[i + 22:i + 24], "little")
+                elif cid == b"data":
+                    data_size = csize
+                i += 8 + csize + (csize & 1)  # chunks are word-aligned
+            if byte_rate:
+                return {
+                    "media_type": "audio", "format": "wav",
+                    "width": None, "height": None, "bit_depth": bits,
+                    "duration_ms": (
+                        data_size * 1000 // byte_rate
+                        if data_size is not None else None
+                    ),
+                }
+            return none
+    except (IndexError, ValueError):
+        return none
+    return none
+
+
+DECODED_META_SCHEMA = (
+    "id long, media_type string, format string, width int, height int,"
+    " bit_depth int, duration_ms long, n_bytes long"
+)
+
+
+def decode_media_meta(
+    df: DataFrame, id_col: str, media_col: str = "media"
+) -> DataFrame:
+    """Arrow-batched REAL header decode over a binary media column: one flat
+    row of container metadata per item (``DECODED_META_SCHEMA``).
+
+    ``mapInPandas`` over a two-column projection — at 100 TB the narrow
+    select means Parquet reads only (id, payload), and each Python worker
+    parses a partition-sized batch of headers (a few hundred bytes each
+    touched, not the full payload)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        # local def: cloudpickle ships the parser by value (executor
+        # workers can't be assumed to have this package importable)
+        parse = parse_media_header
+
+        for pdf in batches:
+            metas = [
+                parse(bytes(b) if b is not None else b"")
+                for b in pdf["_media"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["_id"],
+                    "media_type": [m["media_type"] for m in metas],
+                    "format": [m["format"] for m in metas],
+                    "width": pd.array(
+                        [m["width"] for m in metas], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [m["height"] for m in metas], dtype="Int32"
+                    ),
+                    "bit_depth": pd.array(
+                        [m["bit_depth"] for m in metas], dtype="Int32"
+                    ),
+                    "duration_ms": pd.array(
+                        [m["duration_ms"] for m in metas], dtype="Int64"
+                    ),
+                    "n_bytes": [
+                        len(b) if b is not None else 0 for b in pdf["_media"]
+                    ],
+                }
+            )
+
+    narrow = spread(df).select(
+        F.col(id_col).alias("_id"), F.col(media_col).cast("binary").alias("_media")
+    )
+    return narrow.mapInPandas(run, DECODED_META_SCHEMA)
+
+
+def decode_media(
+    df: DataFrame, id_col: str, media_col: str = "media"
+) -> DataFrame:
+    """Refresh the ``media_meta`` struct from a REAL header parse: joins the
+    decoded fields back onto the media rows by id (broadcast-free — both
+    sides share the id key) and rebuilds the convention struct with
+    dimensions/duration filled where the container provided them."""
+    decoded = decode_media_meta(df, id_col, media_col)
+    keep = df.drop("media_meta")
+    out = keep.join(decoded.withColumnRenamed("id", "__mid"),
+                    F.col(id_col) == F.col("__mid"), "left")
+    meta = F.struct(
+        F.col("media_type"),
+        F.col("format"),
+        F.col("width"),
+        F.col("height"),
+        F.col("duration_ms"),
+        F.col("n_bytes"),
+    )
+    return out.withColumn("media_meta", meta).drop(
+        "__mid", "media_type", "format", "width", "height", "bit_depth",
+        "duration_ms", "n_bytes"
+    )
+
+
+def _be_hex(col, nbytes: int):
+    """Big-endian fixed-width hex of a non-negative integral column."""
+    return F.lpad(F.hex(col.cast("long")), 2 * nbytes, "0")
+
+
+def _le_hex(col, nbytes: int):
+    """Little-endian fixed-width hex: byte-reverse the big-endian form."""
+    be = _be_hex(col, nbytes)
+    return F.concat(
+        *[F.substring(be, 2 * i - 1, 2) for i in range(nbytes, 0, -1)]
+    )
+
+
+def synthesize_payloads(
+    df: DataFrame, id_col: str, body_col: str
+) -> DataFrame:
+    """Deterministic multimodal test-payload generator: wraps each row's
+    ``body_col`` text bytes in a REAL container header — PNG (id%3==0),
+    JPEG (id%3==1) or WAV (id%3==2) — with dimensions / sample rates
+    derived from the id.  Entirely JVM-side (hex concat + ``unhex``), so
+    the generator adds no Python cost; it exists to exercise
+    :func:`parse_media_header` against structurally-valid bytes in
+    environments with no media fixtures.
+
+    Field formulas (mirrored by the gate oracle): width = 16 + id % 317,
+    height = 16 + id % 211, bit depth 8 (images); channels = 1 + id % 2,
+    sample rate = 8000 + (id % 5) * 2000, 16-bit samples, data size =
+    byte length of the body (audio).
+    """
+    _id = F.col(id_col)
+    body = F.encode(F.col(body_col), "UTF-8")
+    body_hex = F.hex(body)
+    blen = F.length(body)
+    w = (F.lit(16) + _id % 317).cast("long")
+    h = (F.lit(16) + _id % 211).cast("long")
+
+    png = F.concat(
+        F.lit("89504E470D0A1A0A"),           # signature
+        F.lit("0000000D49484452"),           # IHDR length + type
+        _be_hex(w, 4), _be_hex(h, 4),
+        F.lit("08"),                         # bit depth
+        F.lit("02000000"),                   # truecolor, deflate, none, none
+        F.lit("DEADBEEF"),                   # CRC (not validated by parsers)
+        body_hex,
+    )
+    jpeg = F.concat(
+        F.lit("FFD8"),                                       # SOI
+        F.lit("FFE000104A46494600010100000048004800"),       # APP0 (16B)
+        F.lit("FFC0001108"),                                 # SOF0, len 17, prec 8
+        _be_hex(h, 2), _be_hex(w, 2),                        # height, width
+        F.lit("03011100021101031101"),                       # 3 components
+        body_hex,
+    )
+    channels = (F.lit(1) + _id % 2).cast("long")
+    rate = (F.lit(8000) + (_id % 5) * 2000).cast("long")
+    byte_rate = rate * channels * 2
+    wav = F.concat(
+        F.lit("52494646"), _le_hex(F.lit(36) + blen, 4),     # RIFF, size
+        F.lit("57415645"),                                   # WAVE
+        F.lit("666D7420"), F.lit("10000000"), F.lit("0100"), # fmt , 16, PCM
+        _le_hex(channels, 2), _le_hex(rate, 4),
+        _le_hex(byte_rate, 4), _le_hex(channels * 2, 2),     # block align
+        F.lit("1000"),                                       # 16 bits/sample
+        F.lit("64617461"), _le_hex(blen, 4),                 # data, size
+        body_hex,
+    )
+    payload = (
+        F.when(_id % 3 == 0, png).when(_id % 3 == 1, jpeg).otherwise(wav)
+    )
+    return df.withColumn("media", F.unhex(payload))
 
 
 FEATURE_SCHEMA = "id long, n_bytes long, feature array<double>"

@@ -585,19 +585,31 @@ def multimodal_transform_chain(spark, sf_dir):
 
 @query(
     "multimodal_features",
-    # the stub decoder is md5-byte arithmetic — exactly expressible in SQL,
-    # so even the Arrow/mapInPandas plumbing is oracle-checked end-to-end
-    # (feature quantized to a string: see multimodal_transform_chain)
-    "SELECT doc_id AS id, octet_length(encode(text))::BIGINT AS n_bytes,"
-    " array_to_string(list_transform(range(1,9), i ->"
-    "  CAST(round(CAST(('0x'||substr(md5(text), 2*CAST(i AS INT)-1, 2)) AS INT)"
-    "   /255.0 * 1000000) AS BIGINT)), ',') AS feature_q"
-    " FROM documents",
+    # REAL byte-level container decode: each doc's text bytes are wrapped
+    # in a structurally-valid PNG / JPEG / WAV header (JVM-side hex synth,
+    # multimodal.synthesize_payloads) whose dimension / sample-rate fields
+    # derive from doc_id; parse_media_header then reads the BYTES (IHDR
+    # big-endian u32s, JPEG SOF marker walk, RIFF chunk walk) and must
+    # reproduce the formulas the oracle computes directly.  A parser bug —
+    # wrong offset, wrong endianness, wrong marker skip — breaks the hash.
+    "WITH p AS (SELECT doc_id, octet_length(encode(text)) AS body,"
+    "  doc_id % 3 AS m FROM documents)"
+    " SELECT doc_id AS id,"
+    " CASE WHEN m <= 1 THEN 'image' ELSE 'audio' END AS media_type,"
+    " CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,"
+    " CAST(CASE WHEN m <= 1 THEN 16 + doc_id % 317 END AS INTEGER) AS width,"
+    " CAST(CASE WHEN m <= 1 THEN 16 + doc_id % 211 END AS INTEGER) AS height,"
+    " CAST(CASE WHEN m <= 1 THEN 8 ELSE 16 END AS INTEGER) AS bit_depth,"
+    " CAST(CASE WHEN m = 2 THEN body * 1000 //"
+    "  ((8000 + (doc_id % 5) * 2000) * (1 + doc_id % 2) * 2)"
+    "  END AS BIGINT) AS duration_ms,"
+    " CAST(CASE m WHEN 0 THEN 33 WHEN 1 THEN 39 ELSE 44 END + body"
+    "  AS BIGINT) AS n_bytes"
+    " FROM p",
 )
 def multimodal_features(spark, sf_dir):
-    media = multimodal.attach_media(_docs(spark, sf_dir), "text", "text_blob", "utf8")
-    feats = multimodal.extract_features(media, "doc_id", "media")
-    return feats.select("id", "n_bytes", _quantize_array("feature"))
+    media = multimodal.synthesize_payloads(_docs(spark, sf_dir), "doc_id", "text")
+    return multimodal.decode_media_meta(media, "doc_id", "media")
 
 
 @query(

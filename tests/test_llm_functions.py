@@ -83,6 +83,120 @@ def test_multimodal_meta_schema(spark):
     assert row.media_meta.width is None  # not decoded in stub environment
 
 
+def _png_bytes(w, h, depth=8, color=2, body=b""):
+    import struct, zlib
+
+    ihdr = struct.pack(">II5B", w, h, depth, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+        + body
+    )
+
+
+def _jpeg_bytes(w, h, precision=8, extra_segments=2):
+    import struct
+
+    out = b"\xff\xd8"
+    # several variable-length segments BEFORE the SOF — the parser must
+    # skip each by its stored length, not scan naively for 0xFFC0
+    for n in range(extra_segments):
+        payload = bytes([n]) * (5 + 3 * n)
+        out += bytes([0xFF, 0xE0 + n]) + struct.pack(">H", len(payload) + 2) + payload
+    sof = struct.pack(">BHHB", precision, h, w, 1) + b"\x01\x11\x00"
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof  # progressive SOF2
+    return out + b"\x00" * 16
+
+
+def _wav_bytes(rate, channels, bits, data):
+    import struct
+
+    byte_rate = rate * channels * (bits // 8)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                byte_rate, channels * (bits // 8), bits)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_parse_media_header_real_decode():
+    """Pure-byte container decode against hand-built valid files: PNG IHDR
+    (big-endian), JPEG marker walk across multiple APPn segments to a
+    progressive SOF2, GIF/BMP (little-endian), WAV RIFF chunk walk with
+    duration arithmetic."""
+    import struct
+
+    p = multimodal.parse_media_header(_png_bytes(640, 480, depth=16))
+    assert (p["format"], p["width"], p["height"], p["bit_depth"]) == (
+        "png", 640, 480, 16)
+
+    j = multimodal.parse_media_header(_jpeg_bytes(1920, 1080, extra_segments=3))
+    assert (j["format"], j["width"], j["height"], j["bit_depth"]) == (
+        "jpeg", 1920, 1080, 8)
+
+    g = multimodal.parse_media_header(
+        b"GIF89a" + struct.pack("<HH", 320, 200) + bytes([0b10110111, 0, 0]))
+    assert (g["format"], g["width"], g["height"], g["bit_depth"]) == (
+        "gif", 320, 200, 4)
+
+    bmp_hdr = b"BM" + struct.pack("<IHHI", 0, 0, 0, 54)
+    info = struct.pack("<IiiHH", 40, 800, -600, 1, 24) + b"\x00" * 24
+    b = multimodal.parse_media_header(bmp_hdr + info)
+    assert (b["format"], b["width"], b["height"], b["bit_depth"]) == (
+        "bmp", 800, 600, 24)  # negative height = top-down, abs()ed
+
+    # 2 channels * 16 bit * 8000 Hz = 32000 B/s; 16000 B data = 500 ms
+    w = multimodal.parse_media_header(_wav_bytes(8000, 2, 16, b"\x00" * 16000))
+    assert (w["format"], w["bit_depth"], w["duration_ms"]) == ("wav", 16, 500)
+    assert w["width"] is None and w["media_type"] == "audio"
+
+
+def test_parse_media_header_malformed_degrades_to_null():
+    """Truncated / unknown / hostile payloads must yield all-NULL metadata,
+    never raise — one bad blob cannot kill a 100 TB scan stage."""
+    cases = [
+        b"", None, b"not media at all",
+        b"\x89PNG\r\n\x1a\n",                 # signature only
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 8 + b"XXXX" + b"\x00" * 20,  # no IHDR
+        b"\xff\xd8\xff",                      # JPEG cut mid-marker
+        b"\xff\xd8\xff\xe0\x00\x00",          # segment length < 2
+        b"RIFF\x00\x00\x00\x00WAVE",          # WAV with no chunks
+        b"GIF89a\x01",                        # GIF truncated
+        _png_bytes(1, 1)[:20],                # IHDR truncated
+    ]
+    for payload in cases:
+        m = multimodal.parse_media_header(payload)
+        assert m["format"] is None and m["width"] is None, payload
+
+
+def test_decode_media_meta_end_to_end(spark):
+    """synthesize_payloads (JVM hex synth) → decode_media_meta (Arrow-batched
+    real parse): decoded fields must equal the synthesis formulas, and
+    decode_media must fill the media_meta struct with them."""
+    docs = _docs(spark).limit(30)
+    media = multimodal.synthesize_payloads(docs, "doc_id", "text")
+    got = {r.id: r for r in multimodal.decode_media_meta(media, "doc_id").collect()}
+    assert len(got) == 30
+    for i, r in got.items():
+        if i % 3 == 0:
+            assert (r.format, r.width, r.height, r.bit_depth) == (
+                "png", 16 + i % 317, 16 + i % 211, 8)
+        elif i % 3 == 1:
+            assert (r.format, r.width, r.height) == (
+                "jpeg", 16 + i % 317, 16 + i % 211)
+        else:
+            assert r.format == "wav" and r.width is None
+            assert r.duration_ms is not None and r.bit_depth == 16
+    # struct refresh keeps the media convention with real dimensions
+    refreshed = multimodal.decode_media(media, "doc_id")
+    row = refreshed.filter(F.col("doc_id") == 3).select("media_meta").head()
+    assert row.media_meta.format == "png"
+    assert row.media_meta.width == 16 + 3 % 317
+    assert row.media_meta.height == 16 + 3 % 211
+
+
 def test_frame_sample_plan(spark):
     docs = _docs(spark).limit(3)
     media = multimodal.attach_media(docs, "text", "video", "mp4")
