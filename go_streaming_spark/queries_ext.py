@@ -683,21 +683,25 @@ def stream_static_enrich(spark, sf_dir):
 
 @query(
     "stream_counting_window_sum",
-    # per-window SUMs follow arrival order (no batch oracle), but the window
-    # STRUCTURE is order-independent: exactly floor(n/100) complete windows,
-    # ids 0..k-1, 100 events each — that much IS oracle-able
-    "SELECT CAST(gs AS BIGINT) AS window_id, CAST(100 AS BIGINT) AS n_events"
-    " FROM unnest(generate_series("
-    "  0, CAST((SELECT count(*) FROM events) // 100 AS BIGINT) - 1)) AS t(gs)",
+    # EXACT per-window oracle: the stream dispatches each micro-batch in
+    # seq order (one global sort per batch) and the single-file replay is a
+    # single micro-batch, so window membership = seq-rank // 100 exactly;
+    # sums are decimal-quantized scaled-integer arithmetic on both sides,
+    # so the emitted doubles are bit-reproducible, not just structural
+    "WITH o AS (SELECT CAST(value AS DECIMAL(18,4)) AS v,"
+    "  row_number() OVER (ORDER BY event_id) - 1 AS rn FROM events)"
+    " SELECT CAST(rn // 100 AS BIGINT) AS window_id,"
+    " CAST(SUM(v) AS DOUBLE) AS sum_value,"
+    " CAST(count(*) AS BIGINT) AS n_events"
+    " FROM o GROUP BY 1 HAVING count(*) = 100",
 )
 def stream_counting_window_sum(spark, sf_dir):
     """Stateful streaming CountingWindowPolicy (applyInPandasWithState
-    buffer + consume-prefix GC).  Window *membership* follows arrival order
-    within the stream, so the gate projects the order-independent part
-    (window_id, n_events); exact per-window-sum verification lives in
-    test_streaming.py's ordered-replay parity test, and the batch
-    counting-window twin (counting_window_tumbling) is fully
-    oracle-checked."""
+    buffer + consume-prefix GC), gated on the FULL value hash: window ids,
+    counts and exact per-window sums.  Multi-batch arrival-order behavior
+    is separately covered by test_streaming.py's ordered-replay parity
+    test; the batch twin (counting_window_tumbling) cross-checks the
+    window arithmetic."""
     from go_streaming_spark.events import to_events
     from go_streaming_spark.sources.catalog import load_stream
     from go_streaming_spark.streaming import counting_window_stream, replay_to_memory
@@ -706,8 +710,10 @@ def stream_counting_window_sum(spark, sf_dir):
         load_stream(spark, sf_dir, "events"), value="value", event_time="ts",
         seq="event_id",
     )
-    out = counting_window_stream(env, 100, seq_col="seq", value_col="value")
-    return replay_to_memory(out.drop("_g", "sum_value"), spark)
+    out = counting_window_stream(
+        env, 100, seq_col="seq", value_col="value", quantize_scale=4
+    )
+    return replay_to_memory(out.drop("_g"), spark)
 
 
 _WEEK_US = 7 * 86_400_000_000

@@ -82,6 +82,7 @@ def counting_window_stream_tws(
     seq_col: str = "seq",
     value_col: str = "value",
     key_cols: list[str] | None = None,
+    quantize_scale: int | None = None,
 ) -> DataFrame:
     """CountingWindowPolicy on the Spark 4 ``transformWithStateInPandas``
     API (the successor to ``applyInPandasWithState``: typed state handles,
@@ -114,6 +115,7 @@ def counting_window_stream_tws(
         ]
     )
     w_n, w_shift, seq_c, val_c, key_list = n, shift, seq_col, value_col, list(keys)
+    q_scale = quantize_scale
 
     class CountingWindowProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -129,15 +131,32 @@ def counting_window_stream_tws(
                 vals = list(vals)
             else:
                 offset, next_w, vals = 0, 0, []
-            for pdf in rows:
-                pdf = pdf.sort_values(seq_c)
-                vals.extend(float(v) for v in pdf[val_c])
+            chunks = list(rows)
+            if chunks:
+                # ONE global sort over the whole micro-batch — per-chunk
+                # sorting would leave delivery order chunk-arrival-dependent
+                allpdf = pd.concat(chunks).sort_values(seq_c)
+                if q_scale is None:
+                    vals.extend(float(v) for v in allpdf[val_c])
+                else:
+                    from decimal import ROUND_HALF_UP, Decimal
+
+                    q = Decimal(1).scaleb(-q_scale)
+                    vals.extend(
+                        float(Decimal(repr(float(v)))
+                              .quantize(q, ROUND_HALF_UP).scaleb(q_scale))
+                        for v in allpdf[val_c]
+                    )
             out = []
             # window w spans arrival ordinals [w*shift, w*shift + n)
             while offset + len(vals) >= next_w * w_shift + w_n:
                 lo = next_w * w_shift - offset
                 win = vals[lo : lo + w_n]
-                out.append((next_w, float(sum(win)), len(win)))
+                s = (
+                    int(sum(win)) / 10**q_scale
+                    if q_scale is not None else float(sum(win))
+                )
+                out.append((next_w, s, len(win)))
                 next_w += 1
                 keep_from = next_w * w_shift - offset
                 if keep_from > 0:
@@ -167,6 +186,7 @@ def counting_window_stream(
     seq_col: str = "seq",
     value_col: str = "value",
     key_cols: list[str] | None = None,
+    quantize_scale: int | None = None,
 ) -> DataFrame:
     """Streaming CountingWindowPolicy(n, shift): emit (window_id, sum, count)
     as soon as each window fills (`selection_policy.go:123-176`).
@@ -176,6 +196,18 @@ def counting_window_stream(
     behavior (`pkg/events/buffer.go:435-512`): once a window fires, events
     no future window needs are dropped from state.  shift>n (skip) and
     shift<n (overlap) both follow from the ordinal arithmetic.
+
+    Delivery order within each micro-batch is ``seq_col`` order (one global
+    sort per batch — the reference's ordered channel delivery); across
+    micro-batches it is batch arrival order, so a single-batch replay
+    (``availableNow`` with no file cap) is fully deterministic.
+
+    ``quantize_scale``: when set, values are quantized to that many decimal
+    digits (HALF_UP, matching SQL ``CAST(double AS DECIMAL(_, scale))``) and
+    window sums are computed EXACTLY over the scaled integers — the emitted
+    double is then order-independent and bit-reproducible against a
+    decimal-summing SQL oracle.  Default (None) keeps raw float summation
+    for the hot path.
     """
     shift = shift if shift is not None else n
     keys = key_cols or []
@@ -201,6 +233,7 @@ def counting_window_stream(
     )
 
     w_n, w_shift, seq_c, val_c, key_list = n, shift, seq_col, value_col, list(keys)
+    q_scale = quantize_scale
 
     def fn(key, pdf_iter, state):
         import pandas as pd
@@ -211,14 +244,31 @@ def counting_window_stream(
         else:
             offset, next_w, vals = 0, 0, []
         rows = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(seq_c)
-            vals.extend(float(v) for v in pdf[val_c])
+        chunks = list(pdf_iter)
+        if chunks:
+            # ONE global sort over the whole micro-batch — per-chunk sorting
+            # would leave delivery order chunk-arrival-dependent
+            allpdf = pd.concat(chunks).sort_values(seq_c)
+            if q_scale is None:
+                vals.extend(float(v) for v in allpdf[val_c])
+            else:
+                from decimal import ROUND_HALF_UP, Decimal
+
+                q = Decimal(1).scaleb(-q_scale)
+                vals.extend(
+                    float(Decimal(repr(float(v)))
+                          .quantize(q, ROUND_HALF_UP).scaleb(q_scale))
+                    for v in allpdf[val_c]
+                )
         # window w spans arrival ordinals [w*shift, w*shift + n)
         while offset + len(vals) >= next_w * w_shift + w_n:
             lo = next_w * w_shift - offset
             win = vals[lo : lo + w_n]
-            rows.append((next_w, float(sum(win)), len(win)))
+            s = (
+                int(sum(win)) / 10**q_scale
+                if q_scale is not None else float(sum(win))
+            )
+            rows.append((next_w, s, len(win)))
             next_w += 1
             keep_from = next_w * w_shift - offset
             if keep_from > 0:

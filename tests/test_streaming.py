@@ -288,7 +288,29 @@ def test_counting_window_tws_parity(spark, n, shift):
     assert g == b
 
 
-def test_session_window_stream_parity(spark):
+def test_counting_window_quantized_exact_sums(spark, tmp_path):
+    """quantize_scale=4 makes streamed window sums EXACT decimal arithmetic:
+    values round half-up at 4 decimals (0.00005 -> 0.0001, like CAST to
+    DECIMAL(_,4)) and the sum is order-independent — bit-equal to summing
+    the quantized values as scaled integers."""
+    import json as _json
+
+    from go_streaming_spark.streaming import counting_window_stream
+
+    vals = [1.00005, 2.12344, 3.99999, 0.00005]  # ties + near-carry cases
+    src = tmp_path / "q"
+    src.mkdir()
+    with open(src / "events.json", "w") as f:
+        for i, v in enumerate(vals):
+            f.write(_json.dumps({"seq": i, "value": v}) + "\n")
+    st = spark.readStream.schema("seq long, value double").json(str(src))
+    out = replay_to_memory(
+        counting_window_stream(st, 4, quantize_scale=4), spark
+    )
+    row = out.head()
+    # HALF_UP at scale 4: 10001 + 21234 + 40000 + 1 = 71236 µunits
+    assert row.sum_value == 71236 / 10**4
+    assert row.n_events == 4
     """Gap-based session windows run streaming too (watermark + append);
     fully-closed sessions match the batch result."""
     bt = load_table(spark, SF, "events")
