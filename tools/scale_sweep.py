@@ -98,14 +98,88 @@ def build(spark) -> None:
         )
 
 
+DST10 = "/tmp/scale_sf10_docs"
+
+
+def build10(spark) -> None:
+    """Documents-only sf≈10 (500k docs): 10 more key-offset copies of the
+    sf≈1 documents, with a second word-salt layer so no shingle survives
+    across copies — the decade probe for the pair-generating dedups only
+    (no other table is read by those queries)."""
+    src = spark.read.parquet(f"{DST}/documents.parquet")
+    off = src.agg(F.max("doc_id")).first()[0] + 1
+    parts = []
+    for i in range(COPIES):
+        c = src.withColumn(
+            "doc_id",
+            (F.col("doc_id") + F.lit(i * off)).cast(src.schema["doc_id"].dataType),
+        )
+        if i > 0:
+            c = c.withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda w: F.concat(F.lit(f"d{i}"), w),
+                    ),
+                    " ",
+                ),
+            )
+        parts.append(c)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{DST10}/documents.parquet")
+    print(f"built documents sf≈10: {COPIES}x sf≈1", flush=True)
+
+
+def pairs_decade() -> None:
+    """Measure the two pair-generating dedups at sf≈1 → sf≈10 with cap
+    sensitivity: does max_bucket_size / max_shingle_freq bound the bucket
+    cross products as planted-dup density grows 10×?  Run in a process
+    that did NOT build (see module docstring)."""
+    from go_streaming_spark.functions import dedup
+    from go_streaming_spark.session import get_session
+
+    spark = get_session("scale-sweep-pairs")
+    spark.sparkContext.setLogLevel("ERROR")
+    for sf, sf_dir in [(1.0, DST), (10.0, DST10)]:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = {}
+        for cap in (None, 200, 50):
+            t0 = time.time()
+            n = dedup.minhash_lsh_pairs(
+                docs, "doc_id", "text", n=3, k=16, rows_per_band=4,
+                threshold=0.2, max_bucket_size=cap,
+            ).count()
+            out[f"minhash_cap{cap}"] = {
+                "sec": round(time.time() - t0, 2), "pairs": n,
+            }
+        for cap in (None, 200, 50):
+            t0 = time.time()
+            n = dedup.jaccard_pairs(
+                docs, "doc_id", "text", 3, 0.2, max_shingle_freq=cap
+            ).count()
+            out[f"jaccard_freq{cap}"] = {
+                "sec": round(time.time() - t0, 2), "pairs": n,
+            }
+        print(json.dumps({"sf": sf, "pairs_probe": out}), flush=True)
+
+
 def main() -> None:
     from go_streaming_spark.session import get_session
     import __spark_entry__ as entry_mod
 
+    if "--pairs" in sys.argv:
+        pairs_decade()
+        return
     spark = get_session("scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     if "--build" in sys.argv:
         build(spark)
+        return
+    if "--build10" in sys.argv:
+        build10(spark)
         return
 
     qs = entry_mod.queries()
