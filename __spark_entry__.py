@@ -37,13 +37,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracle changes this round (exact streaming oracle, real multimodal decode,
 # null-safe pack_sequences, dropout-safe mixture counts); (c) 25 of the 35
 # r3-green rows so they don't cross the two-round staleness line at r6.  The
-# 10 deferred r3 greens (filter_greater, small_qty_revenue,
+# 11 deferred r3 greens (filter_greater, small_qty_revenue,
 # disjunctive_filter_revenue, custdist_order_counts,
 # above_avg_balance_by_nation, sole_return_suppliers, big_order_customers,
-# funnel_counts, moving_range_sum, rank_distributions) are TPC-H-style
-# filter/agg variants with close cousins gated this round; at end of r5 they
-# are exactly two rounds old and MUST lead the r6 rotation together with the
-# r4-green block.
+# funnel_counts, moving_range_sum, rank_distributions — TPC-H-style
+# filter/agg variants with close cousins gated this round — plus
+# pandas_udf_normalize, whose mapInPandas plumbing family is covered by the
+# gated multimodal rows) are exactly two rounds old at end of r5 and MUST
+# lead the r6 rotation together with the r4-green block.
 GATE_PRIORITY = [
     # (a) last green in r2 — the mandatory staleness fix
     "anti_join_no_urgent_customers", "convert_long", "distinct_users_per_type",
@@ -52,19 +53,20 @@ GATE_PRIORITY = [
     "observe_passthrough", "part_type_stats", "select_from_map",
     "semi_join_urgent_customers", "stat_aggregates", "tokenize_wordcount",
     "topk_orders", "value_percentiles",
-    # (b) changed this round — fixes must earn hard rows
+    # (b) changed or added this round — fixes must earn hard rows
     "stream_counting_window_sum",          # exact per-window oracle now
     "multimodal_features", "multimodal_transform_chain",  # real byte decoders
     "pack_sequences",                      # null-safe token counts
     "mixture_sample_counts",               # pre-explode counts (dropout-safe)
     "winsorized_stats",                    # r4 canary re-check
+    "dedup_normalized_exact",              # NEW: canonical-form dedup
     # (c) r3-green rows re-gated before they go stale
     "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
     "chunk_documents", "cube_revenue", "decontaminate_counts",
     "dedup_embedding_cosine", "dedup_embedding_cosine_blocked",
     "doc_repetition_scores", "grouping_sets_revenue", "hash_split_counts",
     "knn_label_vote", "multimodal_binary_meta", "multimodal_frame_plan",
-    "pandas_udf_normalize", "pipeline_clean_corpus", "redact_pii",
+    "pipeline_clean_corpus", "redact_pii",
     "stratified_sample_counts", "stream_static_enrich",
     "text_fingerprint", "text_lang_id", "text_quality", "text_token_counts",
     "tfidf_top_terms", "timeseries_znorm_search",

@@ -306,6 +306,24 @@ def pack_sequences(
     )
 
 
+def normalize_for_dedup(text: Column) -> Column:
+    """Canonical text form for duplicate detection (the C4/RefinedWeb-style
+    precursor to exact dedup): lowercase, strip everything but
+    alphanumerics and whitespace, collapse whitespace runs, trim.  Catches
+    the near-universal trivial duplicates — casing, punctuation and
+    spacing variants — that raw-byte dedup misses.
+
+    Pure JVM expression chain (no UDF), and restricted to ASCII-safe
+    regex classes so Java and RE2-family engines agree byte-for-byte
+    (full Unicode NFKC folding needs ICU, which neither test engine has;
+    plug it in as a pandas UDF where the dependency exists).
+    """
+    lowered = F.lower(text)
+    stripped = F.regexp_replace(lowered, r"[^a-z0-9\s]+", "")
+    collapsed = F.regexp_replace(stripped, r"\s+", " ")
+    return F.trim(collapsed)
+
+
 def repetition_ratio(text: Column, n: int = 2) -> Column:
     """Fraction of within-document duplicate word n-grams (Gopher-style
     repetition quality signal): 1 - distinct/total.  0.0 for documents

@@ -76,6 +76,25 @@ def dedup_exact(spark, sf_dir):
 
 
 @query(
+    "dedup_normalized_exact",
+    # exact dedup over the CANONICAL text form (lower, strip punctuation,
+    # collapse whitespace) — catches casing/punctuation/spacing variants
+    # raw-byte dedup misses; same digest-only shuffle as dedup_exact
+    r"""WITH n AS (SELECT doc_id,
+   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]+', '', 'g'),
+        '\s+', ' ', 'g')) AS norm
+  FROM documents)
+SELECT md5(norm) AS content_hash, min(doc_id) AS keep_id,
+ count(*) AS n_copies FROM n GROUP BY 1""",
+)
+def dedup_normalized_exact(spark, sf_dir):
+    docs = _docs(spark, sf_dir).withColumn(
+        "_norm", text.normalize_for_dedup(F.col("text"))
+    )
+    return dedup.exact_dedup(docs, "doc_id", ["_norm"])
+
+
+@query(
     "dedup_incremental_exact",
     # recurring-crawl ingestion: docs with doc_id%10==0 play the accumulated
     # corpus; the rest are the new batch.  Survivors = batch digests unseen

@@ -439,6 +439,27 @@ def test_pack_sequences_semantics(spark):
     assert firsts == {0: 0, 1: 0}
 
 
+def test_normalized_dedup_catches_trivial_variants(spark):
+    """Casing / punctuation / whitespace variants collapse to one canonical
+    form and dedup together; genuinely different text stays distinct."""
+    from go_streaming_spark.functions import text as text_fns
+
+    rows = [
+        (0, "Hello,   World!"),
+        (1, "hello world"),
+        (2, "HELLO -- WORLD"),
+        (3, "goodbye world"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    norm = df.withColumn("_n", text_fns.normalize_for_dedup(F.col("text")))
+    got = {r.doc_id: r._n for r in norm.collect()}
+    assert got[0] == got[1] == got[2] == "hello world"
+    assert got[3] == "goodbye world"
+    d = dedup.exact_dedup(norm, "doc_id", ["_n"])
+    out = {r.keep_id: r.n_copies for r in d.collect()}
+    assert out == {0: 3, 3: 1}
+
+
 def test_pack_sequences_null_and_empty_text(spark):
     """NULL or empty text counts 0 tokens (not Spark's size-of-null -1) so
     downstream start_off stays a valid non-decreasing cumsum."""
