@@ -264,6 +264,36 @@ def test_pack_sequences_single_shuffle_no_global_sort(spark):
     assert "SinglePartition" not in plan, plan
 
 
+def test_multimodal_decode_narrow_projection_no_shuffle(spark):
+    """Real header decode: the Python stage receives ONLY (id, payload) —
+    no other document column may cross into mapInPandas — and the whole
+    decode is map-only (zero exchanges): at 100 TB every extra projected
+    column pays Arrow serialization per row."""
+    import go_streaming_spark.queries_llm  # noqa: F401
+
+    df = QUERIES["multimodal_features"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Exchange hashpartitioning" not in plan, plan
+    import re
+
+    m = re.search(r"MapInPandas ([^\n]*)", plan)
+    assert m is not None, plan
+    assert "text" not in m.group(1) and "lang" not in m.group(1), m.group(0)
+
+
+def test_normalized_dedup_digest_width_shuffle(spark):
+    """Canonical-form dedup: the one exchange is digest-keyed — neither the
+    raw text nor the normalized text column may reach the shuffle."""
+    import re
+
+    import go_streaming_spark.queries_llm  # noqa: F401
+
+    df = QUERIES["dedup_normalized_exact"](spark, SF_DIR)
+    plan = _plan(df)
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1) and "_norm" not in m.group(1), m.group(0)
+
+
 def test_incremental_dedup_shuffles_digests_not_documents(spark):
     """Delta-vs-corpus dedup: every exchange row must be digest-width —
     the text column may never reach a shuffle."""
