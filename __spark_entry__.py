@@ -58,8 +58,10 @@ GATE_PRIORITY = [
     "multimodal_features", "multimodal_transform_chain",  # real byte decoders
     "pack_sequences",                      # null-safe token counts
     "mixture_sample_counts",               # pre-explode counts (dropout-safe)
-    "winsorized_stats",                    # r4 canary re-check
     "dedup_normalized_exact",              # NEW: canonical-form dedup
+    "dedup_incremental_minhash",           # NEW: near-dup batch-vs-corpus
+    # (winsorized_stats r4-canary slot ceded to the new queries: it is
+    # one round old, contract-safe until the r6 rotation picks it up)
     # (c) r3-green rows re-gated before they go stale
     "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
     "chunk_documents", "cube_revenue", "decontaminate_counts",

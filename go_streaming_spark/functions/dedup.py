@@ -123,6 +123,68 @@ def incremental_exact_dedup(
     return batch.join(seen, "content_hash", "left_anti")
 
 
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental NEAR-dup dedup: from a NEW batch, keep only documents
+    with no exact-Jaccard match ≥ ``threshold`` among their MinHash-LSH
+    candidates in the accumulated CORPUS — the near-dup companion to
+    :func:`incremental_exact_dedup` for recurring-crawl ingestion
+    (re-crawls and boilerplate variants are near-dups, not byte dups).
+
+    Semantics mirror :func:`minhash_lsh_pairs` restricted to batch×corpus
+    pairs: a batch doc is dropped iff it shares ≥1 band bucket with a
+    corpus doc AND the exact Jaccard of that pair clears the threshold
+    (in-batch duplicates are NOT resolved here — run the symmetric pair
+    dedup on survivors for that).
+
+    Emits the surviving batch rows unchanged.
+
+    Scale: the corpus side reduces to its band index (id, band, band_key —
+    in production precomputed and stored, ~k/r rows of a few dozen bytes
+    per corpus doc) and candidate generation is a bucket equi-join of the
+    BATCH bands against it — cost ∝ batch size + collisions, never corpus
+    pairs.  Verification joins shingle arrays for candidate ids only.
+    ``max_bucket_size`` caps corpus-side buckets (boilerplate floods) the
+    same way it does in the symmetric pipeline.
+    """
+    sh_new = shingle_arrays(new_df, id_col, text_col, n)
+    sh_corp = shingle_arrays(corpus_df, id_col, text_col, n)
+    if not new_df.isStreaming:
+        sh_new = sh_new.cache()
+    sig_new = minhash_signatures_wide(new_df, id_col, text_col, n, k, shingles=sh_new)
+    sig_corp = minhash_signatures_wide(
+        corpus_df, id_col, text_col, n, k, shingles=sh_corp
+    )
+    bands_new = band_keys(sig_new, k, rows_per_band)
+    bands_corp = band_keys(sig_corp, k, rows_per_band, max_bucket_size)
+    a, b = bands_new.alias("a"), bands_corp.alias("b")
+    candidates = (
+        a.join(b, ["band", "band_key"])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # pair-oriented exact verification over batch∪corpus shingle arrays
+    sh_all = sh_new.unionByName(sh_corp)
+    verified = jaccard_verify_pairs(
+        candidates, None, id_col, text_col, n, shingles=sh_all
+    )
+    flagged = (
+        verified.filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(flagged, id_col, "left_anti")
+
+
 def exact_dedup_stream(
     df: DataFrame,
     content_cols: list[str],
@@ -292,6 +354,47 @@ def minhash_signatures(
     )
 
 
+def band_keys(
+    sig: DataFrame,
+    k: int = 16,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(id, band, band_key) from a wide signature frame — the LSH index
+    rows.  ``max_bucket_size`` drops band buckets above the cap (measured
+    within THIS frame) before any join consumes them; see
+    :func:`minhash_lsh_pairs` for why the cap is what bounds degenerate
+    bucket cross products at 100 TB."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh{j}").cast("string")
+                        for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(k // rows_per_band)
+        ]
+    )
+    bands = sig.select("id", F.explode(band_structs).alias("bk")).select(
+        "id", "bk.band", "bk.band_key"
+    )
+    if max_bucket_size:
+        from pyspark.sql.window import Window
+
+        wsz = Window.partitionBy("band", "band_key")
+        bands = (
+            bands.withColumn("_sz", F.count(F.lit(1)).over(wsz))
+            .filter(F.col("_sz") <= max_bucket_size)
+            .drop("_sz")
+        )
+    return bands
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -324,33 +427,7 @@ def minhash_lsh_pairs(
         sh = sh.cache()
     sig = minhash_signatures_wide(df, id_col, text_col, n, k, shingles=sh)
     # Band keys straight from the wide signature — no second aggregation.
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "_",
-                    *[
-                        F.col(f"mh{j}").cast("string")
-                        for j in range(b * rows_per_band, (b + 1) * rows_per_band)
-                    ],
-                ).alias("band_key"),
-            )
-            for b in range(k // rows_per_band)
-        ]
-    )
-    bands = sig.select("id", F.explode(band_structs).alias("bk")).select(
-        "id", "bk.band", "bk.band_key"
-    )
-    if max_bucket_size:
-        from pyspark.sql.window import Window
-
-        wsz = Window.partitionBy("band", "band_key")
-        bands = (
-            bands.withColumn("_sz", F.count(F.lit(1)).over(wsz))
-            .filter(F.col("_sz") <= max_bucket_size)
-            .drop("_sz")
-        )
+    bands = band_keys(sig, k, rows_per_band, max_bucket_size)
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
         a.join(b, ["band", "band_key"])

@@ -145,12 +145,17 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 # MinHash LSH pipeline CTEs, shared by the pair query and the cluster query
-_MINHASH_CTES = f"""{_SH},
+# shingles → 32-bit hashes → k=16 permutation minima → 4-row band keys
+# (shared by the symmetric pair query, the cluster query, and the
+# incremental batch-vs-corpus query)
+_MINHASH_BANDS = f"""{_SH},
 h32 AS (SELECT id, CAST(('0x'||substr(md5(shingle),1,8)) AS BIGINT) h FROM sh),
 sig AS (SELECT id, j, min(({dedup.MINHASH_A}[CAST(j AS INT)+1]*h
                          + {dedup.MINHASH_B}[CAST(j AS INT)+1]) % 2147483647) minhash
         FROM h32, (SELECT unnest(range(16)) j) jj GROUP BY 1,2),
-bands AS (SELECT id, j//4 band, string_agg(minhash, '_' ORDER BY j) band_key FROM sig GROUP BY 1,2),
+bands AS (SELECT id, j//4 band, string_agg(minhash, '_' ORDER BY j) band_key FROM sig GROUP BY 1,2)"""
+
+_MINHASH_CTES = f"""{_MINHASH_BANDS},
 cand AS (SELECT DISTINCT a.id id_a, b.id id_b FROM bands a JOIN bands b USING(band, band_key) WHERE a.id < b.id)"""
 
 
@@ -163,6 +168,33 @@ def dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(
         _docs(spark, sf_dir), "doc_id", "text", n=3, k=16, rows_per_band=4, threshold=0.2
     )
+
+
+@query(
+    "dedup_incremental_minhash",
+    # recurring-crawl NEAR-dup ingestion: batch docs (doc_id%10<>0) survive
+    # unless LSH-banded against a corpus doc (doc_id%10=0) AND the exact
+    # Jaccard of that candidate pair clears 0.2 — the oracle mirrors the
+    # full minhash pipeline (same constants), restricted to batch×corpus
+    f"""WITH {_MINHASH_BANDS},
+ci AS (SELECT DISTINCT a.id AS bid, least(a.id, b.id) AS id_a,
+        greatest(a.id, b.id) AS id_b
+       FROM bands a JOIN bands b USING(band, band_key)
+       WHERE a.id % 10 <> 0 AND b.id % 10 = 0),
+flagged AS (SELECT DISTINCT ci.bid FROM ci
+            JOIN jac j USING(id_a, id_b) WHERE j.jaccard >= 0.2)
+SELECT doc_id FROM documents WHERE doc_id % 10 <> 0
+ AND doc_id NOT IN (SELECT bid FROM flagged)""",
+)
+def dedup_incremental_minhash(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 == 0)
+    batch = docs.filter(F.col("doc_id") % 10 != 0)
+    out = dedup.incremental_minhash_dedup(
+        batch, corpus, "doc_id", "text", n=3, k=16, rows_per_band=4,
+        threshold=0.2,
+    )
+    return out.select("doc_id")
 
 
 @query(

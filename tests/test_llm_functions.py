@@ -502,6 +502,31 @@ def test_incremental_exact_dedup(spark):
     assert got == {2: 2, 5: 1}
 
 
+def test_incremental_minhash_dedup(spark):
+    """Batch docs near-dup to a CORPUS doc are dropped; novel docs and
+    docs that are only near-dups of other BATCH docs survive (in-batch
+    resolution is explicitly out of scope)."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(100, base), (101, "completely unrelated corpus text about spark")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, base),                                   # exact corpus dup
+            (2, base.replace("today", "tomorrow")),      # near-dup of corpus
+            (3, "novel document with entirely fresh content and words"),
+            (4, "novel document with entirely fresh content and words!"),
+            # 3 and 4 are near-dups of EACH OTHER but not of the corpus
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.incremental_minhash_dedup(
+        batch, corpus, "doc_id", "text", n=3, threshold=0.5
+    )
+    assert {r.doc_id for r in out.collect()} == {3, 4}
+
+
 def test_corpus_shuffle_deterministic_permutation(spark):
     """Shuffle order is a permutation (each (bucket,pos) unique, every id
     present), reproducible across calls, and seed changes reorder."""
