@@ -53,6 +53,9 @@ HEADLINE = [
     "sole_return_suppliers",   # Q21 shape: exists-pair as one aggregation (round 2)
     "pack_sequences",          # token-budget sequence packing (round 4)
     "dedup_incremental_exact", # delta-vs-corpus digest anti-join (round 4)
+    "dedup_normalized_exact",  # canonical-form dedup (round 5)
+    "dedup_incremental_minhash",  # near-dup batch-vs-corpus (round 5)
+    "multimodal_features",     # real byte-level header decode (round 5)
 ]
 
 
