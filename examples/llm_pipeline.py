@@ -51,12 +51,14 @@ def main() -> None:
     # 3. PII redaction (map-side regexp chain, no UDF)
     docs = docs.withColumn("text", text.redact(F.col("text")))
 
-    # 4. exact dedup: keep the lowest doc_id per identical text
-    groups = dedup.exact_dedup(docs, "doc_id", ["text"])
+    # 4. exact dedup on the CANONICAL text form (casing / punctuation /
+    #    spacing variants collapse): keep the lowest doc_id per form
+    canon = docs.withColumn("_norm", text.normalize_for_dedup(F.col("text")))
+    groups = dedup.exact_dedup(canon, "doc_id", ["_norm"])
     docs = docs.join(
         groups.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
     )
-    print(f"exact dedup:         -> {docs.count()} docs")
+    print(f"normalized dedup:    -> {docs.count()} docs")
 
     # 5. near-dup clustering: MinHash+LSH pairs -> connected components ->
     #    keep only each cluster's canonical (minimum) member
@@ -82,7 +84,33 @@ def main() -> None:
     n_seqs = packed.select("bucket", "seq_id").distinct().count()
     print(f"sequence packing:    {train.count()} docs -> {n_seqs} sequences of <=256 tokens")
 
-    # 8. similarity-search sanity probe on the embedding table
+    # 8. incremental ingestion: a "new crawl" arrives (here: a re-crawl of
+    #    every 10th doc plus noise) — dedup the DELTA against the curated
+    #    corpus without re-deduping the corpus: exact digests first, then
+    #    near-dup via the corpus band index
+    recrawl = engine.stream("documents").filter(F.col("doc_id") % 10 == 0)
+    batch = recrawl.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    nb = batch.count()
+    fresh = dedup.incremental_exact_dedup(batch, docs, "doc_id", ["text"])
+    survivors = batch.join(
+        fresh.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    survivors = dedup.incremental_minhash_dedup(
+        survivors, docs, "doc_id", "text", threshold=0.4
+    )
+    print(f"incremental ingest:  {nb} new docs -> {survivors.count()} truly novel")
+
+    # 9. multimodal: wrap text bytes in real container headers and decode
+    #    them back with the pure-byte parser (PNG/JPEG/WAV round-trip)
+    from go_streaming_spark.functions import multimodal
+
+    media = multimodal.synthesize_payloads(docs.limit(30), "doc_id", "text")
+    meta = multimodal.decode_media_meta(media, "doc_id")
+    print("decoded media formats:")
+    for row in meta.groupBy("format").count().orderBy("format").collect():
+        print(f"  {row['format']:<5} x{row['count']}")
+
+    # 10. similarity-search sanity probe on the embedding table
     emb = engine.stream("embeddings")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     topk = similarity.cosine_topk(
