@@ -171,6 +171,31 @@ def test_parse_media_header_malformed_degrades_to_null():
         assert m["format"] is None and m["width"] is None, payload
 
 
+def test_parse_media_header_never_raises_on_arbitrary_bytes():
+    """Property: ANY byte string parses to a dict without raising — the
+    100 TB contract that one hostile/corrupt blob cannot kill a scan
+    stage.  Seeds the fuzz with valid-prefix mutations so the format
+    branches (not just the sniff) get exercised."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    prefixes = st.sampled_from(
+        [b"", b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"RIFF", b"GIF89a", b"BM",
+         b"RIFFxxxxWAVE", b"\xff\xd8\xff\xe0"]
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(prefix=prefixes, tail=st.binary(max_size=200))
+    def run(prefix, tail):
+        m = multimodal.parse_media_header(prefix + tail)
+        assert set(m) == {
+            "media_type", "format", "width", "height", "bit_depth",
+            "duration_ms",
+        }
+
+    run()
+
+
 def test_decode_media_meta_end_to_end(spark):
     """synthesize_payloads (JVM hex synth) → decode_media_meta (Arrow-batched
     real parse): decoded fields must equal the synthesis formulas, and
