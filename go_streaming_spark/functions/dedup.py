@@ -156,10 +156,14 @@ def incremental_minhash_dedup(
     ``max_bucket_size`` caps corpus-side buckets (boilerplate floods) the
     same way it does in the symmetric pipeline.
     """
+    # both shingle frames feed a signature AND the verification union —
+    # cache each so the text split/shingling runs once per side
     sh_new = shingle_arrays(new_df, id_col, text_col, n)
     sh_corp = shingle_arrays(corpus_df, id_col, text_col, n)
     if not new_df.isStreaming:
         sh_new = sh_new.cache()
+    if not corpus_df.isStreaming:
+        sh_corp = sh_corp.cache()
     sig_new = minhash_signatures_wide(new_df, id_col, text_col, n, k, shingles=sh_new)
     sig_corp = minhash_signatures_wide(
         corpus_df, id_col, text_col, n, k, shingles=sh_corp

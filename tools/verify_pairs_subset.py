@@ -38,6 +38,7 @@ PAIR_QUERIES = [
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_blocked",
     "dedup_clusters",
+    "dedup_incremental_minhash",  # its jac CTE is the same quadratic oracle
 ]
 
 TABLES = (
