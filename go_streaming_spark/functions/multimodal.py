@@ -334,19 +334,6 @@ def synthesize_payloads(
 FEATURE_SCHEMA = "id long, n_bytes long, feature array<double>"
 
 
-def _stub_decoder(payload: bytes) -> list[float]:
-    """Deterministic fake feature vector derived from the payload digest.
-
-    Stands in for a real decode→embed step; REPLACE with e.g.
-    ``PIL.Image.open(io.BytesIO(payload))`` + a vision encoder when the
-    libs exist.  Deterministic so tests and oracles can assert on it.
-    """
-    import hashlib
-
-    dig = hashlib.md5(payload or b"").digest()
-    return [b / 255.0 for b in dig[:8]]
-
-
 def extract_features(
     df: DataFrame,
     id_col: str,

@@ -222,6 +222,27 @@ def test_decode_media_meta_end_to_end(spark):
     assert row.media_meta.height == 16 + 3 % 211
 
 
+def test_frame_plan_from_real_decoded_duration(spark):
+    """End-to-end audio chunking off REAL container metadata: synthesized
+    WAV payloads → byte-level duration decode → frame sampling plan, with
+    frame counts matching the decoded duration arithmetic."""
+    docs = _docs(spark).filter(F.col("doc_id") % 3 == 2).limit(5)
+    media = multimodal.synthesize_payloads(docs, "doc_id", "text")
+    decoded = multimodal.decode_media(media, "doc_id")
+    durations = {
+        r.doc_id: r.media_meta.duration_ms
+        for r in decoded.select("doc_id", "media_meta").collect()
+    }
+    assert all(d is not None and d >= 0 for d in durations.values())
+    plan = multimodal.frame_sample_plan(decoded, "doc_id", every_ms=100)
+    counts = {
+        r.id: r.n for r in plan.groupBy(F.col("id")).agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    for doc_id, dur in durations.items():
+        assert counts[doc_id] == max(dur // 100, 1)
+
+
 def test_frame_sample_plan(spark):
     docs = _docs(spark).limit(3)
     media = multimodal.attach_media(docs, "text", "video", "mp4")
