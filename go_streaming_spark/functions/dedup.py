@@ -144,7 +144,8 @@ def incremental_minhash_dedup(
     pairs: a batch doc is dropped iff it shares ≥1 band bucket with a
     corpus doc AND the exact Jaccard of that pair clears the threshold
     (in-batch duplicates are NOT resolved here — run the symmetric pair
-    dedup on survivors for that).
+    dedup on survivors for that).  Ids must be unique ACROSS the two
+    frames: a shared id would collide in the verification shingle union.
 
     Emits the surviving batch rows unchanged.
 
