@@ -1,0 +1,63 @@
+"""Robust corpus statistics (the quality-control pass of a training-data
+pipeline: trust no mean before clamping its tails).
+
+Design: two aggregations over one scan lineage — per-group percentile
+bounds, broadcast back, clamp, re-aggregate.  The bounds pass is the only
+part that changes with scale: exact ``percentile`` sorts each group's
+values (fine to ~10⁸ rows/group), ``percentile_approx`` keeps a fixed-size
+KLL-style sketch per group (the 100 TB form — mergeable map-side partials,
+no per-group sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    approx_accuracy: int | None = None,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Winsorized (outlier-clamped) per-group mean: clamp each group's
+    values to its own [p_lo, p_hi] before averaging.
+
+    ``approx_accuracy=None`` computes exact bounds (oracle-able:
+    Spark ``percentile`` ≡ DuckDB ``quantile_cont``);  a value (e.g.
+    10000 → ~1/10000 relative rank error) switches the bounds pass to
+    ``percentile_approx`` — the 100 TB path, where an exact per-group
+    sort is the one non-scalable stage.  The clamp join and the second
+    aggregation are identical in both modes.
+
+    Emits (group, wins_mean, n_clamped, n).
+    """
+    if approx_accuracy is None:
+        lo_b = F.percentile(value_col, F.lit(lo)).alias("lo")
+        hi_b = F.percentile(value_col, F.lit(hi)).alias("hi")
+    else:
+        lo_b = F.percentile_approx(
+            value_col, F.lit(lo), F.lit(approx_accuracy)
+        ).alias("lo")
+        hi_b = F.percentile_approx(
+            value_col, F.lit(hi), F.lit(approx_accuracy)
+        ).alias("hi")
+    bounds = df.groupBy(group_col).agg(lo_b, hi_b)
+    v = F.col(value_col)
+    clamped = df.join(F.broadcast(bounds), group_col).select(
+        group_col,
+        F.least(F.greatest(v, F.col("lo")), F.col("hi")).alias("cv"),
+        ((v < F.col("lo")) | (v > F.col("hi"))).cast("long").alias("is_cl"),
+    )
+    mean = F.avg("cv")
+    if round_digits is not None:
+        mean = F.round(mean, round_digits)
+    return clamped.groupBy(group_col).agg(
+        mean.alias("wins_mean"),
+        F.sum("is_cl").alias("n_clamped"),
+        F.count(F.lit(1)).alias("n"),
+    )
