@@ -996,26 +996,13 @@ def stream_session_window_count(spark, sf_dir):
 )
 def winsorized_stats(spark, sf_dir):
     """Winsorized (outlier-clamped) per-group mean — the robust-statistics
-    pass a corpus-quality pipeline runs before trusting averages.  Two
-    aggregations over one scan lineage: per-group exact [p05, p95] bounds
-    (Spark `percentile` ≡ DuckDB `quantile_cont`, the proven parity pair
-    from value_percentiles), broadcast back, clamp, re-aggregate.  At
-    100 TB swap the bounds pass to percentile_approx — the clamp join and
-    second aggregation are unchanged."""
+    pass a corpus-quality pipeline runs before trusting averages.  Exact
+    bounds here for oracle parity (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, the proven pair from value_percentiles);
+    ``approx_accuracy=`` is the sketch-bounds 100 TB form
+    (functions/stats.py, equivalence-tested in
+    test_winsorized_approx_matches_exact)."""
+    from go_streaming_spark.functions.stats import winsorized_stats as wstats
+
     ev = Engine(spark, sf_dir=sf_dir).stream("events")
-    bounds = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.05)).alias("lo"),
-        F.percentile("value", F.lit(0.95)).alias("hi"),
-    )
-    clamped = ev.join(F.broadcast(bounds), "event_type").select(
-        "event_type",
-        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias("cv"),
-        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
-        .cast("long")
-        .alias("is_cl"),
-    )
-    return clamped.groupBy("event_type").agg(
-        F.round(F.avg("cv"), 6).alias("wins_mean"),
-        F.sum("is_cl").alias("n_clamped"),
-        F.count(F.lit(1)).alias("n"),
-    )
+    return wstats(ev, "event_type", "value", 0.05, 0.95)

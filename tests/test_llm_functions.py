@@ -573,6 +573,42 @@ def test_incremental_minhash_dedup(spark):
     assert {r.doc_id for r in out.collect()} == {3, 4}
 
 
+def test_winsorized_approx_matches_exact(spark):
+    """The percentile_approx bounds path (100 TB form) reproduces the exact
+    winsorized mean within the tail mass it can misplace: with accuracy
+    10000 on 10k rows the sketch bounds are near-exact, so wins_mean lands
+    within a tight tolerance and clamp counts stay plausible."""
+    from go_streaming_spark.functions.stats import winsorized_stats
+
+    df = (
+        spark.range(10_000)
+        .select(
+            (F.col("id") % 4).cast("string").alias("g"),
+            # heavy-tailed deterministic values: mostly small, 1% huge
+            F.when(F.col("id") % 100 == 0, F.col("id") * 1000.0)
+            .otherwise((F.col("id") % 97).cast("double"))
+            .alias("v"),
+        )
+    )
+    exact = {
+        r.g: r for r in winsorized_stats(df, "g", "v").collect()
+    }
+    approx = {
+        r.g: r
+        for r in winsorized_stats(
+            df, "g", "v", approx_accuracy=10_000
+        ).collect()
+    }
+    assert set(exact) == set(approx) == {"0", "1", "2", "3"}
+    for g in exact:
+        e, a = exact[g], approx[g]
+        assert a.n == e.n
+        # the raw (unclamped) mean is wildly different — sanity that
+        # clamping actually did something in both modes
+        assert e.n_clamped > 0 and a.n_clamped > 0
+        assert abs(a.wins_mean - e.wins_mean) <= 0.02 * max(abs(e.wins_mean), 1)
+
+
 def test_corpus_shuffle_deterministic_permutation(spark):
     """Shuffle order is a permutation (each (bucket,pos) unique, every id
     present), reproducible across calls, and seed changes reorder."""
