@@ -288,6 +288,54 @@ def test_counting_window_tws_parity(spark, n, shift):
     assert g == b
 
 
+def test_streaming_incremental_neardup_ingestion(spark, tmp_path):
+    """Continuous-crawl near-dup ingestion: each micro-batch of a document
+    stream is deduped against the STATIC corpus band index via
+    incremental_minhash_dedup inside foreachBatch (stream-stream anti-joins
+    don't exist; per-micro-batch batch semantics is the Spark idiom).
+    Near-dups of corpus docs are dropped in every batch; novel docs pass."""
+    import json as _json
+
+    from go_streaming_spark.functions import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(100, base)], "doc_id long, text string"
+    )
+    src = tmp_path / "crawl"
+    src.mkdir()
+    batches = [
+        [(1, base), (2, "one totally novel document body here")],
+        [(3, base.replace("kappa", "lambda")), (4, "another novel text entirely")],
+    ]
+    for i, rows in enumerate(batches):
+        with open(src / f"b{i}.json", "w") as f:
+            for did, txt in rows:
+                f.write(_json.dumps({"doc_id": did, "text": txt}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    survivors: list[int] = []
+
+    def ingest(batch_df, _bid):
+        out = dedup.incremental_minhash_dedup(
+            batch_df, corpus, "doc_id", "text", threshold=0.5
+        )
+        survivors.extend(r.doc_id for r in out.collect())
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(survivors) == [2, 4]
+
+
 def test_counting_window_quantized_exact_sums(spark, tmp_path):
     """quantize_scale=4 makes streamed window sums EXACT decimal arithmetic:
     values round half-up at 4 decimals (0.00005 -> 0.0001, like CAST to
