@@ -23,6 +23,8 @@ so every operator here has a bit-exact DuckDB oracle.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -123,6 +125,108 @@ def incremental_exact_dedup(
     return batch.join(seen, "content_hash", "left_anti")
 
 
+class MinHashIndex(NamedTuple):
+    """Persisted corpus-side state for incremental near-dup ingestion.
+
+    ``bands``: (id, band, band_key) — the LSH index, ~k/r narrow rows per
+    corpus doc.  ``shingles``: (id, shingles array<string>) — the per-doc
+    shingle sets the exact-Jaccard verification joins against.  Both are
+    per-doc properties, so in production they are computed ONCE per corpus
+    snapshot (stored as parquet / cached), and every ingest batch joins
+    them — never re-shingling the corpus (the reference's recurring-crawl
+    shape; cf. subscribe-once semantics in
+    /root/reference/pkg/pubsub/stream.go).
+
+    The caller owns the lifecycle: ``index.cache()`` before a batch loop,
+    ``index.unpersist()`` after — nothing in this module caches behind the
+    caller's back (a per-call cache in a ``foreachBatch`` loop grows
+    executor storage unboundedly).
+    """
+
+    bands: DataFrame
+    shingles: DataFrame
+    n: int
+    k: int
+    rows_per_band: int
+
+    def cache(self) -> "MinHashIndex":
+        self.bands.cache()
+        self.shingles.cache()
+        return self
+
+    def unpersist(self) -> "MinHashIndex":
+        self.bands.unpersist()
+        self.shingles.unpersist()
+        return self
+
+
+def build_minhash_index(
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 16,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
+) -> MinHashIndex:
+    """Build the corpus-side :class:`MinHashIndex` for
+    :func:`dedup_against_index`.  ``max_bucket_size`` caps corpus-side
+    band buckets (boilerplate floods) at index-build time, so every batch
+    that joins the index inherits the cap for free.
+
+    Lazy frames — call ``.cache()`` (or write both frames to parquet and
+    read them back) before joining repeated batches against it.
+    """
+    sh = shingle_arrays(corpus_df, id_col, text_col, n)
+    sig = minhash_signatures_wide(corpus_df, id_col, text_col, n, k, shingles=sh)
+    bands = band_keys(sig, k, rows_per_band, max_bucket_size)
+    return MinHashIndex(bands, sh, n, k, rows_per_band)
+
+
+def dedup_against_index(
+    new_df: DataFrame,
+    index: MinHashIndex,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Drop NEW-batch documents with an exact-Jaccard match ≥ ``threshold``
+    among their MinHash-LSH candidates in a prebuilt corpus
+    :class:`MinHashIndex` — the production shape of incremental near-dup
+    ingestion: the index is computed once per corpus snapshot, each batch
+    equi-joins it on (band, band_key).
+
+    Cost ∝ batch size + bucket collisions, never corpus pairs; the corpus
+    contributes only index rows (bands) and the shingle sets of candidate
+    ids (verification join).  Emits surviving batch rows unchanged.
+    In-batch duplicates are NOT resolved here — see
+    :func:`incremental_minhash_dedup_full`.  Ids must be unique ACROSS
+    batch and corpus: a shared id would collide in the verification
+    shingle union.
+    """
+    n, k, rows_per_band = index.n, index.k, index.rows_per_band
+    sh_new = shingle_arrays(new_df, id_col, text_col, n)
+    sig_new = minhash_signatures_wide(new_df, id_col, text_col, n, k, shingles=sh_new)
+    bands_new = band_keys(sig_new, k, rows_per_band)
+    a, b = bands_new.alias("a"), index.bands.alias("b")
+    candidates = (
+        a.join(b, ["band", "band_key"])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # pair-oriented exact verification over batch∪corpus shingle arrays
+    sh_all = sh_new.unionByName(index.shingles)
+    verified = jaccard_verify_pairs(
+        candidates, None, id_col, text_col, n, shingles=sh_all
+    )
+    flagged = (
+        verified.filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(flagged, id_col, "left_anti")
+
+
 def incremental_minhash_dedup(
     new_df: DataFrame,
     corpus_df: DataFrame,
@@ -133,6 +237,7 @@ def incremental_minhash_dedup(
     rows_per_band: int = 4,
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    index: MinHashIndex | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup dedup: from a NEW batch, keep only documents
     with no exact-Jaccard match ≥ ``threshold`` among their MinHash-LSH
@@ -141,53 +246,69 @@ def incremental_minhash_dedup(
     (re-crawls and boilerplate variants are near-dups, not byte dups).
 
     Semantics mirror :func:`minhash_lsh_pairs` restricted to batch×corpus
-    pairs: a batch doc is dropped iff it shares ≥1 band bucket with a
-    corpus doc AND the exact Jaccard of that pair clears the threshold
-    (in-batch duplicates are NOT resolved here — run the symmetric pair
-    dedup on survivors for that).  Ids must be unique ACROSS the two
-    frames: a shared id would collide in the verification shingle union.
+    pairs (see :func:`dedup_against_index` for the join shape and the
+    id-uniqueness precondition).
 
-    Emits the surviving batch rows unchanged.
-
-    Scale: the corpus side reduces to its band index (id, band, band_key —
-    in production precomputed and stored, ~k/r rows of a few dozen bytes
-    per corpus doc) and candidate generation is a bucket equi-join of the
-    BATCH bands against it — cost ∝ batch size + collisions, never corpus
-    pairs.  Verification joins shingle arrays for candidate ids only.
-    ``max_bucket_size`` caps corpus-side buckets (boilerplate floods) the
-    same way it does in the symmetric pipeline.
+    Pass ``index=`` (a prebuilt, caller-cached :class:`MinHashIndex`) for
+    repeated ingestion — e.g. a ``foreachBatch`` loop — so the corpus is
+    shingled once, not once per batch; ``corpus_df`` is then ignored.  The
+    convenience path (``index=None``) builds the index per call WITHOUT
+    caching it: the corpus is shingled twice within the one evaluation
+    (signature + verification), which is map-side work, but nothing leaks
+    into executor storage across calls.
     """
-    # both shingle frames feed a signature AND the verification union —
-    # cache each so the text split/shingling runs once per side
-    sh_new = shingle_arrays(new_df, id_col, text_col, n)
-    sh_corp = shingle_arrays(corpus_df, id_col, text_col, n)
-    if not new_df.isStreaming:
-        sh_new = sh_new.cache()
-    if not corpus_df.isStreaming:
-        sh_corp = sh_corp.cache()
-    sig_new = minhash_signatures_wide(new_df, id_col, text_col, n, k, shingles=sh_new)
-    sig_corp = minhash_signatures_wide(
-        corpus_df, id_col, text_col, n, k, shingles=sh_corp
+    if index is None:
+        index = build_minhash_index(
+            corpus_df, id_col, text_col, n, k, rows_per_band, max_bucket_size
+        )
+    return dedup_against_index(new_df, index, id_col, text_col, threshold)
+
+
+def incremental_minhash_dedup_full(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+    index: MinHashIndex | None = None,
+) -> DataFrame:
+    """FULL incremental near-dup ingestion: batch-vs-corpus AND
+    batch-vs-batch in one op, so an ingest batch leaves fully
+    near-dup-free.
+
+    Stage 1 drops batch docs near-duplicating the corpus
+    (:func:`incremental_minhash_dedup` — band-index join + exact-Jaccard
+    verify).  Stage 2 resolves duplicates WITHIN the survivors: symmetric
+    :func:`minhash_lsh_pairs` over the survivors, connected components of
+    the verified pair graph, keep the minimum id per component (the same
+    canonical-member rule as ``dedup_components``).
+
+    Scale: stage 2's pair generation runs over the batch only (corpus
+    never self-joins), and component resolution is the O(log d)
+    label-propagation of :mod:`go_streaming_spark.functions.graph` — at
+    100 TB the corpus contributes index rows, the batch contributes
+    everything else.  Batch-only: stage 2's convergence loop runs driver
+    actions, so wrap in ``foreachBatch`` for streaming ingestion.
+    """
+    from go_streaming_spark.functions.graph import dedup_components
+
+    survivors = incremental_minhash_dedup(
+        new_df, corpus_df, id_col, text_col, n, k, rows_per_band,
+        threshold, max_bucket_size, index=index,
     )
-    bands_new = band_keys(sig_new, k, rows_per_band)
-    bands_corp = band_keys(sig_corp, k, rows_per_band, max_bucket_size)
-    a, b = bands_new.alias("a"), bands_corp.alias("b")
-    candidates = (
-        a.join(b, ["band", "band_key"])
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    pairs = minhash_lsh_pairs(
+        survivors, id_col, text_col, n, k, rows_per_band, threshold,
+        max_bucket_size,
     )
-    # pair-oriented exact verification over batch∪corpus shingle arrays
-    sh_all = sh_new.unionByName(sh_corp)
-    verified = jaccard_verify_pairs(
-        candidates, None, id_col, text_col, n, shingles=sh_all
+    comps = dedup_components(pairs)
+    drop = comps.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
     )
-    flagged = (
-        verified.filter(F.col("jaccard") >= threshold)
-        .select(F.col("id_a").alias(id_col))
-        .distinct()
-    )
-    return new_df.join(flagged, id_col, "left_anti")
+    return survivors.join(drop, id_col, "left_anti")
 
 
 def exact_dedup_stream(

@@ -312,10 +312,20 @@ def synthesize_payloads(
         F.lit("03011100021101031101"),                       # 3 components
         body_hex,
     )
+    wav = _wav_payload_hex(_id, body_hex, blen)
+    payload = (
+        F.when(_id % 3 == 0, png).when(_id % 3 == 1, jpeg).otherwise(wav)
+    )
+    return df.withColumn("media", F.unhex(payload))
+
+
+def _wav_payload_hex(_id, body_hex, blen):
+    """Hex of a real RIFF/WAVE container whose ``data`` chunk is the body
+    bytes verbatim (= the PCM stream: raw 16-bit LE samples)."""
     channels = (F.lit(1) + _id % 2).cast("long")
     rate = (F.lit(8000) + (_id % 5) * 2000).cast("long")
     byte_rate = rate * channels * 2
-    wav = F.concat(
+    return F.concat(
         F.lit("52494646"), _le_hex(F.lit(36) + blen, 4),     # RIFF, size
         F.lit("57415645"),                                   # WAVE
         F.lit("666D7420"), F.lit("10000000"), F.lit("0100"), # fmt , 16, PCM
@@ -325,10 +335,159 @@ def synthesize_payloads(
         F.lit("64617461"), _le_hex(blen, 4),                 # data, size
         body_hex,
     )
-    payload = (
-        F.when(_id % 3 == 0, png).when(_id % 3 == 1, jpeg).otherwise(wav)
+
+
+def synthesize_payloads_raw(
+    df: DataFrame, id_col: str, body_col: str
+) -> DataFrame:
+    """Deterministic UNCOMPRESSED multimodal payloads — the containers whose
+    *content* (not just header) is decodable with pure byte arithmetic:
+
+    * **BMP** (id%2==0): 24-bit, width 8 (stride 24 = already 4-byte
+      aligned, no row padding), height ``2 + id % 7``; the pixel array is
+      the body's UTF-8 bytes cycled to fill ``height*24`` bytes (empty
+      bodies cycle a single 0x00).
+    * **WAV** (id%2==1): the same real RIFF container as
+      :func:`synthesize_payloads` — the ``data`` chunk IS the body bytes,
+      i.e. ``len(body)//2`` raw 16-bit LE PCM samples.
+
+    Entirely JVM-side (hex concat + ``unhex``).  Companion of
+    :func:`content_stats`, which decodes the pixel/PCM content back out —
+    REAL content decode, no codec libraries needed (unlike PNG/JPEG, whose
+    compressed payloads keep the stub path).
+    """
+    _id = F.col(id_col)
+    body = F.encode(F.coalesce(F.col(body_col), F.lit("")), "UTF-8")
+    body_hex = F.hex(body)
+    blen = F.length(body)
+
+    h = (F.lit(2) + _id % 7).cast("long")
+    needed = h * 24                                          # pixel bytes
+    padded = F.when(F.length(body_hex) > 0, body_hex).otherwise(F.lit("00"))
+    hlen = F.length(padded)
+    reps = F.floor((needed * 2 + hlen - 1) / hlen).cast("int")
+    pixel_hex = F.substr(
+        F.repeat(padded, reps), F.lit(1), (needed * 2).cast("int")
     )
+    bmp = F.concat(
+        F.lit("424D"), _le_hex(F.lit(54) + needed, 4),       # BM, file size
+        F.lit("00000000"), F.lit("36000000"),                # reserved, offset 54
+        F.lit("28000000"),                                   # BITMAPINFOHEADER
+        F.lit("08000000"), _le_hex(h, 4),                    # width 8, height
+        F.lit("0100"), F.lit("1800"),                        # planes, 24 bpp
+        F.lit("00000000"), _le_hex(needed, 4),               # BI_RGB, image size
+        F.lit("00000000"), F.lit("00000000"),                # x/y pixels-per-m
+        F.lit("00000000"), F.lit("00000000"),                # colors used/important
+        pixel_hex,
+    )
+    wav = _wav_payload_hex(_id, body_hex, blen)
+    payload = F.when(_id % 2 == 0, bmp).otherwise(wav)
     return df.withColumn("media", F.unhex(payload))
+
+
+def bmp_pixel_bytes(p: bytes) -> bytes | None:
+    """REAL BMP content decode: the raw pixel array (BGR byte stream,
+    stride-padded rows included) per the BITMAPINFOHEADER geometry.
+    ``None`` for non-BMP / truncated-header payloads."""
+    if p[:2] != b"BM" or len(p) < 54:
+        return None
+    offset = int.from_bytes(p[10:14], "little")
+    width = int.from_bytes(p[18:22], "little", signed=True)
+    height = abs(int.from_bytes(p[22:26], "little", signed=True))
+    bpp = int.from_bytes(p[28:30], "little")
+    if width <= 0 or bpp == 0 or offset > len(p):
+        return None
+    stride = ((bpp * width + 31) // 32) * 4
+    return p[offset:offset + stride * height]
+
+
+def wav_pcm_samples(p: bytes) -> list[int] | None:
+    """REAL WAV content decode: the ``data`` chunk as signed 16-bit LE PCM
+    samples (trailing odd byte dropped).  ``None`` for non-WAV payloads or
+    containers without a ``data`` chunk."""
+    if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    i, data = 12, None
+    while i + 8 <= len(p):
+        cid = p[i:i + 4]
+        csize = int.from_bytes(p[i + 4:i + 8], "little")
+        if cid == b"data":
+            data = p[i + 8:i + 8 + csize]
+        i += 8 + csize + (csize & 1)
+    if data is None:
+        return None
+    return [
+        int.from_bytes(data[2 * k:2 * k + 2], "little", signed=True)
+        for k in range(len(data) // 2)
+    ]
+
+
+CONTENT_STATS_SCHEMA = (
+    "id long, format string, n_units long, mean_val double, rms double,"
+    " min_val long, max_val long"
+)
+
+
+def content_stats(
+    df: DataFrame, id_col: str, media_col: str = "media"
+) -> DataFrame:
+    """REAL content statistics over uncompressed media payloads — the
+    pixel/sample tier of the two-tier decode (module docstring), with no
+    codec libraries: BMP pixel bytes → luminance-ish byte stats, WAV PCM →
+    amplitude stats.  Units are pixel channel bytes (BMP, 0..255) or
+    signed 16-bit samples (WAV); ``mean_val``/``rms`` are exact integer
+    sums divided once, so engines agree bitwise.  Formats that need a real
+    codec (PNG/JPEG/GIF deflate/DCT content) yield ``format`` from the
+    header sniff with NULL stats — at 100 TB one bad or compressed blob
+    degrades to NULL, never kills the stage.
+
+    Arrow-batched ``mapInPandas`` over an (id, payload) projection, same
+    plumbing contract as :func:`extract_features`.
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import math
+
+        import pandas as pd
+
+        # local refs: cloudpickle ships the decoders by value
+        sniff, bmp_px, wav_pcm = parse_media_header, bmp_pixel_bytes, wav_pcm_samples
+
+        def stats_row(b) -> tuple:
+            p = bytes(b) if b is not None else b""
+            fmt = sniff(p)["format"]
+            units: list[int] | None = None
+            if fmt == "bmp":
+                raw = bmp_px(p)
+                units = list(raw) if raw is not None else None
+            elif fmt == "wav":
+                units = wav_pcm(p)
+            if not units:
+                return (fmt, 0 if units is not None else None,
+                        None, None, None, None)
+            n = len(units)
+            s = sum(units)
+            sq = sum(v * v for v in units)
+            return (fmt, n, s / n, math.sqrt(sq / n), min(units), max(units))
+
+        for pdf in batches:
+            rows = [stats_row(b) for b in pdf["_media"]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["_id"],
+                    "format": [r[0] for r in rows],
+                    "n_units": pd.array([r[1] for r in rows], dtype="Int64"),
+                    "mean_val": [r[2] for r in rows],
+                    "rms": [r[3] for r in rows],
+                    "min_val": pd.array([r[4] for r in rows], dtype="Int64"),
+                    "max_val": pd.array([r[5] for r in rows], dtype="Int64"),
+                }
+            )
+
+    narrow = spread(df).select(
+        F.col(id_col).alias("_id"), F.col(media_col).cast("binary").alias("_media")
+    )
+    return narrow.mapInPandas(run, CONTENT_STATS_SCHEMA)
 
 
 FEATURE_SCHEMA = "id long, n_bytes long, feature array<double>"

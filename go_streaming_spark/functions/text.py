@@ -313,14 +313,17 @@ def normalize_for_dedup(text: Column) -> Column:
     the near-universal trivial duplicates — casing, punctuation and
     spacing variants — that raw-byte dedup misses.
 
-    Pure JVM expression chain (no UDF), and restricted to ASCII-safe
-    regex classes so Java and RE2-family engines agree byte-for-byte
-    (full Unicode NFKC folding needs ICU, which neither test engine has;
-    plug it in as a pandas UDF where the dependency exists).
+    Pure JVM expression chain (no UDF).  Whitespace is an EXPLICIT class
+    ``[ \\t\\n\\r\\f\\x0B]`` rather than ``\\s`` because Java's ``\\s``
+    includes vertical tab while RE2-family engines' does not — the
+    explicit class makes Java and RE2 agree byte-for-byte on every input.
+    (Full Unicode NFKC folding needs ICU, which neither test engine has;
+    plug it in as a pandas UDF where the dependency exists.)
     """
+    ws = r" \t\n\r\f\x0B"
     lowered = F.lower(text)
-    stripped = F.regexp_replace(lowered, r"[^a-z0-9\s]+", "")
-    collapsed = F.regexp_replace(stripped, r"\s+", " ")
+    stripped = F.regexp_replace(lowered, f"[^a-z0-9{ws}]+", "")
+    collapsed = F.regexp_replace(stripped, f"[{ws}]+", " ")
     return F.trim(collapsed)
 
 

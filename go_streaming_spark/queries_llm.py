@@ -79,10 +79,13 @@ def dedup_exact(spark, sf_dir):
     "dedup_normalized_exact",
     # exact dedup over the CANONICAL text form (lower, strip punctuation,
     # collapse whitespace) — catches casing/punctuation/spacing variants
-    # raw-byte dedup misses; same digest-only shuffle as dedup_exact
+    # raw-byte dedup misses; same digest-only shuffle as dedup_exact.
+    # Whitespace class is explicit (not \s): Java's \s includes \x0B,
+    # RE2's does not — the explicit class keeps both engines identical.
     r"""WITH n AS (SELECT doc_id,
-   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]+', '', 'g'),
-        '\s+', ' ', 'g')) AS norm
+   trim(regexp_replace(regexp_replace(lower(text),
+        '[^a-z0-9 \t\n\r\f\x0B]+', '', 'g'),
+        '[ \t\n\r\f\x0B]+', ' ', 'g')) AS norm
   FROM documents)
 SELECT md5(norm) AS content_hash, min(doc_id) AS keep_id,
  count(*) AS n_copies FROM n GROUP BY 1""",
@@ -191,6 +194,74 @@ def dedup_incremental_minhash(spark, sf_dir):
     corpus = docs.filter(F.col("doc_id") % 10 == 0)
     batch = docs.filter(F.col("doc_id") % 10 != 0)
     out = dedup.incremental_minhash_dedup(
+        batch, corpus, "doc_id", "text", n=3, k=16, rows_per_band=4,
+        threshold=0.2,
+    )
+    return out.select("doc_id")
+
+
+@query(
+    "dedup_incremental_indexed",
+    # same semantics as dedup_incremental_minhash, exercised through the
+    # PRODUCTION API shape: corpus band index built once
+    # (build_minhash_index), batch joined against it (dedup_against_index).
+    # Same oracle — index-based result must be identical to the recompute.
+    f"""WITH {_MINHASH_BANDS},
+ci AS (SELECT DISTINCT a.id AS bid, least(a.id, b.id) AS id_a,
+        greatest(a.id, b.id) AS id_b
+       FROM bands a JOIN bands b USING(band, band_key)
+       WHERE a.id % 10 <> 0 AND b.id % 10 = 0),
+flagged AS (SELECT DISTINCT ci.bid FROM ci
+            JOIN jac j USING(id_a, id_b) WHERE j.jaccard >= 0.2)
+SELECT doc_id FROM documents WHERE doc_id % 10 <> 0
+ AND doc_id NOT IN (SELECT bid FROM flagged)""",
+)
+def dedup_incremental_indexed(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 == 0)
+    batch = docs.filter(F.col("doc_id") % 10 != 0)
+    idx = dedup.build_minhash_index(
+        corpus, "doc_id", "text", n=3, k=16, rows_per_band=4
+    )
+    out = dedup.dedup_against_index(batch, idx, "doc_id", "text", threshold=0.2)
+    return out.select("doc_id")
+
+
+@query(
+    "dedup_incremental_full",
+    # FULL ingestion: drop batch docs near-duplicating the corpus (stage 1,
+    # as dedup_incremental_minhash), then resolve near-dups WITHIN the
+    # surviving batch — symmetric banded pairs restricted to survivors,
+    # transitive closure, keep the minimum id per component
+    f"""WITH RECURSIVE {_MINHASH_BANDS},
+ci AS (SELECT DISTINCT a.id AS bid, least(a.id, b.id) AS id_a,
+        greatest(a.id, b.id) AS id_b
+       FROM bands a JOIN bands b USING(band, band_key)
+       WHERE a.id % 10 <> 0 AND b.id % 10 = 0),
+flagged AS (SELECT DISTINCT ci.bid FROM ci
+            JOIN jac j USING(id_a, id_b) WHERE j.jaccard >= 0.2),
+surv AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0
+         AND doc_id NOT IN (SELECT bid FROM flagged)),
+scand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bands a JOIN bands b USING(band, band_key)
+          WHERE a.id < b.id
+            AND a.id IN (SELECT doc_id FROM surv)
+            AND b.id IN (SELECT doc_id FROM surv)),
+spairs AS (SELECT s.id_a, s.id_b FROM scand s
+           JOIN jac j USING(id_a, id_b) WHERE j.jaccard >= 0.2),
+edges AS (SELECT id_a AS u, id_b AS v FROM spairs
+          UNION SELECT id_b, id_a FROM spairs),
+reach AS (SELECT u AS node, v AS r FROM edges
+          UNION SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u),
+comp AS (SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id FROM surv
+ WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> cluster_id)""",
+)
+def dedup_incremental_full(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 == 0)
+    batch = docs.filter(F.col("doc_id") % 10 != 0)
+    out = dedup.incremental_minhash_dedup_full(
         batch, corpus, "doc_id", "text", n=3, k=16, rows_per_band=4,
         threshold=0.2,
     )
@@ -661,6 +732,46 @@ def multimodal_transform_chain(spark, sf_dir):
 def multimodal_features(spark, sf_dir):
     media = multimodal.synthesize_payloads(_docs(spark, sf_dir), "doc_id", "text")
     return multimodal.decode_media_meta(media, "doc_id", "media")
+
+
+@query(
+    "multimodal_content_stats",
+    # REAL content decode (pixel/PCM tier, not just headers): each doc's
+    # bytes become an uncompressed 24-bit BMP (pixel array = body bytes
+    # cycled to height*24) or a WAV whose data chunk is raw 16-bit LE PCM
+    # (multimodal.synthesize_payloads_raw); content_stats then reads the
+    # BYTES back through the container geometry (BMP pixel-array offset +
+    # stride, RIFF data-chunk walk) and must reproduce the stats the
+    # oracle computes directly from the synthesis formulas.  Integer sums
+    # divided once → both engines bit-equal on mean/rms.
+    """WITH src AS (SELECT doc_id AS id, hex(encode(coalesce(text,''))) AS hx,
+         octet_length(encode(coalesce(text,''))) AS blen FROM documents),
+bph AS (SELECT id, (2 + id % 7) * 24 AS needed,
+        CASE WHEN blen > 0 THEN hx ELSE '00' END AS ph FROM src WHERE id % 2 = 0),
+bpix AS (SELECT id, needed,
+         substr(repeat(ph, CAST((needed*2 + length(ph) - 1) // length(ph) AS INT)),
+                1, CAST(needed*2 AS INT)) AS phex FROM bph),
+bval AS (SELECT id, CAST(('0x' || substr(phex, CAST(2*j+1 AS INT), 2)) AS BIGINT) AS v
+         FROM (SELECT id, phex, unnest(range(needed)) AS j FROM bpix)),
+wraw AS (SELECT id, CAST(('0x' || substr(hx, CAST(4*k+1 AS INT), 2)) AS BIGINT)
+              + 256 * CAST(('0x' || substr(hx, CAST(4*k+3 AS INT), 2)) AS BIGINT) AS raw
+         FROM (SELECT id, hx, unnest(range(blen // 2)) AS k FROM src WHERE id % 2 = 1)),
+wval AS (SELECT id, CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v FROM wraw),
+stats AS (SELECT id, count(*) AS n_units,
+          CAST(sum(v) AS BIGINT) * 1.0 / count(*) AS mean_val,
+          sqrt(CAST(sum(v*v) AS BIGINT) * 1.0 / count(*)) AS rms,
+          min(v) AS min_val, max(v) AS max_val
+          FROM (SELECT * FROM bval UNION ALL SELECT * FROM wval) GROUP BY id)
+SELECT s.id, CASE WHEN s.id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+       COALESCE(t.n_units, 0) AS n_units, t.mean_val, t.rms, t.min_val, t.max_val
+FROM src s LEFT JOIN stats t ON s.id = t.id""",
+)
+def multimodal_content_stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    media = multimodal.synthesize_payloads_raw(docs, "doc_id", "text")
+    return multimodal.content_stats(media, "doc_id", "media")
 
 
 @query(

@@ -573,6 +573,81 @@ def test_incremental_minhash_dedup(spark):
     assert {r.doc_id for r in out.collect()} == {3, 4}
 
 
+def test_incremental_minhash_full_resolves_in_batch(spark):
+    """incremental_minhash_dedup_full drops corpus near-dups AND resolves
+    near-dups within the batch (min id per component survives) — an ingest
+    batch leaves fully near-dup-free."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(100, base)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, base),                                   # corpus dup → drop
+            (3, "novel document with entirely fresh content and words"),
+            (4, "novel document with entirely fresh content and words!"),
+            (5, "some other brand new text that matches nothing else"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.incremental_minhash_dedup_full(
+        batch, corpus, "doc_id", "text", n=3, threshold=0.5
+    )
+    # 1 dropped vs corpus; {3,4} collapse to min id 3; 5 novel
+    assert {r.doc_id for r in out.collect()} == {3, 5}
+
+
+def test_successive_batches_against_updated_index(spark):
+    """Two ingest batches, each full-deduped against an index UPDATED with
+    the prior batch's survivors (band/shingle frames appended — the index
+    is an append-able per-doc property), give the same survivor set as one
+    from-scratch full dedup of the concatenated batches.  Batch-1 ids are
+    lower than batch-2 ids, so sequential keep-first equals the canonical
+    min-id rule."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    novel_a = "one two three four five six seven eight nine ten"
+    corpus = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    b1 = spark.createDataFrame(
+        [
+            (1, base),                                  # corpus dup → drop
+            (2, novel_a),                               # novel → keep
+            (3, novel_a.replace("nine", "nina")),       # in-batch dup of 2
+            (4, "fully distinct text mentioning nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (5, novel_a.replace("ten", "eleven")),      # near-dup of kept 2
+            (6, "yet another completely fresh document body arrives"),
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(n=3, k=16, rows_per_band=2, threshold=0.5)
+
+    idx = dedup.build_minhash_index(corpus, "doc_id", "text", 3, 16, 2)
+    s1 = dedup.incremental_minhash_dedup_full(
+        b1, None, "doc_id", "text", index=idx, **kw
+    )
+    ids1 = {r.doc_id for r in s1.collect()}
+    # append the survivors' band/shingle rows to the index
+    idx1 = dedup.build_minhash_index(s1, "doc_id", "text", 3, 16, 2)
+    updated = dedup.MinHashIndex(
+        idx.bands.unionByName(idx1.bands),
+        idx.shingles.unionByName(idx1.shingles),
+        3, 16, 2,
+    )
+    s2 = dedup.incremental_minhash_dedup_full(
+        b2, None, "doc_id", "text", index=updated, **kw
+    )
+    ids2 = {r.doc_id for r in s2.collect()}
+
+    scratch = dedup.incremental_minhash_dedup_full(
+        b1.unionByName(b2), corpus, "doc_id", "text", **kw
+    )
+    assert ids1 | ids2 == {r.doc_id for r in scratch.collect()} == {2, 4, 6}
+
+
 def test_winsorized_approx_matches_exact(spark):
     """The percentile_approx bounds path (100 TB form) reproduces the exact
     winsorized mean within the tail mass it can misplace: with accuracy

@@ -319,10 +319,14 @@ def test_streaming_incremental_neardup_ingestion(spark, tmp_path):
         .json(str(src))
     )
     survivors: list[int] = []
+    # Production shape: the corpus index is built+cached ONCE outside the
+    # batch loop; every micro-batch joins it (no per-call corpus
+    # re-shingling, no cache entries accumulating across batches).
+    idx = dedup.build_minhash_index(corpus, "doc_id", "text").cache()
 
     def ingest(batch_df, _bid):
-        out = dedup.incremental_minhash_dedup(
-            batch_df, corpus, "doc_id", "text", threshold=0.5
+        out = dedup.dedup_against_index(
+            batch_df, idx, "doc_id", "text", threshold=0.5
         )
         survivors.extend(r.doc_id for r in out.collect())
 
@@ -333,6 +337,7 @@ def test_streaming_incremental_neardup_ingestion(spark, tmp_path):
         .start()
     )
     q.awaitTermination()
+    idx.unpersist()
     assert sorted(survivors) == [2, 4]
 
 
@@ -359,6 +364,9 @@ def test_counting_window_quantized_exact_sums(spark, tmp_path):
     # HALF_UP at scale 4: 10001 + 21234 + 40000 + 1 = 71236 µunits
     assert row.sum_value == 71236 / 10**4
     assert row.n_events == 4
+
+
+def test_session_window_stream_parity(spark):
     """Gap-based session windows run streaming too (watermark + append);
     fully-closed sessions match the batch result."""
     bt = load_table(spark, SF, "events")
