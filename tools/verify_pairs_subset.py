@@ -39,6 +39,8 @@ PAIR_QUERIES = [
     "dedup_embedding_cosine_blocked",
     "dedup_clusters",
     "dedup_incremental_minhash",  # its jac CTE is the same quadratic oracle
+    "dedup_incremental_indexed",
+    "dedup_incremental_full",
 ]
 
 TABLES = (
@@ -67,7 +69,8 @@ def build_subset() -> None:
 if __name__ == "__main__":
     build_subset()
     env = dict(os.environ, DRIVE_SF_DIR=OUT)
+    driver = os.path.join(os.path.dirname(os.path.abspath(__file__)), "drive_entry.py")
     rc = subprocess.call(
-        [sys.executable, "/tmp/drive_entry.py", *PAIR_QUERIES], env=env
+        [sys.executable, driver, *PAIR_QUERIES], env=env
     )
     sys.exit(rc)
