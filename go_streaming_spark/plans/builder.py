@@ -87,6 +87,7 @@ class ContinuousQuery:
     name: str | None = None
     streaming: bool = False
     _sq: "object" = None  # pyspark StreamingQuery when running
+    _flush: Callable[[], None] | None = None  # global-order reorder drain
 
     def collect(self):
         return self.df.collect()
@@ -102,7 +103,14 @@ class ContinuousQuery:
         )
         return self._sq
 
-    def subscribe(self, callback, ordered_by=None, output_mode: str = "append"):
+    def subscribe(
+        self,
+        callback,
+        ordered_by=None,
+        output_mode: str = "append",
+        global_order: bool = False,
+        max_out_of_order=None,
+    ):
         """Per-event subscriber: one ``callback(row)`` call per event — the
         reference's primary sink (``Subscribe(func(Event[T]))``,
         `continuous_query.go:103-116`; every example uses it).
@@ -117,18 +125,71 @@ class ContinuousQuery:
         ``ordered_by``: optional column list to sort each micro-batch before
         dispatch (the reference delivers in stream order; Spark partitions
         are unordered without an explicit sort).  Works on batch queries too
-        (one "micro-batch" = the whole result)."""
+        (one "micro-batch" = the whole result).
+
+        ``global_order=True`` extends the ordering ACROSS micro-batches —
+        the reference's sorted delivery (`pkg/pubsub/stream.go:297-319`,
+        sorted buffer `pkg/events/buffer.go:391-397`) is global, not
+        per-batch.  Rows park in a driver-side reorder heap keyed by
+        ``ordered_by``; with ``max_out_of_order=d`` (the caller's disorder
+        bound on the FIRST ordered-by column, e.g. a seq delta) every batch
+        drains the heap up to ``max_seen - d`` — the seq high-watermark —
+        so delivery stays incremental with bounded memory (heap size ∝
+        disorder, not stream length).  With ``max_out_of_order=None`` the
+        heap drains only at :meth:`flush` / :meth:`await_done` — exact for
+        any orderable key, buffering the full stream.  A row arriving later
+        than its bound (watermark violation) is delivered at the next drain
+        point, best-effort — same contract as any watermark operator.
+        """
         cols = list(ordered_by) if ordered_by else None
+        if not global_order:
+            def dispatch(batch_df, batch_id=None):
+                it = batch_df.orderBy(*cols) if cols else batch_df
+                for row in it.toLocalIterator():
+                    callback(row)
+
+            if not self.streaming:
+                dispatch(self.df)
+                return None
+            return self.subscribe_batch(dispatch, output_mode=output_mode)
+
+        if not cols:
+            raise ValueError("global_order=True requires ordered_by")
+        import heapq
+        import itertools
+
+        heap: list = []
+        tie = itertools.count()  # FIFO among equal keys; rows never compared
+        state: dict = {"max_seen": None}
+
+        def drain(up_to=None) -> None:
+            while heap and (up_to is None or heap[0][0] <= up_to):
+                _, _, row = heapq.heappop(heap)
+                callback(row)
 
         def dispatch(batch_df, batch_id=None):
-            it = batch_df.orderBy(*cols) if cols else batch_df
-            for row in it.toLocalIterator():
-                callback(row)
+            for row in batch_df.orderBy(*cols).toLocalIterator():
+                k = tuple(row[c] for c in cols)
+                heapq.heappush(heap, (k, next(tie), row))
+                if state["max_seen"] is None or k > state["max_seen"]:
+                    state["max_seen"] = k
+            if max_out_of_order is not None and state["max_seen"] is not None:
+                wm = (state["max_seen"][0] - max_out_of_order,
+                      *state["max_seen"][1:])
+                drain(wm)
 
         if not self.streaming:
             dispatch(self.df)
+            drain()
             return None
+        self._flush = drain
         return self.subscribe_batch(dispatch, output_mode=output_mode)
+
+    def flush(self) -> None:
+        """Drain any rows parked by a ``global_order`` subscription (in key
+        order).  Idempotent; called automatically by :meth:`await_done`."""
+        if self._flush is not None:
+            self._flush()
 
     def run_memory(self, query_name: str, output_mode: str = "append"):
         """Run to a memory sink (test harness; ≈ Run, `continuous_query.go:118-139`)."""
@@ -144,6 +205,7 @@ class ContinuousQuery:
     def await_done(self) -> None:
         if self._sq is not None:
             self._sq.awaitTermination()
+        self.flush()
 
     def stop(self) -> None:
         if self._sq is not None and self._sq.isActive:

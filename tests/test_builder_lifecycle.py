@@ -136,6 +136,81 @@ def test_per_event_subscribe_streaming(spark, tmp_path):
     assert all(b == sorted(b) for b in batches), events
 
 
+def test_subscribe_global_order_across_batches(spark, tmp_path):
+    """global_order=True reorders ACROSS micro-batches (the reference's
+    sorted delivery, `pkg/pubsub/stream.go:297-319`, is global): seqs
+    arrive shuffled over 3 micro-batches, callbacks fire in strict global
+    seq order after the flush point."""
+    import json as _json
+
+    eng = Engine(spark)
+    src = tmp_path / "topic"
+    src.mkdir()
+    # interleaved seq ranges: batch files deliberately out of order
+    batches = [[5, 2, 8], [0, 7, 3], [6, 1, 4]]
+    for fidx, seqs in enumerate(batches):
+        with open(src / f"part-{fidx}.json", "w") as f:
+            for s in seqs:
+                f.write(_json.dumps({"seq": s, "value": s * 10}) + "\n")
+
+    stream = (
+        spark.readStream.schema("seq long, value long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    cq = eng.builder().from_df(stream).build()
+    events: list[int] = []
+    cq.subscribe(
+        lambda row: events.append(row.seq), ordered_by=["seq"],
+        global_order=True,
+    )
+    cq.await_done()
+    assert events == list(range(9))  # exactly once, GLOBALLY ordered
+
+
+def test_subscribe_global_order_watermark_incremental(spark, tmp_path):
+    """With max_out_of_order=d the reorder buffer drains incrementally
+    behind the seq high-watermark (max_seen - d) instead of holding the
+    whole stream: earlier batches' safe rows are delivered before the
+    stream terminates, and the final order is still globally ascending."""
+    import json as _json
+
+    eng = Engine(spark)
+    src = tmp_path / "topic"
+    src.mkdir()
+    # disorder bounded by 3: each file's seqs stay within 3 of the frontier.
+    # Distinct ascending mtimes pin the file-source batch order (equal
+    # mtimes leave Spark's processing order undefined).
+    import os as _os
+
+    batches = [[2, 0, 1], [3, 5, 4], [8, 6, 7]]
+    for fidx, seqs in enumerate(batches):
+        path = src / f"part-{fidx}.json"
+        with open(path, "w") as f:
+            for s in seqs:
+                f.write(_json.dumps({"seq": s, "value": s}) + "\n")
+        _os.utime(path, (1_700_000_000 + fidx * 10, 1_700_000_000 + fidx * 10))
+
+    stream = (
+        spark.readStream.schema("seq long, value long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    cq = eng.builder().from_df(stream).build()
+    events: list[int] = []
+    cq.subscribe(
+        lambda row: events.append(row.seq), ordered_by=["seq"],
+        global_order=True, max_out_of_order=3,
+    )
+    sq = cq._sq
+    sq.awaitTermination()
+    # before the flush, the watermark (8 - 3 = 5) has already released the
+    # early seqs — delivery was incremental, not hold-everything
+    assert events[:3] == [0, 1, 2] and len(events) >= 6, events
+    cq.flush()
+    assert events == list(range(9))
+
+
 def test_build_without_source_raises(engine):
     with pytest.raises(OutputUndefinedError):
         engine.builder().build()
