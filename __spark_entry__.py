@@ -31,47 +31,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate runs the FIRST 50 queries in registration
-# order.  Round-5 rotation: (a) the 19 queries whose last green row is r2 —
-# two rounds unwatched, pre-verified green locally in r4's judge sweep —
-# lead so they earn fresh hard rows; (b) every query whose implementation or
-# oracle changes this round (exact streaming oracle, real multimodal decode,
-# null-safe pack_sequences, dropout-safe mixture counts); (c) 25 of the 35
-# r3-green rows so they don't cross the two-round staleness line at r6.  The
-# 11 deferred r3 greens (filter_greater, small_qty_revenue,
-# disjunctive_filter_revenue, custdist_order_counts,
-# above_avg_balance_by_nation, sole_return_suppliers, big_order_customers,
-# funnel_counts, moving_range_sum, rank_distributions — TPC-H-style
-# filter/agg variants with close cousins gated this round — plus
-# pandas_udf_normalize, whose mapInPandas plumbing family is covered by the
-# gated multimodal rows) are exactly two rounds old at end of r5 and MUST
-# lead the r6 rotation together with the r4-green block.
+# order.  Round-6 rotation (the r5 verdict's pre-committed staleness fix):
+# (a) the 11 queries whose last driver-green row is r3 — two rounds
+# unwatched — lead; (b) the 3 queries added this round earn their first
+# hard rows; (c) 36 of the 45 r4-green rows fill the remaining slots.  The
+# 9 deferred r4 greens (counting_window_sliding/_skip/_per_type,
+# window_join_left/_sliding, fan_in_per_source, stream_window_sum_per_user,
+# window_sampling, set_except_user_days — each a close variant of a row
+# that IS gated this round: counting_window_tumbling, window_join_inner,
+# fan_in_sum, stream_window_sum_tumbling, window_count_sliding,
+# set_intersect_users) are exactly two rounds old at end of r6 and MUST
+# lead the r7 rotation together with the 45 r5-green rows.
 GATE_PRIORITY = [
-    # (a) last green in r2 — the mandatory staleness fix
-    "anti_join_no_urgent_customers", "convert_long", "distinct_users_per_type",
-    "filter_contains", "filter_even", "filter_odd", "filter_smaller",
-    "flatmap_chars", "json_struct_extract", "limit_first", "map_affine",
-    "observe_passthrough", "part_type_stats", "select_from_map",
-    "semi_join_urgent_customers", "stat_aggregates", "tokenize_wordcount",
-    "topk_orders", "value_percentiles",
-    # (b) changed or added this round — fixes must earn hard rows
-    "stream_counting_window_sum",          # exact per-window oracle now
-    "multimodal_features", "multimodal_transform_chain",  # real byte decoders
-    "pack_sequences",                      # null-safe token counts
-    "mixture_sample_counts",               # pre-explode counts (dropout-safe)
-    "dedup_normalized_exact",              # NEW: canonical-form dedup
-    "dedup_incremental_minhash",           # NEW: near-dup batch-vs-corpus
-    # (winsorized_stats r4-canary slot ceded to the new queries: it is
-    # one round old, contract-safe until the r6 rotation picks it up)
-    # (c) r3-green rows re-gated before they go stale
-    "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
-    "chunk_documents", "cube_revenue", "decontaminate_counts",
-    "dedup_embedding_cosine", "dedup_embedding_cosine_blocked",
-    "doc_repetition_scores", "grouping_sets_revenue", "hash_split_counts",
-    "knn_label_vote", "multimodal_binary_meta", "multimodal_frame_plan",
-    "pipeline_clean_corpus", "redact_pii",
-    "stratified_sample_counts", "stream_static_enrich",
-    "text_fingerprint", "text_lang_id", "text_quality", "text_token_counts",
-    "tfidf_top_terms", "timeseries_znorm_search",
+    # (a) last green in r3 — the mandatory staleness fix
+    "filter_greater", "pandas_udf_normalize", "small_qty_revenue",
+    "disjunctive_filter_revenue", "funnel_counts", "moving_range_sum",
+    "rank_distributions", "custdist_order_counts",
+    "above_avg_balance_by_nation", "big_order_customers",
+    "sole_return_suppliers",
+    # (b) added this round — new work must earn hard rows
+    "dedup_incremental_indexed",    # NEW: prebuilt band-index ingestion API
+    "dedup_incremental_full",       # NEW: batch-vs-corpus + in-batch resolution
+    "multimodal_content_stats",     # NEW: real BMP-pixel / WAV-PCM decode
+    # (c) r4-green rows re-gated before they cross the staleness line
+    "pivot_status_counts", "burst_follow_counts", "asof_forward_next_purchase",
+    "approx_distinct_users", "approx_value_percentiles",
+    "window_count_dense_errors", "stream_window_sum_tumbling",
+    "stream_window_join_inner", "stream_dedup_exact",
+    "stream_session_window_count", "dedup_simhash", "window_sum_tumbling",
+    "window_sum_per_user", "window_count_sliding", "window_join_inner",
+    "window_lineage", "counting_window_tumbling", "fan_in_sum",
+    "session_window_count", "asof_join_signup", "event_gaps",
+    "running_totals", "revenue_by_dow", "set_intersect_users",
+    "dedup_incremental_exact", "corpus_shuffle_order", "winsorized_stats",
+    "pricing_summary", "regional_revenue", "star_join_agg", "rollup_revenue",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_clusters", "rank_topn_per_segment",
 ]
 
 

@@ -56,6 +56,8 @@ HEADLINE = [
     "dedup_normalized_exact",  # canonical-form dedup (round 5)
     "dedup_incremental_minhash",  # near-dup batch-vs-corpus (round 5)
     "multimodal_features",     # real byte-level header decode (round 5)
+    "dedup_incremental_full",  # + in-batch component resolution (round 6)
+    "multimodal_content_stats",# real BMP-pixel/WAV-PCM content decode (round 6)
 ]
 
 

@@ -57,6 +57,11 @@ QUERIES = [
     "big_order_customers",    # Q18: derived-small-side broadcast (round 4)
     "pack_sequences",         # bucketed cumsum packing (round 4)
     "dedup_incremental_exact",# digest anti-join vs corpus (round 4)
+    "dedup_normalized_exact", # canonical-form digest dedup (round 5)
+    "dedup_incremental_minhash",  # band-index batch-vs-corpus (round 5)
+    "multimodal_features",    # real header decode, mapInPandas (round 5)
+    "dedup_incremental_full", # + in-batch component resolution (round 6)
+    "multimodal_content_stats",   # real BMP/WAV content decode (round 6)
 ]
 
 
@@ -183,9 +188,11 @@ def main() -> None:
         return
 
     qs = entry_mod.queries()
+    only = [a for a in sys.argv[1:] if not a.startswith("--")]
+    names = [n for n in QUERIES if not only or n in only]
     for sf, sf_dir in [(0.01, "/root/testdata/sf0.01"), (0.1, SRC), (1.0, DST)]:
         times, rows = {}, {}
-        for name in QUERIES:
+        for name in names:
             t0 = time.time()
             rows[name] = qs[name](spark, sf_dir).count()
             times[name] = round(time.time() - t0, 3)
