@@ -159,6 +159,30 @@ class MinHashIndex(NamedTuple):
         self.shingles.unpersist()
         return self
 
+    def save(self, path: str) -> None:
+        """Persist the index as parquet (bands/, shingles/, params/) — the
+        production corpus-snapshot artifact: build once per snapshot, every
+        later ingest batch loads and joins it without re-shingling a byte
+        of the corpus.  Parquet keeps the band rows columnar/splittable, so
+        the load-side join parallelizes like any table scan."""
+        self.bands.write.mode("overwrite").parquet(f"{path}/bands")
+        self.shingles.write.mode("overwrite").parquet(f"{path}/shingles")
+        spark = self.bands.sparkSession
+        spark.createDataFrame(
+            [(self.n, self.k, self.rows_per_band)],
+            "n int, k int, rows_per_band int",
+        ).write.mode("overwrite").parquet(f"{path}/params")
+
+    @staticmethod
+    def load(spark, path: str) -> "MinHashIndex":
+        """Load an index written by :meth:`save`."""
+        p = spark.read.parquet(f"{path}/params").head()
+        return MinHashIndex(
+            spark.read.parquet(f"{path}/bands"),
+            spark.read.parquet(f"{path}/shingles"),
+            int(p.n), int(p.k), int(p.rows_per_band),
+        )
+
 
 def build_minhash_index(
     corpus_df: DataFrame,

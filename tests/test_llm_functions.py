@@ -648,6 +648,33 @@ def test_successive_batches_against_updated_index(spark):
     assert ids1 | ids2 == {r.doc_id for r in scratch.collect()} == {2, 4, 6}
 
 
+def test_minhash_index_save_load_roundtrip(spark, tmp_path):
+    """A saved+loaded corpus index produces the identical dedup result to
+    the in-memory one (the corpus-snapshot persistence path)."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(100, base), (101, "completely unrelated corpus text about spark")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1, base), (3, "novel document with entirely fresh content")],
+        "doc_id long, text string",
+    )
+    idx = dedup.build_minhash_index(corpus, "doc_id", "text")
+    idx.save(str(tmp_path / "idx"))
+    loaded = dedup.MinHashIndex.load(spark, str(tmp_path / "idx"))
+    assert (loaded.n, loaded.k, loaded.rows_per_band) == (
+        idx.n, idx.k, idx.rows_per_band
+    )
+    mem = dedup.dedup_against_index(batch, idx, "doc_id", "text", 0.5)
+    disk = dedup.dedup_against_index(batch, loaded, "doc_id", "text", 0.5)
+    assert (
+        {r.doc_id for r in mem.collect()}
+        == {r.doc_id for r in disk.collect()}
+        == {3}
+    )
+
+
 def test_winsorized_approx_matches_exact(spark):
     """The percentile_approx bounds path (100 TB form) reproduces the exact
     winsorized mean within the tail mass it can misplace: with accuracy
