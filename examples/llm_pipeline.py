@@ -95,10 +95,15 @@ def main() -> None:
     survivors = batch.join(
         fresh.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
     )
-    survivors = dedup.incremental_minhash_dedup(
-        survivors, docs, "doc_id", "text", threshold=0.4
+    #    production shape: the corpus band/shingle index is built ONCE per
+    #    snapshot (persistable via idx.save/load), cached by the caller,
+    #    and every batch joins it; _full also resolves in-batch near-dups
+    idx = dedup.build_minhash_index(docs, "doc_id", "text").cache()
+    survivors = dedup.incremental_minhash_dedup_full(
+        survivors, None, "doc_id", "text", threshold=0.4, index=idx
     )
     print(f"incremental ingest:  {nb} new docs -> {survivors.count()} truly novel")
+    idx.unpersist()
 
     # 9. multimodal: wrap text bytes in real container headers and decode
     #    them back with the pure-byte parser (PNG/JPEG/WAV round-trip)
@@ -109,6 +114,16 @@ def main() -> None:
     print("decoded media formats:")
     for row in meta.groupBy("format").count().orderBy("format").collect():
         print(f"  {row['format']:<5} x{row['count']}")
+    #     ...and REAL content decode for uncompressed containers: BMP pixel
+    #     bytes / WAV PCM samples read back through the container geometry
+    raw = multimodal.synthesize_payloads_raw(docs.limit(30), "doc_id", "text")
+    cstats = multimodal.content_stats(raw, "doc_id")
+    print("content stats (mean unit value per format):")
+    for row in (
+        cstats.groupBy("format").agg(F.avg("mean_val").alias("m"))
+        .orderBy("format").collect()
+    ):
+        print(f"  {row['format']:<5} mean={row['m']:.2f}")
 
     # 10. similarity-search sanity probe on the embedding table
     emb = engine.stream("embeddings")
