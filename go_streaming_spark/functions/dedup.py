@@ -323,7 +323,9 @@ def incremental_minhash_dedup_full(
     survivors = incremental_minhash_dedup(
         new_df, corpus_df, id_col, text_col, n, k, rows_per_band,
         threshold, max_bucket_size, index=index,
-    )
+    ).localCheckpoint()  # consumed ≥2× (pair gen + final anti-join) and by
+    # the component loop's action rounds — materialize the batch-vs-corpus
+    # stage once; batch-sized, so executor storage cost is one batch
     pairs = minhash_lsh_pairs(
         survivors, id_col, text_col, n, k, rows_per_band, threshold,
         max_bucket_size,
@@ -822,3 +824,116 @@ def embedding_cosine_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact SUBSTRING-level duplicate detection: flag every token position
+    that starts a ``k``-token gram occurring ≥ ``min_count`` times
+    corpus-wide, then merge overlapping/adjacent flagged windows into
+    maximal per-document spans (the span-granularity dedup of Lee et al.,
+    *Deduplicating Training Data Makes Language Models Better*, 2022 —
+    boilerplate headers/footers duplicate across documents that are NOT
+    whole-document duplicates, so doc-level dedup never sees them).
+
+    Reference parity: the reference dedups whole events by value
+    (/root/reference/pkg/query/operator.go filter/map family); span dedup
+    is the corpus-scale generalization a training-data pipeline needs.
+
+    Emits one row per merged span: (id, span_start, span_end, span_tokens)
+    — token offsets, inclusive.  Within-doc repeats count toward
+    ``min_count`` (a gram appearing twice in ONE doc is a duplicated span).
+
+    Scale (the 100 TB shape):
+    - Positions carry a 16-byte md5 digest of the gram, never the k-token
+      text — shuffle width is constant in ``k``.
+    - Duplicated grams are found with groupBy+semi-join rather than a
+      count-over-window: the join is AQE-splittable when one boilerplate
+      gram floods a key (a skewed window partition is not), and the
+      HAVING-filtered gram list is typically small enough that AQE turns
+      the join into a broadcast — the position stream then never shuffles
+      at all before the per-document island merge.
+    - Island merge is one shuffle on doc id; the groupBy that follows
+      reuses the same partitioning.  Total ≈ 2 narrow shuffles, cost ∝
+      corpus tokens; nothing pairwise.
+    """
+    if k < 1:
+        raise ValueError("k must be ≥ 1")
+    from pyspark.sql.window import Window
+
+    df = spread(df)
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    # gram at position i hashes words[i..i+k); guard: sequence(0, -n) DESCENDS
+    starts = F.when(
+        F.size(words) >= k, F.sequence(F.lit(0), F.size(words) - k)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(starts, lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, k))))
+        ).alias("pos", "gh"),
+    )
+    dup = grams.groupBy("gh").count().filter(F.col("count") >= min_count)
+    flagged = grams.join(dup.select("gh"), "gh", "left_semi")
+
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # new span iff this window starts past the furthest covered offset
+    # (pos == prev_end is contiguous → merge; first row: coalesce → new)
+    new_span = (F.col("pos") > F.coalesce(prev_end, F.lit(-1))).cast("int")
+    return (
+        flagged.withColumn("new_span", new_span)
+        .withColumn("span_id", F.sum("new_span").over(w))
+        .groupBy("id", "span_id")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k - 1).cast("long").alias("span_end"),
+            (F.max("pos") + k - F.min("pos")).cast("long").alias("span_tokens"),
+        )
+        .drop("span_id")
+    )
+
+
+def remove_spans(
+    df: DataFrame, spans: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Cut the given (id, span_start, span_end) token ranges out of each
+    document's text — the removal half of substring dedup.  ``spans`` is
+    typically :func:`duplicated_spans` output, filtered by the caller's
+    keep policy (e.g. anti-joined against the canonical occurrence to keep
+    one copy corpus-wide, Lee et al. §3).
+
+    Docs with no spans pass through unchanged.  Pure column ops: spans
+    aggregate to an array per doc, then one filter over the token array —
+    no UDF, one shuffle (the span groupBy; the join broadcasts when few
+    docs have spans).
+    """
+    cut = spans.groupBy(F.col("id").alias("__id")).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    kept = F.filter(
+        F.zip_with(words, F.sequence(F.lit(0), F.size(words) - 1), lambda tok, i: F.struct(tok.alias("tok"), i.alias("i"))),
+        lambda s: ~F.exists(
+            F.col("__spans"),
+            lambda sp: (s["i"] >= sp["span_start"]) & (s["i"] <= sp["span_end"]),
+        ),
+    )
+    out = (
+        df.join(cut, df[id_col] == F.col("__id"), "left")
+        .withColumn(
+            text_col,
+            F.when(F.col("__id").isNull(), F.col(text_col)).otherwise(
+                F.concat_ws(" ", F.transform(kept, lambda s: s["tok"]))
+            ),
+        )
+        .drop("__id", "__spans")
+    )
+    return out

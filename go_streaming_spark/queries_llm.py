@@ -269,6 +269,35 @@ def dedup_incremental_full(spark, sf_dir):
 
 
 @query(
+    "dedup_substring_spans",
+    # substring-granularity exact dedup (Lee et al. 2022): every token
+    # position starting an 8-gram that occurs ≥2× corpus-wide is flagged;
+    # overlapping/adjacent flagged windows merge into maximal spans.
+    # Engine shuffles md5(gram) digests (never gram text), finds duplicated
+    # grams with groupBy+semi-join (AQE-splittable/broadcastable), merges
+    # islands with one per-doc window — see dedup.duplicated_spans.
+    """WITH ws AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\\s+'), x -> x <> '') w
+            FROM documents),
+g0 AS (SELECT doc_id AS id, unnest(list_transform(range(0, len(w)-8+1),
+          i -> {'pos': i, 'gh': md5(array_to_string(w[i+1:i+8], ' '))})) AS u
+       FROM ws WHERE len(w) >= 8),
+g AS (SELECT id, u.pos::bigint AS pos, u.gh AS gh FROM g0),
+dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+f AS (SELECT id, pos FROM g WHERE gh IN (SELECT gh FROM dup)),
+m AS (SELECT id, pos,
+        CASE WHEN pos > coalesce(max(pos + 8) OVER (PARTITION BY id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS new_span
+      FROM f),
+s AS (SELECT id, pos, sum(new_span) OVER (PARTITION BY id ORDER BY pos) AS span_id FROM m)
+SELECT id, min(pos) AS span_start, max(pos) + 8 - 1 AS span_end,
+       max(pos) + 8 - min(pos) AS span_tokens
+FROM s GROUP BY id, span_id""",
+)
+def dedup_substring_spans(spark, sf_dir):
+    return dedup.duplicated_spans(_docs(spark, sf_dir), "doc_id", "text", k=8)
+
+
+@query(
     "dedup_clusters",
     # transitive closure of the verified near-dup pair graph; component id =
     # min member id — both engines deterministic (DuckDB: recursive CTE;

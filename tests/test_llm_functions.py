@@ -798,3 +798,64 @@ def test_mixture_copy_counts_sees_dropped_strata(spark):
     assert (
         mixed.filter(F.col("source") == "a").count() == by_source["a"][1]
     )
+
+
+def test_duplicated_spans_planted(spark):
+    """Two docs sharing a 10-token boilerplate → one merged span each at
+    the right offsets; unique docs and sub-k docs emit nothing."""
+    boiler = " ".join(f"b{i}" for i in range(10))
+    rows = [
+        (1, f"u1 u2 u3 {boiler} t1 t2"),        # span at tokens 3..12
+        (2, f"{boiler} v1 v2 v3 v4 v5"),        # span at tokens 0..9
+        (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),  # unique, no dup grams
+        (4, "x1 x2 x3"),                        # shorter than k
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.id: (r.span_start, r.span_end, r.span_tokens)
+        for r in dedup.duplicated_spans(df, "doc_id", "text", k=8).collect()
+    }
+    assert out == {1: (3, 12, 10), 2: (0, 9, 10)}
+
+
+def test_duplicated_spans_within_doc_repeat(spark):
+    """A k-gram repeating WITHIN one document counts toward min_count:
+    both occurrences are flagged (disjoint → two spans)."""
+    gram = " ".join(f"g{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(7, f"{gram} m1 m2 m3 m4 {gram}")], ["doc_id", "text"]
+    )
+    spans = sorted(
+        (r.span_start, r.span_end)
+        for r in dedup.duplicated_spans(df, "doc_id", "text", k=8).collect()
+    )
+    assert spans == [(0, 7), (12, 19)]
+
+
+def test_duplicated_spans_adjacent_merge(spark):
+    """Overlapping flagged windows merge into ONE maximal span (a 12-token
+    shared run with k=8 flags positions 0..4 → single span 0..11)."""
+    run = " ".join(f"r{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, f"{run} a1 a2"), (2, f"c1 c2 {run}")], ["doc_id", "text"]
+    )
+    out = {
+        r.id: (r.span_start, r.span_end, r.span_tokens)
+        for r in dedup.duplicated_spans(df, "doc_id", "text", k=8).collect()
+    }
+    assert out == {1: (0, 11, 12), 2: (2, 13, 12)}
+
+
+def test_remove_spans_cuts_flagged_tokens(spark):
+    """remove_spans drops exactly the span tokens; docs without spans pass
+    through byte-identical."""
+    boiler = " ".join(f"b{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, f"u1 u2 {boiler} u3"), (2, f"{boiler} v1"), (3, "w1 w2 w3")],
+        ["doc_id", "text"],
+    )
+    spans = dedup.duplicated_spans(df, "doc_id", "text", k=8)
+    # keep policy: keep the copy in the lowest doc_id → only cut elsewhere
+    cut = spans.filter(F.col("id") != 1)
+    out = {r.doc_id: r.text for r in dedup.remove_spans(df, cut, "doc_id", "text").collect()}
+    assert out == {1: f"u1 u2 {boiler} u3", 2: "v1", 3: "w1 w2 w3"}
