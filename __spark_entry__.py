@@ -41,7 +41,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # that IS gated this round: counting_window_tumbling, window_join_inner,
 # fan_in_sum, stream_window_sum_tumbling, window_count_sliding,
 # set_intersect_users) are exactly two rounds old at end of r6 and MUST
-# lead the r7 rotation together with the 45 r5-green rows.
+# lead the r7 rotation together with the 45 r5-green rows and the queries
+# added in r6 after the gate was frozen (dedup_substring_spans,
+# vocab_top_bigrams, weighted_sample_ids, ann_quantized_topk, ... — every
+# registration newer than this list).
 GATE_PRIORITY = [
     # (a) last green in r3 — the mandatory staleness fix
     "filter_greater", "pandas_udf_normalize", "small_qty_revenue",

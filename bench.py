@@ -58,6 +58,8 @@ HEADLINE = [
     "multimodal_features",     # real byte-level header decode (round 5)
     "dedup_incremental_full",  # + in-batch component resolution (round 6)
     "multimodal_content_stats",# real BMP-pixel/WAV-PCM content decode (round 6)
+    "dedup_substring_spans",   # span-granularity exact dedup (round 6)
+    "ann_quantized_topk",      # int8-quantized cosine top-k (round 6)
 ]
 
 

@@ -187,3 +187,38 @@ def mixture_sample(
         F.col("__n_copies") >= 1, F.sequence(F.lit(1), F.col("__n_copies"))
     ).otherwise(F.array().cast("array<int>"))
     return counted.withColumn(copy_col, F.explode(copies)).drop("__n_copies")
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the classic
+    exponential-key trick (Efraimidis & Spirakis 2006, A-ES) with the
+    randomness derived from the id hash — key = -ln(u)/w, u uniform in
+    (0, 1]; the k smallest keys are a weight-proportional sample, stable
+    across reruns, engines, and partitionings like everything in this
+    module.
+
+    Rows with weight ≤ 0 are excluded (a zero weight has zero inclusion
+    probability; negative weights are undefined).
+
+    Scale: key computation is map-side; the top-k is a TakeOrdered
+    (per-partition heads merged), never a global sort.  For k large enough
+    to strain the driver, cut with an approximate threshold first
+    (``percentile_approx`` over the key) and exact-sort the remainder.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    u = (hash_bucket(F.col(id_col), seed) + 1).cast("double") / F.lit(float(_BUCKETS))
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__key", key)
+        .orderBy("__key", id_col)
+        .limit(k)
+        .drop("__key")
+    )

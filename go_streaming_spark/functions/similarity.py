@@ -299,3 +299,87 @@ def ivf_topk(
     )
     cand = df.join(F.broadcast(probe), cluster_col, "left_semi")
     return cosine_topk(cand, id_col, vec_col, query_vec, k)
+
+
+def quantize_vec(v: list[float]) -> list[int]:
+    """Python twin of :func:`quantize_embeddings` for a literal query
+    vector — identical IEEE arithmetic, so engine and driver agree."""
+    import math
+
+    amax = max(abs(float(x)) for x in v) if v else 0.0
+    if amax == 0.0:
+        return [0] * len(v)
+    scale = amax / 127.0
+    return [int(math.floor(float(x) / scale + 0.5)) for x in v]
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|v|/127``,
+    ``q_i = floor(v_i/scale + 1/2)`` ∈ [-127, 127] (the floor(+0.5) form
+    rounds identically in Spark, DuckDB and Python — no banker's-rounding
+    divergence).  Zero vectors quantize to all-zeros.
+
+    THE storage/shuffle lever for embedding workloads at 100 TB: a 64-dim
+    float32 vector is 256 B; its int8 twin is 64 B + one double — 4×
+    smaller on disk, in shuffle, and in broadcast, while cosine ordering
+    is preserved to ~0.5% (scales cancel in cosine, so scoring needs no
+    dequantization at all; ``scale_col`` is kept for reconstructing
+    dot products/values).
+
+    Map-only — no shuffle; emits (id, qvec array<tinyint>, qscale).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.array_max(F.transform(v, F.abs))
+    q = F.when(
+        amax > 0,
+        F.transform(v, lambda x: F.floor(x / (amax / 127.0) + 0.5).cast("tinyint")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    return df.select(
+        F.col(id_col).alias("id"),
+        q.alias(out_col),
+        (amax / 127.0).alias(scale_col),
+    )
+
+
+def quantized_cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force cosine top-k over int8-QUANTIZED vectors — the 4×-less-
+    shuffle companion to :func:`cosine_topk`.  The dot product and squared
+    norms are exact int64 arithmetic over the quantized components (scales
+    cancel in cosine), so the score is deterministic bit-for-bit across
+    engines; only the final sqrt/divide/round touch floating point.
+
+    Ordering: (round(cos,6) DESC, id ASC); plans as TakeOrderedAndProject
+    (same unrolled codegen'd SQL-string pattern as :func:`cosine_topk` —
+    see the driver-time note there).
+    """
+    import math
+
+    dim = len(query_vec)
+    qq = quantize_vec(query_vec)
+    qn = math.sqrt(sum(x * x for x in qq))  # exact int sum → one sqrt
+    dot = " + ".join(f"(CAST(_q[{i}] AS BIGINT) * {qq[i]}L)" for i in range(dim))
+    vq2 = " + ".join(
+        f"(CAST(_q[{i}] AS BIGINT) * CAST(_q[{i}] AS BIGINT))" for i in range(dim)
+    )
+    cos = F.expr(
+        f"round(try_divide(CAST(({dot}) AS DOUBLE),"
+        f" sqrt(CAST(({vq2}) AS DOUBLE)) * {qn!r}D), 6)"
+    )
+    return (
+        quantize_embeddings(df, id_col, vec_col, out_col="_q")
+        .select("id", cos.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("id"))
+        .limit(k)
+    )

@@ -347,3 +347,26 @@ def repetition_ratio(text: Column, n: int = 2) -> Column:
     return F.when(total <= 0, F.lit(0.0)).otherwise(
         F.lit(1.0) - F.size(F.array_distinct(grams)) / total.cast("double")
     )
+
+
+def ngram_counts(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Corpus-wide word n-gram frequencies → (gram, n_docs, n_occ) — the
+    vocabulary/statistics pass of tokenizer training (BPE merge candidates,
+    stopword discovery, boilerplate mining all start from this table).
+
+    Scale: gram generation is map-only (array transform + explode); the
+    groupBy benefits from map-side partial aggregation, so the shuffle
+    carries one row per distinct gram per partition, not per occurrence.
+    ``n_docs`` is an exact distinct — a second partial-aggregated pass.
+    Consumers wanting a top-k slice should sort+limit (TakeOrdered — no
+    global sort materialization).
+    """
+    from go_streaming_spark.functions.dedup import word_shingles
+
+    grams = word_shingles(df, id_col, text_col, n, distinct=False)
+    return grams.groupBy(F.col("shingle").alias("gram")).agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.countDistinct("id").alias("n_docs"),
+    )

@@ -845,3 +845,73 @@ def doc_repetition_scores(spark, sf_dir):
         "doc_id",
         F.round(text.repetition_ratio(F.col("text"), 2), 6).alias("rep_ratio"),
     )
+
+
+@query(
+    "vocab_top_bigrams",
+    # corpus-wide bigram frequency table (tokenizer-prep / boilerplate
+    # mining), top-100 by occurrences with the gram as tiebreak —
+    # map-side-combined groupBy + TakeOrdered in the engine
+    r"""WITH t AS (SELECT doc_id,
+   list_transform(range(1, greatest(len(toks)-1, 0) + 1),
+                  i -> toks[i] || ' ' || toks[i+1]) AS grams
+  FROM (SELECT doc_id,
+          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        FROM documents)),
+g AS (SELECT doc_id, unnest(grams) AS gram FROM t)
+SELECT gram, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+FROM g GROUP BY gram ORDER BY n_occ DESC, gram LIMIT 100""",
+)
+def vocab_top_bigrams(spark, sf_dir):
+    out = text.ngram_counts(_docs(spark, sf_dir), "doc_id", "text", n=2)
+    return out.orderBy(F.col("n_occ").desc(), "gram").limit(100)
+
+
+@query(
+    "weighted_sample_ids",
+    # deterministic weighted sampling without replacement (Efraimidis-
+    # Spirakis exponential keys, u from the id hash): longer documents
+    # (weight = n_chars) are proportionally more likely.  The key math is
+    # identical IEEE double ops in both engines; the k-th/k+1-th key gap
+    # is ~1/n, far above any ulp divergence in ln()
+    """SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+    -ln((CAST(('0x'||substr(md5('wsample|'||CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) + 1)
+        / 4294967296.0) / CAST(n_chars AS DOUBLE) AS key
+  FROM documents WHERE n_chars > 0
+  ORDER BY key, doc_id LIMIT 50)""",
+)
+def weighted_sample_ids(spark, sf_dir):
+    from go_streaming_spark.functions.sampling import weighted_sample_topk
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return weighted_sample_topk(docs, "doc_id", "n_chars", k=50)
+
+
+@query(
+    "ann_quantized_topk",
+    # int8-quantized cosine top-k: scale = max|v|/127, q = floor(v/scale
+    # + 1/2); scales cancel in cosine so the score is exact int64 dot /
+    # int-norm products — bit-deterministic, 4× less shuffle than float32
+    """WITH base AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+qz AS (SELECT vec_id,
+         CASE WHEN amax > 0
+              THEN list_transform(e, x -> CAST(floor(x/(amax/127.0) + 0.5) AS BIGINT))
+              ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS qv
+       FROM (SELECT vec_id, e,
+               list_max(list_transform(e, x -> abs(x))) AS amax FROM base)),
+q AS (SELECT qv AS qq FROM qz WHERE vec_id = 0),
+v AS (SELECT vec_id AS id, qv FROM qz WHERE vec_id <> 0)
+SELECT id,
+  round(CAST(list_sum(list_transform(range(1,65), i -> qv[i]*q.qq[i])) AS DOUBLE) /
+        (sqrt(CAST(list_sum(list_transform(range(1,65), i -> qv[i]*qv[i])) AS DOUBLE)) *
+         sqrt(CAST(list_sum(list_transform(range(1,65), i -> q.qq[i]*q.qq[i])) AS DOUBLE))),
+        6) AS cos_sim
+FROM v, q ORDER BY cos_sim DESC, id LIMIT 10""",
+)
+def ann_quantized_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return similarity.quantized_cosine_topk(
+        emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", qv, 10
+    )

@@ -859,3 +859,55 @@ def test_remove_spans_cuts_flagged_tokens(spark):
     cut = spans.filter(F.col("id") != 1)
     out = {r.doc_id: r.text for r in dedup.remove_spans(df, cut, "doc_id", "text").collect()}
     assert out == {1: f"u1 u2 {boiler} u3", 2: "v1", 3: "w1 w2 w3"}
+
+
+def test_ngram_counts_exact(spark):
+    from go_streaming_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x")], ["doc_id", "text"]
+    )
+    out = {
+        r.gram: (r.n_occ, r.n_docs)
+        for r in tx.ngram_counts(df, "doc_id", "text", n=2).collect()
+    }
+    assert out == {
+        "a b": (3, 2),   # twice in doc 1, once in doc 2
+        "b a": (1, 1),
+        "b c": (1, 1),
+        "b x": (1, 1),
+    }
+
+
+def test_weighted_sample_topk_properties(spark):
+    from go_streaming_spark.functions.sampling import weighted_sample_topk
+
+    rows = [(i, 1.0) for i in range(1, 200)] + [(1000, 1e9), (2000, 0.0)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    got = sorted(r.id for r in weighted_sample_topk(df, "id", "w", k=20).collect())
+    assert len(got) == 20
+    assert 1000 in got, "overwhelming weight must be sampled"
+    assert 2000 not in got, "zero weight must never be sampled"
+    again = sorted(r.id for r in weighted_sample_topk(df, "id", "w", k=20).collect())
+    assert got == again, "sample must be deterministic"
+    other = sorted(
+        r.id for r in weighted_sample_topk(df, "id", "w", k=20, seed="ep2").collect()
+    )
+    assert got != other, "a new seed must give a different sample"
+
+
+def test_quantized_cosine_matches_exact_ranking(spark):
+    emb = _emb(spark)
+    qv = _query_vec(emb)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = [r.id for r in similarity.cosine_topk(corpus, "vec_id", "embedding", qv, 10).collect()]
+    quant = [r.id for r in similarity.quantized_cosine_topk(corpus, "vec_id", "embedding", qv, 10).collect()]
+    assert quant[0] == exact[0], "int8 quantization must keep the top-1"
+    assert len(set(exact) & set(quant)) >= 8, f"overlap too low: {set(exact) & set(quant)}"
+
+
+def test_quantize_vec_bounds_and_zero():
+    assert similarity.quantize_vec([0.0, 0.0]) == [0, 0]
+    q = similarity.quantize_vec([-1.0, 0.5, 1.0])
+    assert q == [-127, 64, 127]
+    assert all(-127 <= x <= 127 for x in similarity.quantize_vec([3.7, -9.99, 0.01]))
