@@ -222,3 +222,91 @@ def weighted_sample_topk(
         .limit(k)
         .drop("__key")
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+    target_total: int | None = None,
+) -> DataFrame:
+    """Temperature-flattened mixture weights: sampling share q_s ∝ p_s^α
+    with p_s the stratum's corpus share — the exponential-smoothing
+    rebalancing of multilingual LM training (α ∈ (0,1) upweights tail
+    languages/sources, downweights heads; α=1 is proportional, α=0
+    uniform).  Emits (stratum, n_rows, weight) where ``weight`` is the
+    per-row copy multiplier making the expected total ≈ ``target_total``
+    (default: the input total) — feed it straight to
+    :func:`mixture_copy_counts_df`.
+
+    Scale: one map-side-combined groupBy to per-stratum counts; the share
+    normalization runs on the tiny counts frame (rows = #strata) via an
+    unpartitioned window — never on the corpus.
+
+    Determinism: p^α is quantized to pico-units BEFORE normalizing, so the
+    normalizing sum is exact integer arithmetic (a double sum's value
+    depends on accumulation order, which no engine guarantees); α=0.5
+    routes through ``sqrt``, which IEEE 754 requires correctly rounded —
+    bit-identical across engines, unlike ``pow``.
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    w = Window.partitionBy()
+    total = F.sum("n_rows").over(w)
+    share = F.col("n_rows").cast("double") / total.cast("double")
+    powed = F.sqrt(share) if float(alpha) == 0.5 else F.pow(share, float(alpha))
+    powed_q = F.round(powed * 1e12).cast("long")  # positive → HALF_UP everywhere
+    tgt = (
+        F.lit(float(target_total))
+        if target_total is not None
+        else total.cast("double")
+    )
+    weight = (tgt * powed_q.cast("double")) / (
+        F.sum(powed_q).over(w).cast("double") * F.col("n_rows").cast("double")
+    )
+    return counts.select("stratum", "n_rows", weight.alias("weight"))
+
+
+def mixture_copy_counts_df(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    weights: DataFrame,
+    seed: str = "mix",
+    default: float = 1.0,
+    count_col: str = "n_copies",
+) -> DataFrame:
+    """Join-based twin of :func:`mixture_copy_counts`: the per-stratum
+    weights arrive as a DataFrame (stratum, weight) — e.g. straight from
+    :func:`temperature_weights` — instead of a driver-side dict, so the op
+    stays fully declarative for thousands of strata (domain × language
+    grids) where a CASE chain would need the weights collected first.
+
+    Same copy rule: ``floor(w)`` guaranteed copies plus one more iff the
+    id hash falls under ``frac(w)``.  ``floor`` is explicit (never a
+    double→int cast: Spark truncates, other engines round — floor agrees
+    everywhere).  Strata missing from ``weights`` get ``default``.
+
+    Scale: the weights frame is stratum-cardinality — AQE broadcasts the
+    join; the copy computation is map-side.
+    """
+    w = F.coalesce(F.col("__w"), F.lit(float(default)))
+    bucket = hash_bucket(F.col(id_col), seed)
+    whole = F.floor(w)
+    extra = (
+        bucket < F.floor((w - whole) * F.lit(float(_BUCKETS))).cast("long")
+    ).cast("int")
+    return (
+        df.join(
+            weights.select(
+                F.col("stratum").alias("__s"), F.col("weight").alias("__w")
+            ),
+            df[strata_col] == F.col("__s"),
+            "left",
+        )
+        .withColumn(count_col, (whole + extra).cast("int"))
+        .drop("__s", "__w")
+    )

@@ -915,3 +915,46 @@ def ann_quantized_topk(spark, sf_dir):
     return similarity.quantized_cosine_topk(
         emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", qv, 10
     )
+
+
+@query(
+    "temperature_mixture_counts",
+    # temperature-flattened mixture (q_s ∝ p_s^0.5, multilingual-LM
+    # exponential smoothing): per-source weight and the resulting
+    # deterministic copy counts.  sqrt is IEEE-correctly-rounded in both
+    # engines and the p^α sum is quantized to exact integers first, so the
+    # weights — and therefore every hash-thresholded copy count — match
+    # bit-for-bit
+    """WITH c AS (SELECT source AS stratum, count(*) AS n_rows FROM documents GROUP BY 1),
+p AS (SELECT stratum, n_rows,
+        CAST(round(sqrt(CAST(n_rows AS DOUBLE)/CAST(sum(n_rows) OVER () AS DOUBLE))
+                   * 1000000000000.0) AS BIGINT) AS pq,
+        sum(n_rows) OVER () AS total FROM c),
+wt AS (SELECT stratum, n_rows,
+        (CAST(total AS DOUBLE) * CAST(pq AS DOUBLE))
+        / (CAST(sum(pq) OVER () AS DOUBLE) * CAST(n_rows AS DOUBLE)) AS weight
+       FROM p),
+cc AS (SELECT d.doc_id, d.source, wt.weight,
+        CAST(floor(weight) AS BIGINT)
+        + CASE WHEN CAST(('0x'||substr(md5('mix|'||CAST(d.doc_id AS VARCHAR)),1,8)) AS BIGINT)
+               < CAST(floor((weight - floor(weight)) * 4294967296.0) AS BIGINT)
+          THEN 1 ELSE 0 END AS n_copies
+       FROM documents d JOIN wt ON d.source = wt.stratum)
+SELECT source, count(*) AS n_rows, sum(n_copies) AS n_copies_total,
+       round(max(weight), 6) AS weight_r
+FROM cc GROUP BY source""",
+)
+def temperature_mixture_counts(spark, sf_dir):
+    from go_streaming_spark.functions import sampling
+
+    docs = _docs(spark, sf_dir)
+    wts = sampling.temperature_weights(docs, "source", alpha=0.5)
+    counted = sampling.mixture_copy_counts_df(docs, "doc_id", "source", wts)
+    agg = counted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_copies").alias("n_copies_total"),
+    )
+    wr = wts.select(
+        F.col("stratum").alias("source"), F.round("weight", 6).alias("weight_r")
+    )
+    return agg.join(wr, "source")

@@ -911,3 +911,46 @@ def test_quantize_vec_bounds_and_zero():
     q = similarity.quantize_vec([-1.0, 0.5, 1.0])
     assert q == [-127, 64, 127]
     assert all(-127 <= x <= 127 for x in similarity.quantize_vec([3.7, -9.99, 0.01]))
+
+
+def test_temperature_weights_flatten(spark):
+    """α=0.5 flattening: head stratum weight < 1 < tail stratum weight,
+    expected total ≈ input total, α=1 is proportional (all weights 1)."""
+    from go_streaming_spark.functions.sampling import temperature_weights
+
+    rows = [(i, "head" if i < 900 else "tail") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["id", "src"])
+    w = {r.stratum: (r.n_rows, r.weight) for r in temperature_weights(df, "src", 0.5).collect()}
+    assert w["head"][0] == 900 and w["tail"][0] == 100
+    assert w["head"][1] < 1.0 < w["tail"][1]
+    # expected copies = Σ n_s * w_s ≈ N
+    exp_total = sum(n * wt for n, wt in w.values())
+    assert abs(exp_total - 1000) < 1e-6
+    prop = {r.stratum: r.weight for r in temperature_weights(df, "src", 1.0).collect()}
+    assert all(abs(x - 1.0) < 1e-9 for x in prop.values())
+
+
+def test_mixture_copy_counts_df_matches_dict_variant(spark):
+    """The join-based variant must agree with the CASE-chain dict variant
+    row for row (same hash rule), and default-fill absent strata."""
+    from go_streaming_spark.functions.sampling import (
+        mixture_copy_counts,
+        mixture_copy_counts_df,
+    )
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, ["id", "src"])
+    weights = {"a": 2.5, "b": 0.25}  # c absent → default 1.0
+    wdf = spark.createDataFrame(
+        [("a", 2.5), ("b", 0.25)], ["stratum", "weight"]
+    )
+    via_dict = {
+        r.id: r.n_copies
+        for r in mixture_copy_counts(df, "id", "src", weights).collect()
+    }
+    via_df = {
+        r.id: r.n_copies
+        for r in mixture_copy_counts_df(df, "id", "src", wdf).collect()
+    }
+    assert via_dict == via_df
+    assert all(via_df[i] == 1 for i in range(300) if i % 3 == 2)  # default

@@ -62,6 +62,8 @@ QUERIES = [
     "multimodal_features",    # real header decode, mapInPandas (round 5)
     "dedup_incremental_full", # + in-batch component resolution (round 6)
     "multimodal_content_stats",   # real BMP/WAV content decode (round 6)
+    "dedup_substring_spans",  # span-granularity exact dedup (round 6)
+    "ann_quantized_topk",     # int8-quantized cosine top-k (round 6)
 ]
 
 
