@@ -213,6 +213,7 @@ def dedup_against_index(
     id_col: str,
     text_col: str,
     threshold: float = 0.5,
+    _cache_batch_shingles: bool = False,
 ) -> DataFrame:
     """Drop NEW-batch documents with an exact-Jaccard match ≥ ``threshold``
     among their MinHash-LSH candidates in a prebuilt corpus
@@ -230,6 +231,14 @@ def dedup_against_index(
     """
     n, k, rows_per_band = index.n, index.k, index.rows_per_band
     sh_new = shingle_arrays(new_df, id_col, text_col, n)
+    # the batch shingles feed the signature AND the verification union;
+    # the one-shot convenience wrapper asks for a cache (identical plans
+    # share one entry, so re-runs stay bounded) — ingestion LOOPS must
+    # keep the default: each micro-batch is a new plan, and per-call cache
+    # entries would accumulate in executor storage (batches are small, so
+    # computing their shingles twice is the cheaper trade)
+    if _cache_batch_shingles and not new_df.isStreaming:
+        sh_new = sh_new.cache()
     sig_new = minhash_signatures_wide(new_df, id_col, text_col, n, k, shingles=sh_new)
     bands_new = band_keys(sig_new, k, rows_per_band)
     a, b = bands_new.alias("a"), index.bands.alias("b")
@@ -275,15 +284,27 @@ def incremental_minhash_dedup(
 
     Pass ``index=`` (a prebuilt, caller-cached :class:`MinHashIndex`) for
     repeated ingestion — e.g. a ``foreachBatch`` loop — so the corpus is
-    shingled once, not once per batch; ``corpus_df`` is then ignored.  The
-    convenience path (``index=None``) builds the index per call WITHOUT
-    caching it: the corpus is shingled twice within the one evaluation
-    (signature + verification), which is map-side work, but nothing leaks
-    into executor storage across calls.
+    shingled once, not once per batch; ``corpus_df`` is then ignored and
+    NOTHING is cached behind the caller's back (each micro-batch is a new
+    plan; per-call cache entries would accumulate in executor storage).
+
+    The convenience path (``index=None``) is the ONE-SHOT shape: it caches
+    the index frames and the batch shingles, since each feeds two
+    consumers (signature + verification) and would otherwise be computed
+    twice.  This is bounded — identical plans share a single cache entry,
+    so re-running the same query grows nothing — but do NOT use the
+    convenience path inside an ingestion loop: that is exactly the
+    accumulating-cache case ``index=`` exists for.
     """
     if index is None:
         index = build_minhash_index(
             corpus_df, id_col, text_col, n, k, rows_per_band, max_bucket_size
+        )
+        if not corpus_df.isStreaming:
+            index.cache()
+        return dedup_against_index(
+            new_df, index, id_col, text_col, threshold,
+            _cache_batch_shingles=True,
         )
     return dedup_against_index(new_df, index, id_col, text_col, threshold)
 
@@ -826,6 +847,29 @@ def embedding_cosine_pairs(
     )
 
 
+def gram_digest_positions(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, pos, gh): md5 digest of the k-token gram starting at each token
+    offset — the shared primitive of substring-span dedup and n-gram
+    contamination measurement.  Map-only (split + transform + posexplode);
+    the digest keeps every downstream shuffle constant-width in ``k``."""
+    df = spread(df)
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    # gram at position i hashes words[i..i+k); guard: sequence(0, -n) DESCENDS
+    starts = F.when(
+        F.size(words) >= k, F.sequence(F.lit(0), F.size(words) - k)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                starts, lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, k)))
+            )
+        ).alias("pos", "gh"),
+    )
+
+
 def duplicated_spans(
     df: DataFrame,
     id_col: str,
@@ -864,22 +908,17 @@ def duplicated_spans(
     """
     if k < 1:
         raise ValueError("k must be ≥ 1")
-    from pyspark.sql.window import Window
-
-    df = spread(df)
-    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
-    # gram at position i hashes words[i..i+k); guard: sequence(0, -n) DESCENDS
-    starts = F.when(
-        F.size(words) >= k, F.sequence(F.lit(0), F.size(words) - k)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(
-            F.transform(starts, lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, k))))
-        ).alias("pos", "gh"),
-    )
+    grams = gram_digest_positions(df, id_col, text_col, k)
     dup = grams.groupBy("gh").count().filter(F.col("count") >= min_count)
     flagged = grams.join(dup.select("gh"), "gh", "left_semi")
+    return _merge_flagged_spans(flagged, k)
+
+
+def _merge_flagged_spans(flagged: DataFrame, k: int) -> DataFrame:
+    """(id, pos) flagged gram starts → maximal merged (id, span_start,
+    span_end, span_tokens) rows.  One shuffle on id; the groupBy reuses
+    the window's partitioning."""
+    from pyspark.sql.window import Window
 
     w = Window.partitionBy("id").orderBy("pos")
     prev_end = F.max(F.col("pos") + k).over(
@@ -899,6 +938,47 @@ def duplicated_spans(
         )
         .drop("span_id")
     )
+
+
+def build_gram_index(
+    corpus_df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """(gh, n_occ): corpus-wide k-gram digest counts — the persistable
+    corpus-side state of INCREMENTAL substring-span dedup (write it to
+    parquet per corpus snapshot; append new batches' counts as the corpus
+    grows).  Narrow (two columns), map-side combined."""
+    return gram_digest_positions(corpus_df, id_col, text_col, k).groupBy(
+        "gh"
+    ).agg(F.count(F.lit(1)).alias("n_occ"))
+
+
+def duplicated_spans_against_index(
+    batch_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Incremental :func:`duplicated_spans`: spans in the BATCH whose grams
+    reach ``min_count`` counting corpus occurrences (from a prebuilt
+    :func:`build_gram_index` frame) PLUS in-batch occurrences — exactly
+    ``duplicated_spans(corpus ∪ batch)`` restricted to batch documents,
+    without touching corpus text (the recurring-crawl ingestion shape,
+    like :func:`dedup_against_index` for MinHash).
+
+    Scale: the index join is digest-on-digest (AQE-splittable); corpus
+    cost is the index scan only.  For streaming, run per micro-batch via
+    ``foreachBatch`` against a snapshot index, appending each batch's
+    :func:`build_gram_index` output afterwards.
+    """
+    grams = gram_digest_positions(batch_df, id_col, text_col, k)
+    in_batch = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("_bn"))
+    counts = in_batch.join(
+        index_df.select("gh", F.col("n_occ").alias("_cn")), "gh", "left"
+    ).filter(F.col("_bn") + F.coalesce(F.col("_cn"), F.lit(0)) >= min_count)
+    flagged = grams.join(counts.select("gh"), "gh", "left_semi")
+    return _merge_flagged_spans(flagged, k)
 
 
 def remove_spans(

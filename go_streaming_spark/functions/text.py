@@ -370,3 +370,47 @@ def ngram_counts(
         F.count(F.lit(1)).alias("n_occ"),
         F.countDistinct("id").alias("n_docs"),
     )
+
+
+def contamination_stats(
+    test_df: DataFrame,
+    train_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Eval-set contamination MEASUREMENT (the n-gram overlap report of the
+    GPT-3 / PaLM papers): for each TEST document, the fraction of its
+    k-token grams appearing anywhere in the TRAINING corpus.  The
+    companion to :func:`decontaminate` — that op removes, this one
+    quantifies what leaked (per-doc, so thresholded reporting and
+    "dirty-subset" eval splits both fall out).
+
+    Emits (id, n_grams, n_hit, hit_rate); docs shorter than ``k`` tokens
+    are absent (no grams to measure).
+
+    Scale: the train side reduces to DISTINCT gram digests — a narrow
+    reusable index (persist it per corpus snapshot like the MinHash band
+    index); test grams left-semi-join it on the digest.  Shuffle width is
+    digest-constant in ``k``; nothing quadratic.
+    """
+    from go_streaming_spark.functions.dedup import gram_digest_positions
+
+    test_grams = gram_digest_positions(test_df, id_col, text_col, k)
+    train_grams = gram_digest_positions(train_df, id_col, text_col, k).select(
+        "gh"
+    ).distinct()
+    hits = (
+        test_grams.join(train_grams, "gh", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    totals = test_grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return totals.join(hits, "id", "left").select(
+        "id",
+        "n_grams",
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        F.round(
+            F.coalesce("n_hit", F.lit(0)) / F.col("n_grams").cast("double"), 6
+        ).alias("hit_rate"),
+    )

@@ -958,3 +958,60 @@ def temperature_mixture_counts(spark, sf_dir):
         F.col("stratum").alias("source"), F.round("weight", 6).alias("weight_r")
     )
     return agg.join(wr, "source")
+
+
+@query(
+    "contamination_rates",
+    # per-test-doc n-gram overlap with the training corpus (the GPT-3/PaLM
+    # contamination report): docs doc_id%10==0 play the training corpus,
+    # the rest are the eval set; 8-gram digests, train side distinct —
+    # the measuring twin of decontaminate_counts
+    """WITH ws AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\\s+'), x -> x <> '') w
+            FROM documents),
+g0 AS (SELECT doc_id AS id, unnest(list_transform(range(0, len(w)-8+1),
+          i -> md5(array_to_string(w[i+1:i+8], ' ')))) AS gh
+       FROM ws WHERE len(w) >= 8),
+train AS (SELECT DISTINCT gh FROM g0 WHERE id % 10 = 0),
+test AS (SELECT id, gh FROM g0 WHERE id % 10 <> 0),
+h AS (SELECT id, count(*) AS n_hit FROM test WHERE gh IN (SELECT gh FROM train) GROUP BY id),
+t AS (SELECT id, count(*) AS n_grams FROM test GROUP BY id)
+SELECT t.id, t.n_grams, coalesce(h.n_hit, 0) AS n_hit,
+       round(coalesce(h.n_hit, 0) / CAST(t.n_grams AS DOUBLE), 6) AS hit_rate
+FROM t LEFT JOIN h ON t.id = h.id""",
+)
+def contamination_rates(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 10 == 0)
+    test_set = docs.filter(F.col("doc_id") % 10 != 0)
+    return text.contamination_stats(test_set, train, "doc_id", "text", k=8)
+
+
+@query(
+    "dedup_spans_incremental",
+    # incremental substring-span dedup: batch (doc_id%10<>0) spans flagged
+    # against a prebuilt corpus gram-count index (doc_id%10=0) PLUS
+    # in-batch occurrences — identical to running duplicated_spans over
+    # corpus∪batch and keeping batch rows, without re-scanning corpus text
+    """WITH ws AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\\s+'), x -> x <> '') w
+            FROM documents),
+g0 AS (SELECT doc_id AS id, unnest(list_transform(range(0, len(w)-8+1),
+          i -> {'pos': i, 'gh': md5(array_to_string(w[i+1:i+8], ' '))})) AS u
+       FROM ws WHERE len(w) >= 8),
+g AS (SELECT id, u.pos::bigint AS pos, u.gh AS gh FROM g0),
+dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+f AS (SELECT id, pos FROM g WHERE id % 10 <> 0 AND gh IN (SELECT gh FROM dup)),
+m AS (SELECT id, pos,
+        CASE WHEN pos > coalesce(max(pos + 8) OVER (PARTITION BY id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS new_span
+      FROM f),
+s AS (SELECT id, pos, sum(new_span) OVER (PARTITION BY id ORDER BY pos) AS span_id FROM m)
+SELECT id, min(pos) AS span_start, max(pos) + 8 - 1 AS span_end,
+       max(pos) + 8 - min(pos) AS span_tokens
+FROM s GROUP BY id, span_id""",
+)
+def dedup_spans_incremental(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 == 0)
+    batch = docs.filter(F.col("doc_id") % 10 != 0)
+    idx = dedup.build_gram_index(corpus, "doc_id", "text", k=8)
+    return dedup.duplicated_spans_against_index(batch, idx, "doc_id", "text", k=8)

@@ -954,3 +954,47 @@ def test_mixture_copy_counts_df_matches_dict_variant(spark):
     }
     assert via_dict == via_df
     assert all(via_df[i] == 1 for i in range(300) if i % 3 == 2)  # default
+
+
+def test_spans_against_index_matches_full_run(spark):
+    """Incremental span dedup (batch vs prebuilt gram index) must equal
+    the from-scratch run over corpus∪batch restricted to batch docs."""
+    docs = _docs(spark)
+    corpus = docs.filter(F.col("doc_id") % 10 == 0)
+    batch = docs.filter(F.col("doc_id") % 10 != 0)
+    idx = dedup.build_gram_index(corpus, "doc_id", "text", k=8)
+    inc = {
+        tuple(r)
+        for r in dedup.duplicated_spans_against_index(
+            batch, idx, "doc_id", "text", k=8
+        ).collect()
+    }
+    full = {
+        tuple(r)
+        for r in dedup.duplicated_spans(docs, "doc_id", "text", k=8)
+        .filter(F.col("id") % 10 != 0)
+        .collect()
+    }
+    assert inc == full and inc, "expected non-empty identical span sets"
+
+
+def test_contamination_stats_planted(spark):
+    from go_streaming_spark.functions import text as tx
+
+    leak = " ".join(f"c{i}" for i in range(10))  # 10 tokens → 3 dup 8-grams
+    train = spark.createDataFrame(
+        [(100, f"t1 t2 {leak} t3")], ["doc_id", "text"]
+    )
+    test_set = spark.createDataFrame(
+        [
+            (1, f"{leak} z1 z2 z3 z4 z5"),   # 8 grams, 3 hit
+            (2, "q1 q2 q3 q4 q5 q6 q7 q8 q9"),  # 2 grams, 0 hit
+            (3, "short doc"),                 # < 8 tokens → absent
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.id: (r.n_grams, r.n_hit, r.hit_rate)
+        for r in tx.contamination_stats(test_set, train, "doc_id", "text", 8).collect()
+    }
+    assert out == {1: (8, 3, 0.375), 2: (2, 0, 0.0)}
