@@ -71,16 +71,9 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Heuristic quality features + composite score per doc.
-
-    Features (all single-pass expressions): word count, mean word length,
-    stopword ratio, alpha-char ratio, punctuation density.  The composite
-    is a fixed linear blend — swap weights per corpus; the point is the
-    operator shape (scan-only, no shuffle).
-    """
-    df = spread(df)
-    t = F.col(text_col)
+def quality_exprs(t: Column) -> dict[str, Column]:
+    """The per-doc quality feature expressions (single-pass, map-only) —
+    shared by :func:`quality_score` and :func:`gopher_quality_flags`."""
     words = words_expr(t)
     n_words = F.size(words).cast("long")
     n_chars = F.length(t).cast("long")
@@ -91,14 +84,82 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     mean_word_len = F.when(n_words > 0, (n_chars - (n_words - 1)) / n_words).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
     alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    return {
+        "n_words": n_words,
+        "n_stopwords": n_stop.cast("long"),
+        "n_punct": n_punct.cast("long"),
+        "mean_word_len": F.round(mean_word_len, 6),
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "alpha_ratio": F.round(alpha_ratio, 6),
+    }
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality features + composite score per doc.
+
+    Features (all single-pass expressions): word count, mean word length,
+    stopword ratio, alpha-char ratio, punctuation density.  The composite
+    is a fixed linear blend — swap weights per corpus; the point is the
+    operator shape (scan-only, no shuffle).
+    """
+    df = spread(df)
+    q = quality_exprs(F.col(text_col))
     return df.select(
         F.col(id_col).alias("id"),
-        n_words.alias("n_words"),
-        n_stop.cast("long").alias("n_stopwords"),
-        n_punct.cast("long").alias("n_punct"),
-        F.round(mean_word_len, 6).alias("mean_word_len"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        *[expr.alias(name) for name, expr in q.items()],
+    )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_stopword_ratio: float = 0.06,
+    max_repetition: float = 0.2,
+) -> DataFrame:
+    """Rule-based document quality GATE in the Gopher style (Rae et al.
+    2021, §A1.1): each rule is a named boolean flag, ``keep`` is their
+    conjunction — so a pipeline can both filter (``WHERE keep = 1``) and
+    audit WHY documents were dropped (per-flag counts), which the single
+    blended score of :func:`quality_score` can't do.  Thresholds are
+    per-corpus knobs; defaults are the common pretraining ones.
+
+    Flags (1 = rule violated): too_short / too_long (word count),
+    bad_word_len (mean word length outside [min,max]), low_stopword
+    (stopword ratio under the floor — gibberish/tables), repetitive
+    (duplicate-bigram fraction over the cap, :func:`repetition_ratio`).
+
+    Map-only: one scan, no shuffle, no UDF — at 100 TB this runs at
+    parquet-read speed and prunes every downstream operator.
+    """
+    df = spread(df)
+    t = F.col(text_col)
+    q = quality_exprs(t)
+    rep = F.round(repetition_ratio(t, 2), 6)
+    too_short = (q["n_words"] < min_words).cast("int")
+    too_long = (q["n_words"] > max_words).cast("int")
+    bad_word_len = (
+        (q["mean_word_len"] < min_mean_word_len)
+        | (q["mean_word_len"] > max_mean_word_len)
+    ).cast("int")
+    low_stopword = (q["stopword_ratio"] < min_stopword_ratio).cast("int")
+    repetitive = (rep > max_repetition).cast("int")
+    keep = (
+        (too_short + too_long + bad_word_len + low_stopword + repetitive) == 0
+    ).cast("int")
+    return df.select(
+        F.col(id_col).alias("id"),
+        q["n_words"].alias("n_words"),
+        too_short.alias("flag_too_short"),
+        too_long.alias("flag_too_long"),
+        bad_word_len.alias("flag_bad_word_len"),
+        low_stopword.alias("flag_low_stopword"),
+        repetitive.alias("flag_repetitive"),
+        keep.alias("keep"),
     )
 
 

@@ -1015,3 +1015,45 @@ def dedup_spans_incremental(spark, sf_dir):
     batch = docs.filter(F.col("doc_id") % 10 != 0)
     idx = dedup.build_gram_index(corpus, "doc_id", "text", k=8)
     return dedup.duplicated_spans_against_index(batch, idx, "doc_id", "text", k=8)
+
+
+@query(
+    "gopher_quality_flags",
+    # rule-based quality gate (Gopher §A1.1): per-rule violation flags +
+    # composite keep, so pipelines can audit WHY docs dropped.  All
+    # thresholds compare the ROUNDED feature values (both engines round
+    # identically on these positive ratios)
+    f"""WITH b AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(text,'\\s+'), x -> x <> '') AS toks,
+        length(text) AS n_chars FROM documents),
+f AS (SELECT doc_id, len(toks) AS n_words,
+        len(list_filter(toks, x -> list_contains({_STOP}, lower(x)))) AS n_stop,
+        list_transform(range(1, greatest(len(toks)-1,0)+1),
+                       i -> toks[i] || ' ' || toks[i+1]) AS grams,
+        n_chars FROM b),
+m AS (SELECT doc_id, n_words,
+        round(CASE WHEN n_words > 0
+              THEN (n_chars - (n_words - 1)) / CAST(n_words AS DOUBLE)
+              ELSE 0.0 END, 6) AS mwl,
+        round(CASE WHEN n_words > 0 THEN n_stop / CAST(n_words AS DOUBLE)
+              ELSE 0.0 END, 6) AS sr,
+        round(CASE WHEN len(grams) > 0
+              THEN 1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE)
+              ELSE 0.0 END, 6) AS rep
+      FROM f),
+x AS (SELECT doc_id, n_words,
+        CASE WHEN n_words < 50 THEN 1 ELSE 0 END AS flag_too_short,
+        CASE WHEN n_words > 100000 THEN 1 ELSE 0 END AS flag_too_long,
+        CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 1 ELSE 0 END AS flag_bad_word_len,
+        CASE WHEN sr < 0.06 THEN 1 ELSE 0 END AS flag_low_stopword,
+        CASE WHEN rep > 0.2 THEN 1 ELSE 0 END AS flag_repetitive
+      FROM m)
+SELECT doc_id AS id, n_words, flag_too_short, flag_too_long,
+       flag_bad_word_len, flag_low_stopword, flag_repetitive,
+       CASE WHEN flag_too_short + flag_too_long + flag_bad_word_len
+                 + flag_low_stopword + flag_repetitive = 0
+            THEN 1 ELSE 0 END AS keep
+FROM x""",
+)
+def gopher_quality_flags(spark, sf_dir):
+    return text.gopher_quality_flags(_docs(spark, sf_dir), "doc_id", "text")

@@ -998,3 +998,24 @@ def test_contamination_stats_planted(spark):
         for r in tx.contamination_stats(test_set, train, "doc_id", "text", 8).collect()
     }
     assert out == {1: (8, 3, 0.375), 2: (2, 0, 0.0)}
+
+
+def test_gopher_quality_flags_rules(spark):
+    from go_streaming_spark.functions import text as tx
+
+    rows = [
+        (1, "word " * 60 + "end"),                       # repetitive 1-word bigrams
+        (2, " ".join(f"alpha{i} bravo{i} charlie{i} delta{i} the" for i in range(12))),  # healthy
+        (3, "too short"),                                 # < min_words
+        (4, " ".join("supercalifragilistic" for _ in range(60))),  # long words + repetitive
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.id: r.asDict() for r in tx.gopher_quality_flags(df, "doc_id", "text").collect()}
+    assert out[3]["flag_too_short"] == 1 and out[3]["keep"] == 0
+    assert out[1]["flag_repetitive"] == 1 and out[1]["keep"] == 0
+    assert out[4]["flag_bad_word_len"] == 1 and out[4]["flag_repetitive"] == 1
+    assert out[2]["keep"] == 1, out[2]
+    # flags are exhaustive: keep == 1 iff no flag fired
+    for r in out.values():
+        fired = sum(v for k, v in r.items() if k.startswith("flag_"))
+        assert r["keep"] == (1 if fired == 0 else 0)
