@@ -876,6 +876,7 @@ def duplicated_spans(
     text_col: str,
     k: int = 8,
     min_count: int = 2,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Exact SUBSTRING-level duplicate detection: flag every token position
     that starts a ``k``-token gram occurring ≥ ``min_count`` times
@@ -905,12 +906,28 @@ def duplicated_spans(
     - Island merge is one shuffle on doc id; the groupBy that follows
       reuses the same partitioning.  Total ≈ 2 narrow shuffles, cost ∝
       corpus tokens; nothing pairwise.
+
+    ``keep_first=True`` exempts the globally-FIRST occurrence (min
+    (id, pos)) of each duplicated gram, so the emitted spans are directly
+    REMOVABLE — feed them to :func:`remove_spans` and exactly one copy of
+    every duplicated run survives corpus-wide (Lee et al.'s keep-one
+    policy).  The first-occurrence pick is a groupBy min(struct), not a
+    rank window, for the same AQE-skew reason as the count.
     """
     if k < 1:
         raise ValueError("k must be ≥ 1")
     grams = gram_digest_positions(df, id_col, text_col, k)
-    dup = grams.groupBy("gh").count().filter(F.col("count") >= min_count)
-    flagged = grams.join(dup.select("gh"), "gh", "left_semi")
+    stats = grams.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(F.struct("id", "pos")).alias("_first"),
+    ).filter(F.col("_n") >= min_count)
+    if keep_first:
+        flagged = grams.join(stats, "gh").filter(
+            (F.col("id") != F.col("_first.id"))
+            | (F.col("pos") != F.col("_first.pos"))
+        ).select("id", "pos")
+    else:
+        flagged = grams.join(stats.select("gh"), "gh", "left_semi")
     return _merge_flagged_spans(flagged, k)
 
 

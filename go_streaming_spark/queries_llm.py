@@ -1057,3 +1057,34 @@ FROM x""",
 )
 def gopher_quality_flags(spark, sf_dir):
     return text.gopher_quality_flags(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@query(
+    "dedup_spans_keep_first",
+    # removable-span variant: the globally-first occurrence (min (id,pos))
+    # of each duplicated 8-gram is exempt, so removing the emitted spans
+    # leaves exactly one copy of every duplicated run corpus-wide
+    """WITH ws AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\\s+'), x -> x <> '') w
+            FROM documents),
+g0 AS (SELECT doc_id AS id, unnest(list_transform(range(0, len(w)-8+1),
+          i -> {'pos': i, 'gh': md5(array_to_string(w[i+1:i+8], ' '))})) AS u
+       FROM ws WHERE len(w) >= 8),
+g AS (SELECT id, u.pos::bigint AS pos, u.gh AS gh FROM g0),
+r AS (SELECT id, pos, gh,
+        count(*) OVER (PARTITION BY gh) AS n,
+        row_number() OVER (PARTITION BY gh ORDER BY id, pos) AS rn
+      FROM g),
+f AS (SELECT id, pos FROM r WHERE n >= 2 AND rn > 1),
+m AS (SELECT id, pos,
+        CASE WHEN pos > coalesce(max(pos + 8) OVER (PARTITION BY id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS new_span
+      FROM f),
+s AS (SELECT id, pos, sum(new_span) OVER (PARTITION BY id ORDER BY pos) AS span_id FROM m)
+SELECT id, min(pos) AS span_start, max(pos) + 8 - 1 AS span_end,
+       max(pos) + 8 - min(pos) AS span_tokens
+FROM s GROUP BY id, span_id""",
+)
+def dedup_spans_keep_first(spark, sf_dir):
+    return dedup.duplicated_spans(
+        _docs(spark, sf_dir), "doc_id", "text", k=8, keep_first=True
+    )

@@ -1019,3 +1019,29 @@ def test_gopher_quality_flags_rules(spark):
     for r in out.values():
         fired = sum(v for k, v in r.items() if k.startswith("flag_"))
         assert r["keep"] == (1 if fired == 0 else 0)
+
+
+def test_duplicated_spans_keep_first_policy(spark):
+    """keep_first exempts the globally-first occurrence per gram: the
+    lowest-(id,pos) copy keeps its text, later copies (and later
+    within-doc repeats) are flagged for removal."""
+    boiler = " ".join(f"b{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (1, f"u1 u2 {boiler} u3"),
+            (2, f"{boiler} v1"),
+            (5, f"w1 {boiler} {boiler}"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = dedup.duplicated_spans(df, "doc_id", "text", k=8, keep_first=True)
+    got = sorted((r.id, r.span_start, r.span_end) for r in spans.collect())
+    # doc 1 holds every first occurrence → no spans; doc 2 fully flagged;
+    # doc 5 both copies flagged (first occurrences live in doc 1)
+    assert [t[0] for t in got] == [2, 5]
+    cleaned = {
+        r.doc_id: r.text
+        for r in dedup.remove_spans(df, spans, "doc_id", "text").collect()
+    }
+    assert cleaned[1] == f"u1 u2 {boiler} u3"      # canonical copy intact
+    assert boiler not in cleaned[2] and boiler not in cleaned[5]
