@@ -125,15 +125,51 @@ def main() -> None:
     ):
         print(f"  {row['format']:<5} mean={row['m']:.2f}")
 
-    # 10. similarity-search sanity probe on the embedding table
+    # 10. similarity-search sanity probe on the embedding table — exact
+    #     float scoring and the int8-quantized 4×-less-shuffle twin
     emb = engine.stream("embeddings")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
-    topk = similarity.cosine_topk(
-        emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", qv, 5
+    corpus_emb = emb.filter(F.col("vec_id") != 0)
+    topk = similarity.cosine_topk(corpus_emb, "vec_id", "embedding", qv, 5)
+    qtopk = similarity.quantized_cosine_topk(corpus_emb, "vec_id", "embedding", qv, 5)
+    print("nearest neighbors of vec 0 (exact | int8-quantized):")
+    for row, qrow in zip(topk.collect(), qtopk.collect()):
+        print(f"  vec {row['id']} cos={row['cos_sim']:.4f}  |"
+              f"  vec {qrow['id']} qcos={qrow['cos_sim']:.4f}")
+
+    # 11. substring-span dedup with the keep-one policy (on the RAW table —
+    #     doc-level dedup upstream already stripped the whole-doc copies
+    #     this op exists to catch inside partial overlaps)
+    raw_docs = engine.stream("documents")
+    spans = dedup.duplicated_spans(raw_docs, "doc_id", "text", k=8, keep_first=True)
+    n_spans = spans.count()
+    cleaned = dedup.remove_spans(raw_docs, spans, "doc_id", "text")
+    shrink = (
+        raw_docs.agg(F.sum(F.length("text"))).head()[0]
+        - cleaned.agg(F.sum(F.length("text"))).head()[0]
     )
-    print("nearest neighbors of vec 0:")
-    for row in topk.collect():
-        print(f"  vec {row['id']}  cos={row['cos_sim']:.4f}")
+    print(f"span dedup (raw corpus): {n_spans} removable spans, {shrink} chars cut")
+
+    # 12. quality gate + contamination report + temperature mixing — the
+    #     doc-level curation trio (contamination measured raw: the cleaned
+    #     corpus is decontaminated by construction, and the report proves it)
+    from go_streaming_spark.functions import sampling, text as tx
+
+    flags = tx.gopher_quality_flags(docs, "doc_id", "text")
+    kept = flags.filter(F.col("keep") == 1).count()
+    print(f"quality gate: kept {kept}/{flags.count()}")
+    train = raw_docs.filter(F.col("doc_id") % 10 == 0)
+    eval_raw = raw_docs.filter(F.col("doc_id") % 10 != 0)
+    cont = tx.contamination_stats(eval_raw, train, "doc_id", "text", k=8)
+    dirty = cont.filter(F.col("hit_rate") > 0).count()
+    clean_cont = tx.contamination_stats(
+        docs.filter(F.col("doc_id") % 10 != 0), train, "doc_id", "text", k=8
+    ).filter(F.col("hit_rate") > 0).count()
+    print(f"contamination: raw {dirty} overlapping eval docs -> cleaned {clean_cont}")
+    wts = sampling.temperature_weights(docs, "source", alpha=0.5)
+    mixed = sampling.mixture_copy_counts_df(docs, "doc_id", "source", wts)
+    total_copies = mixed.agg(F.sum("n_copies")).head()[0]
+    print(f"temperature mix (a=0.5): {total_copies} copies from {docs.count()} docs")
     engine.close()
     spark.stop()
 
