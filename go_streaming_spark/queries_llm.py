@@ -1088,3 +1088,37 @@ def dedup_spans_keep_first(spark, sf_dir):
     return dedup.duplicated_spans(
         _docs(spark, sf_dir), "doc_id", "text", k=8, keep_first=True
     )
+
+
+@query(
+    "cms_word_counts",
+    # count-min sketch (depth 4 × width 256, minhash hash family over
+    # md5-32-bit word digests) built over every word occurrence, then
+    # point estimates for all distinct words: est = min_j sketch[j,h_j].
+    # Deterministic integer arithmetic end-to-end → bit-exact oracle
+    f"""WITH w AS (SELECT unnest(list_filter(regexp_split_to_array(text,'\\s+'), x -> x <> '')) AS word
+            FROM documents),
+h AS (SELECT word, CAST(('0x'||substr(md5(word),1,8)) AS BIGINT) AS h32 FROM w),
+e AS (SELECT j, (({dedup.MINHASH_A}[CAST(j AS INT)+1]*h32
+                + {dedup.MINHASH_B}[CAST(j AS INT)+1]) % 2147483647) % 256 AS bucket
+      FROM h, (SELECT unnest(range(4)) AS j) jj),
+sk AS (SELECT j AS row, bucket, count(*) AS cnt FROM e GROUP BY 1, 2),
+keys AS (SELECT DISTINCT word, CAST(('0x'||substr(md5(word),1,8)) AS BIGINT) AS h32 FROM w),
+kp AS (SELECT word, j, (({dedup.MINHASH_A}[CAST(j AS INT)+1]*h32
+                       + {dedup.MINHASH_B}[CAST(j AS INT)+1]) % 2147483647) % 256 AS bucket
+       FROM keys, (SELECT unnest(range(4)) AS j) jj)
+SELECT word AS key, min(coalesce(cnt, 0)) AS est_count
+FROM kp LEFT JOIN sk ON kp.j = sk.row AND kp.bucket = sk.bucket
+GROUP BY 1""",
+)
+def cms_word_counts(spark, sf_dir):
+    from go_streaming_spark.functions import sketch
+
+    words = _docs(spark, sf_dir).select(
+        F.explode(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+        ).alias("word")
+    )
+    sk = sketch.count_min_build(words, "word", depth=4, width=256)
+    keys = words.distinct()
+    return sketch.count_min_estimate(sk, keys, "word", depth=4, width=256)

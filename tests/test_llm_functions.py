@@ -1045,3 +1045,33 @@ def test_duplicated_spans_keep_first_policy(spark):
     }
     assert cleaned[1] == f"u1 u2 {boiler} u3"      # canonical copy intact
     assert boiler not in cleaned[2] and boiler not in cleaned[5]
+
+
+def test_count_min_never_undercounts_and_merges(spark):
+    from go_streaming_spark.functions import sketch
+
+    rows = [(w,) for w in ["a"] * 50 + ["b"] * 20 + ["c"] * 5 + [f"t{i}" for i in range(40)]]
+    df = spark.createDataFrame(rows, ["word"])
+    sk = sketch.count_min_build(df, "word", depth=4, width=64)
+    keys = df.distinct()
+    est = {r.key: r.est_count for r in sketch.count_min_estimate(sk, keys, "word", 4, 64).collect()}
+    exact = {r.word: r.cnt for r in df.groupBy("word").agg(F.count("*").alias("cnt")).collect()}
+    assert all(est[k] >= exact[k] for k in exact), "CMS must never undercount"
+    # heavy hitters stand out even at width 64
+    assert est["a"] >= 50 and est["b"] >= 20
+    # wide sketch → exact (43 keys, width 4096: collisions ~ nothing)
+    sk_wide = sketch.count_min_build(df, "word", depth=4, width=4096)
+    est_w = {r.key: r.est_count for r in sketch.count_min_estimate(sk_wide, keys, "word", 4, 4096).collect()}
+    assert est_w == exact
+
+    # merge property: per-half sketches summed bucket-wise == full sketch
+    half_a = spark.createDataFrame(rows[:60], ["word"])
+    half_b = spark.createDataFrame(rows[60:], ["word"])
+    merged = (
+        sketch.count_min_build(half_a, "word", 4, 64)
+        .unionByName(sketch.count_min_build(half_b, "word", 4, 64))
+        .groupBy("row", "bucket")
+        .agg(F.sum("count").alias("count"))
+    )
+    full = {(r.row, r.bucket): r["count"] for r in sk.collect()}
+    assert {(r.row, r.bucket): r["count"] for r in merged.collect()} == full

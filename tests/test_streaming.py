@@ -547,3 +547,53 @@ def test_allowed_lateness_keeps_and_drops(spark, tmp_path):
     assert lenient_rows == {"09:00": 1} and lenient_dropped == 0, (
         lenient_rows, lenient_dropped
     )
+
+
+def test_streaming_span_dedup_ingestion(spark, tmp_path):
+    """Continuous-crawl SPAN dedup: each micro-batch's duplicated 8-gram
+    runs are flagged against the static corpus gram index (plus in-batch
+    repeats) via duplicated_spans_against_index inside foreachBatch —
+    boilerplate the corpus already contains is spotted in every batch,
+    novel text emits no spans."""
+    import json as _json
+
+    from go_streaming_spark.functions import dedup
+
+    boiler = " ".join(f"b{i}" for i in range(10))
+    corpus = spark.createDataFrame([(100, f"h1 h2 {boiler}")], "doc_id long, text string")
+    idx = dedup.build_gram_index(corpus, "doc_id", "text", k=8).cache()
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    batches = [
+        [(1, f"{boiler} n1 n2"), (2, "x1 x2 x3 x4 x5 x6 x7 x8 x9")],
+        [(3, f"intro {boiler} outro"), (4, "y1 y2 y3 y4 y5 y6 y7 y8 y9")],
+    ]
+    for i, rows in enumerate(batches):
+        with open(src / f"b{i}.json", "w") as f:
+            for did, txt in rows:
+                f.write(_json.dumps({"doc_id": did, "text": txt}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    flagged: list[tuple] = []
+
+    def ingest(batch_df, _bid):
+        out = dedup.duplicated_spans_against_index(
+            batch_df, idx, "doc_id", "text", k=8
+        )
+        flagged.extend((r.id, r.span_start, r.span_end) for r in out.collect())
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    idx.unpersist()
+    # doc 1: boiler at 0..9; doc 3: boiler at 1..10; novel docs clean
+    assert sorted(flagged) == [(1, 0, 9), (3, 1, 10)]
