@@ -310,3 +310,35 @@ def mixture_copy_counts_df(
         .withColumn(count_col, (whole + extra).cast("int"))
         .drop("__s", "__w")
     )
+
+
+def stratified_fixed_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    m: int,
+    seed: str = "fsample",
+) -> DataFrame:
+    """EXACTLY ``min(m, |stratum|)`` rows per stratum (vs the per-RATE
+    :func:`stratified_sample`): rank rows within each stratum by their id
+    hash and keep the first ``m`` — deterministic, engine-portable, and
+    uniform within the stratum.  The fixed-size per-group sample every
+    eval-set builder and per-source debugging slice needs.
+
+    Scale: one shuffle (the rank window partitions by stratum); skew
+    follows stratum size — for a pathological mega-stratum, pre-filter
+    with :func:`deterministic_sample` at a rate that overshoots ``m``
+    and rank the survivors.
+    """
+    if m <= 0:
+        raise ValueError("m must be positive")
+    from pyspark.sql.window import Window
+
+    key = hash_bucket(F.col(id_col), seed)
+    w = Window.partitionBy(strata_col).orderBy("__key", id_col)
+    return (
+        df.withColumn("__key", key)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= m)
+        .drop("__key", "__rn")
+    )

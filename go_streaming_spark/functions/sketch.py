@@ -99,3 +99,38 @@ def count_min_estimate(
     return joined.groupBy("key").agg(
         F.min(F.coalesce(F.col("count"), F.lit(0))).cast("long").alias("est_count")
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    min_count: int,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Exact keys with frequency ≥ ``min_count``, found the sketch way:
+    CMS estimates prefilter the candidate set (sound — the sketch never
+    undercounts, so no true heavy hitter is lost), then ONE exact count
+    pass over the candidate keys verifies.  Output equals the exact
+    ``GROUP BY ... HAVING count >= t`` — the sketch only changes the
+    cost: the exact pass groups candidate rows only, and at 100 TB the
+    candidate semi-join prunes the overwhelmingly-unique tail before it
+    ever shuffles.
+
+    Emits (key, n_occ), exact counts.
+    """
+    sk = count_min_build(df, key_col, depth, width)
+    keys = df.select(F.col(key_col).alias("key")).distinct()
+    cand = (
+        count_min_estimate(sk, keys, "key", depth, width)
+        .filter(F.col("est_count") >= min_count)
+        .select("key")
+    )
+    hot = df.join(
+        cand.select(F.col("key").alias(key_col)), key_col, "left_semi"
+    )
+    return (
+        hot.groupBy(F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= min_count)
+    )

@@ -87,3 +87,32 @@ def salted_agg(
     return partial.groupBy(*keys).agg(
         *[_SALTED_FNS[fn][1](F.col(n)).alias(n) for n, (fn, _) in aggs.items()]
     )
+
+
+def key_skew_stats(df, key_col: str, top: int = 10):
+    """Join/agg-key skew DIAGNOSTIC: per-key counts reduced to the facts
+    that drive a salting decision — the ``top`` hottest keys, and each
+    one's share of the total.  Run it on a join key BEFORE the join; a
+    top-1 share over ~1/shuffle-partitions means one reducer owns that
+    key and :func:`salted_join` / AQE skew-join is warranted.
+
+    One map-side-combined groupBy + a TakeOrdered of the tiny count
+    table; the share division is exact (int/int → double) so the output
+    is engine-deterministic.
+    """
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = counts.agg(F.sum("n_rows").alias("__t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__t").cast("double"), 6).alias("share"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("key"))
+        .limit(top)
+    )

@@ -1122,3 +1122,55 @@ def cms_word_counts(spark, sf_dir):
     sk = sketch.count_min_build(words, "word", depth=4, width=256)
     keys = words.distinct()
     return sketch.count_min_estimate(sk, keys, "word", depth=4, width=256)
+
+
+@query(
+    "heavy_hitter_words",
+    # sketch-prefiltered EXACT heavy hitters: CMS candidates (sound — the
+    # sketch never undercounts) verified by one exact count pass; output
+    # therefore equals the plain GROUP BY ... HAVING — which IS the oracle
+    """WITH w AS (SELECT unnest(list_filter(regexp_split_to_array(text,'\\s+'), x -> x <> '')) AS word
+            FROM documents)
+SELECT word AS key, count(*) AS n_occ FROM w GROUP BY 1 HAVING count(*) >= 500""",
+)
+def heavy_hitter_words(spark, sf_dir):
+    from go_streaming_spark.functions import sketch
+
+    words = _docs(spark, sf_dir).select(
+        F.explode(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+        ).alias("word")
+    )
+    return sketch.heavy_hitters(words, "word", min_count=500, depth=4, width=256)
+
+
+@query(
+    "stratified_fixed_counts",
+    # EXACTLY 20 docs per source, picked by id-hash rank within the
+    # stratum — deterministic fixed-size per-group sampling
+    """SELECT doc_id, source FROM (
+  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+     ORDER BY CAST(('0x'||substr(md5('fsample|'||CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT), doc_id) AS rn
+  FROM documents) t WHERE rn <= 20""",
+)
+def stratified_fixed_counts(spark, sf_dir):
+    from go_streaming_spark.functions.sampling import stratified_fixed_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return stratified_fixed_sample(docs, "doc_id", "source", m=20)
+
+
+@query(
+    "join_key_skew_stats",
+    # pre-join skew diagnostic: hottest join keys and their share of rows
+    # — the decision input for salted_join / AQE skew handling
+    """WITH c AS (SELECT event_type AS key, count(*) AS n_rows FROM events GROUP BY 1),
+t AS (SELECT sum(n_rows) AS tt FROM c)
+SELECT key, n_rows, round(n_rows / CAST(tt AS DOUBLE), 6) AS share
+FROM c, t ORDER BY n_rows DESC, key LIMIT 10""",
+)
+def join_key_skew_stats(spark, sf_dir):
+    from go_streaming_spark.operators.skew import key_skew_stats
+
+    events = Engine(spark, sf_dir=sf_dir).stream("events")
+    return key_skew_stats(events, "event_type", top=10)

@@ -1075,3 +1075,33 @@ def test_count_min_never_undercounts_and_merges(spark):
     )
     full = {(r.row, r.bucket): r["count"] for r in sk.collect()}
     assert {(r.row, r.bucket): r["count"] for r in merged.collect()} == full
+
+
+def test_heavy_hitters_equals_exact(spark):
+    """Sketch-prefiltered heavy hitters must EQUAL the exact GROUP BY /
+    HAVING result (the prefilter is sound), even at a narrow width with
+    many colliding tail keys."""
+    from go_streaming_spark.functions import sketch
+
+    rows = [(w,) for w in ["hot"] * 40 + ["warm"] * 12 + [f"t{i}" for i in range(200)]]
+    df = spark.createDataFrame(rows, ["word"])
+    got = {
+        (r.key, r.n_occ)
+        for r in sketch.heavy_hitters(df, "word", min_count=10, width=32).collect()
+    }
+    assert got == {("hot", 40), ("warm", 12)}
+
+
+def test_stratified_fixed_sample_sizes_and_determinism(spark):
+    from go_streaming_spark.functions.sampling import stratified_fixed_sample
+
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "src"])
+    out = stratified_fixed_sample(df, "id", "src", m=15)
+    sizes = {r.src: r.cnt for r in out.groupBy("src").agg(F.count("*").alias("cnt")).collect()}
+    assert sizes == {"big": 15, "small": 10}, "m per stratum, capped at stratum size"
+    a = sorted(r.id for r in out.collect())
+    b = sorted(r.id for r in stratified_fixed_sample(df, "id", "src", m=15).collect())
+    assert a == b, "deterministic"
+    c = sorted(r.id for r in stratified_fixed_sample(df, "id", "src", m=15, seed="v2").collect())
+    assert a != c, "seed changes the pick"
