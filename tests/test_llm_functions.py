@@ -1105,3 +1105,62 @@ def test_stratified_fixed_sample_sizes_and_determinism(spark):
     assert a == b, "deterministic"
     c = sorted(r.id for r in stratified_fixed_sample(df, "id", "src", m=15, seed="v2").collect())
     assert a != c, "seed changes the pick"
+
+
+def test_duplicated_spans_matches_bruteforce(spark):
+    """Property: on random small corpora over a tiny alphabet (to force
+    gram collisions), duplicated_spans matches a brute-force Python
+    reference — counts, island merging, keep_first exemption and all."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    K = 3
+
+    def brute(docs, keep_first):
+        grams = {}
+        for did, txt in enumerate(docs):
+            toks = [w for w in txt.split() if w]
+            for p in range(len(toks) - K + 1):
+                grams.setdefault(" ".join(toks[p : p + K]), []).append((did, p))
+        flagged = {}
+        for occs in grams.values():
+            if len(occs) < 2:
+                continue
+            skip = min(occs) if keep_first else None
+            for occ in occs:
+                if occ != skip:
+                    flagged.setdefault(occ[0], set()).add(occ[1])
+        spans = set()
+        for did, poss in flagged.items():
+            cur = None
+            for p in sorted(poss):
+                s, e = p, p + K - 1
+                if cur and s <= cur[1] + 1:  # overlap or contiguous → merge
+                    cur = (cur[0], max(cur[1], e))
+                else:
+                    if cur:
+                        spans.add((did, cur[0], cur[1], cur[1] - cur[0] + 1))
+                    cur = (s, e)
+            if cur:
+                spans.add((did, cur[0], cur[1], cur[1] - cur[0] + 1))
+        return spans
+
+    word = st.sampled_from(["aa", "bb", "cc"])
+    doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+    corpus = st.lists(doc, min_size=1, max_size=6)
+
+    @settings(max_examples=6, deadline=None)
+    @given(docs=corpus, keep_first=st.booleans())
+    def run(docs, keep_first):
+        df = spark.createDataFrame(
+            list(enumerate(docs)), "doc_id long, text string"
+        )
+        got = {
+            (r.id, r.span_start, r.span_end, r.span_tokens)
+            for r in dedup.duplicated_spans(
+                df, "doc_id", "text", k=K, keep_first=keep_first
+            ).collect()
+        }
+        assert got == brute(docs, keep_first), (docs, keep_first)
+
+    run()
