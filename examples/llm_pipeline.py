@@ -170,6 +170,22 @@ def main() -> None:
     mixed = sampling.mixture_copy_counts_df(docs, "doc_id", "source", wts)
     total_copies = mixed.agg(F.sum("n_copies")).head()[0]
     print(f"temperature mix (a=0.5): {total_copies} copies from {docs.count()} docs")
+
+    # 13. sketch-based corpus statistics: count-min heavy hitters (the
+    #     exact answer, found through the sound CMS prefilter) and the
+    #     join-key skew report that drives salting decisions
+    from go_streaming_spark.functions import sketch
+    from go_streaming_spark.operators.skew import key_skew_stats
+
+    words = raw_docs.select(
+        F.explode(F.filter(F.split("text", r"\s+"), lambda w: w != "")).alias("word")
+    )
+    hot = sketch.heavy_hitters(words, "word", min_count=500, width=256)
+    print(f"heavy hitters (>=500 occurrences): {hot.count()} words")
+    ev = engine.stream("events")
+    print("hottest join keys on events.event_type:")
+    for row in key_skew_stats(ev, "event_type", top=3).collect():
+        print(f"  {row['key']:<10} {row['n_rows']:>6} rows  share={row['share']:.3f}")
     engine.close()
     spark.stop()
 

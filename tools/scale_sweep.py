@@ -64,6 +64,10 @@ QUERIES = [
     "multimodal_content_stats",   # real BMP/WAV content decode (round 6)
     "dedup_substring_spans",  # span-granularity exact dedup (round 6)
     "ann_quantized_topk",     # int8-quantized cosine top-k (round 6)
+    "dedup_spans_keep_first", # removable-span variant (round 6)
+    "contamination_rates",    # eval-overlap measurement (round 6)
+    "cms_word_counts",        # count-min sketch build+estimate (round 6)
+    "heavy_hitter_words",     # CMS prefilter + exact verify (round 6)
 ]
 
 
