@@ -597,3 +597,57 @@ def test_streaming_span_dedup_ingestion(spark, tmp_path):
     idx.unpersist()
     # doc 1: boiler at 0..9; doc 3: boiler at 1..10; novel docs clean
     assert sorted(flagged) == [(1, 0, 9), (3, 1, 10)]
+
+
+def test_streaming_cms_accumulates_across_batches(spark, tmp_path):
+    """Count-min sketches are the streaming-native frequency state:
+    per-micro-batch sketches merge by bucket-wise addition into a running
+    sketch that EQUALS the batch-built sketch over all data seen — so
+    estimates (and heavy-hitter prefilters) stay exact-equivalent under
+    any micro-batch slicing."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from go_streaming_spark.functions import sketch
+
+    words = ["hot"] * 30 + ["warm"] * 10 + [f"t{i}" for i in range(25)]
+    src = tmp_path / "stream"
+    src.mkdir()
+    for b in range(3):  # arbitrary slicing into 3 files/micro-batches
+        with open(src / f"b{b}.json", "w") as f:
+            for w in words[b::3]:
+                f.write(_json.dumps({"word": w}) + "\n")
+
+    stream = (
+        spark.readStream.schema("word string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    state = {"sk": None}
+
+    def ingest(batch_df, _bid):
+        part = sketch.count_min_build(batch_df, "word", depth=4, width=64)
+        running = (
+            part if state["sk"] is None
+            else state["sk"].unionByName(part)
+            .groupBy("row", "bucket")
+            .agg(F.sum("count").alias("count"))
+        )
+        state["sk"] = running.localCheckpoint()  # bounded: depth×width rows
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    all_df = spark.createDataFrame([(w,) for w in words], ["word"])
+    expect = {
+        (r.row, r.bucket): r["count"]
+        for r in sketch.count_min_build(all_df, "word", 4, 64).collect()
+    }
+    got = {(r.row, r.bucket): r["count"] for r in state["sk"].collect()}
+    assert got == expect
