@@ -436,10 +436,12 @@ def content_stats(
     codec libraries: BMP pixel bytes → luminance-ish byte stats, WAV PCM →
     amplitude stats.  Units are pixel channel bytes (BMP, 0..255) or
     signed 16-bit samples (WAV); ``mean_val``/``rms`` are exact integer
-    sums divided once, so engines agree bitwise.  Formats that need a real
-    codec (PNG/JPEG/GIF deflate/DCT content) yield ``format`` from the
-    header sniff with NULL stats — at 100 TB one bad or compressed blob
-    degrades to NULL, never kills the stage.
+    sums divided once, so engines agree bitwise.  PNG decodes for REAL
+    too (:func:`png_pixel_bytes` — deflate is in the standard library;
+    units are pixel channel bytes after defiltering).  Formats that need
+    an actual external codec (JPEG DCT, GIF LZW) yield ``format`` from
+    the header sniff with NULL stats — at 100 TB one bad or undecodable
+    blob degrades to NULL, never kills the stage.
 
     Arrow-batched ``mapInPandas`` over an (id, payload) projection, same
     plumbing contract as :func:`extract_features`.
@@ -452,6 +454,7 @@ def content_stats(
 
         # local refs: cloudpickle ships the decoders by value
         sniff, bmp_px, wav_pcm = parse_media_header, bmp_pixel_bytes, wav_pcm_samples
+        png_px = png_pixel_bytes
 
         def stats_row(b) -> tuple:
             p = bytes(b) if b is not None else b""
@@ -459,6 +462,9 @@ def content_stats(
             units: list[int] | None = None
             if fmt == "bmp":
                 raw = bmp_px(p)
+                units = list(raw) if raw is not None else None
+            elif fmt == "png":
+                raw = png_px(p)
                 units = list(raw) if raw is not None else None
             elif fmt == "wav":
                 units = wav_pcm(p)
@@ -610,3 +616,172 @@ def frame_sample_plan(
             )
         ).alias("frame_ts_ms"),
     )
+
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_pixel_bytes(p: bytes) -> bytes | None:
+    """REAL PNG content decode with the standard library only: chunk walk →
+    IDAT concatenation → ``zlib`` inflate → scanline DEfiltering (all five
+    PNG filter types: None/Sub/Up/Average/Paeth, spec §9) → raw pixel
+    bytes.  PNG's "compression" is deflate, which Python ships — so unlike
+    JPEG (DCT) this tier needs no external codec.  ``None`` for non-PNG,
+    truncated, or undecodable payloads; only 8-bit greyscale/RGB/RGBA
+    (color types 0/2/6, no interlace) are supported — others return
+    ``None`` rather than a wrong answer.
+    """
+    import zlib
+
+    if p[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    i, idat, meta = 8, b"", None
+    while i + 8 <= len(p):
+        clen = int.from_bytes(p[i:i + 4], "big")
+        ctype = p[i + 4:i + 8]
+        data = p[i + 8:i + 8 + clen]
+        if len(data) < clen:
+            return None
+        if ctype == b"IHDR" and clen >= 13:
+            meta = (
+                int.from_bytes(data[0:4], "big"),   # width
+                int.from_bytes(data[4:8], "big"),   # height
+                data[8],                            # bit depth
+                data[9],                            # color type
+                data[12],                           # interlace
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen  # len + type + data + crc
+    if meta is None or not idat:
+        return None
+    w, h, depth, color, interlace = meta
+    if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+        return None
+    bpp = {0: 1, 2: 3, 6: 4}[color]
+    stride = w * bpp
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    if len(raw) < h * (stride + 1):
+        return None
+    out = bytearray()
+    prior = bytes(stride)
+    pos = 0
+    for _ in range(h):
+        f = raw[pos]
+        line = bytearray(raw[pos + 1:pos + 1 + stride])
+        pos += 1 + stride
+        if f == 1:      # Sub
+            for k in range(bpp, stride):
+                line[k] = (line[k] + line[k - bpp]) & 0xFF
+        elif f == 2:    # Up
+            for k in range(stride):
+                line[k] = (line[k] + prior[k]) & 0xFF
+        elif f == 3:    # Average
+            for k in range(stride):
+                a = line[k - bpp] if k >= bpp else 0
+                line[k] = (line[k] + ((a + prior[k]) >> 1)) & 0xFF
+        elif f == 4:    # Paeth
+            for k in range(stride):
+                a = line[k - bpp] if k >= bpp else 0
+                c = prior[k - bpp] if k >= bpp else 0
+                line[k] = (line[k] + _png_paeth(a, prior[k], c)) & 0xFF
+        elif f != 0:
+            return None
+        out += line
+        prior = bytes(line)
+    return bytes(out)
+
+
+def png_encode(pixels: bytes, width: int, height: int) -> bytes:
+    """Minimal REAL PNG encoder (stdlib only): 8-bit RGB, one IDAT, real
+    CRCs, scanline r filtered with type ``r % 5`` — every decoder filter
+    branch gets exercised by round-tripping what this writes.  ``pixels``
+    must be ``height*width*3`` bytes."""
+    import struct
+    import zlib
+
+    bpp, stride = 3, width * 3
+    assert len(pixels) == height * stride
+    flt = bytearray()
+    prior = bytes(stride)
+    for r in range(height):
+        line = pixels[r * stride:(r + 1) * stride]
+        f = r % 5
+        flt.append(f)
+        for k in range(stride):
+            a = line[k - bpp] if k >= bpp else 0
+            b = prior[k]
+            c = prior[k - bpp] if k >= bpp else 0
+            if f == 0:
+                v = line[k]
+            elif f == 1:
+                v = (line[k] - a) & 0xFF
+            elif f == 2:
+                v = (line[k] - b) & 0xFF
+            elif f == 3:
+                v = (line[k] - ((a + b) >> 1)) & 0xFF
+            else:
+                v = (line[k] - _png_paeth(a, b, c)) & 0xFF
+            flt.append(v)
+        prior = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">II5B", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(flt)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synthesize_payloads_png(
+    df: DataFrame, id_col: str, body_col: str
+) -> DataFrame:
+    """Deterministic REAL PNG payloads: width 8, height ``2 + id % 7``,
+    RGB; the pixel array is the body's UTF-8 bytes cycled to
+    ``height*24`` (exactly the BMP formula of
+    :func:`synthesize_payloads_raw`, so the content-stats oracle is the
+    same cycled-body arithmetic), deflate-compressed with real CRCs and a
+    different PNG filter per scanline.  Runs as an Arrow-batched
+    ``mapInPandas`` (the encoder needs ``zlib``)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        enc = png_encode
+
+        def build(_id, body) -> bytes:
+            h = 2 + int(_id) % 7
+            src = (body or "").encode("utf-8") or b"\x00"
+            need = h * 24
+            reps = (need + len(src) - 1) // len(src)
+            return enc((src * reps)[:need], 8, h)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["_id"],
+                    "media": [build(i, b) for i, b in zip(pdf["_id"], pdf["_body"])],
+                }
+            )
+
+    narrow = spread(df).select(
+        F.col(id_col).alias("_id"), F.col(body_col).cast("string").alias("_body")
+    )
+    return narrow.mapInPandas(run, "id long, media binary")

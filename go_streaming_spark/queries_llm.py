@@ -1174,3 +1174,34 @@ def join_key_skew_stats(spark, sf_dir):
 
     events = Engine(spark, sf_dir=sf_dir).stream("events")
     return key_skew_stats(events, "event_type", top=10)
+
+
+@query(
+    "multimodal_png_content_stats",
+    # REAL PNG content decode: each doc's bytes are deflate-compressed
+    # into a real PNG (8×(2+id%7) RGB, a different scanline filter per
+    # row, real CRCs — multimodal.synthesize_payloads_png); content_stats
+    # must inflate + DEfilter back to the original cycled-body pixel
+    # bytes, so the oracle recomputes the stats straight from the
+    # synthesis formula without touching a codec
+    """WITH src AS (SELECT doc_id AS id, hex(encode(coalesce(text,''))) AS hx,
+         octet_length(encode(coalesce(text,''))) AS blen FROM documents),
+ph AS (SELECT id, (2 + id % 7) * 24 AS needed,
+        CASE WHEN blen > 0 THEN hx ELSE '00' END AS phx FROM src),
+pix AS (SELECT id, needed,
+        substr(repeat(phx, CAST((needed*2 + length(phx) - 1) // length(phx) AS INT)),
+               1, CAST(needed*2 AS INT)) AS phex FROM ph),
+val AS (SELECT id, CAST(('0x' || substr(phex, CAST(2*j+1 AS INT), 2)) AS BIGINT) AS v
+        FROM (SELECT id, phex, unnest(range(needed)) AS j FROM pix))
+SELECT id, 'png' AS format, count(*) AS n_units,
+       CAST(sum(v) AS BIGINT) * 1.0 / count(*) AS mean_val,
+       sqrt(CAST(sum(v*v) AS BIGINT) * 1.0 / count(*)) AS rms,
+       min(v) AS min_val, max(v) AS max_val
+FROM val GROUP BY id""",
+)
+def multimodal_png_content_stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    media = multimodal.synthesize_payloads_png(docs, "doc_id", "text")
+    return multimodal.content_stats(media, "id", "media")

@@ -1164,3 +1164,58 @@ def test_duplicated_spans_matches_bruteforce(spark):
         assert got == brute(docs, keep_first), (docs, keep_first)
 
     run()
+
+
+def test_png_encode_decode_roundtrip_all_filters():
+    """A 7-row image exercises every scanline filter (encoder uses r%5:
+    None/Sub/Up/Average/Paeth) — defiltering must reproduce the exact
+    pixel bytes."""
+    import hashlib
+
+    w, h = 8, 7
+    pixels = b"".join(
+        hashlib.md5(bytes([r])).digest() + hashlib.md5(bytes([r, 1])).digest()[:8]
+        for r in range(h)
+    )
+    assert len(pixels) == h * w * 3
+    png = multimodal.png_encode(pixels, w, h)
+    assert multimodal.parse_media_header(png)["format"] == "png"
+    assert multimodal.png_pixel_bytes(png) == pixels
+
+
+def test_png_pixel_bytes_rejects_malformed():
+    import struct
+    import zlib
+
+    good = multimodal.png_encode(b"\x01" * 48, 8, 2)
+    assert multimodal.png_pixel_bytes(good) == b"\x01" * 48
+    assert multimodal.png_pixel_bytes(b"not a png") is None
+    assert multimodal.png_pixel_bytes(good[:40]) is None          # truncated
+    # corrupt the deflate stream inside IDAT (flip a byte after its header)
+    idat_at = good.index(b"IDAT")
+    corrupt = bytearray(good)
+    corrupt[idat_at + 8] ^= 0xFF
+    assert multimodal.png_pixel_bytes(bytes(corrupt)) is None
+    # 16-bit depth is out of scope → None, not garbage
+    ihdr = struct.pack(">II5B", 8, 2, 16, 2, 0, 0, 0)
+    deep = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+        + good[good.index(b"IDAT") - 4:]
+    )
+    assert multimodal.png_pixel_bytes(deep) is None
+
+
+def test_png_pixel_bytes_never_raises_on_arbitrary_bytes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    seed = multimodal.png_encode(b"\x02" * 48, 8, 2)
+
+    @settings(max_examples=150, deadline=None)
+    @given(cut=st.integers(0, len(seed)), tail=st.binary(max_size=64))
+    def run(cut, tail):
+        out = multimodal.png_pixel_bytes(seed[:cut] + tail)
+        assert out is None or isinstance(out, bytes)
+
+    run()
