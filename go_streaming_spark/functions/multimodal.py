@@ -11,11 +11,14 @@ Two decode tiers:
   PNG / JPEG / GIF / BMP / WAV bytes directly (format sniff, dimensions,
   bit depth, audio duration) with no external libraries, and
   :func:`decode_media_meta` runs it Arrow-batched over a binary column.
-* **Content decode (pixel/sample → feature vector) is STUBBED** in this
-  environment (no image/audio libs in the container): the Spark-side
-  plumbing — schema, partitioning, UDF signature, batch shape — is real
-  and tested; ``decoder=`` accepts a real implementation when Pillow /
-  torchaudio / ffmpeg are available.
+* **Content decode is REAL for every container this module can decode
+  without an external codec**: BMP pixel bytes and WAV PCM (pure byte
+  arithmetic), PNG (stdlib ``zlib`` inflate + full scanline defilter),
+  GIF (pure-Python LZW) — see :func:`content_stats`.  Only the
+  feature-vector tier over codec-bound formats (JPEG DCT) is stubbed:
+  the Spark-side plumbing — schema, partitioning, UDF signature, batch
+  shape — is real and tested; ``decoder=`` accepts a real implementation
+  when Pillow / torchaudio / ffmpeg are available.
 
 Scale notes: binary payloads make rows wide — keep
 ``spark.sql.files.maxPartitionBytes`` small enough that a partition of
@@ -436,12 +439,12 @@ def content_stats(
     codec libraries: BMP pixel bytes → luminance-ish byte stats, WAV PCM →
     amplitude stats.  Units are pixel channel bytes (BMP, 0..255) or
     signed 16-bit samples (WAV); ``mean_val``/``rms`` are exact integer
-    sums divided once, so engines agree bitwise.  PNG decodes for REAL
-    too (:func:`png_pixel_bytes` — deflate is in the standard library;
-    units are pixel channel bytes after defiltering).  Formats that need
-    an actual external codec (JPEG DCT, GIF LZW) yield ``format`` from
-    the header sniff with NULL stats — at 100 TB one bad or undecodable
-    blob degrades to NULL, never kills the stage.
+    sums divided once, so engines agree bitwise.  PNG and GIF decode for
+    REAL too (:func:`png_pixel_bytes` — stdlib deflate + defilter, units
+    are channel bytes; :func:`gif_pixel_bytes` — pure-Python LZW, units
+    are palette indices).  Only JPEG (DCT — genuinely needs a codec)
+    yields ``format`` from the header sniff with NULL stats; any bad or
+    undecodable blob likewise degrades to NULL, never kills the stage.
 
     Arrow-batched ``mapInPandas`` over an (id, payload) projection, same
     plumbing contract as :func:`extract_features`.
@@ -454,7 +457,7 @@ def content_stats(
 
         # local refs: cloudpickle ships the decoders by value
         sniff, bmp_px, wav_pcm = parse_media_header, bmp_pixel_bytes, wav_pcm_samples
-        png_px = png_pixel_bytes
+        png_px, gif_px = png_pixel_bytes, gif_pixel_bytes
 
         def stats_row(b) -> tuple:
             p = bytes(b) if b is not None else b""
@@ -465,6 +468,9 @@ def content_stats(
                 units = list(raw) if raw is not None else None
             elif fmt == "png":
                 raw = png_px(p)
+                units = list(raw) if raw is not None else None
+            elif fmt == "gif":
+                raw = gif_px(p)
                 units = list(raw) if raw is not None else None
             elif fmt == "wav":
                 units = wav_pcm(p)
@@ -770,6 +776,202 @@ def synthesize_payloads_png(
             h = 2 + int(_id) % 7
             src = (body or "").encode("utf-8") or b"\x00"
             need = h * 24
+            reps = (need + len(src) - 1) // len(src)
+            return enc((src * reps)[:need], 8, h)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["_id"],
+                    "media": [build(i, b) for i, b in zip(pdf["_id"], pdf["_body"])],
+                }
+            )
+
+    narrow = spread(df).select(
+        F.col(id_col).alias("_id"), F.col(body_col).cast("string").alias("_body")
+    )
+    return narrow.mapInPandas(run, "id long, media binary")
+
+
+def _gif_lzw_encode(data: bytes, mcs: int = 8) -> bytes:
+    """GIF-variant LZW compression (little-endian bit packing, growing
+    code width, CLEAR/EOI codes) — the encoder half used by
+    :func:`gif_encode`; real compression, so round trips exercise the
+    decoder's dictionary growth and width increases."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(1 << mcs)}
+    next_code, width = eoi + 1, mcs + 1
+    emit(clear, width)
+    w = b""
+    for b in data:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(1 << mcs)}
+            next_code, width = eoi + 1, mcs + 1
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, mcs: int) -> bytes | None:
+    """GIF-variant LZW decompression (general: dictionary growth, width
+    increases, KwKwK case, CLEAR resets).  ``None`` on any malformed
+    stream — never raises."""
+    if not 2 <= mcs <= 8:
+        return None
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    base = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    table = list(base)
+    width = mcs + 1
+    out = bytearray()
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = list(base)
+                width = mcs + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if code < len(table) and code not in (clear, eoi):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                return None
+            out += entry
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return None  # ran out of bytes before EOI
+
+
+def gif_pixel_bytes(p: bytes) -> bytes | None:
+    """REAL GIF content decode, pure Python: logical-screen parse →
+    extension skip → first image descriptor → LZW decompression of the
+    pixel data → palette INDICES (one byte per pixel — the
+    palette-independent content; map through the color table for RGB).
+    ``None`` for non-GIF, interlaced, truncated, or undecodable payloads.
+    """
+    if p[:6] not in (b"GIF87a", b"GIF89a") or len(p) < 13:
+        return None
+    flags = p[10]
+    i = 13
+    if flags & 0x80:  # global color table
+        i += 3 * (2 << (flags & 0x07))
+    while i < len(p):
+        intro = p[i]
+        if intro == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(p) and p[i] != 0:
+                i += 1 + p[i]
+            i += 1
+        elif intro == 0x2C:  # image descriptor
+            if i + 10 > len(p):
+                return None
+            w = int.from_bytes(p[i + 5:i + 7], "little")
+            h = int.from_bytes(p[i + 7:i + 9], "little")
+            iflags = p[i + 9]
+            if iflags & 0x40:  # interlaced — out of scope
+                return None
+            i += 10
+            if iflags & 0x80:  # local color table
+                i += 3 * (2 << (iflags & 0x07))
+            if i >= len(p):
+                return None
+            mcs = p[i]
+            i += 1
+            data = bytearray()
+            while i < len(p) and p[i] != 0:
+                n = p[i]
+                data += p[i + 1:i + 1 + n]
+                i += 1 + n
+            pixels = _gif_lzw_decode(bytes(data), mcs)
+            if pixels is None or len(pixels) != w * h:
+                return None
+            return pixels
+        elif intro == 0x3B:  # trailer before any image
+            return None
+        else:
+            return None
+    return None
+
+
+def gif_encode(indices: bytes, width: int, height: int) -> bytes:
+    """Minimal REAL GIF89a encoder (stdlib only): 256-entry grayscale
+    global color table (palette[i] = (i,i,i)), one image, real LZW
+    compression.  ``indices`` must be ``width*height`` bytes."""
+    import struct
+
+    assert len(indices) == width * height
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x80 | 0x07, 0, 0])            # GCT present, 256 entries
+    for i in range(256):
+        out += bytes([i, i, i])                   # grayscale palette
+    out += b"\x2C" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    out.append(8)                                 # LZW min code size
+    stream = _gif_lzw_encode(indices, 8)
+    for k in range(0, len(stream), 255):
+        block = stream[k:k + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
+def synthesize_payloads_gif(
+    df: DataFrame, id_col: str, body_col: str
+) -> DataFrame:
+    """Deterministic REAL GIF payloads: 8×(2+id%7), grayscale palette,
+    pixel indices = the body's UTF-8 bytes cycled to ``height*8`` (one
+    byte per pixel) — LZW-compressed for real, so
+    :func:`content_stats`'s decode is a genuine decompression, while the
+    oracle recomputes the stats from the cycle formula without one."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        enc = gif_encode
+
+        def build(_id, body) -> bytes:
+            h = 2 + int(_id) % 7
+            src = (body or "").encode("utf-8") or b"\x00"
+            need = h * 8
             reps = (need + len(src) - 1) // len(src)
             return enc((src * reps)[:need], 8, h)
 

@@ -1205,3 +1205,33 @@ def multimodal_png_content_stats(spark, sf_dir):
     )
     media = multimodal.synthesize_payloads_png(docs, "doc_id", "text")
     return multimodal.content_stats(media, "id", "media")
+
+
+@query(
+    "multimodal_gif_content_stats",
+    # REAL GIF content decode: each doc's bytes become pixel indices of a
+    # real LZW-compressed GIF (8×(2+id%7), grayscale palette —
+    # multimodal.synthesize_payloads_gif); content_stats must LZW-decode
+    # back to the cycled-body index bytes, so the oracle recomputes the
+    # stats from the cycle formula with no decompression
+    """WITH src AS (SELECT doc_id AS id, hex(encode(coalesce(text,''))) AS hx,
+         octet_length(encode(coalesce(text,''))) AS blen FROM documents),
+ph AS (SELECT id, (2 + id % 7) * 8 AS needed,
+        CASE WHEN blen > 0 THEN hx ELSE '00' END AS phx FROM src),
+pix AS (SELECT id, needed,
+        substr(repeat(phx, CAST((needed*2 + length(phx) - 1) // length(phx) AS INT)),
+               1, CAST(needed*2 AS INT)) AS phex FROM ph),
+val AS (SELECT id, CAST(('0x' || substr(phex, CAST(2*j+1 AS INT), 2)) AS BIGINT) AS v
+        FROM (SELECT id, phex, unnest(range(needed)) AS j FROM pix))
+SELECT id, 'gif' AS format, count(*) AS n_units,
+       CAST(sum(v) AS BIGINT) * 1.0 / count(*) AS mean_val,
+       sqrt(CAST(sum(v*v) AS BIGINT) * 1.0 / count(*)) AS rms,
+       min(v) AS min_val, max(v) AS max_val
+FROM val GROUP BY id""",
+)
+def multimodal_gif_content_stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    media = multimodal.synthesize_payloads_gif(docs, "doc_id", "text")
+    return multimodal.content_stats(media, "id", "media")

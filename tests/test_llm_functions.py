@@ -1219,3 +1219,45 @@ def test_png_pixel_bytes_never_raises_on_arbitrary_bytes():
         assert out is None or isinstance(out, bytes)
 
     run()
+
+
+def test_gif_encode_decode_roundtrip():
+    """Real LZW round trip: repetitive data (dictionary growth + width
+    increases) and varied data both reproduce the exact index bytes."""
+    rep = bytes([7, 7, 7, 9] * 30)[: 8 * 14]
+    varied = bytes((i * 37 + 11) % 256 for i in range(8 * 9))
+    for px, h in [(rep, 14), (varied, 9)]:
+        g = multimodal.gif_encode(px, 8, h)
+        assert multimodal.parse_media_header(g)["format"] == "gif"
+        assert multimodal.gif_pixel_bytes(g) == px
+
+
+def test_gif_pixel_bytes_rejects_malformed():
+    good = multimodal.gif_encode(bytes(48), 8, 6)
+    assert multimodal.gif_pixel_bytes(good) == bytes(48)
+    assert multimodal.gif_pixel_bytes(b"GIF89a") is None          # truncated
+    assert multimodal.gif_pixel_bytes(b"not a gif") is None
+    assert multimodal.gif_pixel_bytes(good[:-10]) is None          # cut LZW stream
+    # interlace flag set → out of scope, None not garbage.  The image
+    # descriptor sits at the structural offset 6 (header) + 7 (LSD) +
+    # 768 (256-entry GCT) — searching for 0x2C would hit palette bytes.
+    i = 6 + 7 + 768
+    assert good[i] == 0x2C
+    bad = bytearray(good)
+    bad[i + 9] |= 0x40
+    assert multimodal.gif_pixel_bytes(bytes(bad)) is None
+
+
+def test_gif_pixel_bytes_never_raises_on_arbitrary_bytes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    seed = multimodal.gif_encode(bytes([3] * 48), 8, 6)
+
+    @settings(max_examples=150, deadline=None)
+    @given(cut=st.integers(0, len(seed)), tail=st.binary(max_size=64))
+    def run(cut, tail):
+        out = multimodal.gif_pixel_bytes(seed[:cut] + tail)
+        assert out is None or isinstance(out, bytes)
+
+    run()
