@@ -86,6 +86,9 @@ def parse_media_header(payload: bytes) -> dict:
     * **WAV**  — RIFF chunk walk: ``fmt `` (channels, sample rate, byte
       rate, bits per sample) + ``data`` size → duration_ms =
       data_bytes * 1000 // byte_rate.
+    * **AVI**  — RIFF ``LIST hdrl`` → ``avih`` main header: width/height,
+      duration_ms = µs-per-frame × total frames // 1000 (the video
+      modality's container tier).
 
     Returns ``{media_type, format, width, height, bit_depth, duration_ms}``
     with ``format=None`` (all fields None) for unrecognized or truncated
@@ -153,6 +156,29 @@ def parse_media_header(payload: bytes) -> dict:
                 "bit_depth": int.from_bytes(p[28:30], "little"),
                 "duration_ms": None,
             }
+        if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+            # LIST hdrl → avih: µs/frame, total frames, ..., width, height
+            i = 12
+            while i + 8 <= len(p):
+                cid = p[i:i + 4]
+                csize = int.from_bytes(p[i + 4:i + 8], "little")
+                if cid == b"LIST" and p[i + 8:i + 12] == b"hdrl":
+                    j = i + 12
+                    if p[j:j + 4] == b"avih" and j + 48 <= len(p):
+                        uspf = int.from_bytes(p[j + 8:j + 12], "little")
+                        frames = int.from_bytes(p[j + 24:j + 28], "little")
+                        return {
+                            "media_type": "video", "format": "avi",
+                            "width": int.from_bytes(p[j + 40:j + 44], "little"),
+                            "height": int.from_bytes(p[j + 44:j + 48], "little"),
+                            "bit_depth": None,
+                            "duration_ms": (
+                                uspf * frames // 1000 if uspf else None
+                            ),
+                        }
+                    return none
+                i += 8 + csize + (csize & 1)
+            return none
         if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
             i, bits, byte_rate, data_size = 12, None, None, None
             while i + 8 <= len(p):

@@ -181,7 +181,7 @@ def test_parse_media_header_never_raises_on_arbitrary_bytes():
 
     prefixes = st.sampled_from(
         [b"", b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"RIFF", b"GIF89a", b"BM",
-         b"RIFFxxxxWAVE", b"\xff\xd8\xff\xe0"]
+         b"RIFFxxxxWAVE", b"RIFFxxxxAVI ", b"\xff\xd8\xff\xe0"]
     )
 
     @settings(max_examples=300, deadline=None)
@@ -1261,3 +1261,32 @@ def test_gif_pixel_bytes_never_raises_on_arbitrary_bytes():
         assert out is None or isinstance(out, bytes)
 
     run()
+
+
+def _avi_bytes(w, h, uspf, frames):
+    import struct
+
+    # spec layout: usPerFrame, maxBps, padding, flags, TOTALFRAMES,
+    # initialFrames, streams, bufSize, WIDTH, HEIGHT, 4 reserved dwords
+    avih = struct.pack(
+        "<IIIIIIIIII", uspf, 0, 0, 0, frames, 0, 1, 0, w, h
+    ) + b"\x00" * 16
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(hdrl)) + b"AVI "
+        + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+    )
+
+
+def test_parse_media_header_avi():
+    """AVI (video) header decode: RIFF LIST walk to the avih main header —
+    dimensions + duration from µs-per-frame × frame count."""
+    # careful: avih layout is us/frame, maxbytes, padding, flags, TOTALFRAMES
+    # at +24 inside the chunk data (offset +8 incl. the 'avih'+size header)
+    m = multimodal.parse_media_header(_avi_bytes(640, 360, 33333, 300))
+    assert (m["media_type"], m["format"]) == ("video", "avi")
+    assert (m["width"], m["height"]) == (640, 360)
+    assert m["duration_ms"] == 33333 * 300 // 1000  # ≈ 10 s
+    # truncated AVI → NULLs, not garbage
+    t = multimodal.parse_media_header(_avi_bytes(640, 360, 33333, 300)[:20])
+    assert t["format"] is None
