@@ -60,6 +60,8 @@ HEADLINE = [
     "multimodal_content_stats",# real BMP-pixel/WAV-PCM content decode (round 6)
     "dedup_substring_spans",   # span-granularity exact dedup (round 6)
     "ann_quantized_topk",      # int8-quantized cosine top-k (round 6)
+    "multimodal_png_content_stats",  # real PNG inflate+defilter decode (round 6)
+    "multimodal_gif_content_stats",  # real GIF LZW decode (round 6)
 ]
 
 

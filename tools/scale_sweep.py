@@ -68,6 +68,8 @@ QUERIES = [
     "contamination_rates",    # eval-overlap measurement (round 6)
     "cms_word_counts",        # count-min sketch build+estimate (round 6)
     "heavy_hitter_words",     # CMS prefilter + exact verify (round 6)
+    "multimodal_png_content_stats",  # real PNG content decode (round 6)
+    "multimodal_gif_content_stats",  # real GIF LZW decode (round 6)
 ]
 
 
