@@ -178,6 +178,16 @@ def test_bucketed_join_no_exchange(spark):
         assert j.count() == li.join(
             orders, li.l_orderkey == orders.o_orderkey
         ).count()
+        # groupBy on the bucket key is shuffle-free too
+        agg_plan = _plan(
+            spark.table("li_bucketed").groupBy("l_orderkey").agg(
+                F.sum("l_quantity")
+            )
+        )
+        assert "Exchange hashpartitioning" not in agg_plan, agg_plan
+        # control: the same fact-fact join WITHOUT the layout shuffles
+        ctrl = _plan(li.join(orders, li.l_orderkey == orders.o_orderkey))
+        assert "Exchange hashpartitioning" in ctrl
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
