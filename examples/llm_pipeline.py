@@ -118,6 +118,13 @@ def main() -> None:
     #     bytes / WAV PCM samples read back through the container geometry
     raw = multimodal.synthesize_payloads_raw(docs.limit(30), "doc_id", "text")
     cstats = multimodal.content_stats(raw, "doc_id")
+    #     ...and the COMPRESSED tiers decode for real too: PNG (stdlib
+    #     inflate + defilter) and GIF (pure-Python LZW)
+    png = multimodal.synthesize_payloads_png(docs.limit(15), "doc_id", "text")
+    gif = multimodal.synthesize_payloads_gif(docs.limit(15), "doc_id", "text")
+    cstats = cstats.unionByName(multimodal.content_stats(png, "id")).unionByName(
+        multimodal.content_stats(gif, "id")
+    )
     print("content stats (mean unit value per format):")
     for row in (
         cstats.groupBy("format").agg(F.avg("mean_val").alias("m"))

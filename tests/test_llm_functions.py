@@ -1290,3 +1290,61 @@ def test_parse_media_header_avi():
     # truncated AVI → NULLs, not garbage
     t = multimodal.parse_media_header(_avi_bytes(640, 360, 33333, 300)[:20])
     assert t["format"] is None
+
+
+def test_temperature_weights_pow_path(spark):
+    """α≠0.5 exercises the pow branch: flattening is monotonic in α
+    (smaller α → flatter mix) and expected totals stay ≈ N."""
+    from go_streaming_spark.functions.sampling import temperature_weights
+
+    rows = [(i, "head" if i < 900 else "tail") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["id", "src"])
+    by_alpha = {}
+    for alpha in (0.25, 0.7):
+        w = {r.stratum: (r.n_rows, r.weight) for r in temperature_weights(df, "src", alpha).collect()}
+        exp_total = sum(n * wt for n, wt in w.values())
+        assert abs(exp_total - 1000) < 1e-6, (alpha, exp_total)
+        by_alpha[alpha] = w["tail"][1]
+    # smaller alpha upweights the tail harder
+    assert by_alpha[0.25] > by_alpha[0.7] > 1.0
+
+
+def test_contamination_stats_matches_bruteforce(spark):
+    """Property: random train/test corpora over a colliding alphabet —
+    per-doc gram totals, hits and rates match a Python reference."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from go_streaming_spark.functions import text as tx
+
+    K = 3
+    word = st.sampled_from(["aa", "bb", "cc"])
+    doc = st.lists(word, min_size=0, max_size=10).map(" ".join)
+
+    def grams(txt):
+        toks = [w for w in txt.split() if w]
+        return [" ".join(toks[p:p + K]) for p in range(len(toks) - K + 1)]
+
+    @settings(max_examples=6, deadline=None)
+    @given(train=st.lists(doc, min_size=1, max_size=4),
+           test=st.lists(doc, min_size=1, max_size=4))
+    def run(train, test):
+        train_df = spark.createDataFrame(list(enumerate(train)), "doc_id long, text string")
+        test_df = spark.createDataFrame(
+            [(100 + i, t) for i, t in enumerate(test)], "doc_id long, text string"
+        )
+        got = {
+            r.id: (r.n_grams, r.n_hit, r.hit_rate)
+            for r in tx.contamination_stats(test_df, train_df, "doc_id", "text", K).collect()
+        }
+        tg = {g for t in train for g in grams(t)}
+        want = {}
+        for i, t in enumerate(test):
+            gs = grams(t)
+            if not gs:
+                continue
+            hits = sum(1 for g in gs if g in tg)
+            want[100 + i] = (len(gs), hits, round(hits / len(gs), 6))
+        assert got == want, (train, test)
+
+    run()
