@@ -11,14 +11,14 @@ Two decode tiers:
   PNG / JPEG / GIF / BMP / WAV bytes directly (format sniff, dimensions,
   bit depth, audio duration) with no external libraries, and
   :func:`decode_media_meta` runs it Arrow-batched over a binary column.
-* **Content decode is REAL for every container this module can decode
-  without an external codec**: BMP pixel bytes and WAV PCM (pure byte
-  arithmetic), PNG (stdlib ``zlib`` inflate + full scanline defilter),
-  GIF (pure-Python LZW) — see :func:`content_stats`.  Only the
-  feature-vector tier over codec-bound formats (JPEG DCT) is stubbed:
-  the Spark-side plumbing — schema, partitioning, UDF signature, batch
-  shape — is real and tested; ``decoder=`` accepts a real implementation
-  when Pillow / torchaudio / ffmpeg are available.
+* **Content decode is REAL for every supported container**: BMP pixel
+  bytes and WAV PCM (pure byte arithmetic), PNG (stdlib ``zlib`` inflate
+  + full scanline defilter), GIF (pure-Python LZW), and baseline
+  grayscale JPEG (pure-Python Huffman + dequant + IDCT) — see
+  :func:`content_stats`.  The pluggable feature-extraction tier
+  (:func:`extract_features` ``decoder=``) still accepts Pillow /
+  torchaudio / ffmpeg implementations for formats beyond these (chroma
+  JPEG, MP4, ...) — its default remains a deterministic stub.
 
 Scale notes: binary payloads make rows wide — keep
 ``spark.sql.files.maxPartitionBytes`` small enough that a partition of
@@ -465,12 +465,12 @@ def content_stats(
     codec libraries: BMP pixel bytes → luminance-ish byte stats, WAV PCM →
     amplitude stats.  Units are pixel channel bytes (BMP, 0..255) or
     signed 16-bit samples (WAV); ``mean_val``/``rms`` are exact integer
-    sums divided once, so engines agree bitwise.  PNG and GIF decode for
-    REAL too (:func:`png_pixel_bytes` — stdlib deflate + defilter, units
-    are channel bytes; :func:`gif_pixel_bytes` — pure-Python LZW, units
-    are palette indices).  Only JPEG (DCT — genuinely needs a codec)
-    yields ``format`` from the header sniff with NULL stats; any bad or
-    undecodable blob likewise degrades to NULL, never kills the stage.
+    sums divided once, so engines agree bitwise.  PNG, GIF and baseline
+    JPEG decode for REAL too (:func:`png_pixel_bytes` — stdlib deflate +
+    defilter; :func:`gif_pixel_bytes` — pure-Python LZW;
+    :func:`jpeg_pixel_bytes` — Huffman + dequant + IDCT).  Any bad or
+    out-of-scope blob (progressive JPEG, 16-bit PNG, interlaced GIF)
+    degrades to NULL stats, never kills the stage.
 
     Arrow-batched ``mapInPandas`` over an (id, payload) projection, same
     plumbing contract as :func:`extract_features`.
@@ -483,7 +483,7 @@ def content_stats(
 
         # local refs: cloudpickle ships the decoders by value
         sniff, bmp_px, wav_pcm = parse_media_header, bmp_pixel_bytes, wav_pcm_samples
-        png_px, gif_px = png_pixel_bytes, gif_pixel_bytes
+        png_px, gif_px, jpg_px = png_pixel_bytes, gif_pixel_bytes, jpeg_pixel_bytes
 
         def stats_row(b) -> tuple:
             p = bytes(b) if b is not None else b""
@@ -497,6 +497,9 @@ def content_stats(
                 units = list(raw) if raw is not None else None
             elif fmt == "gif":
                 raw = gif_px(p)
+                units = list(raw) if raw is not None else None
+            elif fmt == "jpeg":
+                raw = jpg_px(p)
                 units = list(raw) if raw is not None else None
             elif fmt == "wav":
                 units = wav_pcm(p)
@@ -1000,6 +1003,372 @@ def synthesize_payloads_gif(
             need = h * 8
             reps = (need + len(src) - 1) // len(src)
             return enc((src * reps)[:need], 8, h)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["_id"],
+                    "media": [build(i, b) for i, b in zip(pdf["_id"], pdf["_body"])],
+                }
+            )
+
+    narrow = spread(df).select(
+        F.col(id_col).alias("_id"), F.col(body_col).cast("string").alias("_body")
+    )
+    return narrow.mapInPandas(run, "id long, media binary")
+
+
+# --------------------------------------------------------------------------
+# Baseline JPEG (grayscale, single component) — pure Python, stdlib only.
+#
+# The DC coefficient is handled ALGEBRAICALLY on both sides
+# (F(0,0) = Σ(f-128)/8 exactly — /8 is a binary-exponent shift, so the
+# float value is exact; the IDCT adds F(0,0)/8 back the same way), while
+# the 63 AC terms go through the cosine accumulation.  Fixed-point
+# libjpeg makes the same move for different reasons; here it means a
+# flat 8×8 block round-trips with NO floating-point noise, which is what
+# lets the synthesis gate query have a closed-form bit-exact oracle even
+# though the codec itself is a real lossy DCT pipeline.
+# --------------------------------------------------------------------------
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+# Annex-K-style luminance Huffman tables (BITS, HUFFVAL).  Both sides
+# derive canonical codes from the DHT payload, so the codec is
+# self-consistent for any valid table carried in the file.
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_JPEG_QTABLE = [16] * 64  # flat; q[0]=16 (divisible by 8) keeps the
+# DC-only reconstruction on exact half-integers — see the gate oracle
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman: value → (code, length)."""
+    out, code = {}, 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_lookup(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → value, for bit-serial decoding."""
+    return {
+        (length, code): v
+        for v, (code, length) in _huff_codes(bits, vals).items()
+    }
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def jpeg_encode_gray(pixels: bytes, width: int, height: int) -> bytes:
+    """REAL baseline JPEG encoder (SOF0, grayscale): float DCT (DC
+    algebraic), flat-16 quantization, canonical Huffman, byte stuffing.
+    ``width``/``height`` must be multiples of 8 (no partial-block
+    padding logic); ``pixels`` is row-major grayscale."""
+    import math
+    import struct
+
+    assert width % 8 == 0 and height % 8 == 0
+    assert len(pixels) == width * height
+    cos = [[math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)] for u in range(8)]
+    c = [1 / math.sqrt(2)] + [1.0] * 7
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _BitWriter()
+    prev_dc = 0
+    for by in range(0, height, 8):
+        for bx in range(0, width, 8):
+            block = [
+                pixels[(by + y) * width + bx + x] - 128
+                for y in range(8)
+                for x in range(8)
+            ]
+            # DC algebraically exact; AC via cosine accumulation
+            coef = [0.0] * 64
+            coef[0] = sum(block) / 8.0
+            for u, v in ((u, v) for u in range(8) for v in range(8)):
+                if u == 0 and v == 0:
+                    continue
+                s = 0.0
+                for y in range(8):
+                    cv = cos[u][y]
+                    row = block[y * 8:y * 8 + 8]
+                    for x in range(8):
+                        s += row[x] * cv * cos[v][x]
+                coef[u * 8 + v] = 0.25 * c[u] * c[v] * s
+            q = [
+                int(math.floor(coef[_JPEG_ZIGZAG[k]] / _JPEG_QTABLE[k] + 0.5))
+                for k in range(64)
+            ]
+            diff = q[0] - prev_dc
+            prev_dc = q[0]
+            t = _category(diff)
+            w.put(*dc_codes[t])
+            if t:
+                bits = diff if diff >= 0 else diff + (1 << t) - 1
+                w.put(bits & ((1 << t) - 1), t)
+            run = 0
+            last_nz = max((k for k in range(1, 64) if q[k]), default=0)
+            for k in range(1, last_nz + 1):
+                if q[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    w.put(*ac_codes[0xF0])
+                    run -= 16
+                s = _category(q[k])
+                w.put(*ac_codes[(run << 4) | s])
+                bits = q[k] if q[k] >= 0 else q[k] + (1 << s) - 1
+                w.put(bits & ((1 << s) - 1), s)
+                run = 0
+            if last_nz < 63:
+                w.put(*ac_codes[0x00])  # EOB
+    entropy = w.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    dqt = seg(0xDB, bytes([0]) + bytes(_JPEG_QTABLE))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)) + seg(
+        0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+
+
+class _BitReader:
+    """Entropy-segment bit reader with JPEG byte-unstuffing; raises
+    ``ValueError`` at end of data (callers convert to None)."""
+
+    def __init__(self, data: bytes) -> None:
+        self.d = data
+        self.i = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.i >= len(self.d):
+                raise ValueError("eos")
+            b = self.d[self.i]
+            self.i += 1
+            if b == 0xFF:
+                if self.i < len(self.d) and self.d[self.i] == 0x00:
+                    self.i += 1  # stuffed 0xFF
+                else:
+                    raise ValueError("marker in entropy data")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length <= 16:
+            code = (code << 1) | self.bit()
+            length += 1
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("bad huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def jpeg_pixel_bytes(p: bytes) -> bytes | None:
+    """REAL baseline JPEG decoder (grayscale, single scan): segment walk,
+    DQT/DHT parsed FROM THE FILE (canonical Huffman rebuild), entropy
+    decode with byte-unstuffing, dequantization, IDCT (DC algebraic + AC
+    cosine accumulation), clamp.  ``None`` for anything but a decodable
+    single-component baseline JPEG — progressive, chroma, restart
+    markers, and truncation all degrade to ``None``, never raise.
+    """
+    import math
+
+    if p[:2] != b"\xff\xd8":
+        return None
+    qt: list[int] | None = None
+    dc_tbl = ac_tbl = None
+    w = h = None
+    i = 2
+    try:
+        while i + 4 <= len(p):
+            if p[i] != 0xFF:
+                return None
+            marker = p[i + 1]
+            if marker == 0xD9:
+                return None  # EOI before SOS
+            seglen = int.from_bytes(p[i + 2:i + 4], "big")
+            seg = p[i + 4:i + 2 + seglen]
+            if marker == 0xDB:
+                j = 0
+                while j < len(seg):
+                    pq, tq = seg[j] >> 4, seg[j] & 15
+                    if pq != 0:
+                        return None  # 16-bit table unsupported
+                    if tq == 0:
+                        qt = list(seg[j + 1:j + 65])
+                    j += 65
+            elif marker == 0xC4:
+                j = 0
+                while j + 17 <= len(seg):
+                    tc, th = seg[j] >> 4, seg[j] & 15
+                    bits = list(seg[j + 1:j + 17])
+                    n = sum(bits)
+                    vals = list(seg[j + 17:j + 17 + n])
+                    if th == 0:
+                        if tc == 0:
+                            dc_tbl = _huff_lookup(bits, vals)
+                        else:
+                            ac_tbl = _huff_lookup(bits, vals)
+                    j += 17 + n
+            elif marker == 0xC0:
+                if seg[5] != 1:
+                    return None  # one component (grayscale) only
+                h = int.from_bytes(seg[1:3], "big")
+                w = int.from_bytes(seg[3:5], "big")
+            elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return None  # progressive/extended: out of scope
+            elif marker == 0xDA:
+                i += 2 + seglen
+                break
+            i += 2 + seglen
+        else:
+            return None
+        if None in (qt, dc_tbl, ac_tbl, w, h) or len(qt) != 64:
+            return None
+        if w % 8 or h % 8 or w == 0 or h == 0 or w * h > 1 << 24:
+            return None
+        rd = _BitReader(p[i:])
+        cos = [[math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)] for u in range(8)]
+        c = [1 / math.sqrt(2)] + [1.0] * 7
+        out = bytearray(w * h)
+        prev_dc = 0
+        for by in range(0, h, 8):
+            for bx in range(0, w, 8):
+                zz = [0] * 64
+                t = rd.huff(dc_tbl)
+                diff = _extend(rd.bits(t), t) if t else 0
+                prev_dc += diff
+                zz[0] = prev_dc
+                k = 1
+                while k < 64:
+                    rs = rd.huff(ac_tbl)
+                    if rs == 0x00:
+                        break
+                    if rs == 0xF0:
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    s = rs & 15
+                    if s == 0 or k > 63:
+                        return None
+                    zz[k] = _extend(rd.bits(s), s)
+                    k += 1
+                coef = [0.0] * 64
+                for k in range(64):
+                    coef[_JPEG_ZIGZAG[k]] = zz[k] * qt[k]
+                nz = [uv for uv in range(1, 64) if coef[uv]]
+                dc_part = coef[0] / 8.0  # exact: binary shift
+                for y in range(8):
+                    for x in range(8):
+                        s = 0.0
+                        for uv in nz:
+                            u, v = uv >> 3, uv & 7
+                            s += c[u] * c[v] * coef[uv] * cos[u][y] * cos[v][x]
+                        val = int(math.floor(dc_part + 0.25 * s + 128.5))
+                        out[(by + y) * w + bx + x] = min(255, max(0, val))
+        return bytes(out)
+    except (ValueError, IndexError):
+        return None
+
+
+def synthesize_payloads_jpeg(
+    df: DataFrame, id_col: str, body_col: str
+) -> DataFrame:
+    """Deterministic REAL JPEG payloads: 8×(8·(2+id%7)) grayscale where
+    every 8×8 block is FLAT at the next cycled body byte.  Flat blocks
+    put all the signal in the DC coefficient, which both codec halves
+    handle with exact arithmetic — so although the codec is a genuine
+    lossy DCT pipeline, these payloads decode to a closed-form value the
+    gate oracle recomputes exactly: with q00=16,
+    ``decoded(L) = clamp(2·floor((L-128)/2 + 1/2) + 128)``."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        enc = jpeg_encode_gray
+
+        def build(_id, body) -> bytes:
+            nblocks = 2 + int(_id) % 7
+            src = (body or "").encode("utf-8") or b"\x00"
+            levels = [(src * ((nblocks + len(src) - 1) // len(src) + 1))[k] for k in range(nblocks)]
+            px = bytearray()
+            for lv in levels:
+                px += bytes([lv]) * 64
+            return enc(bytes(px), 8, 8 * nblocks)
 
         for pdf in batches:
             yield pd.DataFrame(

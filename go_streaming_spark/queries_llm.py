@@ -1235,3 +1235,38 @@ def multimodal_gif_content_stats(spark, sf_dir):
     )
     media = multimodal.synthesize_payloads_gif(docs, "doc_id", "text")
     return multimodal.content_stats(media, "id", "media")
+
+
+@query(
+    "multimodal_jpeg_content_stats",
+    # REAL baseline JPEG decode: each doc's bytes become flat 8×8 blocks
+    # of a real Huffman+DCT JPEG (multimodal.synthesize_payloads_jpeg);
+    # flat blocks concentrate the signal in the DC coefficient, which
+    # both codec halves compute with exact arithmetic — so the genuinely
+    # lossy pipeline reconstructs a closed-form value the oracle
+    # recomputes per byte: decoded(L) = clamp(2*floor((L-128)/2 + 1/2)+128)
+    """WITH src AS (SELECT doc_id AS id, hex(encode(coalesce(text,''))) AS hx,
+         octet_length(encode(coalesce(text,''))) AS blen FROM documents),
+ph AS (SELECT id, (2 + id % 7) AS nblocks,
+        CASE WHEN blen > 0 THEN hx ELSE '00' END AS phx FROM src),
+pix AS (SELECT id, nblocks,
+        substr(repeat(phx, CAST((nblocks*2 + length(phx) - 1) // length(phx) AS INT)),
+               1, CAST(nblocks*2 AS INT)) AS phex FROM ph),
+lv AS (SELECT id, nblocks,
+        CAST(('0x' || substr(phex, CAST(2*j+1 AS INT), 2)) AS BIGINT) AS l
+       FROM (SELECT id, nblocks, phex, unnest(range(nblocks)) AS j FROM pix)),
+dv AS (SELECT id, nblocks,
+        least(255, greatest(0,
+          CAST(2*floor((l-128)/2.0 + 0.5) AS BIGINT) + 128)) AS v FROM lv)
+SELECT id, 'jpeg' AS format, 64*count(*) AS n_units,
+       CAST(sum(v) AS BIGINT) * 1.0 / count(*) AS mean_val,
+       sqrt(CAST(sum(v*v) AS BIGINT) * 1.0 / count(*)) AS rms,
+       min(v) AS min_val, max(v) AS max_val
+FROM dv GROUP BY id, nblocks""",
+)
+def multimodal_jpeg_content_stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    media = multimodal.synthesize_payloads_jpeg(docs, "doc_id", "text")
+    return multimodal.content_stats(media, "id", "media")

@@ -1348,3 +1348,54 @@ def test_contamination_stats_matches_bruteforce(spark):
         assert got == want, (train, test)
 
     run()
+
+
+def test_jpeg_flat_blocks_roundtrip_exactly():
+    """Every flat 8×8 block reconstructs to the closed-form value: the
+    lossy pipeline's only signal is the DC coefficient, which both codec
+    halves compute with exact arithmetic (q00=16)."""
+    import math
+
+    for L in range(256):
+        j = multimodal.jpeg_encode_gray(bytes([L]) * 64, 8, 8)
+        dec = multimodal.jpeg_pixel_bytes(j)
+        want = min(255, max(0, 2 * int(math.floor((L - 128) / 2 + 0.5)) + 128))
+        assert dec is not None and set(dec) == {want}, (L, want)
+
+
+def test_jpeg_generic_image_high_fidelity():
+    """A varied (non-flat) image exercises the full AC path — run-length
+    Huffman, ZRL, sign extension, cosine IDCT — and reconstructs within
+    tight error bounds (flat-16 quantization ≈ visually lossless)."""
+    w, h = 16, 24
+    px = bytes((x * 17 + y * 31 + (x * y) % 23) % 256 for y in range(h) for x in range(w))
+    j = multimodal.jpeg_encode_gray(px, w, h)
+    dec = multimodal.jpeg_pixel_bytes(j)
+    assert dec is not None and len(dec) == w * h
+    mse = sum((a - b) ** 2 for a, b in zip(px, dec)) / (w * h)
+    assert mse < 150, mse
+
+
+def test_jpeg_pixel_bytes_rejects_out_of_scope():
+    good = multimodal.jpeg_encode_gray(bytes([9]) * 64, 8, 8)
+    assert multimodal.jpeg_pixel_bytes(good) is not None
+    assert multimodal.jpeg_pixel_bytes(b"\xff\xd8\xff\xd9") is None   # no scan
+    assert multimodal.jpeg_pixel_bytes(good[:-20]) is None            # cut entropy
+    assert multimodal.jpeg_pixel_bytes(b"not jpeg") is None
+    # progressive SOF2 (the header-test builder) → None, not garbage
+    assert multimodal.jpeg_pixel_bytes(_jpeg_bytes(8, 8)) is None
+
+
+def test_jpeg_pixel_bytes_never_raises_on_arbitrary_bytes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    seed = multimodal.jpeg_encode_gray(bytes([77]) * 64, 8, 8)
+
+    @settings(max_examples=120, deadline=None)
+    @given(cut=st.integers(0, len(seed)), tail=st.binary(max_size=64))
+    def run(cut, tail):
+        out = multimodal.jpeg_pixel_bytes(seed[:cut] + tail)
+        assert out is None or isinstance(out, bytes)
+
+    run()
