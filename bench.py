@@ -62,6 +62,7 @@ HEADLINE = [
     "ann_quantized_topk",      # int8-quantized cosine top-k (round 6)
     "multimodal_png_content_stats",  # real PNG inflate+defilter decode (round 6)
     "multimodal_gif_content_stats",  # real GIF LZW decode (round 6)
+    "multimodal_jpeg_content_stats", # real baseline-JPEG Huffman+DCT decode (round 6)
 ]
 
 

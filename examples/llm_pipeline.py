@@ -122,8 +122,11 @@ def main() -> None:
     #     inflate + defilter) and GIF (pure-Python LZW)
     png = multimodal.synthesize_payloads_png(docs.limit(15), "doc_id", "text")
     gif = multimodal.synthesize_payloads_gif(docs.limit(15), "doc_id", "text")
-    cstats = cstats.unionByName(multimodal.content_stats(png, "id")).unionByName(
-        multimodal.content_stats(gif, "id")
+    jpg = multimodal.synthesize_payloads_jpeg(docs.limit(15), "doc_id", "text")
+    cstats = (
+        cstats.unionByName(multimodal.content_stats(png, "id"))
+        .unionByName(multimodal.content_stats(gif, "id"))
+        .unionByName(multimodal.content_stats(jpg, "id"))
     )
     print("content stats (mean unit value per format):")
     for row in (

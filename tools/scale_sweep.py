@@ -70,6 +70,7 @@ QUERIES = [
     "heavy_hitter_words",     # CMS prefilter + exact verify (round 6)
     "multimodal_png_content_stats",  # real PNG content decode (round 6)
     "multimodal_gif_content_stats",  # real GIF LZW decode (round 6)
+    "multimodal_jpeg_content_stats", # real baseline JPEG decode (round 6)
 ]
 
 
