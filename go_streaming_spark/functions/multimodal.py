@@ -156,6 +156,43 @@ def parse_media_header(payload: bytes) -> dict:
                 "bit_depth": int.from_bytes(p[28:30], "little"),
                 "duration_ms": None,
             }
+        if len(p) >= 12 and p[4:8] == b"ftyp":
+            # MP4 / ISO BMFF: walk top-level boxes to moov, then mvhd
+            # (duration/timescale) and the first trak's tkhd (16.16-fixed
+            # width/height at v0 offsets 76/80 within the box payload)
+            def boxes(buf, start, end):
+                i = start
+                while i + 8 <= end:
+                    size = int.from_bytes(buf[i:i + 4], "big")
+                    btype = buf[i + 4:i + 8]
+                    if size == 1 or size < 8 or i + size > end:
+                        return  # 64-bit largesize / malformed: stop
+                    yield btype, i + 8, i + size
+                    i += size
+
+            dur_ms = width = height = None
+            for btype, s, e in boxes(p, 0, len(p)):
+                if btype != b"moov":
+                    continue
+                for ctype, cs, ce in boxes(p, s, e):
+                    if ctype == b"mvhd" and ce - cs >= 20 and p[cs] == 0:
+                        scale = int.from_bytes(p[cs + 12:cs + 16], "big")
+                        dur = int.from_bytes(p[cs + 16:cs + 20], "big")
+                        if scale:
+                            dur_ms = dur * 1000 // scale
+                    elif ctype == b"trak" and width is None:
+                        for t, ts_, te in boxes(p, cs, ce):
+                            if t == b"tkhd" and te - ts_ >= 84 and p[ts_] == 0:
+                                width = int.from_bytes(p[ts_ + 76:ts_ + 80], "big") >> 16
+                                height = int.from_bytes(p[ts_ + 80:ts_ + 84], "big") >> 16
+                break
+            if dur_ms is None and width is None:
+                return none
+            return {
+                "media_type": "video", "format": "mp4",
+                "width": width, "height": height, "bit_depth": None,
+                "duration_ms": dur_ms,
+            }
         if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
             # LIST hdrl → avih: µs/frame, total frames, ..., width, height
             i = 12

@@ -181,7 +181,7 @@ def test_parse_media_header_never_raises_on_arbitrary_bytes():
 
     prefixes = st.sampled_from(
         [b"", b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"RIFF", b"GIF89a", b"BM",
-         b"RIFFxxxxWAVE", b"RIFFxxxxAVI ", b"\xff\xd8\xff\xe0"]
+         b"RIFFxxxxWAVE", b"RIFFxxxxAVI ", b"\x00\x00\x00\x10ftyp", b"\xff\xd8\xff\xe0"]
     )
 
     @settings(max_examples=300, deadline=None)
@@ -1399,3 +1399,27 @@ def test_jpeg_pixel_bytes_never_raises_on_arbitrary_bytes():
         assert out is None or isinstance(out, bytes)
 
     run()
+
+
+def _mp4_bytes(w, h, timescale, duration):
+    import struct
+
+    def box(btype, payload):
+        return struct.pack(">I", len(payload) + 8) + btype + payload
+
+    mvhd = bytes(4) + bytes(8) + struct.pack(">II", timescale, duration) + bytes(80)
+    tkhd = bytes(4) + bytes(72) + struct.pack(">II", w << 16, h << 16)
+    moov = box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd))
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + box(b"moov", moov)
+
+
+def test_parse_media_header_mp4():
+    """MP4/ISO-BMFF box walk: mvhd duration/timescale + first trak's tkhd
+    16.16-fixed dimensions."""
+    m = multimodal.parse_media_header(_mp4_bytes(1280, 720, 600, 6000))
+    assert (m["media_type"], m["format"]) == ("video", "mp4")
+    assert (m["width"], m["height"]) == (1280, 720)
+    assert m["duration_ms"] == 10_000
+    # ftyp alone (no moov) → NULLs; truncated boxes → NULLs, never raise
+    only_ftyp = _mp4_bytes(1, 1, 1, 1)[:16]
+    assert multimodal.parse_media_header(only_ftyp)["format"] is None
