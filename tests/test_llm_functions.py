@@ -1423,3 +1423,31 @@ def test_parse_media_header_mp4():
     # ftyp alone (no moov) → NULLs; truncated boxes → NULLs, never raise
     only_ftyp = _mp4_bytes(1, 1, 1, 1)[:16]
     assert multimodal.parse_media_header(only_ftyp)["format"] is None
+
+
+def test_results_independent_of_shuffle_partitioning(spark):
+    """The determinism contract: representative queries (sampling, dedup,
+    sketch, ranking) return IDENTICAL rows under a different
+    spark.sql.shuffle.partitions — no operator may leak partition layout
+    into values (the property that makes results reproducible across
+    cluster sizes)."""
+    import __spark_entry__ as em
+
+    names = [
+        "weighted_sample_ids",        # TakeOrdered boundary
+        "dedup_substring_spans",      # groupBy+join+window chain
+        "cms_word_counts",            # sketch arithmetic
+        "corpus_shuffle_order",       # bucketed rank
+        "temperature_mixture_counts", # quantized normalization
+    ]
+    qs = em.queries()
+    sf = "/root/testdata/sf0.001"
+
+    def rows(session, name):
+        return sorted(map(str, qs[name](session, sf).collect()))
+
+    alt = spark.newSession()
+    alt.conf.set("spark.sql.shuffle.partitions", "7")
+    assert alt.conf.get("spark.sql.shuffle.partitions") == "7"
+    for name in names:
+        assert rows(spark, name) == rows(alt, name), name
