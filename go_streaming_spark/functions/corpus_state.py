@@ -1,0 +1,204 @@
+"""CorpusState: the persistable corpus-side state of a recurring-crawl
+curation pipeline, unified.
+
+Every incremental operator in this library reduces the accumulated corpus
+to a narrow per-doc artifact — content digests (exact dedup), the MinHash
+band/shingle index (near-dup), the k-gram count index (substring spans +
+contamination), a count-min sketch (heavy hitters).  In production those
+artifacts are built once per corpus snapshot, stored columnar, and every
+ingest batch joins them; this module packages that shape as ONE object
+with a save/load/ingest lifecycle, so the pipeline's state management is
+an API instead of a convention scattered across call sites.
+
+Scale: state size is O(corpus docs) in narrow rows (digests, bands,
+grams) plus O(1) for the sketch — never corpus text; ``ingest`` touches
+batch-sized data plus index joins, and updating the state is a union of
+the survivors' contributions (all frames are append-able).  Persist after
+each ingest and the pipeline restarts from parquet.
+
+Reference parity: the reference accumulates stream state in per-topic
+in-memory buffers (/root/reference/pkg/events/buffer.go); a 100 TB corpus
+pipeline's equivalent durable state is exactly these indexes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_streaming_spark.functions import dedup as dd
+from go_streaming_spark.functions import sketch as sk
+
+
+@dataclass
+class CorpusState:
+    """Corpus-side artifacts + the parameters they were built with."""
+
+    digests: DataFrame          # (content_hash)
+    minhash: dd.MinHashIndex    # bands + shingle arrays
+    grams: DataFrame            # (gh, n_occ) k-gram digest counts
+    cms: DataFrame              # (row, bucket, count) word-frequency sketch
+    n: int                      # shingle width (minhash)
+    k: int                      # minhash permutations
+    rows_per_band: int
+    gram_k: int                 # substring-gram width
+    cms_depth: int
+    cms_width: int
+
+    # -- construction -----------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        id_col: str,
+        text_col: str,
+        n: int = 3,
+        k: int = 16,
+        rows_per_band: int = 4,
+        gram_k: int = 8,
+        cms_depth: int = 4,
+        cms_width: int = 1024,
+    ) -> "CorpusState":
+        digests = corpus.select(
+            F.md5(F.col(text_col)).alias("content_hash")
+        ).distinct()
+        minhash = dd.build_minhash_index(corpus, id_col, text_col, n, k, rows_per_band)
+        grams = dd.build_gram_index(corpus, id_col, text_col, gram_k)
+        words = corpus.select(
+            F.explode(
+                F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+            ).alias("word")
+        )
+        cms = sk.count_min_build(words, "word", cms_depth, cms_width)
+        return cls(
+            digests, minhash, grams, cms,
+            n, k, rows_per_band, gram_k, cms_depth, cms_width,
+        )
+
+    # -- persistence ------------------------------------------------------
+    def save(self, path: str) -> None:
+        """Write every artifact as parquet under ``path`` (the corpus
+        snapshot layout: digests/ bands/ shingles/ grams/ cms/ params/)."""
+        self.digests.write.mode("overwrite").parquet(f"{path}/digests")
+        self.minhash.save(f"{path}/minhash")
+        self.grams.write.mode("overwrite").parquet(f"{path}/grams")
+        self.cms.write.mode("overwrite").parquet(f"{path}/cms")
+        spark = self.digests.sparkSession
+        spark.createDataFrame(
+            [(self.n, self.k, self.rows_per_band, self.gram_k,
+              self.cms_depth, self.cms_width)],
+            "n int, k int, rows_per_band int, gram_k int,"
+            " cms_depth int, cms_width int",
+        ).write.mode("overwrite").parquet(f"{path}/params")
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "CorpusState":
+        p = spark.read.parquet(f"{path}/params").head()
+        return CorpusState(
+            spark.read.parquet(f"{path}/digests"),
+            dd.MinHashIndex.load(spark, f"{path}/minhash"),
+            spark.read.parquet(f"{path}/grams"),
+            spark.read.parquet(f"{path}/cms"),
+            p.n, p.k, p.rows_per_band, p.gram_k, p.cms_depth, p.cms_width,
+        )
+
+    # -- ingestion --------------------------------------------------------
+    def ingest(
+        self,
+        batch: DataFrame,
+        id_col: str,
+        text_col: str,
+        threshold: float = 0.5,
+    ) -> tuple[DataFrame, "CorpusState"]:
+        """One crawl batch in → (clean survivors, updated state).
+
+        Survivors are batch rows that are (1) byte-unseen against the
+        corpus digests AND unique in-batch (lowest id wins), then (2) not
+        a near-dup of the corpus at exact-Jaccard ≥ ``threshold`` via the
+        MinHash index, with in-batch near-dups resolved too
+        (:func:`dedup.incremental_minhash_dedup_full`).  The survivors
+        carry a ``dup_span_tokens`` column — tokens inside spans whose
+        ``gram_k``-grams the corpus already contains
+        (:func:`dedup.duplicated_spans_against_index`) — flagged, not
+        cut: span removal policy belongs to the caller.
+
+        The returned state appends the SURVIVORS' digests, bands,
+        shingles and gram counts, and bucket-merges their word sketch —
+        so successive ingests see earlier batches as corpus.
+        """
+        from pyspark.sql.window import Window
+
+        # (1) exact: unseen digests, unique in batch (lowest id wins)
+        uniq = (
+            batch.withColumn("__h", F.md5(F.col(text_col)))
+            .withColumn(
+                "__rn",
+                F.row_number().over(Window.partitionBy("__h").orderBy(id_col)),
+            )
+            .filter(F.col("__rn") == 1)
+            .join(
+                self.digests.select(F.col("content_hash").alias("__h")),
+                "__h", "left_anti",
+            )
+            .drop("__h", "__rn")
+        )
+        # (2) near-dup vs corpus index + in-batch resolution
+        survivors = dd.incremental_minhash_dedup_full(
+            uniq, None, id_col, text_col,
+            self.n, self.k, self.rows_per_band, threshold,
+            index=self.minhash,
+        ).localCheckpoint()
+        # (3) span report vs the corpus gram index
+        spans = dd.duplicated_spans_against_index(
+            survivors, self.grams, id_col, text_col, self.gram_k
+        )
+        span_tokens = spans.groupBy(F.col("id").alias("__sid")).agg(
+            F.sum("span_tokens").alias("dup_span_tokens")
+        )
+        clean = (
+            survivors.join(span_tokens, survivors[id_col] == F.col("__sid"), "left")
+            .withColumn(
+                "dup_span_tokens",
+                F.coalesce("dup_span_tokens", F.lit(0)).cast("long"),
+            )
+            .drop("__sid")
+        )
+        # -- state update: append the survivors' contributions ------------
+        new_digests = self.digests.unionByName(
+            survivors.select(F.md5(F.col(text_col)).alias("content_hash"))
+        ).distinct()
+        add_idx = dd.build_minhash_index(
+            survivors, id_col, text_col, self.n, self.k, self.rows_per_band
+        )
+        new_minhash = dd.MinHashIndex(
+            self.minhash.bands.unionByName(add_idx.bands),
+            self.minhash.shingles.unionByName(add_idx.shingles),
+            self.n, self.k, self.rows_per_band,
+        )
+        new_grams = (
+            self.grams.unionByName(
+                dd.build_gram_index(survivors, id_col, text_col, self.gram_k)
+            )
+            .groupBy("gh")
+            .agg(F.sum("n_occ").alias("n_occ"))
+        )
+        words = survivors.select(
+            F.explode(
+                F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+            ).alias("word")
+        )
+        new_cms = (
+            self.cms.unionByName(
+                sk.count_min_build(words, "word", self.cms_depth, self.cms_width)
+            )
+            .groupBy("row", "bucket")
+            .agg(F.sum("count").alias("count"))
+        )
+        new_state = CorpusState(
+            new_digests, new_minhash, new_grams, new_cms,
+            self.n, self.k, self.rows_per_band, self.gram_k,
+            self.cms_depth, self.cms_width,
+        )
+        return clean, new_state

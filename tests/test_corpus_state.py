@@ -1,0 +1,72 @@
+"""CorpusState lifecycle: build → ingest → update → persist → resume."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_streaming_spark.functions.corpus_state import CorpusState
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BOILER = " ".join(f"b{i}" for i in range(10))
+CORPUS = [
+    (1, f"alpha beta gamma delta epsilon zeta eta theta {BOILER}"),
+    (2, "one two three four five six seven eight nine ten"),
+]
+
+
+def test_ingest_drops_dups_and_reports_spans(spark):
+    st = CorpusState.build(_df(spark, CORPUS), "doc_id", "text", gram_k=8)
+    batch = _df(spark, [
+        (10, CORPUS[0][1]),                         # exact dup of corpus
+        (11, "one two three four five six seven eight nine eleven"),  # near-dup of doc 2
+        (12, "novel words entirely fresh content here today folks"),
+        (13, "novel words entirely fresh content here today folks"),  # in-batch dup of 12
+        (14, f"prefix tokens {BOILER} suffix tokens"),  # shares the corpus 8-gram run
+    ])
+    clean, st2 = st.ingest(batch, "doc_id", "text", threshold=0.5)
+    got = {r.doc_id: r.dup_span_tokens for r in clean.collect()}
+    # 10 exact-dropped, 11 near-dup-dropped (J=7/9 vs corpus doc 2),
+    # 13 in-batch-dropped (duplicate of 12)
+    assert set(got) == {12, 14}, got
+    assert got[12] == 0
+    assert got[14] == 10, "the shared 10-token boilerplate run must be flagged"
+
+    # successive ingest: copies of batch-1 survivors are now corpus dups
+    batch2 = _df(spark, [
+        (20, "novel words entirely fresh content here today folks"),  # = doc 12
+        (21, "completely different new material for the second crawl"),
+    ])
+    clean2, _ = st2.ingest(batch2, "doc_id", "text", threshold=0.5)
+    assert [r.doc_id for r in clean2.collect()] == [21]
+
+
+def test_state_save_load_roundtrip(spark, tmp_path):
+    st = CorpusState.build(_df(spark, CORPUS), "doc_id", "text", gram_k=8)
+    path = str(tmp_path / "corpus_state")
+    st.save(path)
+    st2 = CorpusState.load(spark, path)
+    assert (st2.n, st2.k, st2.rows_per_band, st2.gram_k) == (3, 16, 4, 8)
+    batch = _df(spark, [
+        (10, CORPUS[1][1]),                         # exact dup
+        (11, "genuinely new text that matches nothing else at all"),
+    ])
+    mem, _ = st.ingest(batch, "doc_id", "text")
+    disk, _ = st2.ingest(batch, "doc_id", "text")
+    assert sorted(map(str, mem.collect())) == sorted(map(str, disk.collect()))
+    assert [r.doc_id for r in disk.collect()] == [11]
+
+
+def test_cms_state_accumulates(spark):
+    st = CorpusState.build(_df(spark, CORPUS), "doc_id", "text")
+    batch = _df(spark, [(10, "alpha alpha alpha fresh fresh thing")])
+    _, st2 = st.ingest(batch, "doc_id", "text")
+    from go_streaming_spark.functions import sketch
+
+    keys = spark.createDataFrame([("alpha",)], ["word"])
+    before = sketch.count_min_estimate(st.cms, keys, "word", st.cms_depth, st.cms_width).head().est_count
+    after = sketch.count_min_estimate(st2.cms, keys, "word", st.cms_depth, st.cms_width).head().est_count
+    assert after == before + 3, (before, after)
