@@ -104,6 +104,15 @@ def main() -> None:
     )
     print(f"incremental ingest:  {nb} new docs -> {survivors.count()} truly novel")
     idx.unpersist()
+    #    ...or the same pipeline through the unified snapshot object:
+    #    build once, persist, ingest every crawl (exact + near-dup +
+    #    span report in one call, state appended with the survivors)
+    from go_streaming_spark.functions.corpus_state import CorpusState
+
+    state = CorpusState.build(docs, "doc_id", "text")
+    clean, state = state.ingest(batch, "doc_id", "text", threshold=0.4)
+    n_flagged = clean.filter(F.col("dup_span_tokens") > 0).count()
+    print(f"CorpusState ingest:  {clean.count()} survivors, {n_flagged} with corpus-known spans")
 
     # 9. multimodal: wrap text bytes in real container headers and decode
     #    them back with the pure-byte parser (PNG/JPEG/WAV round-trip)
