@@ -70,3 +70,48 @@ def test_cms_state_accumulates(spark):
     before = sketch.count_min_estimate(st.cms, keys, "word", st.cms_depth, st.cms_width).head().est_count
     after = sketch.count_min_estimate(st2.cms, keys, "word", st.cms_depth, st.cms_width).head().est_count
     assert after == before + 3, (before, after)
+
+
+def test_corpus_state_streaming_ingestion(spark, tmp_path):
+    """CorpusState in a foreachBatch loop: micro-batches update the state
+    object in turn, so a duplicate arriving in a LATER micro-batch is
+    dropped against the survivors of an earlier one."""
+    import json as _json
+
+    st = CorpusState.build(_df(spark, CORPUS), "doc_id", "text")
+    src = tmp_path / "crawl"
+    src.mkdir()
+    batches = [
+        [(10, "fresh crawl text appearing for the first time now")],
+        [(20, "fresh crawl text appearing for the first time now"),  # dup of 10
+         (21, "and one more genuinely new body of text entirely")],
+    ]
+    for i, rows in enumerate(batches):
+        with open(src / f"b{i}.json", "w") as f:
+            for did, txt in rows:
+                f.write(_json.dumps({"doc_id": did, "text": txt}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    survivors: list[int] = []
+    holder = {"st": st}
+
+    def ingest(batch_df, _bid):
+        clean, holder["st"] = holder["st"].ingest(batch_df, "doc_id", "text")
+        survivors.extend(r.doc_id for r in clean.collect())
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # micro-batch ORDER is not part of the file-source contract, so assert
+    # the order-free invariant: exactly ONE of the two identical docs
+    # survives (whichever batch ran first), and the novel doc survives
+    assert len(survivors) == 2 and 21 in survivors
+    assert len({10, 20} & set(survivors)) == 1, survivors
