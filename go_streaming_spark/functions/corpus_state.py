@@ -77,6 +77,27 @@ class CorpusState:
             n, k, rows_per_band, gram_k, cms_depth, cms_width,
         )
 
+    def checkpoint(self) -> "CorpusState":
+        """Truncate the state's lineage (localCheckpoint every frame).
+
+        Each :meth:`ingest` layers a union+dedup over the previous state,
+        so an UNBOUNDED ingest loop grows plan depth linearly — the same
+        iterative-lineage trap as connected_components.  Call this every
+        few batches in a long ``foreachBatch`` loop (or :meth:`save` and
+        :meth:`load` per snapshot, which truncates through parquet)."""
+        return CorpusState(
+            self.digests.localCheckpoint(),
+            dd.MinHashIndex(
+                self.minhash.bands.localCheckpoint(),
+                self.minhash.shingles.localCheckpoint(),
+                self.n, self.k, self.rows_per_band,
+            ),
+            self.grams.localCheckpoint(),
+            self.cms.localCheckpoint(),
+            self.n, self.k, self.rows_per_band, self.gram_k,
+            self.cms_depth, self.cms_width,
+        )
+
     # -- persistence ------------------------------------------------------
     def save(self, path: str) -> None:
         """Write every artifact as parquet under ``path`` (the corpus

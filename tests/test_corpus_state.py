@@ -115,3 +115,13 @@ def test_corpus_state_streaming_ingestion(spark, tmp_path):
     # survives (whichever batch ran first), and the novel doc survives
     assert len(survivors) == 2 and 21 in survivors
     assert len({10, 20} & set(survivors)) == 1, survivors
+
+
+def test_checkpoint_preserves_state_semantics(spark):
+    """checkpoint() truncates lineage without changing behavior: ingest
+    results are identical before and after."""
+    st = CorpusState.build(_df(spark, CORPUS), "doc_id", "text")
+    batch = _df(spark, [(10, CORPUS[0][1]), (11, "all new words in this one")])
+    mem, _ = st.ingest(batch, "doc_id", "text")
+    chk, _ = st.checkpoint().ingest(batch, "doc_id", "text")
+    assert sorted(map(str, mem.collect())) == sorted(map(str, chk.collect()))
