@@ -1,0 +1,103 @@
+"""Cross-engine fuzz: the engine-oracle equivalence must hold on RANDOM
+adversarial corpora, not just the driver's fixed testdata.
+
+The correctness gate compares Spark vs DuckDB on one synthetic corpus; a
+divergence triggered only by inputs that corpus lacks (empty texts,
+punctuation runs, exotic whitespace, duplicate extremes) would slip
+through.  This suite regenerates the `documents` table from hypothesis
+corpora, writes it as parquet, and replays selected queries()/oracle_sql()
+pairs through BOTH engines with the driver's own multiset compare."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import __spark_entry__ as entry_mod
+
+# documents-only queries with oracle sensitivity worth fuzzing: regex
+# normalization, tokenization, gram hashing, windows, hash sampling
+FUZZ_QUERIES = [
+    "dedup_normalized_exact",
+    "dedup_substring_spans",
+    "text_token_counts",
+    "vocab_top_bigrams",
+    "weighted_sample_ids",
+    "gopher_quality_flags",
+]
+
+WORD = st.sampled_from(
+    ["aa", "bb", "the", "x", "café", "a.b", "7", "--", "N0", "zz!"]
+)
+SEP = st.sampled_from([" ", "  ", "\t", " \t "])
+
+
+@st.composite
+def _text(draw):
+    if draw(st.booleans()) and draw(st.integers(0, 9)) == 0:
+        return draw(st.sampled_from(["", " ", "\t\t"]))  # degenerate docs
+    words = draw(st.lists(WORD, min_size=1, max_size=12))
+    sep = draw(SEP)
+    return sep.join(words)
+
+
+CORPUS = st.lists(_text(), min_size=1, max_size=8)
+
+
+def _norm(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else repr(v)
+    return str(v)
+
+
+def _multiset(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", FUZZ_QUERIES)
+def test_oracle_equivalence_on_random_corpora(spark, tmp_path_factory, name):
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    base = tmp_path_factory.mktemp(f"fuzz_{name}")
+    counter = {"n": 0}
+
+    @settings(
+        max_examples=5, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts=CORPUS, dup=st.booleans())
+    def run(texts, dup):
+        if dup:  # plant duplicates — the dedup paths' interesting regime
+            texts = texts + texts[: max(1, len(texts) // 2)]
+        rows = [
+            (i, t, "en", f"src{i % 3}", len(t)) for i, t in enumerate(texts)
+        ]
+        counter["n"] += 1
+        sf_dir = str(base / f"c{counter['n']}")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+        sdf = queries[name](spark, sf_dir)
+        srows, scols = sdf.collect(), sdf.columns
+        duck = duckdb.connect()
+        duck.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+        )
+        res = duck.execute(oracles[name])
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+        duck.close()
+        assert sorted(scols) == sorted(ocols)
+        assert _multiset(srows, scols) == _multiset(orows, ocols), (name, texts)
+
+    run()
