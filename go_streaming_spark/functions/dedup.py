@@ -822,12 +822,16 @@ def embedding_cosine_pairs(
 
     vec = F.col(vec_col).cast("array<double>")
     nrm = sim.norm_expr_unrolled(vec, dim) if dim else sim.norm_expr(vec)
+    # zero-norm vectors have no direction: cosine is undefined, and under
+    # ANSI mode the division would kill the whole stage (found by the
+    # oracle fuzz) — exclude them BEFORE pairing, which is also what the
+    # NULL-cosine threshold filter does on the SQL side
     v = spread(df).select(
         F.col(id_col).alias("id"),
         vec.alias("vec"),
         nrm.alias("nrm"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
-    )
+    ).filter(F.col("nrm") > 0)
     a, b = v.alias("a"), v.alias("b")
     on = [F.col("a.id") < F.col("b.id")]
     if block_col:

@@ -101,3 +101,61 @@ def test_oracle_equivalence_on_random_corpora(spark, tmp_path_factory, name):
         assert _multiset(srows, scols) == _multiset(orows, ocols), (name, texts)
 
     run()
+
+
+EMB_QUERIES = [
+    "ann_cosine_topk", "ann_quantized_topk",
+    "dedup_embedding_cosine", "dedup_embedding_cosine_blocked",
+]
+
+
+@pytest.mark.parametrize("name", EMB_QUERIES)
+def test_oracle_equivalence_on_random_embeddings(spark, tmp_path_factory, name):
+    """Embedding queries fuzzed with the regimes the gate corpus lacks:
+    ZERO vectors (cosine → NULL on both engines, sorted last), exact
+    duplicate vectors (cos ≈ 1 ties broken by id), and tiny magnitudes."""
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    base = tmp_path_factory.mktemp(f"efuzz_{name}")
+    counter = {"n": 0}
+
+    component = st.sampled_from([0.0, 1.0, -1.0, 0.5, 1e-6, 3.25])
+
+    @settings(
+        max_examples=4, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        vecs=st.lists(st.lists(component, min_size=64, max_size=64),
+                      min_size=2, max_size=6),
+        zero=st.booleans(),
+        dup=st.booleans(),
+    )
+    def run(vecs, zero, dup):
+        if zero:
+            vecs = vecs + [[0.0] * 64]
+        if dup:
+            vecs = vecs + [vecs[0]]
+        if all(x == 0.0 for x in vecs[0]):
+            vecs[0] = [1.0] + [0.0] * 63  # query vec (vec_id 0) must be sane
+        rows = [(i, [float(x) for x in v], i % 3) for i, v in enumerate(vecs)]
+        counter["n"] += 1
+        sf_dir = str(base / f"c{counter['n']}")
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+
+        sdf = queries[name](spark, sf_dir)
+        srows, scols = sdf.collect(), sdf.columns
+        duck = duckdb.connect()
+        duck.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet/*.parquet'"
+        )
+        res = duck.execute(oracles[name])
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+        duck.close()
+        assert sorted(scols) == sorted(ocols)
+        assert _multiset(srows, scols) == _multiset(orows, ocols), (name, len(vecs), zero, dup)
+
+    run()
