@@ -359,10 +359,12 @@ def window_sampling(spark, sf_dir):
 @query(
     "session_window_count",
     # gaps-and-islands oracle for Spark's session_window(gap=30m): a new
-    # session starts when the gap to the previous event is >= 30 minutes
-    # (Spark merges t < prev_end where prev_end = prev + gap)
+    # session starts when the gap to the previous event EXCEEDS 30 minutes
+    # — Spark merges t <= prev_end (an event exactly at prev + gap still
+    # extends the session; verified empirically, and the >= form diverged
+    # under the oracle fuzz on an exact-boundary gap)
     "WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),"
-    " marks AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER w >= 1800000000"
+    " marks AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER w > 1800000000"
     "   OR lag(t) OVER w IS NULL THEN 1 ELSE 0 END AS new_s FROM e"
     "   WINDOW w AS (PARTITION BY user_id ORDER BY t)),"
     " sess AS (SELECT user_id, t, sum(new_s) OVER (PARTITION BY user_id"

@@ -159,3 +159,77 @@ def test_oracle_equivalence_on_random_embeddings(spark, tmp_path_factory, name):
         assert _multiset(srows, scols) == _multiset(orows, ocols), (name, len(vecs), zero, dup)
 
     run()
+
+
+EVENT_QUERIES = [
+    "window_sum_tumbling",      # tumbling boundary semantics
+    "window_count_sliding",     # sliding window membership
+    "session_window_count",     # gap-based session splits
+    "event_gaps",               # lag/ordering ties
+    "running_totals",           # cumulative window frame
+    "distinct_users_per_type",  # exact distinct
+]
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_oracle_equivalence_on_random_events(spark, tmp_path_factory, name):
+    """Event-time queries fuzzed at the regimes the gate corpus avoids:
+    timestamps EXACTLY on window boundaries, duplicate timestamps,
+    identical (user, ts) ties, and sub-second jitter."""
+    import datetime as dt
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    base = tmp_path_factory.mktemp(f"tfuzz_{name}")
+    counter = {"n": 0}
+    t0 = dt.datetime(2024, 1, 1)
+
+    # offsets in seconds: exact hour edges, near-edges, duplicates
+    offset = st.sampled_from(
+        [0, 1, 3599, 3600, 3601, 7200, 7200, 10799, 10800, 5400, 5400.5]
+    )
+
+    @settings(
+        max_examples=5, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        offs=st.lists(offset, min_size=2, max_size=12),
+        users=st.lists(st.integers(1, 3), min_size=12, max_size=12),
+        vals=st.lists(st.sampled_from([0.0, 1.5, -2.25, 100.0, 0.1]),
+                      min_size=12, max_size=12),
+    )
+    def run(offs, users, vals):
+        rows = [
+            (
+                i,
+                t0 + dt.timedelta(seconds=off),
+                users[i],
+                ["click", "view", "error"][i % 3],
+                vals[i],
+                '{"k": 1}',
+            )
+            for i, off in enumerate(offs)
+        ]
+        counter["n"] += 1
+        sf_dir = str(base / f"c{counter['n']}")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+
+        sdf = queries[name](spark, sf_dir)
+        srows, scols = sdf.collect(), sdf.columns
+        duck = duckdb.connect()
+        duck.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet/*.parquet'"
+        )
+        res = duck.execute(oracles[name])
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+        duck.close()
+        assert sorted(scols) == sorted(ocols)
+        assert _multiset(srows, scols) == _multiset(orows, ocols), (name, offs)
+
+    run()
