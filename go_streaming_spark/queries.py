@@ -639,8 +639,8 @@ def fan_in_per_source(spark, sf_dir):
 @query(
     "star_join_agg",
     "SELECT c_mktsegment,"
-    " CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
-    "          * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE)"
+    " CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+    "          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DECIMAL(38,4)) AS DOUBLE)"
     "   AS revenue,"
     " count(*) AS n_items"
     " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
@@ -671,8 +671,8 @@ def star_join_agg(spark, sf_dir):
     "SELECT l_returnflag, l_linestatus,"
     " CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,"
     " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,"
-    " CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
-    "          * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,"
+    " CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+    "          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,"
     " count(*) AS count_order"
     " FROM lineitem GROUP BY l_returnflag, l_linestatus",
 )
@@ -694,8 +694,8 @@ def pricing_summary(spark, sf_dir):
 @query(
     "regional_revenue",
     "SELECT r_name, n_name,"
-    " CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
-    "          * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,"
+    " CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+    "          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,"
     " count(*) AS n_items"
     " FROM lineitem"
     " JOIN supplier ON l_suppkey = s_suppkey"
@@ -847,22 +847,40 @@ def revenue_by_dow(spark, sf_dir):
     )
 
 
+# stat_aggregates: the second moments are computed from EXACT decimal sums
+# (Σxy, Σx, Σy, Σx², n) with one fixed double-arithmetic expression shared
+# verbatim by both engines — Spark's and DuckDB's native one-pass co-moment
+# aggregates differ in the last ulp (accumulation-order), which the oracle
+# fuzz caught landing exactly on a 6-dec rounding boundary; native corr
+# additionally DIVIDES BY ZERO under ANSI on a zero-variance group.  The
+# sums are decimal-exact, every division is IEEE-correctly-rounded, and
+# the 6-dec quantization is floor(x*1e6 + 1/2)/1e6 — identical double
+# ops in both engines, unlike round(double, 6), whose tie handling
+# diverges when x sits on a representation boundary (fuzz-caught), and
+# n=1 / zero-variance degrade to NULL on both sides (Spark try-semantics
+# via nullif; DuckDB float division by zero yields NULL).
+_MOM_COVAR = "((CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)) - (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)) * (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0)"
+_MOM_SX = "sqrt(greatest(((CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)) - (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)) * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0), 0))"
+_MOM_SY = "sqrt(greatest(((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)) - (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)) * (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0), 0))"
+_MOM_CORR = "(((CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)) - (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)) * (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0)) / nullif((sqrt(greatest(((CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)) - (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)) * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0), 0))) * (sqrt(greatest(((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)) - (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)) * (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0), 0))), 0)"
+
+
 @query(
     "stat_aggregates",
     "SELECT l_returnflag,"
-    " round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,"
-    " round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price,"
-    " round(stddev_samp(l_quantity), 6) AS stddev_qty"
+    " floor(((((CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)) - (CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE)) * (CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0)) / nullif((sqrt(greatest(((CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE)) - (CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE)) * (CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0), 0))) * (sqrt(greatest(((CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)) - (CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)) * (CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0), 0))), 0))*1e6 + 0.5)/1e6 AS corr_qty_price,"
+    " floor((((CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)) - (CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE)) * (CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0))*1e6 + 0.5)/1e6 AS covar_qty_price,"
+    " floor((sqrt(greatest(((CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE)) - (CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE)) * (CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0), 0)))*1e6 + 0.5)/1e6 AS stddev_qty"
     " FROM lineitem GROUP BY l_returnflag",
 )
 def stat_aggregates(spark, sf_dir):
     # statistical aggregates (SURVEY §2.5: absent in the reference, free in
-    # Spark) — single-pass partial-aggregated moments, one shuffle
+    # Spark) — decimal-exact partial-aggregated moments, one shuffle
     li = Engine(spark, sf_dir=sf_dir).stream("lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("covar_qty_price"),
-        F.round(F.stddev_samp("l_quantity"), 6).alias("stddev_qty"),
+        F.expr(f"floor(({_MOM_CORR})*1e6 + 0.5)/1e6").alias("corr_qty_price"),
+        F.expr(f"floor(({_MOM_COVAR})*1e6 + 0.5)/1e6").alias("covar_qty_price"),
+        F.expr(f"floor(({_MOM_SX})*1e6 + 0.5)/1e6").alias("stddev_qty"),
     )
 
 

@@ -53,8 +53,8 @@ def cube_revenue(spark, sf_dir):
 _GS_SQL = (
     "SELECT coalesce(o_orderpriority, 'ALL') AS priority,"
     " coalesce(l_returnflag, 'ALL') AS returnflag,"
-    " CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
-    "          * (1 - CAST(l_discount AS DECIMAL(18,4))))"
+    " CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+    "          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4)"
     "       AS DECIMAL(38,4)) AS DOUBLE) AS revenue,"
     " count(*) AS n_items"
     " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"

@@ -233,3 +233,73 @@ def test_oracle_equivalence_on_random_events(spark, tmp_path_factory, name):
         assert _multiset(srows, scols) == _multiset(orows, ocols), (name, offs)
 
     run()
+
+
+LINEITEM_QUERIES = [
+    "pricing_summary",   # TPC-H Q1: decimal-at-the-leaf sum chains
+    "stat_aggregates",   # corr/covar/stddev float formulas
+]
+
+
+@pytest.mark.parametrize("name", LINEITEM_QUERIES)
+def test_oracle_equivalence_on_random_lineitem(spark, tmp_path_factory, name):
+    """Decimal-sensitive aggregations fuzzed at the regimes the gotchas
+    warn about: values with >4 decimal places (must quantize identically),
+    magnitudes near the 2^53 scaled-int edge, zeros and negatives, and
+    single-row groups (stddev of one row → NULL on both engines)."""
+    import datetime as dt
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    base = tmp_path_factory.mktemp(f"lfuzz_{name}")
+    counter = {"n": 0}
+    t0 = dt.datetime(1995, 6, 1)
+
+    money = st.sampled_from(
+        [0.0, 0.01, 949.9999, 1234.5678, 1e9, 123456789.1234, -5.25, 3.3333333]
+    )
+    qty = st.sampled_from([0.0, 1.0, 7.0, 50.0, 12.5])
+    frac = st.sampled_from([0.0, 0.04, 0.1, 0.08])
+
+    @settings(
+        max_examples=5, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        rows=st.lists(st.tuples(qty, money, frac, frac), min_size=1, max_size=10),
+        flags=st.lists(st.sampled_from(["A", "N", "R"]), min_size=10, max_size=10),
+    )
+    def run(rows, flags):
+        data = [
+            (
+                i, i % 3, i % 2, i,
+                float(q), float(p), float(d), float(t),
+                flags[i], "O" if i % 2 else "F",
+                t0 + dt.timedelta(days=i),
+            )
+            for i, (q, p, d, t) in enumerate(rows)
+        ]
+        counter["n"] += 1
+        sf_dir = str(base / f"c{counter['n']}")
+        spark.createDataFrame(
+            data,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+            " l_quantity double, l_extendedprice double, l_discount double,"
+            " l_tax double, l_returnflag string, l_linestatus string,"
+            " l_shipdate timestamp",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/lineitem.parquet")
+
+        sdf = queries[name](spark, sf_dir)
+        srows, scols = sdf.collect(), sdf.columns
+        duck = duckdb.connect()
+        duck.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet/*.parquet'"
+        )
+        res = duck.execute(oracles[name])
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+        duck.close()
+        assert sorted(scols) == sorted(ocols)
+        assert _multiset(srows, scols) == _multiset(orows, ocols), (name, rows)
+
+    run()
