@@ -910,7 +910,7 @@ def value_percentiles(spark, sf_dir):
     " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,"
     " count(*) AS n_items"
     " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
-    " GROUP BY ROLLUP(o_orderpriority, l_returnflag)",
+    " GROUP BY ROLLUP(o_orderpriority, l_returnflag) HAVING count(*) > 0",
 )
 def rollup_revenue(spark, sf_dir):
     # two-phase rollup: aggregate to the finest cells FIRST (priority ×

@@ -23,7 +23,7 @@ _B32 = 1 << 32
     " coalesce(l_linestatus, 'ALL') AS linestatus,"
     " CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,"
     " count(*) AS n_items"
-    " FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)",
+    " FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) HAVING count(*) > 0",
 )
 def cube_revenue(spark, sf_dir):
     # two-phase cube: collapse to the finest cells first (returnflag ×
@@ -59,6 +59,7 @@ _GS_SQL = (
     " count(*) AS n_items"
     " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
     " GROUP BY GROUPING SETS ((o_orderpriority), (l_returnflag), ())"
+    " HAVING count(*) > 0"
 )
 
 

@@ -303,3 +303,100 @@ def test_oracle_equivalence_on_random_lineitem(spark, tmp_path_factory, name):
         assert _multiset(srows, scols) == _multiset(orows, ocols), (name, rows)
 
     run()
+
+
+JOIN_QUERIES = [
+    "star_join_agg",         # fact ⋈ orders ⋈ customer + decimal agg
+    "big_order_customers",   # Q18: HAVING subquery + join-back
+    "grouping_sets_revenue", # multi-grouping over a join
+]
+
+
+@pytest.mark.parametrize("name", JOIN_QUERIES)
+def test_oracle_equivalence_on_random_joins(spark, tmp_path_factory, name):
+    """Join-shaped queries fuzzed with dangling foreign keys (orders whose
+    customer is absent, lineitems whose order is absent), duplicate join
+    keys, empty join results, and 4-decimal money."""
+    import datetime as dt
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    base = tmp_path_factory.mktemp(f"jfuzz_{name}")
+    counter = {"n": 0}
+    t0 = dt.datetime(1995, 6, 1)
+    money = st.sampled_from([0.01, 949.9999, 1234.5678, 3.3333333, 500.0])
+
+    @settings(
+        max_examples=4, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        n_cust=st.integers(1, 3),
+        okeys=st.lists(st.integers(0, 5), min_size=1, max_size=6),
+        lkeys=st.lists(st.integers(0, 7), min_size=1, max_size=10),
+        prices=st.lists(money, min_size=10, max_size=10),
+        fracs=st.lists(st.sampled_from([0.0, 0.04, 0.1]), min_size=10, max_size=10),
+    )
+    def run(n_cust, okeys, lkeys, prices, fracs):
+        cust = [
+            (c, f"Customer#{c}", c % 2, 100.0 * c,
+             ["BUILDING", "MACHINERY"][c % 2])
+            for c in range(n_cust)
+        ]
+        orders = [
+            (ok, ok % (n_cust + 1), "O", float(prices[i]),  # custkey may dangle
+             t0 + dt.timedelta(days=ok), f"{1 + ok % 3}-PRI")
+            for i, ok in enumerate(dict.fromkeys(okeys))
+        ]
+        lineitem = [
+            (lk, i % 3, i % 2, i, float(1 + i % 5), float(prices[i]),
+             float(fracs[i]), 0.0, "ANR"[i % 3], "OF"[i % 2],
+             t0 + dt.timedelta(days=i))
+            for i, lk in enumerate(lkeys)  # orderkey may dangle or repeat
+        ]
+        counter["n"] += 1
+        sf_dir = str(base / f"c{counter['n']}")
+        # Engine.sql registers every catalog table — satisfy the untouched
+        # ones with links to the tiny sf0.001 files (the query reads only
+        # the three generated tables, so their contents are irrelevant)
+        import os
+
+        os.makedirs(sf_dir, exist_ok=True)
+        for t in ("region", "nation", "supplier", "part", "events",
+                  "documents", "embeddings"):
+            dst = f"{sf_dir}/{t}.parquet"
+            if not os.path.exists(dst):
+                os.symlink(f"/root/testdata/sf0.001/{t}.parquet", dst)
+        spark.createDataFrame(
+            cust, "c_custkey long, c_name string, c_nationkey int,"
+            " c_acctbal double, c_mktsegment string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/customer.parquet")
+        spark.createDataFrame(
+            orders, "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/orders.parquet")
+        spark.createDataFrame(
+            lineitem,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+            " l_quantity double, l_extendedprice double, l_discount double,"
+            " l_tax double, l_returnflag string, l_linestatus string,"
+            " l_shipdate timestamp",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/lineitem.parquet")
+
+        sdf = queries[name](spark, sf_dir)
+        srows, scols = sdf.collect(), sdf.columns
+        duck = duckdb.connect()
+        for t in ("customer", "orders", "lineitem"):
+            duck.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet/*.parquet'"
+            )
+        res = duck.execute(oracles[name])
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+        duck.close()
+        assert sorted(scols) == sorted(ocols)
+        assert _multiset(srows, scols) == _multiset(orows, ocols), (
+            name, n_cust, okeys, lkeys,
+        )
+
+    run()
