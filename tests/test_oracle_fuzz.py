@@ -168,6 +168,8 @@ EVENT_QUERIES = [
     "event_gaps",               # lag/ordering ties
     "running_totals",           # cumulative window frame
     "distinct_users_per_type",  # exact distinct
+    "value_percentiles",        # exact-percentile interpolation arithmetic
+    "moving_range_sum",         # range-frame window
 ]
 
 
