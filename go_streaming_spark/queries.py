@@ -324,8 +324,16 @@ def window_sum_per_user(spark, sf_dir):
 
 @query(
     "json_struct_extract",
-    "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k,"
-    " event_type FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50",
+    # mirror from_json("k long") semantics exactly: only JSON INTEGER
+    # values parse (strings/doubles/arrays/objects -> NULL) and malformed
+    # JSON degrades to NULL instead of erroring — DuckDB's bare
+    # json_extract THROWS on invalid JSON (fuzz-caught), so both the
+    # validity and the type are guarded
+    "WITH j AS (SELECT event_id, event_type,"
+    "  CASE WHEN json_valid(props)"
+    "       AND json_type(json_extract(props, '$.k')) IN ('BIGINT', 'UBIGINT')"
+    "  THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k FROM events)"
+    " SELECT event_id, k, event_type FROM j WHERE k > 50",
 )
 def json_struct_extract(spark, sf_dir):
     # JSON event ingestion with a declared schema (NewEventFromJSON,

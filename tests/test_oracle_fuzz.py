@@ -402,3 +402,44 @@ def test_oracle_equivalence_on_random_joins(spark, tmp_path_factory, name):
         )
 
     run()
+
+
+def test_json_extract_on_hostile_props(spark, tmp_path_factory):
+    """from_json must match the oracle's json_extract across hostile props:
+    missing keys, null, non-numeric k, nested objects, escaped quotes, and
+    MALFORMED JSON (both sides must degrade to no-match, never error)."""
+    import datetime as dt
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    t0 = dt.datetime(2024, 1, 1)
+    props_pool = [
+        '{"k": 87}', '{"k": 12}', '{"k": null}', '{}', '{"j": 99}',
+        '{"k": "93"}', '{"k": [1,2]}', '{"k": {"n": 77}}',
+        '{"k": 51, "s": "a\\"b"}', 'not json at all', '{"k": 60',  # cut
+        '', '{"k": 1e2}', '{"k": -7}', '{"k": 9999999999}',
+    ]
+    rows = [
+        (i, t0 + dt.timedelta(seconds=i), i % 3, ["click", "view"][i % 2],
+         1.0 * i, p)
+        for i, p in enumerate(props_pool)
+    ]
+    sf_dir = str(tmp_path_factory.mktemp("jsonfuzz"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+
+    sdf = queries["json_struct_extract"](spark, sf_dir)
+    srows, scols = sdf.collect(), sdf.columns
+    duck = duckdb.connect()
+    duck.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet/*.parquet'"
+    )
+    res = duck.execute(oracles["json_struct_extract"])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    duck.close()
+    assert sorted(scols) == sorted(ocols)
+    assert _multiset(srows, scols) == _multiset(orows, ocols), (srows, orows)
