@@ -861,24 +861,28 @@ def revenue_by_dow(spark, sf_dir):
 # aggregates differ in the last ulp (accumulation-order), which the oracle
 # fuzz caught landing exactly on a 6-dec rounding boundary; native corr
 # additionally DIVIDES BY ZERO under ANSI on a zero-variance group.  The
-# sums are decimal-exact, every division is IEEE-correctly-rounded, and
+# sums are decimal-exact and rounded to scale 4 BEFORE the double cast
+# (a scale-8 sum of 1e9-scale values pushes the scaled integer past
+# 2^53, where DuckDB's decimal→double conversion double-rounds but
+# Spark's single-rounds — fuzz-caught); every division is
+# IEEE-correctly-rounded, and
 # the 6-dec quantization is floor(x*1e6 + 1/2)/1e6 — identical double
 # ops in both engines, unlike round(double, 6), whose tie handling
 # diverges when x sits on a representation boundary (fuzz-caught), and
 # n=1 / zero-variance degrade to NULL on both sides (Spark try-semantics
 # via nullif; DuckDB float division by zero yields NULL).
-_MOM_COVAR = "((CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)) - (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)) * (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0)"
-_MOM_SX = "sqrt(greatest(((CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)) - (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)) * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0), 0))"
-_MOM_SY = "sqrt(greatest(((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)) - (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)) * (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0), 0))"
-_MOM_CORR = "(((CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)) - (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)) * (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0)) / nullif((sqrt(greatest(((CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)) - (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)) * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0), 0))) * (sqrt(greatest(((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)) - (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)) * (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0), 0))), 0)"
+_MOM_COVAR = "((CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE)) - (CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE)) * (CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0)"
+_MOM_SX = "sqrt(greatest(((CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE)) - (CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE)) * (CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0), 0))"
+_MOM_SY = "sqrt(greatest(((CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE)) - (CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE)) * (CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0), 0))"
+_MOM_CORR = "(((CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE)) - (CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE)) * (CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0)) / nullif((sqrt(greatest(((CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE)) - (CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE)) * (CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0), 0))) * (sqrt(greatest(((CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE)) - (CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE)) * (CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0), 0))), 0)"
 
 
 @query(
     "stat_aggregates",
     "SELECT l_returnflag,"
-    " floor(((((CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)) - (CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE)) * (CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0)) / nullif((sqrt(greatest(((CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE)) - (CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE)) * (CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0), 0))) * (sqrt(greatest(((CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)) - (CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)) * (CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0), 0))), 0))*1e6 + 0.5)/1e6 AS corr_qty_price,"
-    " floor((((CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)) - (CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE)) * (CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0))*1e6 + 0.5)/1e6 AS covar_qty_price,"
-    " floor((sqrt(greatest(((CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE)) - (CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE)) * (CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0), 0)))*1e6 + 0.5)/1e6 AS stddev_qty"
+    " floor(((((CAST(round(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))), 4) AS DOUBLE)) - (CAST(round(SUM(CAST(l_quantity AS DECIMAL(19,4))), 4) AS DOUBLE)) * (CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(19,4))), 4) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0)) / nullif((sqrt(greatest(((CAST(round(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))), 4) AS DOUBLE)) - (CAST(round(SUM(CAST(l_quantity AS DECIMAL(19,4))), 4) AS DOUBLE)) * (CAST(round(SUM(CAST(l_quantity AS DECIMAL(19,4))), 4) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0), 0))) * (sqrt(greatest(((CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))), 4) AS DOUBLE)) - (CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(19,4))), 4) AS DOUBLE)) * (CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(19,4))), 4) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0), 0))), 0))*1e6 + 0.5)/1e6 AS corr_qty_price,"
+    " floor((((CAST(round(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))), 4) AS DOUBLE)) - (CAST(round(SUM(CAST(l_quantity AS DECIMAL(19,4))), 4) AS DOUBLE)) * (CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(19,4))), 4) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0))*1e6 + 0.5)/1e6 AS covar_qty_price,"
+    " floor((sqrt(greatest(((CAST(round(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))), 4) AS DOUBLE)) - (CAST(round(SUM(CAST(l_quantity AS DECIMAL(19,4))), 4) AS DOUBLE)) * (CAST(round(SUM(CAST(l_quantity AS DECIMAL(19,4))), 4) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0), 0)))*1e6 + 0.5)/1e6 AS stddev_qty"
     " FROM lineitem GROUP BY l_returnflag",
 )
 def stat_aggregates(spark, sf_dir):
