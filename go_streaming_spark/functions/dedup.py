@@ -23,12 +23,44 @@ so every operator here has a bit-exact DuckDB oracle.
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import NamedTuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from go_streaming_spark.functions.util import spread
+
+# Cache entries created by the CONVENIENCE (index=None) paths, keyed by the
+# semantic hash of the cached plan.  Identical plans share one Spark storage
+# entry (re-running the same query grows nothing), but one-shot calls over
+# DISTINCT corpora in a long-lived session each add an entry — this registry
+# bounds that accumulation by unpersisting the least-recently-used entries
+# beyond the cap (advisor-caught r6).  Loop call sites pass ``index=`` and
+# never touch this.
+_CONVENIENCE_CACHES: OrderedDict[int, list[DataFrame]] = OrderedDict()
+_CONVENIENCE_CACHE_MAX = 8
+
+
+def _register_convenience_cache(key_df: DataFrame, frames: list[DataFrame]) -> None:
+    key = key_df.semanticHash()
+    if key in _CONVENIENCE_CACHES:
+        _CONVENIENCE_CACHES.move_to_end(key)
+        return
+    _CONVENIENCE_CACHES[key] = frames
+    while len(_CONVENIENCE_CACHES) > _CONVENIENCE_CACHE_MAX:
+        _, oldest = _CONVENIENCE_CACHES.popitem(last=False)
+        for f in oldest:
+            f.unpersist()
+
+
+def release_convenience_caches() -> None:
+    """Unpersist every cache entry the convenience (``index=None``) dedup
+    paths created in this session — call when switching corpora for good."""
+    while _CONVENIENCE_CACHES:
+        _, frames = _CONVENIENCE_CACHES.popitem(last=False)
+        for f in frames:
+            f.unpersist()
 
 # Universal-hash parameters: h_j(x) = (A[j]*x + B[j]) mod P over 32-bit x.
 # P = 2^31 - 1 (prime); A < 2^30 keeps A*x < 2^62 — no int64 overflow.
@@ -239,6 +271,7 @@ def dedup_against_index(
     # computing their shingles twice is the cheaper trade)
     if _cache_batch_shingles and not new_df.isStreaming:
         sh_new = sh_new.cache()
+        _register_convenience_cache(sh_new, [sh_new])
     sig_new = minhash_signatures_wide(new_df, id_col, text_col, n, k, shingles=sh_new)
     bands_new = band_keys(sig_new, k, rows_per_band)
     a, b = bands_new.alias("a"), index.bands.alias("b")
@@ -291,10 +324,12 @@ def incremental_minhash_dedup(
     The convenience path (``index=None``) is the ONE-SHOT shape: it caches
     the index frames and the batch shingles, since each feeds two
     consumers (signature + verification) and would otherwise be computed
-    twice.  This is bounded — identical plans share a single cache entry,
-    so re-running the same query grows nothing — but do NOT use the
-    convenience path inside an ingestion loop: that is exactly the
-    accumulating-cache case ``index=`` exists for.
+    twice.  Identical plans share a single cache entry (re-running the
+    same query grows nothing) and DISTINCT corpora are bounded by the
+    module's LRU registry (oldest entries unpersist beyond the cap; see
+    :func:`release_convenience_caches` to drop them all eagerly) — still,
+    prefer ``index=`` inside ingestion loops: it also skips re-shingling
+    the corpus every batch.
     """
     if index is None:
         index = build_minhash_index(
@@ -302,6 +337,9 @@ def incremental_minhash_dedup(
         )
         if not corpus_df.isStreaming:
             index.cache()
+            _register_convenience_cache(
+                index.bands, [index.bands, index.shingles]
+            )
         return dedup_against_index(
             new_df, index, id_col, text_col, threshold,
             _cache_batch_shingles=True,
@@ -393,6 +431,7 @@ def jaccard_pairs(
     at 100 TB this bound is what keeps bucket cross products finite.
     """
     sh = word_shingles(df, id_col, text_col, n).cache()
+    _register_convenience_cache(sh, [sh])
     if max_shingle_freq:
         hot = (
             sh.groupBy("shingle").count()
@@ -598,6 +637,10 @@ def minhash_lsh_pairs(
     sh = shingle_arrays(df, id_col, text_col, n)
     if not df.isStreaming:
         sh = sh.cache()
+        # registered so per-batch calls (each batch = a new plan, e.g.
+        # incremental_minhash_dedup_full in a foreachBatch loop) cannot
+        # accumulate cache entries unboundedly
+        _register_convenience_cache(sh, [sh])
     sig = minhash_signatures_wide(df, id_col, text_col, n, k, shingles=sh)
     # Band keys straight from the wide signature — no second aggregation.
     bands = band_keys(sig, k, rows_per_band, max_bucket_size)

@@ -109,28 +109,38 @@ def heavy_hitters(
     width: int = 1024,
 ) -> DataFrame:
     """Exact keys with frequency ≥ ``min_count``, found the sketch way:
-    CMS estimates prefilter the candidate set (sound — the sketch never
-    undercounts, so no true heavy hitter is lost), then ONE exact count
-    pass over the candidate keys verifies.  Output equals the exact
-    ``GROUP BY ... HAVING count >= t`` — the sketch only changes the
-    cost: the exact pass groups candidate rows only, and at 100 TB the
-    candidate semi-join prunes the overwhelmingly-unique tail before it
-    ever shuffles.
+    CMS estimates prefilter candidate ROWS map-side (sound — the sketch
+    never undercounts, so no true heavy hitter is lost), then ONE exact
+    count pass over the surviving rows verifies.  Output equals the exact
+    ``GROUP BY ... HAVING count >= t`` — the sketch only changes the cost.
+
+    Two passes, neither shuffling the key cardinality: pass 1 builds the
+    sketch (map-side-combined, ≤ depth×width rows cross the wire) and
+    pulls the FIXED-SIZE counter table to the driver — the classic
+    broadcast-a-summary shape, bounded regardless of data size; pass 2
+    embeds the table as array literals, evaluates
+    ``est = min_j table[j][h_j(key)]`` as a JVM expression per row, and
+    only rows with ``est >= min_count`` reach the exact groupBy — at
+    100 TB the overwhelmingly-unique tail is dropped before it ever
+    shuffles (the r6 advisory's distinct()-based candidate pass was a
+    full-cardinality shuffle; this is the fix).
 
     Emits (key, n_occ), exact counts.
     """
-    sk = count_min_build(df, key_col, depth, width)
-    keys = df.select(F.col(key_col).alias("key")).distinct()
-    cand = (
-        count_min_estimate(sk, keys, "key", depth, width)
-        .filter(F.col("est_count") >= min_count)
-        .select("key")
-    )
-    hot = df.join(
-        cand.select(F.col("key").alias(key_col)), key_col, "left_semi"
-    )
+    table = [[0] * width for _ in range(depth)]
+    for r in count_min_build(df, key_col, depth, width).collect():
+        table[r["row"]][r["bucket"]] = r["count"]
+    key = F.col(key_col)
+    ests = [
+        F.element_at(
+            F.lit(table[j]), (cms_bucket(key, j, width) + 1).cast("int")
+        )
+        for j in range(depth)
+    ]
+    est = ests[0] if depth == 1 else F.least(*ests)
     return (
-        hot.groupBy(F.col(key_col).alias("key"))
+        df.filter(est >= F.lit(min_count))
+        .groupBy(key.alias("key"))
         .agg(F.count(F.lit(1)).alias("n_occ"))
         .filter(F.col("n_occ") >= min_count)
     )

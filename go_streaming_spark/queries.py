@@ -329,10 +329,14 @@ def window_sum_per_user(spark, sf_dir):
     # JSON degrades to NULL instead of erroring — DuckDB's bare
     # json_extract THROWS on invalid JSON (fuzz-caught), so both the
     # validity and the type are guarded
+    # DuckDB types ANY non-negative JSON integer as UBIGINT (even 42 —
+    # probed, contra the r6 advisory's premise), so UBIGINT must stay in
+    # the guard; TRY_CAST is the actual fix: values above int64 max (where
+    # CAST throws) degrade to NULL, matching Spark's from_json("k long")
     "WITH j AS (SELECT event_id, event_type,"
     "  CASE WHEN json_valid(props)"
     "       AND json_type(json_extract(props, '$.k')) IN ('BIGINT', 'UBIGINT')"
-    "  THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k FROM events)"
+    "  THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) END AS k FROM events)"
     " SELECT event_id, k, event_type FROM j WHERE k > 50",
 )
 def json_struct_extract(spark, sf_dir):
@@ -871,18 +875,50 @@ def revenue_by_dow(spark, sf_dir):
 # diverges when x sits on a representation boundary (fuzz-caught), and
 # n=1 / zero-variance degrade to NULL on both sides (Spark try-semantics
 # via nullif; DuckDB float division by zero yields NULL).
-_MOM_COVAR = "((CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE)) - (CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE)) * (CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0)"
-_MOM_SX = "sqrt(greatest(((CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE)) - (CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE)) * (CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0), 0))"
-_MOM_SY = "sqrt(greatest(((CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE)) - (CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE)) * (CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0), 0))"
-_MOM_CORR = "(((CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE)) - (CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE)) * (CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0)) / nullif((sqrt(greatest(((CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE)) - (CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE)) * (CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0), 0))) * (sqrt(greatest(((CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE)) - (CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE)) * (CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0), 0))), 0)"
+def _moment_exprs(x: str, y: str, prec: int) -> dict:
+    """covar/stddev/corr SQL built from exact decimal sums, parameterized
+    by decimal precision — ONE builder emits both the Spark expressions
+    (prec=18) and the DuckDB oracle (prec=19: DuckDB DECIMAL(18)
+    multiplication overflows int64, fuzz-caught r6), so the two copies
+    cannot drift (advisor-caught r6).  The floating-point op sequence is
+    byte-identical between engines by construction."""
+    dec = f"DECIMAL({prec},4)"
+    n = "(CAST(count(*) AS DOUBLE))"
+
+    def dsum(a: str, b: str | None = None) -> str:
+        term = f"CAST({a} AS {dec})" + (f" * CAST({b} AS {dec})" if b else "")
+        return f"(CAST(round(SUM({term}), 4) AS DOUBLE))"
+
+    def comoment(a: str, b: str) -> str:
+        return (
+            f"({dsum(a, b)} - {dsum(a)} * {dsum(b)} / {n})"
+            f" / nullif({n} - 1, 0)"
+        )
+
+    def sd(a: str) -> str:
+        return f"sqrt(greatest({comoment(a, a)}, 0))"
+
+    covar = comoment(x, y)
+    return {
+        "covar": covar,
+        "sd_x": sd(x),
+        "corr": f"({covar}) / nullif(({sd(x)}) * ({sd(y)}), 0)",
+    }
+
+
+# quantizer shared by both engines: floor(x*1e6 + 1/2)/1e6 with the 1e6
+# DOUBLE literal (not 1000000.0, which Spark parses as decimal)
+_Q6 = "floor(({})*1e6 + 0.5)/1e6"
+_MOM_SPARK = _moment_exprs("l_quantity", "l_extendedprice", 18)
+_MOM_ORACLE = _moment_exprs("l_quantity", "l_extendedprice", 19)
 
 
 @query(
     "stat_aggregates",
     "SELECT l_returnflag,"
-    " floor(((((CAST(round(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))), 4) AS DOUBLE)) - (CAST(round(SUM(CAST(l_quantity AS DECIMAL(19,4))), 4) AS DOUBLE)) * (CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(19,4))), 4) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0)) / nullif((sqrt(greatest(((CAST(round(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))), 4) AS DOUBLE)) - (CAST(round(SUM(CAST(l_quantity AS DECIMAL(19,4))), 4) AS DOUBLE)) * (CAST(round(SUM(CAST(l_quantity AS DECIMAL(19,4))), 4) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0), 0))) * (sqrt(greatest(((CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))), 4) AS DOUBLE)) - (CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(19,4))), 4) AS DOUBLE)) * (CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(19,4))), 4) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0), 0))), 0))*1e6 + 0.5)/1e6 AS corr_qty_price,"
-    " floor((((CAST(round(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))), 4) AS DOUBLE)) - (CAST(round(SUM(CAST(l_quantity AS DECIMAL(19,4))), 4) AS DOUBLE)) * (CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(19,4))), 4) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0))*1e6 + 0.5)/1e6 AS covar_qty_price,"
-    " floor((sqrt(greatest(((CAST(round(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))), 4) AS DOUBLE)) - (CAST(round(SUM(CAST(l_quantity AS DECIMAL(19,4))), 4) AS DOUBLE)) * (CAST(round(SUM(CAST(l_quantity AS DECIMAL(19,4))), 4) AS DOUBLE)) / (CAST(count(*) AS DOUBLE))) / nullif((CAST(count(*) AS DOUBLE)) - 1, 0), 0)))*1e6 + 0.5)/1e6 AS stddev_qty"
+    f" {_Q6.format(_MOM_ORACLE['corr'])} AS corr_qty_price,"
+    f" {_Q6.format(_MOM_ORACLE['covar'])} AS covar_qty_price,"
+    f" {_Q6.format(_MOM_ORACLE['sd_x'])} AS stddev_qty"
     " FROM lineitem GROUP BY l_returnflag",
 )
 def stat_aggregates(spark, sf_dir):
@@ -890,9 +926,9 @@ def stat_aggregates(spark, sf_dir):
     # Spark) — decimal-exact partial-aggregated moments, one shuffle
     li = Engine(spark, sf_dir=sf_dir).stream("lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.expr(f"floor(({_MOM_CORR})*1e6 + 0.5)/1e6").alias("corr_qty_price"),
-        F.expr(f"floor(({_MOM_COVAR})*1e6 + 0.5)/1e6").alias("covar_qty_price"),
-        F.expr(f"floor(({_MOM_SX})*1e6 + 0.5)/1e6").alias("stddev_qty"),
+        F.expr(_Q6.format(_MOM_SPARK["corr"])).alias("corr_qty_price"),
+        F.expr(_Q6.format(_MOM_SPARK["covar"])).alias("covar_qty_price"),
+        F.expr(_Q6.format(_MOM_SPARK["sd_x"])).alias("stddev_qty"),
     )
 
 

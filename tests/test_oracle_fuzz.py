@@ -418,6 +418,9 @@ def test_json_extract_on_hostile_props(spark, tmp_path_factory):
         '{"k": "93"}', '{"k": [1,2]}', '{"k": {"n": 77}}',
         '{"k": 51, "s": "a\\"b"}', 'not json at all', '{"k": 60',  # cut
         '', '{"k": 1e2}', '{"k": -7}', '{"k": 9999999999}',
+        # above int64 max: DuckDB types it UBIGINT and plain CAST throws —
+        # the oracle's TRY_CAST and Spark's from_json both yield NULL
+        '{"k": 18446744073709551615}', '{"k": 9223372036854775808}',
     ]
     rows = [
         (i, t0 + dt.timedelta(seconds=i), i % 3, ["click", "view"][i % 2],
