@@ -451,6 +451,120 @@ def synthesize_payloads_raw(
     return df.withColumn("media", F.unhex(payload))
 
 
+def synthesize_payloads_avi(df: DataFrame, id_col: str, body_col: str) -> DataFrame:
+    """Deterministic UNCOMPRESSED AVI payloads — the video tier's content
+    companion to :func:`synthesize_payloads_raw` (same spirit as the
+    reference's operators doing real work on event content,
+    /root/reference/examples/processing/customOperator/main.go:17-38).
+
+    Each doc becomes a real RIFF 'AVI ' container: LIST hdrl (avih main
+    header + LIST strl with a 'vids'/'DIB ' strh and a BITMAPINFOHEADER
+    strf) followed by LIST movi holding ``1 + id % 3`` uncompressed
+    '00db' RGB24 frames, width 8 × height ``2 + id % 7`` (stride 24, no
+    row padding).  The frame pixel stream is the body's UTF-8 bytes
+    cycled CONTIGUOUSLY across all frames (empty bodies cycle 0x00) — so
+    an oracle recomputes every content statistic from the formula alone.
+    Entirely JVM-side (hex concat + ``unhex``), like the BMP/WAV path.
+    """
+    _id = F.col(id_col)
+    body = F.encode(F.coalesce(F.col(body_col), F.lit("")), "UTF-8")
+    body_hex = F.hex(body)
+
+    h = (F.lit(2) + _id % 7).cast("long")
+    frame_bytes = h * 24                                      # 8 px × RGB24
+    n_frames = (F.lit(1) + _id % 3).cast("long")
+    needed = n_frames * frame_bytes
+    padded = F.when(F.length(body_hex) > 0, body_hex).otherwise(F.lit("00"))
+    hlen = F.length(padded)
+    reps = F.floor((needed * 2 + hlen - 1) / hlen).cast("int")
+    pixel_hex = F.substr(
+        F.repeat(padded, reps), F.lit(1), (needed * 2).cast("int")
+    )
+
+    zero4 = F.lit("00000000")
+    avih = F.concat(
+        F.lit("61766968"), _le_hex(F.lit(56), 4),             # 'avih', cksize
+        _le_hex(F.lit(40000), 4),                             # µs/frame (25 fps)
+        zero4, zero4, zero4,                                  # maxbytes/padding/flags
+        _le_hex(n_frames, 4), zero4,                          # total, initial frames
+        _le_hex(F.lit(1), 4), _le_hex(frame_bytes, 4),        # streams, sugg. buffer
+        _le_hex(F.lit(8), 4), _le_hex(h, 4),                  # width, height
+        zero4, zero4, zero4, zero4,                           # reserved[4]
+    )
+    strh = F.concat(
+        F.lit("73747268"), _le_hex(F.lit(56), 4),             # 'strh', cksize
+        F.lit("76696473"), F.lit("44494220"),                 # 'vids', 'DIB '
+        zero4, zero4, zero4,                                  # flags/prio+lang/initial
+        _le_hex(F.lit(1), 4), _le_hex(F.lit(25), 4),          # scale, rate (25 fps)
+        zero4, _le_hex(n_frames, 4),                          # start, length
+        _le_hex(frame_bytes, 4), zero4, zero4,                # sugg. buffer/quality/samplesize
+        F.lit("0000"), F.lit("0000"),                         # rcFrame left, top
+        _le_hex(F.lit(8), 2), _le_hex(h, 2),                  # rcFrame right, bottom
+    )
+    strf = F.concat(
+        F.lit("73747266"), _le_hex(F.lit(40), 4),             # 'strf', cksize
+        F.lit("28000000"), F.lit("08000000"), _le_hex(h, 4),  # bi: 40, width 8, height
+        F.lit("0100"), F.lit("1800"),                         # planes, 24 bpp
+        zero4, _le_hex(frame_bytes, 4),                       # BI_RGB, image size
+        zero4, zero4, zero4, zero4,                           # ppm + palette fields
+    )
+    strl = F.concat(
+        F.lit("4C495354"), _le_hex(F.lit(4 + 64 + 48), 4), F.lit("7374726C"),
+        strh, strf,
+    )
+    hdrl = F.concat(
+        F.lit("4C495354"), _le_hex(F.lit(4 + 64 + 124), 4), F.lit("6864726C"),
+        avih, strl,
+    )
+
+    def frame(f: int):
+        data = F.substr(
+            pixel_hex,
+            (frame_bytes * 2 * f + 1).cast("int"),
+            (frame_bytes * 2).cast("int"),
+        )
+        chunk = F.concat(F.lit("30306462"), _le_hex(frame_bytes, 4), data)
+        return F.when(n_frames > f, chunk).otherwise(F.lit(""))
+
+    movi_children = n_frames * (8 + frame_bytes)              # 24h even: no pad bytes
+    movi = F.concat(
+        F.lit("4C495354"), _le_hex(movi_children + 4, 4), F.lit("6D6F7669"),
+        frame(0), frame(1), frame(2),
+    )
+    riff = F.concat(
+        F.lit("52494646"),
+        _le_hex(F.lit(4 + 200 + 12) + movi_children, 4),      # 'AVI ' + hdrl + movi
+        F.lit("41564920"),
+        hdrl, movi,
+    )
+    return df.withColumn("media", F.unhex(riff))
+
+
+def avi_frame_bytes(p: bytes) -> bytes | None:
+    """REAL AVI content decode: the concatenated pixel bytes of every
+    uncompressed DIB frame ('..db' chunks) in the ``movi`` list, via the
+    RIFF chunk walk.  Compressed ('..dc') frames are skipped; ``None``
+    for non-AVI payloads or containers without a ``movi`` list."""
+    if p[:4] != b"RIFF" or p[8:12] != b"AVI ":
+        return None
+    out = bytearray()
+    found = False
+    i = 12
+    while i + 8 <= len(p):
+        cid = p[i:i + 4]
+        csize = int.from_bytes(p[i + 4:i + 8], "little")
+        if cid == b"LIST" and p[i + 8:i + 12] == b"movi":
+            found = True
+            j, end = i + 12, min(i + 8 + csize, len(p))
+            while j + 8 <= end:
+                fsize = int.from_bytes(p[j + 4:j + 8], "little")
+                if p[j + 2:j + 4] == b"db":
+                    out += p[j + 8:j + 8 + fsize]
+                j += 8 + fsize + (fsize & 1)
+        i += 8 + csize + (csize & 1)
+    return bytes(out) if found else None
+
+
 def bmp_pixel_bytes(p: bytes) -> bytes | None:
     """REAL BMP content decode: the raw pixel array (BGR byte stream,
     stride-padded rows included) per the BITMAPINFOHEADER geometry.
@@ -521,6 +635,7 @@ def content_stats(
         # local refs: cloudpickle ships the decoders by value
         sniff, bmp_px, wav_pcm = parse_media_header, bmp_pixel_bytes, wav_pcm_samples
         png_px, gif_px, jpg_px = png_pixel_bytes, gif_pixel_bytes, jpeg_pixel_bytes
+        avi_px = avi_frame_bytes
 
         def stats_row(b) -> tuple:
             p = bytes(b) if b is not None else b""
@@ -537,6 +652,9 @@ def content_stats(
                 units = list(raw) if raw is not None else None
             elif fmt == "jpeg":
                 raw = jpg_px(p)
+                units = list(raw) if raw is not None else None
+            elif fmt == "avi":
+                raw = avi_px(p)
                 units = list(raw) if raw is not None else None
             elif fmt == "wav":
                 units = wav_pcm(p)

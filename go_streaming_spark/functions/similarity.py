@@ -301,6 +301,37 @@ def ivf_topk(
     return cosine_topk(cand, id_col, vec_col, query_vec, k)
 
 
+def ivf_quantized_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF cell pruning × int8-quantized scoring — the composed 100 TB
+    serving shape: the broadcast centroid probe prunes the scan to
+    ~nprobe/n_clusters of the corpus (partition pruning when the corpus
+    is written partitioned by cluster), and every surviving row is scored
+    with the exact-int64 quantized arithmetic that moves 4× fewer bytes
+    (:func:`quantized_cosine_topk`) — the two savings multiply.
+
+    Probe selection stays full-precision (the centroid table is tiny and
+    picking cells with quantized centroids would change WHICH cells are
+    probed); candidate scoring is quantized.  Result = quantized scores
+    restricted to the probed cells, deterministic
+    (round(cos,6) DESC, id ASC).
+    """
+    probe = (
+        cosine_topk(centroids, cluster_col, "vec", query_vec, nprobe)
+        .select(F.col("id").alias(cluster_col))
+    )
+    cand = df.join(F.broadcast(probe), cluster_col, "left_semi")
+    return quantized_cosine_topk(cand, id_col, vec_col, query_vec, k)
+
+
 def quantize_vec(v: list[float]) -> list[int]:
     """Python twin of :func:`quantize_embeddings` for a literal query
     vector — identical IEEE arithmetic, so engine and driver agree."""

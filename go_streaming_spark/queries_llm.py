@@ -1270,3 +1270,149 @@ def multimodal_jpeg_content_stats(spark, sf_dir):
     )
     media = multimodal.synthesize_payloads_jpeg(docs, "doc_id", "text")
     return multimodal.content_stats(media, "id", "media")
+
+
+@query(
+    "corpus_ingest_survivors",
+    # END-TO-END CorpusState.ingest (functions/corpus_state.py): ONE crawl
+    # batch (doc_id%10<>0) through the unified production pipeline against
+    # a corpus snapshot (doc_id%10=0) — (1) exact: byte-unseen vs corpus
+    # digests, lowest id per in-batch duplicate group; (2) near-dup: LSH
+    # bands vs the corpus MinHash index verified at exact-Jaccard >= 0.2,
+    # then in-batch pairs -> connected components -> keep min id;
+    # (3) span report: dup_span_tokens = tokens inside maximal spans of
+    # 8-grams already in the corpus gram index (plus in-survivor repeats).
+    # The oracle composes the dedup_incremental_full and
+    # dedup_spans_incremental CTEs over the SAME staged survivor sets.
+    f"""WITH RECURSIVE {_MINHASH_BANDS},
+ex AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 <> 0),
+corpus_h AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 = 0),
+uniq AS (SELECT min(doc_id) AS id FROM ex
+         WHERE h NOT IN (SELECT h FROM corpus_h) GROUP BY h),
+ci AS (SELECT DISTINCT a.id AS bid, least(a.id, b.id) AS id_a,
+        greatest(a.id, b.id) AS id_b
+       FROM bands a JOIN bands b USING(band, band_key)
+       WHERE a.id IN (SELECT id FROM uniq) AND b.id % 10 = 0),
+flagged AS (SELECT DISTINCT ci.bid FROM ci
+            JOIN jac j USING(id_a, id_b) WHERE j.jaccard >= 0.2),
+surv1 AS (SELECT id FROM uniq WHERE id NOT IN (SELECT bid FROM flagged)),
+scand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bands a JOIN bands b USING(band, band_key)
+          WHERE a.id < b.id
+            AND a.id IN (SELECT id FROM surv1)
+            AND b.id IN (SELECT id FROM surv1)),
+spairs AS (SELECT s.id_a, s.id_b FROM scand s
+           JOIN jac j USING(id_a, id_b) WHERE j.jaccard >= 0.2),
+edges AS (SELECT id_a AS u, id_b AS v FROM spairs
+          UNION SELECT id_b, id_a FROM spairs),
+reach AS (SELECT u AS node, v AS r FROM edges
+          UNION SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u),
+comp AS (SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node),
+surv AS (SELECT id FROM surv1
+         WHERE id NOT IN (SELECT node FROM comp WHERE node <> cluster_id)),
+g0 AS (SELECT doc_id AS id, unnest(list_transform(range(0, len(w)-8+1),
+          i -> {{'pos': i, 'gh': md5(array_to_string(w[i+1:i+8], ' '))}})) AS u
+       FROM ws WHERE len(w) >= 8),
+g AS (SELECT id, u.pos::bigint AS pos, u.gh AS gh FROM g0
+      WHERE id % 10 = 0 OR id IN (SELECT id FROM surv)),
+dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+fpos AS (SELECT id, pos FROM g WHERE id IN (SELECT id FROM surv)
+         AND gh IN (SELECT gh FROM dup)),
+mk AS (SELECT id, pos,
+        CASE WHEN pos > coalesce(max(pos + 8) OVER (PARTITION BY id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS new_span
+      FROM fpos),
+sp AS (SELECT id, pos, sum(new_span) OVER (PARTITION BY id ORDER BY pos) AS span_id FROM mk),
+spans AS (SELECT id, max(pos) + 8 - min(pos) AS span_tokens
+          FROM sp GROUP BY id, span_id),
+st AS (SELECT id, sum(span_tokens) AS tok FROM spans GROUP BY id)
+SELECT s.id AS doc_id, CAST(coalesce(st.tok, 0) AS BIGINT) AS dup_span_tokens
+FROM surv s LEFT JOIN st ON s.id = st.id""",
+)
+def corpus_ingest_survivors(spark, sf_dir):
+    from go_streaming_spark.functions.corpus_state import CorpusState
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 == 0)
+    batch = docs.filter(F.col("doc_id") % 10 != 0)
+    state = CorpusState.build(
+        corpus, "doc_id", "text", n=3, k=16, rows_per_band=4, gram_k=8
+    )
+    clean, _ = state.ingest(batch, "doc_id", "text", threshold=0.2)
+    return clean.select("doc_id", "dup_span_tokens")
+
+
+@query(
+    "multimodal_avi_content_stats",
+    # REAL AVI frame content decode (video tier graduates from headers):
+    # each doc becomes an uncompressed RIFF-AVI with 1+id%3 RGB24 '00db'
+    # frames of 8 x (2+id%7) pixels whose pixel stream is the body's UTF-8
+    # bytes cycled contiguously across frames
+    # (multimodal.synthesize_payloads_avi); content_stats walks the movi
+    # list back out (multimodal.avi_frame_bytes) and must reproduce the
+    # stats the oracle computes from the synthesis formula alone.  Integer
+    # sums divided once -> both engines bit-equal on mean/rms.
+    """WITH src AS (SELECT doc_id AS id, hex(encode(coalesce(text,''))) AS hx,
+         octet_length(encode(coalesce(text,''))) AS blen FROM documents),
+ph AS (SELECT id, (1 + id % 3) * (2 + id % 7) * 24 AS needed,
+        CASE WHEN blen > 0 THEN hx ELSE '00' END AS phx FROM src),
+pix AS (SELECT id, needed,
+        substr(repeat(phx, CAST((needed*2 + length(phx) - 1) // length(phx) AS INT)),
+               1, CAST(needed*2 AS INT)) AS phex FROM ph),
+v AS (SELECT id, needed,
+       CAST(('0x' || substr(phex, CAST(2*j+1 AS INT), 2)) AS BIGINT) AS v
+      FROM (SELECT id, needed, phex, unnest(range(needed)) AS j FROM pix))
+SELECT id, 'avi' AS format, count(*) AS n_units,
+       CAST(sum(v) AS BIGINT) * 1.0 / count(*) AS mean_val,
+       sqrt(CAST(sum(v*v) AS BIGINT) * 1.0 / count(*)) AS rms,
+       min(v) AS min_val, max(v) AS max_val
+FROM v GROUP BY id""",
+)
+def multimodal_avi_content_stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    media = multimodal.synthesize_payloads_avi(docs, "doc_id", "text")
+    return multimodal.content_stats(media, "doc_id", "media")
+
+
+@query(
+    "ann_ivf_quantized_topk",
+    # IVF x int8 composition (the 100 TB serving shape): full-precision
+    # label-mean centroids pick the 2 probe cells (same CTEs as
+    # ann_ivf_topk), then only rows in those cells are scored with the
+    # exact-int64 quantized cosine (same arithmetic as ann_quantized_topk)
+    # -- cell pruning and the 4x byte reduction multiply
+    f"""WITH q AS (SELECT embedding::DOUBLE[] qv FROM embeddings WHERE vec_id=0),
+v AS (SELECT vec_id id, label, embedding::DOUBLE[] e FROM embeddings WHERE vec_id <> 0),
+cent AS (SELECT label, j, round(avg(e[CAST(j AS INT)]), 6) cv
+         FROM v, (SELECT unnest(range(1,65)) j) jj GROUP BY 1,2),
+centv AS (SELECT label, list(cv ORDER BY j) cvec FROM cent GROUP BY 1),
+probe AS (SELECT label FROM centv, q
+          ORDER BY round({_COS('cvec','q.qv')}, 6) DESC, label LIMIT 2),
+qq AS (SELECT CASE WHEN amax > 0
+              THEN list_transform(qv, x -> CAST(floor(x/(amax/127.0) + 0.5) AS BIGINT))
+              ELSE list_transform(qv, x -> CAST(0 AS BIGINT)) END AS qq
+       FROM (SELECT qv, list_max(list_transform(qv, x -> abs(x))) AS amax FROM q)),
+cq AS (SELECT id,
+         CASE WHEN amax > 0
+              THEN list_transform(e, x -> CAST(floor(x/(amax/127.0) + 0.5) AS BIGINT))
+              ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS qv
+       FROM (SELECT v.id, v.e,
+               list_max(list_transform(v.e, x -> abs(x))) AS amax
+             FROM v JOIN probe USING(label)))
+SELECT id,
+  round(CAST(list_sum(list_transform(range(1,65), i -> qv[i]*qq.qq[i])) AS DOUBLE) /
+        (sqrt(CAST(list_sum(list_transform(range(1,65), i -> qv[i]*qv[i])) AS DOUBLE)) *
+         sqrt(CAST(list_sum(list_transform(range(1,65), i -> qq.qq[i]*qq.qq[i])) AS DOUBLE))),
+        6) AS cos_sim
+FROM cq, qq ORDER BY cos_sim DESC, id LIMIT 10""",
+)
+def ann_ivf_quantized_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    cent = similarity.label_centroids(corpus, "label", "embedding", dim=64)
+    return similarity.ivf_quantized_topk(
+        corpus, "vec_id", "embedding", "label", cent, qv, k=10, nprobe=2
+    )

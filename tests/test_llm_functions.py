@@ -906,6 +906,50 @@ def test_quantized_cosine_matches_exact_ranking(spark):
     assert len(set(exact) & set(quant)) >= 8, f"overlap too low: {set(exact) & set(quant)}"
 
 
+def test_ivf_quantized_composition(spark):
+    """ivf_quantized_topk = quantized scoring restricted to the probed
+    cells: probing every cluster must equal the full quantized scan
+    bit-for-bit, and nprobe=2 must equal quantized scoring over exactly
+    the rows ivf_topk's probe admits."""
+    emb = _emb(spark)
+    qv = _query_vec(emb)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    cent = similarity.label_centroids(corpus, "label", "embedding", dim=64)
+    nlabels = cent.count()
+    full = [
+        (r.id, r.cos_sim)
+        for r in similarity.quantized_cosine_topk(
+            corpus, "vec_id", "embedding", qv, 10
+        ).collect()
+    ]
+    allprobe = [
+        (r.id, r.cos_sim)
+        for r in similarity.ivf_quantized_topk(
+            corpus, "vec_id", "embedding", "label", cent, qv, k=10, nprobe=nlabels
+        ).collect()
+    ]
+    assert allprobe == full
+    # nprobe=2: recompute the probe set independently, then quantized-score it
+    probe = {
+        r.id
+        for r in similarity.cosine_topk(cent, "label", "vec", qv, 2).collect()
+    }
+    cand = corpus.filter(F.col("label").isin([int(p) for p in probe]))
+    want = [
+        (r.id, r.cos_sim)
+        for r in similarity.quantized_cosine_topk(
+            cand, "vec_id", "embedding", qv, 10
+        ).collect()
+    ]
+    got = [
+        (r.id, r.cos_sim)
+        for r in similarity.ivf_quantized_topk(
+            corpus, "vec_id", "embedding", "label", cent, qv, k=10, nprobe=2
+        ).collect()
+    ]
+    assert got == want
+
+
 def test_quantize_vec_bounds_and_zero():
     assert similarity.quantize_vec([0.0, 0.0]) == [0, 0]
     q = similarity.quantize_vec([-1.0, 0.5, 1.0])
@@ -1290,6 +1334,76 @@ def test_parse_media_header_avi():
     # truncated AVI → NULLs, not garbage
     t = multimodal.parse_media_header(_avi_bytes(640, 360, 33333, 300)[:20])
     assert t["format"] is None
+
+
+def test_avi_frame_bytes_roundtrip(spark):
+    """synthesize_payloads_avi → avi_frame_bytes reconstructs exactly the
+    cycled body bytes across all '00db' frames, for every (height,
+    n_frames) combination id%21 produces."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"payload {i} " * (i % 4)) for i in range(21)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = multimodal.synthesize_payloads_avi(
+        df.select("doc_id", F.coalesce("text", F.lit("")).alias("text")),
+        "doc_id", "text",
+    ).collect()
+    assert len(out) == 21
+    for r in out:
+        p = bytes(r.media)
+        i = r.doc_id
+        h, nf = 2 + i % 7, 1 + i % 3
+        body = (r.text or "").encode() or b"\x00"
+        needed = nf * 24 * h
+        want = (body * (needed // len(body) + 1))[:needed]
+        hdr = multimodal.parse_media_header(p)
+        assert (hdr["format"], hdr["width"], hdr["height"]) == ("avi", 8, h)
+        assert hdr["duration_ms"] == 40000 * nf // 1000
+        assert multimodal.avi_frame_bytes(p) == want, i
+
+
+def test_avi_frame_bytes_rejects_malformed():
+    """Truncation / missing movi / compressed-only frames degrade to None
+    or partial bytes, never raise."""
+    import struct
+
+    # build one good payload without a session dependency: reuse the spec
+    # layout from _avi_bytes plus a movi list with one 00db frame
+    frame = bytes(range(48))
+    movi = b"movi" + b"00db" + struct.pack("<I", len(frame)) + frame
+    hdr = _avi_bytes(8, 2, 40000, 1)
+    good = hdr + b"LIST" + struct.pack("<I", len(movi)) + movi
+    assert multimodal.avi_frame_bytes(good) == frame
+    # no movi list at all → None (header-only AVI)
+    assert multimodal.avi_frame_bytes(hdr) is None
+    # compressed frames ('00dc') are skipped → empty bytes, not garbage
+    movi_dc = b"movi" + b"00dc" + struct.pack("<I", len(frame)) + frame
+    only_dc = hdr + b"LIST" + struct.pack("<I", len(movi_dc)) + movi_dc
+    assert multimodal.avi_frame_bytes(only_dc) == b""
+    # non-AVI and truncated payloads → None
+    assert multimodal.avi_frame_bytes(b"RIFF\x00\x00\x00\x00WAVE") is None
+    assert multimodal.avi_frame_bytes(good[:30]) is None or isinstance(
+        multimodal.avi_frame_bytes(good[:30]), bytes
+    )
+
+
+def test_avi_frame_bytes_never_raises_on_arbitrary_bytes():
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    frame = bytes(range(48))
+    movi = b"movi" + b"00db" + struct.pack("<I", len(frame)) + frame
+    seed = _avi_bytes(8, 2, 40000, 1) + b"LIST" + struct.pack("<I", len(movi)) + movi
+
+    @settings(max_examples=150, deadline=None)
+    @given(cut=st.integers(0, len(seed)), tail=st.binary(max_size=64))
+    def run(cut, tail):
+        out = multimodal.avi_frame_bytes(seed[:cut] + tail)
+        assert out is None or isinstance(out, bytes)
+
+    run()
 
 
 def test_temperature_weights_pow_path(spark):
