@@ -31,45 +31,53 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate runs the FIRST 50 queries in registration
-# order.  Round-6 rotation (the r5 verdict's pre-committed staleness fix):
-# (a) the 11 queries whose last driver-green row is r3 — two rounds
-# unwatched — lead; (b) the 3 queries added this round earn their first
-# hard rows; (c) 36 of the 45 r4-green rows fill the remaining slots.  The
-# 9 deferred r4 greens (counting_window_sliding/_skip/_per_type,
-# window_join_left/_sliding, fan_in_per_source, stream_window_sum_per_user,
-# window_sampling, set_except_user_days — each a close variant of a row
-# that IS gated this round: counting_window_tumbling, window_join_inner,
-# fan_in_sum, stream_window_sum_tumbling, window_count_sliding,
-# set_intersect_users) are exactly two rounds old at end of r6 and MUST
-# lead the r7 rotation together with the 45 r5-green rows and the queries
-# added in r6 after the gate was frozen (dedup_substring_spans,
-# vocab_top_bigrams, weighted_sample_ids, ann_quantized_topk, ... — every
-# registration newer than this list).
+# order.  Round-7 rotation (honoring the r6 pre-commitment): (a) the 9
+# queries whose last driver-green row is r4 — two rounds unwatched — lead;
+# (b) the 16 r6 registrations that have never faced the driver earn their
+# first hard rows; (c) the queries added THIS round (corpus_ingest_survivors,
+# multimodal_avi_content_stats, ann_ivf_quantized_topk) follow; (d) 22 of
+# the 50 r5-green rows fill the remaining slots, picked by touched-code
+# risk: json_struct_extract (oracle TRY_CAST fix), stat_aggregates (moment
+# template refactor), dedup_incremental_minhash (cache registry), the
+# similarity family (new composition in the same module), the multimodal
+# family (AVI decode in the same module), and the text/dedup rows closest
+# to this round's edits.  The 28 deferred r5 greens (anti_join_no_urgent_
+# customers, chunk_documents, convert_long, cube_revenue,
+# decontaminate_counts, distinct_users_per_type, doc_repetition_scores,
+# filter_contains/_even/_odd/_smaller, flatmap_chars,
+# grouping_sets_revenue, hash_split_counts, limit_first, map_affine,
+# mixture_sample_counts, observe_passthrough, part_type_stats, redact_pii,
+# select_from_map, semi_join_urgent_customers, stratified_sample_counts,
+# stream_counting_window_sum, stream_static_enrich, tokenize_wordcount,
+# topk_orders, value_percentiles) are exactly two rounds old at end of r7
+# and MUST lead the r8 rotation together with every registration newer
+# than this list.
 GATE_PRIORITY = [
-    # (a) last green in r3 — the mandatory staleness fix
-    "filter_greater", "pandas_udf_normalize", "small_qty_revenue",
-    "disjunctive_filter_revenue", "funnel_counts", "moving_range_sum",
-    "rank_distributions", "custdist_order_counts",
-    "above_avg_balance_by_nation", "big_order_customers",
-    "sole_return_suppliers",
-    # (b) added this round — new work must earn hard rows
-    "dedup_incremental_indexed",    # NEW: prebuilt band-index ingestion API
-    "dedup_incremental_full",       # NEW: batch-vs-corpus + in-batch resolution
-    "multimodal_content_stats",     # NEW: real BMP-pixel / WAV-PCM decode
-    # (c) r4-green rows re-gated before they cross the staleness line
-    "pivot_status_counts", "burst_follow_counts", "asof_forward_next_purchase",
-    "approx_distinct_users", "approx_value_percentiles",
-    "window_count_dense_errors", "stream_window_sum_tumbling",
-    "stream_window_join_inner", "stream_dedup_exact",
-    "stream_session_window_count", "dedup_simhash", "window_sum_tumbling",
-    "window_sum_per_user", "window_count_sliding", "window_join_inner",
-    "window_lineage", "counting_window_tumbling", "fan_in_sum",
-    "session_window_count", "asof_join_signup", "event_gaps",
-    "running_totals", "revenue_by_dow", "set_intersect_users",
-    "dedup_incremental_exact", "corpus_shuffle_order", "winsorized_stats",
-    "pricing_summary", "regional_revenue", "star_join_agg", "rollup_revenue",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_clusters", "rank_topn_per_segment",
+    # (a) last green in r4 — the mandatory staleness fix
+    "counting_window_sliding", "counting_window_skip",
+    "counting_window_per_type", "window_join_left", "window_join_sliding",
+    "fan_in_per_source", "stream_window_sum_per_user", "window_sampling",
+    "set_except_user_days",
+    # (b) registered in r6 after the gate froze — first hard rows
+    "dedup_substring_spans", "dedup_spans_incremental",
+    "dedup_spans_keep_first", "vocab_top_bigrams", "weighted_sample_ids",
+    "ann_quantized_topk", "temperature_mixture_counts", "contamination_rates",
+    "gopher_quality_flags", "cms_word_counts", "heavy_hitter_words",
+    "stratified_fixed_counts", "join_key_skew_stats",
+    "multimodal_png_content_stats", "multimodal_gif_content_stats",
+    "multimodal_jpeg_content_stats",
+    # (c) added this round — new work must earn hard rows
+    "corpus_ingest_survivors",       # NEW: unified CorpusState.ingest e2e
+    "multimodal_avi_content_stats",  # NEW: real AVI frame-pixel decode
+    "ann_ivf_quantized_topk",        # NEW: IVF cell pruning × int8 scoring
+    # (d) r5-green rows nearest this round's edits
+    "json_struct_extract", "stat_aggregates", "dedup_incremental_minhash",
+    "dedup_normalized_exact", "ann_cosine_topk", "ann_ivf_topk",
+    "ann_lsh_topk", "dedup_embedding_cosine", "dedup_embedding_cosine_blocked",
+    "multimodal_binary_meta", "multimodal_features", "multimodal_frame_plan",
+    "multimodal_transform_chain", "tfidf_top_terms", "timeseries_znorm_search",
+    "text_quality", "text_lang_id", "text_token_counts", "text_fingerprint",
+    "pack_sequences", "pipeline_clean_corpus", "knn_label_vote",
 ]
 
 
