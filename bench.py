@@ -63,6 +63,9 @@ HEADLINE = [
     "multimodal_png_content_stats",  # real PNG inflate+defilter decode (round 6)
     "multimodal_gif_content_stats",  # real GIF LZW decode (round 6)
     "multimodal_jpeg_content_stats", # real baseline-JPEG Huffman+DCT decode (round 6)
+    "corpus_ingest_survivors",  # unified CorpusState.ingest end-to-end (round 7)
+    "multimodal_avi_content_stats",  # real AVI movi-frame pixel decode (round 7)
+    "ann_ivf_quantized_topk",   # IVF cell pruning x int8 scoring (round 7)
 ]
 
 

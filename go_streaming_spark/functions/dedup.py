@@ -157,6 +157,132 @@ def incremental_exact_dedup(
     return batch.join(seen, "content_hash", "left_anti")
 
 
+def incremental_exact_dedup_bloom(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    content_cols: list[str],
+    k: int = 4,
+    m_bits: int = 65_536,
+) -> DataFrame:
+    """Bloom-prefiltered incremental exact dedup — output ≡
+    :func:`incremental_exact_dedup` (same digest, same keep-lowest-id
+    rule); the filter changes only the COST:
+
+    The corpus reduces to a fixed-size (word, bits) Bloom filter
+    (``ceil(m_bits/60)`` longs regardless of corpus size, mergeable by
+    bit_or — the set-membership sibling of the CMS).  Batch digest groups
+    test membership MAP-SIDE against the driver-collected filter; a Bloom
+    filter has NO false negatives, so 'not in filter' rows are definitely
+    new and skip the anti-join entirely — at 100 TB the overwhelmingly-new
+    crawl mass never shuffles against the corpus.  Only maybe-seen digests
+    (true dups + the ~(1-e^-kn/m)^k false-positive sliver) reach the exact
+    digest anti-join that makes the result exact.
+    """
+    from go_streaming_spark.functions import sketch as sk
+
+    digest = F.md5(F.concat_ws("", *content_cols))
+    batch = (
+        new_df.withColumn("content_hash", digest)
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+    corpus_dig = corpus_df.select(digest.alias("content_hash"))
+    bloom = sk.bloom_build(corpus_dig, "content_hash", k, m_bits)
+    maybe = sk.bloom_maybe_contains(bloom, F.col("content_hash"), k, m_bits)
+    fresh = batch.filter(~maybe)
+    verified = batch.filter(maybe).join(
+        corpus_dig.distinct(), "content_hash", "left_anti"
+    )
+    return fresh.unionByName(verified)
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact TOKEN-SET Jaccard pairs ≥ ``threshold`` via PREFIX FILTERING
+    (the PPJoin family: Chaudhuri et al. 2006, Xiao et al. 2008) — the
+    provably-exact alternative to LSH candidate generation.
+
+    Order each doc's distinct tokens by ascending global document
+    frequency (rarest first, ties by token); two sets whose first
+    ``s - floor(t*s) + 1`` tokens (one longer than the canonical
+    ``s - ceil(t*s) + 1`` — floor sidesteps float-boundary ceil flips and
+    can only widen the prefix, preserving soundness) are DISJOINT cannot
+    reach Jaccard ``t`` — so the inverted-index self-join runs over prefix
+    tokens only, and rare tokens generate almost no pairs.  Exact-Jaccard
+    verification then touches candidates only.
+
+    Scale: the candidate join shuffles prefix tokens (a vanishing fraction
+    of all tokens at high thresholds), and the global frequency table is a
+    one-pass groupBy — no signatures, no probability of a missed pair.
+    Emits (id_a < id_b, n_common, jaccard ≥ t), identical to the
+    brute-force token-set result.
+    """
+    from pyspark.sql.window import Window
+
+    toks = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.col(text_col), r"\s+"), lambda w: w != ""
+                    )
+                )
+            ).alias("token"),
+        )
+    )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        toks.join(dfreq, "token")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("df", "token")
+            ),
+        )
+        .join(sizes, "id")
+        .filter(
+            F.col("rnk")
+            <= F.col("n_tok") - F.floor(F.lit(threshold) * F.col("n_tok")) + 1
+        )
+        .select("id", "token")
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cand = (
+        a.join(b, "token")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ta = toks.select(F.col("id").alias("id_a"), "token")
+    tb = toks.select(F.col("id").alias("id_b"), "token")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_tok").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
 class MinHashIndex(NamedTuple):
     """Persisted corpus-side state for incremental near-dup ingestion.
 

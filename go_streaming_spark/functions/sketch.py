@@ -144,3 +144,73 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("n_occ"))
         .filter(F.col("n_occ") >= min_count)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970): the mergeable SET-MEMBERSHIP sketch
+# ---------------------------------------------------------------------------
+# State = (word, bits) rows over 60-bit words (60, not 64: both engines
+# shift 1<<pos as signed int64, and pos <= 59 keeps every word positive —
+# no signed-overflow divergence).  Two filters merge by bit_or on word.
+# No false negatives ever, so "not in filter" is a SOUND fast path.
+
+BLOOM_WORD = 60
+
+
+def bloom_probe_bits(key: Column, j: int, m_bits: int) -> Column:
+    """Bit index of hash ``j`` for ``key``: same universal-hash family as
+    minhash/CMS — int64-exact and engine-portable."""
+    h = md5_int(key.cast("string"))
+    return ((F.lit(MINHASH_A[j]) * h + F.lit(MINHASH_B[j])) % MINHASH_P) % m_bits
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, k: int = 4, m_bits: int = 65_536
+) -> DataFrame:
+    """Build the filter table (word, bits) over ``key_col``.
+
+    One explode (k rows per input) + one map-side-combined bit_or groupBy;
+    the shuffle carries at most ``ceil(m_bits/60)`` words per partition.
+    Merge two filters (e.g. per-snapshot builds) by unioning and bit_or
+    on word.
+    """
+    if not 1 <= k <= len(MINHASH_A):
+        raise ValueError(f"k must be in [1, {len(MINHASH_A)}]")
+    key = F.col(key_col)
+    probes = F.array(*[bloom_probe_bits(key, j, m_bits) for j in range(k)])
+    return (
+        spread(df)
+        .select(F.explode(probes).alias("bit"))
+        .select(
+            (F.col("bit") / BLOOM_WORD).cast("long").alias("word"),
+            F.shiftleft(F.lit(1).cast("long"), (F.col("bit") % BLOOM_WORD).cast("int")).alias("b"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+
+
+def bloom_maybe_contains(
+    bloom: DataFrame, key: Column, k: int = 4, m_bits: int = 65_536
+) -> Column:
+    """Map-side membership test: collect the FIXED-SIZE word table to the
+    driver (≤ ceil(m_bits/60) longs — the broadcast-a-summary shape,
+    bounded regardless of data size), embed it as an array literal, and
+    evaluate ``all k probe bits set`` as a JVM expression per row.
+
+    Returns a boolean Column usable in any filter — ``false`` is definite
+    (no false negatives), ``true`` needs exact verification downstream.
+    """
+    n_words = (m_bits + BLOOM_WORD - 1) // BLOOM_WORD
+    table = [0] * n_words
+    for r in bloom.collect():
+        table[r["word"]] = r["bits"]
+    arr = F.lit(table)
+    cond = None
+    for j in range(k):
+        bit = bloom_probe_bits(key, j, m_bits)
+        word = F.element_at(arr, (bit / BLOOM_WORD).cast("int") + 1)
+        mask = F.shiftleft(F.lit(1).cast("long"), (bit % BLOOM_WORD).cast("int"))
+        hit = word.bitwiseAND(mask) != 0
+        cond = hit if cond is None else cond & hit
+    return cond

@@ -125,3 +125,47 @@ def test_checkpoint_preserves_state_semantics(spark):
     mem, _ = st.ingest(batch, "doc_id", "text")
     chk, _ = st.checkpoint().ingest(batch, "doc_id", "text")
     assert sorted(map(str, mem.collect())) == sorted(map(str, chk.collect()))
+
+
+def _plan_depth(df) -> int:
+    return df._jdf.queryExecution().optimizedPlan().toString().count("\n")
+
+
+def test_ingest_loop_plan_depth_bounded(spark):
+    """The iterative-lineage trap, regression-guarded: each ingest layers a
+    union+dedup over the previous state, so an unbounded loop grows plan
+    depth linearly — checkpoint() every 2 batches must reset every state
+    frame to a constant-depth scan, round after round."""
+    st = CorpusState.build(_df(spark, CORPUS), "doc_id", "text").checkpoint()
+    base = max(
+        _plan_depth(f)
+        for f in (st.digests, st.minhash.bands, st.minhash.shingles,
+                  st.grams, st.cms)
+    )
+    depths = []
+    uncheckpointed = None
+    for b in range(6):
+        batch = _df(spark, [
+            (1000 + 10 * b + j,
+             f"round {b} document {j} with its own fresh vocabulary "
+             f"w{b}a{j} w{b}b{j} w{b}c{j} w{b}d{j} w{b}e{j} w{b}f{j}")
+            for j in range(2)
+        ])
+        clean, st = st.ingest(batch, "doc_id", "text")
+        clean.count()  # drive each batch like a real foreachBatch loop
+        if b == 1:
+            # sanity: the metric detects growth — two un-checkpointed
+            # ingests must have deepened the digest plan
+            uncheckpointed = _plan_depth(st.digests)
+        if b % 2 == 1:
+            st = st.checkpoint()
+            depths.append(max(
+                _plan_depth(f)
+                for f in (st.digests, st.minhash.bands, st.minhash.shingles,
+                          st.grams, st.cms)
+            ))
+    assert uncheckpointed > base, (uncheckpointed, base)
+    # every post-checkpoint depth identical and scan-shaped: lineage does
+    # not accumulate across checkpoint rounds
+    assert depths == [depths[0]] * len(depths), depths
+    assert depths[0] <= base, (depths, base)

@@ -180,12 +180,49 @@ def pairs_decade() -> None:
         print(json.dumps({"sf": sf, "pairs_probe": out}), flush=True)
 
 
+def ingest_loop() -> None:
+    """Composed CorpusState.ingest loop at sf0.1 → sf≈1: 4 batches with
+    checkpoint() every 2 — per-batch wall time must stay FLAT across
+    batches (the lineage-truncation cadence defeats the iterative-lineage
+    trap), and the whole loop must scale ~linearly in data.  Run in a
+    process that did NOT build (see module docstring)."""
+    from go_streaming_spark.functions.corpus_state import CorpusState
+    from go_streaming_spark.session import get_session
+
+    spark = get_session("scale-sweep-ingest")
+    spark.sparkContext.setLogLevel("ERROR")
+    for sf, sf_dir in [(0.1, SRC), (1.0, DST)]:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        corpus = docs.filter(F.col("doc_id") % 10 == 0)
+        t0 = time.time()
+        st = CorpusState.build(corpus, "doc_id", "text").checkpoint()
+        out = {"build_sec": round(time.time() - t0, 2)}
+        for b in range(4):
+            batch = docs.filter(
+                (F.col("doc_id") % 10 != 0)
+                & ((F.col("doc_id") / 10).cast("long") % 4 == b)
+            )
+            t0 = time.time()
+            clean, st = st.ingest(batch, "doc_id", "text", threshold=0.2)
+            n = clean.count()
+            sec = round(time.time() - t0, 2)
+            if b % 2 == 1:
+                t1 = time.time()
+                st = st.checkpoint()
+                out[f"ckpt{b}_sec"] = round(time.time() - t1, 2)
+            out[f"batch{b}"] = {"sec": sec, "survivors": n}
+        print(json.dumps({"sf": sf, "ingest_loop": out}), flush=True)
+
+
 def main() -> None:
     from go_streaming_spark.session import get_session
     import __spark_entry__ as entry_mod
 
     if "--pairs" in sys.argv:
         pairs_decade()
+        return
+    if "--ingest-loop" in sys.argv:
+        ingest_loop()
         return
     spark = get_session("scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
