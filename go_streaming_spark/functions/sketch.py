@@ -183,7 +183,13 @@ def bloom_build(
         .select(F.explode(probes).alias("bit"))
         .select(
             (F.col("bit") / BLOOM_WORD).cast("long").alias("word"),
-            F.shiftleft(F.lit(1).cast("long"), (F.col("bit") % BLOOM_WORD).cast("int")).alias("b"),
+            # call_function: the F.shiftleft wrapper only takes a literal
+            # shift; SQL shiftleft accepts a Column
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (F.col("bit") % BLOOM_WORD).cast("int"),
+            ).alias("b"),
         )
         .groupBy("word")
         .agg(F.bit_or("b").alias("bits"))
@@ -210,7 +216,146 @@ def bloom_maybe_contains(
     for j in range(k):
         bit = bloom_probe_bits(key, j, m_bits)
         word = F.element_at(arr, (bit / BLOOM_WORD).cast("int") + 1)
-        mask = F.shiftleft(F.lit(1).cast("long"), (bit % BLOOM_WORD).cast("int"))
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (bit % BLOOM_WORD).cast("int")
+        )
         hit = word.bitwiseAND(mask) != 0
         cond = hit if cond is None else cond & hit
     return cond
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007): the mergeable CARDINALITY sketch
+# ---------------------------------------------------------------------------
+# State = (register, max_rank) rows, at most m = 2^p per group; two
+# sketches merge by MAX on register — the shape that survives incremental
+# ingestion (union + groupBy-max) and per-partition partial aggregation.
+# All math is integer (60-bit md5 prefix, bit-length rank via comparison
+# chain, register sum as exact int64), so estimates are bit-identical
+# across engines; only the final single division is floating point.
+
+HLL_BITS = 60  # md5 15-hex-digit prefix
+
+
+def hll_rank_case_sql(w_sym: str, bits: int) -> str:
+    """rank = (bits - bitlen(w)) + 1 — leading-zero count + 1 over the
+    low ``bits`` of the hash, as a pure integer comparison chain (shared
+    VERBATIM by the Spark expression and the DuckDB oracle: identical
+    integer compares, no log2 float hazards)."""
+    cases = " ".join(
+        f"WHEN {w_sym} >= {1 << (b - 1)} THEN {bits - b + 1}"
+        for b in range(bits, 0, -1)
+    )
+    return f"(CASE {cases} ELSE {bits + 1} END)"
+
+
+def hll_build(df: DataFrame, key_col: str, p: int = 12) -> DataFrame:
+    """Build the sketch table (reg, max_rank) over ``key_col``.
+
+    One map-side-combined groupBy; the shuffle carries at most m = 2^p
+    rows per partition regardless of data size.  Merge two sketches by
+    unioning and taking max(max_rank) on reg.
+    """
+    if not 4 <= p <= 18:
+        raise ValueError("p must be in [4, 18]")
+    bits = HLL_BITS - p
+    h = md5_int(F.col(key_col).cast("string"), hex_chars=15)
+    hashed = spread(df).select(h.alias("_h"))
+    rw = hashed.select(
+        F.expr(f"_h div {1 << bits}").alias("reg"),
+        F.expr(f"_h % {1 << bits}").alias("w"),
+    )
+    rank = F.expr(hll_rank_case_sql("w", bits))
+    return rw.select("reg", rank.alias("rank")).groupBy("reg").agg(
+        F.max("rank").alias("max_rank")
+    )
+
+
+def hll_alpha_mm_scaled(p: int) -> float:
+    """alpha_m * m^2 * 2^50 as ONE Python double, embedded as a literal in
+    both engines' estimate expressions (identical value by construction)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return alpha * m * m * float(1 << 50)
+
+
+def hll_estimate(sketch: DataFrame, p: int) -> DataFrame:
+    """Raw HLL estimate from a sketch table: one row
+    (s_int, n_regs, est).
+
+    ``s_int = Σ_j 2^(50 - M_j)`` over all m registers (absent register →
+    M=0 → 2^50) is EXACT int64 (max m·2^50 = 2^62 at p=12), so the only
+    float op is the final ``alpha·m²·2^50 / s_int`` division — correctly
+    rounded, bit-identical across engines.  The small/large-range bias
+    corrections of the paper are deliberately NOT applied here: they need
+    ln(), whose last-ulp rounding differs between libms — callers wanting
+    the corrected estimate apply it to the returned exact state.
+    """
+    m = 1 << p
+    c = hll_alpha_mm_scaled(p)
+    term = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), (50 - F.col("max_rank")).cast("int")
+    )
+    return (
+        sketch.agg(
+            F.sum(term).alias("_s_present"),
+            F.count(F.lit(1)).alias("n_regs"),
+        )
+        .select(
+            (
+                F.col("_s_present")
+                + (F.lit(m) - F.col("n_regs")) * F.lit(1 << 50)
+            ).alias("s_int"),
+            F.col("n_regs"),
+        )
+        .select(
+            "s_int",
+            "n_regs",
+            F.expr(f"floor(({c!r}D / CAST(s_int AS DOUBLE))*1e6 + 0.5)/1e6").alias(
+                "est"
+            ),
+        )
+    )
+
+
+def hll_grouped(
+    df: DataFrame, group_col: str, key_col: str, p: int = 12
+) -> DataFrame:
+    """Per-group HLL cardinality estimate: (group, s_int, n_regs, est) —
+    the grouped composition of :func:`hll_build` + :func:`hll_estimate`
+    in two map-side-combined shuffles on (group, reg) then (group)."""
+    m = 1 << p
+    bits = HLL_BITS - p
+    c = hll_alpha_mm_scaled(p)
+    h = md5_int(F.col(key_col).cast("string"), hex_chars=15)
+    rw = spread(df).select(F.col(group_col).alias("grp"), h.alias("_h")).select(
+        "grp",
+        F.expr(f"_h div {1 << bits}").alias("reg"),
+        F.expr(f"_h % {1 << bits}").alias("w"),
+    )
+    rank = F.expr(hll_rank_case_sql("w", bits))
+    sk = rw.select("grp", "reg", rank.alias("rank")).groupBy("grp", "reg").agg(
+        F.max("rank").alias("max_rank")
+    )
+    term = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), (50 - F.col("max_rank")).cast("int")
+    )
+    return (
+        sk.groupBy("grp")
+        .agg(F.sum(term).alias("_sp"), F.count(F.lit(1)).alias("n_regs"))
+        .select(
+            F.col("grp").alias(group_col),
+            (F.col("_sp") + (F.lit(m) - F.col("n_regs")) * F.lit(1 << 50)).alias(
+                "s_int"
+            ),
+            "n_regs",
+        )
+        .select(
+            group_col,
+            "s_int",
+            "n_regs",
+            F.expr(f"floor(({c!r}D / CAST(s_int AS DOUBLE))*1e6 + 0.5)/1e6").alias(
+                "est"
+            ),
+        )
+    )

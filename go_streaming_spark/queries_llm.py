@@ -1416,3 +1416,88 @@ def ann_ivf_quantized_topk(spark, sf_dir):
     return similarity.ivf_quantized_topk(
         corpus, "vec_id", "embedding", "label", cent, qv, k=10, nprobe=2
     )
+
+
+@query(
+    "dedup_incremental_bloom",
+    # Bloom-prefiltered incremental exact dedup: IDENTICAL semantics (and
+    # oracle) to dedup_incremental_exact -- the corpus reduces to a
+    # fixed-size bit table, batch digests test membership map-side, and
+    # only maybe-seen digests (true dups + ~fp sliver) reach the exact
+    # anti-join; a Bloom filter has no false negatives, so the skipped
+    # mass is provably new (functions/sketch.py bloom_*)
+    "WITH corpus AS (SELECT md5(text) AS content_hash FROM documents"
+    "  WHERE doc_id % 10 = 0),"
+    " batch AS (SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,"
+    "   count(*) AS n_copies FROM documents WHERE doc_id % 10 <> 0 GROUP BY 1)"
+    " SELECT b.content_hash, b.keep_id, b.n_copies FROM batch b"
+    " WHERE NOT EXISTS (SELECT 1 FROM corpus c"
+    "  WHERE c.content_hash = b.content_hash)",
+)
+def dedup_incremental_bloom(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 == 0)
+    new_batch = docs.filter(F.col("doc_id") % 10 != 0)
+    return dedup.incremental_exact_dedup_bloom(
+        new_batch, corpus, "doc_id", ["text"]
+    )
+
+
+@query(
+    "dedup_prefix_jaccard",
+    # exact TOKEN-SET Jaccard pairs >= 0.9 via prefix filtering (PPJoin
+    # family): candidate pairs must share a token in the rarest
+    # s - floor(t*s) + 1 tokens of each doc (global df order) -- provably
+    # no missed pairs, so the oracle is the plain all-pairs recompute
+    """WITH tok AS (SELECT DISTINCT doc_id id, unnest(list_filter(regexp_split_to_array(text,'\\s+'), x->x<>'')) token
+             FROM documents),
+sizes AS (SELECT id, count(*) n FROM tok GROUP BY id),
+inter AS (SELECT a.id id_a, b.id id_b, count(*) n_common
+          FROM tok a JOIN tok b USING(token) WHERE a.id < b.id GROUP BY 1, 2),
+jac AS (SELECT id_a, id_b, n_common,
+          n_common/(sa.n + sb.n - n_common) AS jaccard
+        FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id)
+SELECT id_a, id_b, n_common, jaccard FROM jac WHERE jaccard >= 0.9""",
+)
+def dedup_prefix_jaccard(spark, sf_dir):
+    return dedup.jaccard_pairs_prefix(_docs(spark, sf_dir), "doc_id", "text", 0.9)
+
+
+# HLL oracle shares the engine's generated integer-comparison rank chain
+# verbatim and its Python-computed alpha*m^2*2^50 literal — the only float
+# op on either side is the final division (correctly rounded), so the
+# estimate is bit-identical.
+from go_streaming_spark.functions import sketch as _sk  # noqa: E402
+
+_HLL_P = 12
+_HLL_RANK48 = _sk.hll_rank_case_sql("w", 60 - _HLL_P)
+_HLL_C = _sk.hll_alpha_mm_scaled(_HLL_P)
+
+
+@query(
+    "hll_user_cardinality",
+    # per-event-type distinct-user cardinality the SKETCH way: fixed
+    # 2^12-register state per group, mergeable by max — the incremental /
+    # cross-partition shape exact distinct can't give at 100 TB.  s_int is
+    # the exact integer register sum, so correctness is bit-checked, not
+    # tolerance-checked.
+    f"""WITH h AS (SELECT event_type,
+        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+       FROM events),
+rw AS (SELECT event_type, hv // {1 << (60 - _HLL_P)} AS reg,
+        hv % {1 << (60 - _HLL_P)} AS w FROM h),
+sk AS (SELECT event_type, reg, max({_HLL_RANK48}) AS max_rank
+       FROM rw GROUP BY 1, 2),
+agg AS (SELECT event_type,
+         CAST(sum(1::BIGINT << CAST(50 - max_rank AS INT)) AS BIGINT) AS sp,
+         count(*) AS n_regs
+        FROM sk GROUP BY 1)
+SELECT event_type,
+       sp + ({1 << _HLL_P} - n_regs) * {1 << 50} AS s_int,
+       n_regs,
+       floor(({_HLL_C!r} / CAST(sp + ({1 << _HLL_P} - n_regs) * {1 << 50} AS DOUBLE))*1e6 + 0.5)/1e6 AS est
+FROM agg""",
+)
+def hll_user_cardinality(spark, sf_dir):
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    return _sk.hll_grouped(ev, "event_type", "user_id", p=_HLL_P)

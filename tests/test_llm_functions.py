@@ -1565,3 +1565,119 @@ def test_results_independent_of_shuffle_partitioning(spark):
     assert alt.conf.get("spark.sql.shuffle.partitions") == "7"
     for name in names:
         assert rows(spark, name) == rows(alt, name), name
+
+
+def test_hll_estimate_accuracy_and_merge(spark):
+    """HLL at p=12: estimate within a few % of exact distinct, and the
+    sketch merges losslessly (build on halves + groupBy-max == build on
+    the whole — the incremental-ingestion contract)."""
+    from go_streaming_spark.functions import sketch
+
+    df = spark.range(0, 120_000).select(
+        (F.col("id") % 50_021).alias("k")  # 50021 distinct keys ≈ 12·m
+    )
+    sk = sketch.hll_build(df, "k", p=12)
+    est = sketch.hll_estimate(sk, p=12).head()
+    assert abs(est.est - 50_021) / 50_021 < 0.05, est.est
+
+    # small-range regime (n ≈ 2m): the raw estimate is biased high by
+    # design; the returned EXACT state supports the paper's linear-count
+    # correction driver-side
+    import math
+
+    small = spark.range(0, 20_000).select((F.col("id") % 7_919).alias("k"))
+    st = sketch.hll_estimate(sketch.hll_build(small, "k", p=12), p=12).head()
+    zeros = 4096 - st.n_regs
+    assert zeros > 0
+    corrected = 4096 * math.log(4096 / zeros)
+    assert abs(corrected - 7_919) / 7_919 < 0.05, corrected
+
+    left = sketch.hll_build(df.filter(F.col("k") % 2 == 0), "k", p=12)
+    right = sketch.hll_build(df.filter(F.col("k") % 2 == 1), "k", p=12)
+    merged = (
+        left.unionByName(right)
+        .groupBy("reg")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    whole = {(r.reg, r.max_rank) for r in sk.collect()}
+    assert {(r.reg, r.max_rank) for r in merged.collect()} == whole
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Every inserted key must test positive (Bloom soundness), and two
+    filters merged by bit_or equal the filter built on the union."""
+    from go_streaming_spark.functions import sketch
+
+    keys = spark.range(0, 500).select(F.concat(F.lit("k"), "id").alias("key"))
+    bloom = sketch.bloom_build(keys, "key", k=4, m_bits=4096)
+    maybe = sketch.bloom_maybe_contains(bloom, F.col("key"), k=4, m_bits=4096)
+    assert keys.filter(~maybe).count() == 0
+
+    left = sketch.bloom_build(
+        keys.filter(F.expr("CAST(substr(key, 2) AS INT) % 2 = 0")),
+        "key", k=4, m_bits=4096,
+    )
+    right = sketch.bloom_build(
+        keys.filter(F.expr("CAST(substr(key, 2) AS INT) % 2 = 1")),
+        "key", k=4, m_bits=4096,
+    )
+    merged = (
+        left.unionByName(right)
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    whole = {(r.word, r.bits) for r in bloom.collect()}
+    assert {(r.word, r.bits) for r in merged.collect()} == whole
+
+
+def test_bloom_incremental_dedup_equals_exact(spark):
+    """The Bloom-prefiltered path must be output-identical to the plain
+    digest anti-join, including true cross-corpus dups that the filter
+    flags and the exact pass verifies."""
+    docs = _docs(spark)
+    corpus = docs.filter(F.col("doc_id") % 10 == 0)
+    batch = docs.filter(F.col("doc_id") % 10 != 0).unionByName(
+        corpus.limit(20).select(
+            (F.col("doc_id") + 100_000).alias("doc_id"),
+            *[c for c in docs.columns if c != "doc_id"],
+        )
+    )
+    ref = sorted(map(str, dedup.incremental_exact_dedup(
+        batch, corpus, "doc_id", ["text"]).collect()))
+    blm = sorted(map(str, dedup.incremental_exact_dedup_bloom(
+        batch, corpus, "doc_id", ["text"]).collect()))
+    assert ref == blm and len(ref) > 0
+
+
+def test_prefix_jaccard_matches_bruteforce(spark):
+    """Property: random small-vocab corpora — prefix filtering must find
+    EXACTLY the brute-force token-set Jaccard pairs (soundness of the
+    s - floor(t*s) + 1 prefix), across thresholds including an exact
+    integer-boundary t·s."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+    doc = st.lists(word, min_size=1, max_size=6).map(" ".join)
+
+    @settings(max_examples=8, deadline=None)
+    @given(texts=st.lists(doc, min_size=2, max_size=8),
+           t=st.sampled_from([0.5, 0.75, 0.8]))
+    def run(texts, t):
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {
+            (r.id_a, r.id_b)
+            for r in dedup.jaccard_pairs_prefix(df, "doc_id", "text", t).collect()
+        }
+        sets = [set(x.split()) for x in texts]
+        want = set()
+        for i in range(len(sets)):
+            for j in range(i + 1, len(sets)):
+                u = len(sets[i] | sets[j])
+                if u and len(sets[i] & sets[j]) / u >= t:
+                    want.add((i, j))
+        assert got == want, (texts, t, got, want)
+
+    run()
