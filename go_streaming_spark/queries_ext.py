@@ -1007,3 +1007,50 @@ def winsorized_stats(spark, sf_dir):
 
     ev = Engine(spark, sf_dir=sf_dir).stream("events")
     return wstats(ev, "event_type", "value", 0.05, 0.95)
+
+
+@query(
+    "stream_window_join_left",
+    # LEFT OUTER stream-stream windowed join: matched rows emit as found;
+    # null-padded unmatched-left rows emit once the global watermark (min
+    # over both inputs of max event time, 0s delay) passes their window
+    # end — Spark's availableNow no-data batch flushes that state after
+    # the last file, so the replay equals the batch LEFT JOIN restricted
+    # to closed windows (the same cut as stream_window_join_inner)
+    """WITH wm AS (SELECT least(
+  (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'signup'),
+  (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'purchase')) AS w)
+SELECT CAST(epoch(date_trunc('hour', l.ts)) AS BIGINT) AS ws,
+       l.user_id AS user_id, l.event_id AS l_event_id,
+       r.event_id AS r_event_id, r.value AS r_value
+FROM (SELECT * FROM events WHERE event_type = 'signup') l
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id
+ AND date_trunc('hour', l.ts) = date_trunc('hour', r.ts)
+WHERE epoch_us(date_trunc('hour', l.ts)) + 3600000000 <= (SELECT w FROM wm)""",
+)
+def stream_window_join_left(spark, sf_dir):
+    # watermarked stream-stream LEFT windowed join, replayed to completion
+    from go_streaming_spark.events import to_events
+    from go_streaming_spark.operators.joins import window_join
+    from go_streaming_spark.operators.windows import TemporalWindow
+    from go_streaming_spark.sources.catalog import load_stream
+    from go_streaming_spark.streaming.runner import replay_to_memory
+
+    st = load_stream(spark, sf_dir, "events")
+    mk = lambda t: to_events(
+        st.filter(F.col("event_type") == t),
+        value=["user_id", "event_id", "value"], event_time="ts", seq="event_id",
+    )
+    j = window_join(
+        mk("signup"), mk("purchase"), "user_id", TemporalWindow("1 hour"),
+        how="left",
+    )
+    out = j.select(
+        F.unix_timestamp("window_start").alias("ws"),
+        F.col("value.l.user_id").alias("user_id"),
+        F.col("value.l.event_id").alias("l_event_id"),
+        F.col("value.r.event_id").alias("r_event_id"),
+        F.col("value.r.value").alias("r_value"),
+    )
+    return replay_to_memory(out, spark)
