@@ -71,6 +71,11 @@ QUERIES = [
     "multimodal_png_content_stats",  # real PNG content decode (round 6)
     "multimodal_gif_content_stats",  # real GIF LZW decode (round 6)
     "multimodal_jpeg_content_stats", # real baseline JPEG decode (round 6)
+    "multimodal_avi_content_stats",  # real AVI movi-frame decode (round 7)
+    "ann_ivf_quantized_topk",   # IVF x int8 composition (round 7)
+    "dedup_incremental_bloom",  # Bloom-prefiltered digest anti-join (round 7)
+    "hll_user_cardinality",     # mergeable HLL cardinality sketch (round 7)
+    "corpus_ingest_survivors",  # unified CorpusState.ingest e2e (round 7)
 ]
 
 

@@ -41,6 +41,8 @@ PAIR_QUERIES = [
     "dedup_incremental_minhash",  # its jac CTE is the same quadratic oracle
     "dedup_incremental_indexed",
     "dedup_incremental_full",
+    "corpus_ingest_survivors",    # composes the same jac CTE (round 7)
+    "dedup_prefix_jaccard",       # all-pairs token-set oracle (round 7)
 ]
 
 TABLES = (
