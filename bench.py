@@ -66,6 +66,8 @@ HEADLINE = [
     "corpus_ingest_survivors",  # unified CorpusState.ingest end-to-end (round 7)
     "multimodal_avi_content_stats",  # real AVI movi-frame pixel decode (round 7)
     "ann_ivf_quantized_topk",   # IVF cell pruning x int8 scoring (round 7)
+    "dedup_incremental_bloom",  # Bloom-prefiltered digest anti-join (round 7)
+    "hll_user_cardinality",     # mergeable HLL cardinality sketch (round 7)
 ]
 
 
