@@ -581,6 +581,60 @@ def bmp_pixel_bytes(p: bytes) -> bytes | None:
     return p[offset:offset + stride * height]
 
 
+def bmp_encode(pixels: bytes, width: int, height: int) -> bytes:
+    """Minimal 24-bit BITMAPINFOHEADER BMP around a raw BGR pixel array
+    (caller supplies stride-padded rows — stride = 4-byte-aligned
+    3*width)."""
+    stride = ((24 * width + 31) // 32) * 4
+    if len(pixels) != stride * height:
+        raise ValueError(f"need {stride * height} pixel bytes, got {len(pixels)}")
+    return (
+        b"BM" + (54 + len(pixels)).to_bytes(4, "little")
+        + b"\x00" * 4 + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little") + height.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + b"\x00" * 4 + len(pixels).to_bytes(4, "little")
+        + b"\x00" * 16
+        + pixels
+    )
+
+
+def bmp_thumbnail(p: bytes, factor: int = 2) -> bytes:
+    """REAL image resize, no codec libraries: nearest-neighbor downscale
+    of a 24-bit uncompressed BMP by ``factor`` — keep every ``factor``-th
+    stored row and every ``factor``-th pixel, re-encode as a real BMP
+    (:func:`bmp_encode`).  Rows are sampled in STORED order (BMP stores
+    bottom-up; uniform sampling is orientation-agnostic).  Payloads that
+    aren't decodable 24-bpp BMPs pass through unchanged — a transform
+    chain must not destroy media it doesn't understand.
+    """
+    if p[:2] != b"BM" or len(p) < 54:
+        return p
+    width = int.from_bytes(p[18:22], "little", signed=True)
+    height = abs(int.from_bytes(p[22:26], "little", signed=True))
+    bpp = int.from_bytes(p[28:30], "little")
+    raw = bmp_pixel_bytes(p)
+    if raw is None or bpp != 24 or width <= 0 or height <= 0:
+        return p
+    in_stride = ((24 * width + 31) // 32) * 4
+    if len(raw) < in_stride * height:
+        return p
+    out_w = (width + factor - 1) // factor
+    out_h = (height + factor - 1) // factor
+    out_stride = ((24 * out_w + 31) // 32) * 4
+    rows = []
+    for y2 in range(out_h):
+        row = bytearray()
+        base = (y2 * factor) * in_stride
+        for x2 in range(out_w):
+            o = base + (x2 * factor) * 3
+            row += raw[o:o + 3]
+        row += b"\x00" * (out_stride - len(row))
+        rows.append(bytes(row))
+    return bmp_encode(b"".join(rows), out_w, out_h)
+
+
 def wav_pcm_samples(p: bytes) -> list[int] | None:
     """REAL WAV content decode: the ``data`` chunk as signed 16-bit LE PCM
     samples (trailing odd byte dropped).  ``None`` for non-WAV payloads or

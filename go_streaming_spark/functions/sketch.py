@@ -359,3 +359,29 @@ def hll_grouped(
             ),
         )
     )
+
+
+def bloom_filtered_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    how: str = "inner",
+    k: int = 4,
+    m_bits: int = 65_536,
+) -> DataFrame:
+    """Join with a Bloom-prefiltered fact side — Spark's runtime row-level
+    filter made explicit, deterministic, and tunable.
+
+    The dim side's join keys reduce to a fixed-size filter; fact rows
+    whose key CANNOT be in dim (no false negatives) are dropped map-side
+    before the shuffle, so at 100 TB the exchange carries only
+    possibly-matching rows (true matches + the ~fp sliver, re-checked by
+    the exact join).  Result ≡ the plain join for inner/semi joins, where
+    dropping non-matching fact rows is semantics-free.
+    """
+    if how in ("left", "left_outer", "full", "full_outer", "left_anti"):
+        raise ValueError(f"bloom prefilter would drop {how}-join rows")
+    bloom = bloom_build(dim.select(dim_key), dim_key, k, m_bits)
+    pre = fact.filter(bloom_maybe_contains(bloom, F.col(fact_key), k, m_bits))
+    return pre.join(dim, pre[fact_key] == dim[dim_key], how)

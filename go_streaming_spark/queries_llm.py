@@ -1501,3 +1501,67 @@ FROM agg""",
 def hll_user_cardinality(spark, sf_dir):
     ev = Engine(spark, sf_dir=sf_dir).stream("events")
     return _sk.hll_grouped(ev, "event_type", "user_id", p=_HLL_P)
+
+
+@query(
+    "bloom_join_urgent_revenue",
+    # Bloom-prefiltered fact-dim join: urgent orders' keys reduce to a
+    # fixed-size bit table and lineitem rows that CANNOT match are dropped
+    # map-side before the shuffle (sketch.bloom_filtered_join) -- the
+    # explicit form of a runtime row-level join filter; result == plain
+    # join, so the oracle is the plain SQL
+    "SELECT l_returnflag,"
+    " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,"
+    " count(*) AS n_items"
+    " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    " WHERE o_orderpriority = '1-URGENT' GROUP BY l_returnflag",
+)
+def bloom_join_urgent_revenue(spark, sf_dir):
+    from go_streaming_spark.functions import sketch as sk
+
+    eng = Engine(spark, sf_dir=sf_dir)
+    li = eng.stream("lineitem")
+    urgent = eng.stream("orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    j = sk.bloom_filtered_join(li, urgent, "l_orderkey", "o_orderkey")
+    return j.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "multimodal_bmp_thumbnail_stats",
+    # REAL image resize in the transform chain: 8 x h BMPs downscale 2x by
+    # nearest neighbor (multimodal.bmp_thumbnail: decode pixel array, keep
+    # every 2nd stored row / 2nd pixel, re-encode a real 4 x ceil(h/2)
+    # BMP), then content_stats decodes the thumbnail back out.  The oracle
+    # recomputes each kept byte from the synthesis formula: thumbnail unit
+    # j -> (y2, x2, c) -> original cycled-body index 48*y2 + 6*x2 + c.
+    """WITH src AS (SELECT doc_id AS id, hex(encode(coalesce(text,''))) AS hx,
+         octet_length(encode(coalesce(text,''))) AS blen FROM documents
+        WHERE doc_id % 2 = 0),
+ph AS (SELECT id, (2 + id % 7) AS h, (2 + id % 7) * 24 AS needed,
+        CASE WHEN blen > 0 THEN hx ELSE '00' END AS phx FROM src),
+pix AS (SELECT id, h, ((h + 1) // 2) * 12 AS out_units,
+        substr(repeat(phx, CAST((needed*2 + length(phx) - 1) // length(phx) AS INT)),
+               1, CAST(needed*2 AS INT)) AS phex FROM ph),
+v AS (SELECT id,
+       CAST(('0x' || substr(phex,
+         CAST(2*(48*(j//12) + 6*((j%12)//3) + (j%3)) + 1 AS INT), 2)) AS BIGINT) AS v
+      FROM (SELECT id, phex, unnest(range(out_units)) AS j FROM pix))
+SELECT id, 'bmp' AS format, count(*) AS n_units,
+       CAST(sum(v) AS BIGINT) * 1.0 / count(*) AS mean_val,
+       sqrt(CAST(sum(v*v) AS BIGINT) * 1.0 / count(*)) AS rms,
+       min(v) AS min_val, max(v) AS max_val
+FROM v GROUP BY id""",
+)
+def multimodal_bmp_thumbnail_stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    media = multimodal.synthesize_payloads_raw(docs, "doc_id", "text")
+    thumbs = multimodal.transform_media(
+        media, "doc_id", "media", transform=multimodal.bmp_thumbnail,
+        out_format="bmp",
+    )
+    return multimodal.content_stats(thumbs, "id", "media")

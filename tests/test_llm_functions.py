@@ -1681,3 +1681,59 @@ def test_prefix_jaccard_matches_bruteforce(spark):
         assert got == want, (texts, t, got, want)
 
     run()
+
+
+def test_bmp_thumbnail_geometry_and_passthrough():
+    """2x nearest-neighbor downscale: a 24-bit BMP shrinks to
+    ceil(w/2) x ceil(h/2) keeping exactly the even-indexed pixels/rows;
+    non-BMP payloads pass through unchanged."""
+    w, h = 8, 5
+    stride = 24
+    px = bytes((y * stride + x) % 256 for y in range(h) for x in range(stride))
+    bmp = multimodal.bmp_encode(px, w, h)
+    thumb = multimodal.bmp_thumbnail(bmp, factor=2)
+    m = multimodal.parse_media_header(thumb)
+    assert (m["format"], m["width"], m["height"]) == ("bmp", 4, 3)
+    raw = multimodal.bmp_pixel_bytes(thumb)
+    want = bytearray()
+    for y2 in range(3):
+        for x2 in range(4):
+            o = (2 * y2) * stride + (2 * x2) * 3
+            want += px[o:o + 3]
+    assert raw == bytes(want)
+    # non-BMP: unchanged, not mangled
+    assert multimodal.bmp_thumbnail(b"RIFFxxxxWAVEdata") == b"RIFFxxxxWAVEdata"
+    assert multimodal.bmp_thumbnail(b"") == b""
+
+
+def test_bmp_thumbnail_never_raises_on_arbitrary_bytes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    seed = multimodal.bmp_encode(bytes(range(48)), 8, 2)
+
+    @settings(max_examples=150, deadline=None)
+    @given(cut=st.integers(0, len(seed)), tail=st.binary(max_size=64))
+    def run(cut, tail):
+        out = multimodal.bmp_thumbnail(seed[:cut] + tail)
+        assert isinstance(out, bytes)
+
+    run()
+
+
+def test_bloom_filtered_join_equals_plain(spark):
+    """The Bloom prefilter must not change inner-join results, and must
+    reject outer joins it would corrupt."""
+    import pytest
+
+    from go_streaming_spark.functions import sketch
+
+    fact = spark.range(0, 2000).select(
+        F.col("id").alias("fk"), (F.col("id") % 97).alias("val")
+    )
+    dim = spark.range(0, 2000, 7).select(F.col("id").alias("dk"))
+    plain = fact.join(dim, fact["fk"] == dim["dk"]).select("fk", "val")
+    blm = sketch.bloom_filtered_join(fact, dim, "fk", "dk").select("fk", "val")
+    assert sorted(map(str, blm.collect())) == sorted(map(str, plain.collect()))
+    with pytest.raises(ValueError):
+        sketch.bloom_filtered_join(fact, dim, "fk", "dk", how="left")
