@@ -205,6 +205,19 @@ def main() -> None:
     print("hottest join keys on events.event_type:")
     for row in key_skew_stats(ev, "event_type", top=3).collect():
         print(f"  {row['key']:<10} {row['n_rows']:>6} rows  share={row['share']:.3f}")
+
+    # 14. round-7 sketches: Bloom-prefiltered incremental dedup (the
+    #     definitely-new mass never shuffles against the corpus) and the
+    #     mergeable HyperLogLog cardinality state
+    corpus7 = docs.filter(F.col("doc_id") % 10 == 0)
+    batch7 = docs.filter(F.col("doc_id") % 10 != 0)
+    surv = dedup.incremental_exact_dedup_bloom(
+        batch7, corpus7, "doc_id", ["text"]
+    ).count()
+    print(f"bloom-prefiltered ingest: {surv} new digests")
+    hll = sketch.hll_grouped(ev, "event_type", "user_id", p=12)
+    for row in hll.collect():
+        print(f"  ~{row['est']:.0f} distinct users for {row['event_type']}")
     engine.close()
     spark.stop()
 

@@ -1054,3 +1054,68 @@ def stream_window_join_left(spark, sf_dir):
         F.col("value.r.value").alias("r_value"),
     )
     return replay_to_memory(out, spark)
+
+
+@query(
+    "cohort_retention_counts",
+    # classic cohort retention: customers grouped by first-order month,
+    # counted per months-elapsed activity month.  Month arithmetic on
+    # month-TRUNCATED dates is integer on both engines (date_diff counts
+    # month boundaries; months_between of truncated months is whole).
+    "WITH firsts AS (SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort"
+    "  FROM orders GROUP BY 1),"
+    " activity AS (SELECT DISTINCT o_custkey, date_trunc('month', o_orderdate) AS mon"
+    "  FROM orders)"
+    " SELECT CAST(epoch(cohort) AS BIGINT) AS cohort_month,"
+    "  CAST(date_diff('month', cohort, mon) AS INT) AS months_since,"
+    "  count(*) AS n_customers"
+    " FROM activity JOIN firsts USING (o_custkey) GROUP BY 1, 2",
+)
+def cohort_retention_counts(spark, sf_dir):
+    # two shuffles on the customer key (AQE merges into one exchange reuse),
+    # then a broadcastable cohort join — no windows, no skew hazard
+    orders = Engine(spark, sf_dir=sf_dir).stream("orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    activity = orders.select(
+        "o_custkey", F.date_trunc("month", F.col("o_orderdate")).alias("mon")
+    ).distinct()
+    return (
+        activity.join(firsts, "o_custkey")
+        .groupBy(
+            F.unix_timestamp("cohort").alias("cohort_month"),
+            F.months_between("mon", "cohort").cast("int").alias("months_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "mad_by_type",
+    # robust dispersion: median absolute deviation around the per-type
+    # median.  The inner median is rounded to 6 decimals on BOTH sides
+    # before the deviation pass, so interpolation agrees bit-for-bit
+    # (same guard as value_percentiles).
+    "WITH med AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50"
+    "  FROM events GROUP BY 1)"
+    " SELECT e.event_type, med.p50,"
+    "  round(quantile_cont(abs(e.value - med.p50), 0.5), 6) AS mad"
+    " FROM events e JOIN med USING (event_type) GROUP BY 1, 2",
+)
+def mad_by_type(spark, sf_dir):
+    # exact two-pass median-of-deviations; at 100 TB swap percentile for
+    # percentile_approx (same shape as winsorized_stats' sketch mode)
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50")
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "p50")
+        .agg(
+            F.round(
+                F.percentile(F.abs(F.col("value") - F.col("p50")), F.lit(0.5)), 6
+            ).alias("mad")
+        )
+    )
