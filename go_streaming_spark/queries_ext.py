@@ -1119,3 +1119,100 @@ def mad_by_type(spark, sf_dir):
             ).alias("mad")
         )
     )
+
+
+@query(
+    "table_fingerprint",
+    # order-insensitive table checksum — the migration-validation
+    # primitive: row hash = 60-bit md5 prefix over the canonical row
+    # string, folded with bit_xor (commutative/associative, no overflow)
+    # plus exact count and value sum.  Two 100 TB tables compare by
+    # exchanging ONE row each.
+    "SELECT count(*) AS n_rows,"
+    " CAST(bit_xor(CAST(('0x' || substr(md5("
+    "   CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)"
+    "   || '|' || CAST(CAST(l_quantity AS DECIMAL(18,4)) AS VARCHAR)"
+    " ), 1, 15)) AS BIGINT)) AS BIGINT) AS xor_hash,"
+    " CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty"
+    " FROM lineitem",
+)
+def table_fingerprint(spark, sf_dir):
+    # Spark's canonical row string must match DuckDB's: decimal(18,4)
+    # renders with 4 decimal places on both engines
+    from go_streaming_spark.functions.dedup import md5_int
+
+    li = Engine(spark, sf_dir=sf_dir).stream("lineitem")
+    row_str = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_quantity").cast(DEC).cast("string"),
+    )
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(md5_int(row_str, hex_chars=15)).alias("xor_hash"),
+        F.sum(F.col("l_quantity").cast(DEC)).cast(DEC_OUT).alias("sum_qty"),
+    )
+
+
+@query(
+    "incremental_cube_update",
+    # incremental aggregate-view maintenance: the accumulated cube
+    # (orders with o_orderkey%10=0) plus a delta batch (the rest) must
+    # equal the full recompute — decimal sums/counts are associative, so
+    # the update is cube ∪ delta-agg re-aggregated, touching only cube
+    # cells + batch rows (never re-scanning history at 100 TB)
+    "SELECT o_orderpriority AS priority,"
+    " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,"
+    " count(*) AS n_orders"
+    " FROM orders GROUP BY 1",
+)
+def incremental_cube_update(spark, sf_dir):
+    orders = Engine(spark, sf_dir=sf_dir).stream("orders")
+    base = orders.filter(F.col("o_orderkey") % 10 == 0)
+    delta = orders.filter(F.col("o_orderkey") % 10 != 0)
+
+    def cells(df):
+        return df.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    # maintained view: old cells ∪ delta cells → re-aggregate (additive)
+    return (
+        cells(base).unionByName(cells(delta))
+        .groupBy("priority")
+        .agg(
+            F.sum("rev_dec").cast(DEC_OUT).alias("revenue"),
+            F.sum("n").alias("n_orders"),
+        )
+    )
+
+
+@query("stream_fan_in_sum", ORACLES["fan_in_sum"])
+def stream_fan_in_sum(spark, sf_dir):
+    # STREAMING fan-in: two filtered streams union into one shared
+    # temporal window (the streaming twin of fan_in_sum), replayed to
+    # completion in complete mode
+    from go_streaming_spark import operators as ops
+    from go_streaming_spark.events import to_events
+    from go_streaming_spark.operators.windows import TemporalWindow
+    from go_streaming_spark.sources.catalog import load_stream
+    from go_streaming_spark.streaming.runner import replay_to_memory
+
+    st = load_stream(spark, sf_dir, "events")
+    mk = lambda t: to_events(
+        st.filter(F.col("event_type") == t),
+        value=F.col("value").cast(DEC), event_time="ts", seq="event_id",
+    )
+    out = ops.fan_in(
+        [mk("click"), mk("purchase")],
+        TemporalWindow("1 day"),
+        [
+            F.sum("value").cast(DEC_OUT).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        ],
+    ).select(
+        F.unix_timestamp("window_start").alias("ws"), "sum_value", "n_events"
+    )
+    return replay_to_memory(out, spark, output_mode="complete")
