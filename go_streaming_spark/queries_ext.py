@@ -1216,3 +1216,65 @@ def stream_fan_in_sum(spark, sf_dir):
         F.unix_timestamp("window_start").alias("ws"), "sum_value", "n_events"
     )
     return replay_to_memory(out, spark, output_mode="complete")
+
+
+@query(
+    "salted_agg_status_totals",
+    # two-phase salted aggregation over the skewed o_orderstatus key
+    # ('O'/'F' own ~half the table each — exactly the hot-single-key case
+    # AQE's partition splitting can't fix for holistic-free aggregates):
+    # phase 1 groups on (key, shard), phase 2 merges shards.  Result must
+    # equal the plain GROUP BY bit-for-bit (decimal sums associative).
+    "SELECT o_orderstatus AS status,"
+    " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,"
+    " count(*) AS n_orders"
+    " FROM orders GROUP BY 1",
+)
+def salted_agg_status_totals(spark, sf_dir):
+    from go_streaming_spark.operators.skew import salted_agg
+
+    orders = Engine(spark, sf_dir=sf_dir).stream("orders").withColumn(
+        "_price_dec", F.col("o_totalprice").cast(DEC)
+    )
+    out = salted_agg(
+        orders,
+        keys=["o_orderstatus"],
+        aggs={"rev_dec": ("sum", "_price_dec"), "n_orders": ("count", "o_orderkey")},
+        salt=16,
+    )
+    return out.select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("rev_dec").cast(DEC_OUT).alias("revenue"),
+        "n_orders",
+    )
+
+
+@query(
+    "salted_join_type_revenue",
+    # salted fact-dim join on the 5-value events.event_type key (every key
+    # is hot at 1/5 share): left rows shard deterministically, the tiny
+    # dim replicates salt ways — result equals the plain join, which is
+    # the oracle
+    "WITH dim AS (SELECT * FROM (VALUES ('click', 1.0), ('view', 0.5),"
+    "   ('purchase', 10.0), ('signup', 5.0), ('refund', -8.0)) AS t(event_type, weight))"
+    " SELECT d.event_type,"
+    " CAST(SUM(CAST(e.value AS DECIMAL(18,4)) * CAST(d.weight AS DECIMAL(18,4))) AS DOUBLE)"
+    "   AS weighted_value, count(*) AS n_events"
+    " FROM events e JOIN dim d ON e.event_type = d.event_type GROUP BY 1",
+)
+def salted_join_type_revenue(spark, sf_dir):
+    from go_streaming_spark.operators.skew import salted_join
+
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 10.0),
+         ("signup", 5.0), ("refund", -8.0)],
+        "event_type string, weight double",
+    )
+    j = salted_join(ev, dim, on=["event_type"], salt=8)
+    return j.groupBy("event_type").agg(
+        F.sum(F.col("value").cast(DEC) * F.col("weight").cast(DEC))
+        .cast(DEC_OUT)
+        .alias("weighted_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
