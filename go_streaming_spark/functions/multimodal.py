@@ -656,6 +656,42 @@ def wav_pcm_samples(p: bytes) -> list[int] | None:
     ]
 
 
+def wav_downsample(p: bytes, factor: int = 2) -> bytes:
+    """REAL audio resample, no codec libraries: decimate a PCM WAV by
+    ``factor`` (keep every ``factor``-th 16-bit sample of the data chunk)
+    and re-encode a real RIFF/WAVE container with the sample rate divided
+    to preserve duration.  Non-WAV payloads pass through unchanged."""
+    if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return p
+    i = 12
+    fmt_chunk = data = None
+    while i + 8 <= len(p):
+        cid = p[i:i + 4]
+        csize = int.from_bytes(p[i + 4:i + 8], "little")
+        if cid == b"fmt ":
+            fmt_chunk = bytearray(p[i + 8:i + 8 + csize])
+        elif cid == b"data":
+            data = p[i + 8:i + 8 + csize]
+        i += 8 + csize + (csize & 1)
+    if fmt_chunk is None or data is None or len(fmt_chunk) < 16:
+        return p
+    kept = b"".join(
+        data[2 * k:2 * k + 2] for k in range(0, len(data) // 2, factor)
+    )
+    rate = int.from_bytes(fmt_chunk[4:8], "little")
+    channels = int.from_bytes(fmt_chunk[2:4], "little") or 1
+    new_rate = max(rate // factor, 1)
+    fmt_chunk[4:8] = new_rate.to_bytes(4, "little")
+    fmt_chunk[8:12] = (new_rate * channels * 2).to_bytes(4, "little")
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt_chunk).to_bytes(4, "little") + bytes(fmt_chunk)
+        + b"data" + len(kept).to_bytes(4, "little") + kept
+        + (b"\x00" if len(kept) & 1 else b"")
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 CONTENT_STATS_SCHEMA = (
     "id long, format string, n_units long, mean_val double, rms double,"
     " min_val long, max_val long"

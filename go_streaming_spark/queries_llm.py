@@ -1565,3 +1565,80 @@ def multimodal_bmp_thumbnail_stats(spark, sf_dir):
         out_format="bmp",
     )
     return multimodal.content_stats(thumbs, "id", "media")
+
+
+@query(
+    "dedup_spans_removed_counts",
+    # the REMOVAL half of substring dedup applied end-to-end (Lee et al.
+    # keep-first policy): cut every non-canonical duplicated-8-gram span
+    # out of the text (dedup.remove_spans -- pure column ops over the
+    # token array), then count surviving tokens.  Oracle: token count
+    # minus the merged keep-first span widths (islands never overlap).
+    """WITH ws AS (SELECT doc_id AS id, list_filter(regexp_split_to_array(text,'\\s+'), x -> x <> '') w
+            FROM documents),
+g0 AS (SELECT id, unnest(list_transform(range(0, len(w)-8+1),
+          i -> {'pos': i, 'gh': md5(array_to_string(w[i+1:i+8], ' '))})) AS u
+       FROM ws WHERE len(w) >= 8),
+g AS (SELECT id, u.pos::bigint AS pos, u.gh AS gh FROM g0),
+r AS (SELECT id, pos, gh,
+        count(*) OVER (PARTITION BY gh) AS n,
+        row_number() OVER (PARTITION BY gh ORDER BY id, pos) AS rn
+      FROM g),
+f AS (SELECT id, pos FROM r WHERE n >= 2 AND rn > 1),
+m AS (SELECT id, pos,
+        CASE WHEN pos > coalesce(max(pos + 8) OVER (PARTITION BY id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS new_span
+      FROM f),
+s AS (SELECT id, pos, sum(new_span) OVER (PARTITION BY id ORDER BY pos) AS span_id FROM m),
+spans AS (SELECT id, max(pos) + 8 - min(pos) AS span_tokens FROM s GROUP BY id, span_id),
+cut AS (SELECT id, sum(span_tokens) AS removed FROM spans GROUP BY id)
+SELECT ws.id AS doc_id,
+       CAST(len(ws.w) AS BIGINT) AS n_tokens_before,
+       CAST(len(ws.w) - coalesce(cut.removed, 0) AS BIGINT) AS n_tokens_after
+FROM ws LEFT JOIN cut ON ws.id = cut.id""",
+)
+def dedup_spans_removed_counts(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    spans = dedup.duplicated_spans(docs, "doc_id", "text", k=8, keep_first=True)
+    cleaned = dedup.remove_spans(docs, spans, "doc_id", "text")
+    ntok = lambda c: F.size(
+        F.filter(F.split(F.col(c), r"\s+"), lambda w: w != "")
+    ).cast("long")
+    before = docs.select("doc_id", ntok("text").alias("n_tokens_before"))
+    after = cleaned.select("doc_id", ntok("text").alias("n_tokens_after"))
+    return before.join(after, "doc_id")
+
+
+@query(
+    "multimodal_wav_downsample_stats",
+    # REAL audio resample in the transform chain: PCM WAVs decimate 2x
+    # (multimodal.wav_downsample keeps every 2nd 16-bit sample,
+    # re-encodes a real RIFF container at half the rate), then
+    # content_stats decodes the downsampled PCM back out.  Oracle
+    # recomputes kept sample k = original sample 2k from the body hex.
+    """WITH src AS (SELECT doc_id AS id, hex(encode(coalesce(text,''))) AS hx,
+         octet_length(encode(coalesce(text,''))) AS blen FROM documents
+        WHERE doc_id % 2 = 1),
+wraw AS (SELECT id, CAST(('0x' || substr(hx, CAST(8*k+1 AS INT), 2)) AS BIGINT)
+              + 256 * CAST(('0x' || substr(hx, CAST(8*k+3 AS INT), 2)) AS BIGINT) AS raw
+         FROM (SELECT id, hx, unnest(range((blen // 2 + 1) // 2)) AS k FROM src)),
+wval AS (SELECT id, CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v FROM wraw),
+stats AS (SELECT id, count(*) AS n_units,
+          CAST(sum(v) AS BIGINT) * 1.0 / count(*) AS mean_val,
+          sqrt(CAST(sum(v*v) AS BIGINT) * 1.0 / count(*)) AS rms,
+          min(v) AS min_val, max(v) AS max_val
+          FROM wval GROUP BY id)
+SELECT s.id, 'wav' AS format,
+       COALESCE(t.n_units, 0) AS n_units, t.mean_val, t.rms, t.min_val, t.max_val
+FROM src s LEFT JOIN stats t ON s.id = t.id""",
+)
+def multimodal_wav_downsample_stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    media = multimodal.synthesize_payloads_raw(docs, "doc_id", "text")
+    down = multimodal.transform_media(
+        media, "doc_id", "media", transform=multimodal.wav_downsample,
+        out_format="wav",
+    )
+    return multimodal.content_stats(down, "id", "media")

@@ -1737,3 +1737,46 @@ def test_bloom_filtered_join_equals_plain(spark):
     assert sorted(map(str, blm.collect())) == sorted(map(str, plain.collect()))
     with pytest.raises(ValueError):
         sketch.bloom_filtered_join(fact, dim, "fk", "dk", how="left")
+
+
+def test_wav_downsample_decimation_and_passthrough():
+    """2x decimation keeps exactly the even-indexed 16-bit samples,
+    halves the declared rate, and re-encodes a parseable WAV; non-WAV
+    payloads pass through unchanged."""
+    import struct
+
+    samples = [100, -200, 300, -400, 500, -600, 700]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    down = multimodal.wav_downsample(wav, factor=2)
+    m = multimodal.parse_media_header(down)
+    assert m["format"] == "wav"
+    got = multimodal.wav_pcm_samples(down)
+    assert got == samples[::2]
+    # rate halved -> duration preserved: 4 samples at 4000 Hz = 1 ms
+    assert m["duration_ms"] == (4 * 2) * 1000 // (4000 * 1 * 2)
+    assert multimodal.wav_downsample(b"BM\x00\x01") == b"BM\x00\x01"
+
+
+def test_wav_downsample_never_raises_on_arbitrary_bytes():
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    data = bytes(range(32))
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    seed = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    @settings(max_examples=150, deadline=None)
+    @given(cut=st.integers(0, len(seed)), tail=st.binary(max_size=64))
+    def run(cut, tail):
+        out = multimodal.wav_downsample(seed[:cut] + tail)
+        assert isinstance(out, bytes)
+
+    run()
