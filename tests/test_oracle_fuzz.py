@@ -28,6 +28,15 @@ FUZZ_QUERIES = [
     "vocab_top_bigrams",
     "weighted_sample_ids",
     "gopher_quality_flags",
+    # round 7: prefix-filter soundness on adversarial token sets, the
+    # Bloom path's false-positive + in-batch regimes, span removal over
+    # degenerate docs, and the byte-exact media transforms on exotic text
+    "dedup_prefix_jaccard",
+    "dedup_incremental_bloom",
+    "dedup_spans_removed_counts",
+    "multimodal_bmp_thumbnail_stats",
+    "multimodal_wav_downsample_stats",
+    "multimodal_avi_content_stats",
 ]
 
 WORD = st.sampled_from(
@@ -106,6 +115,7 @@ def test_oracle_equivalence_on_random_corpora(spark, tmp_path_factory, name):
 EMB_QUERIES = [
     "ann_cosine_topk", "ann_quantized_topk",
     "dedup_embedding_cosine", "dedup_embedding_cosine_blocked",
+    "ann_ivf_quantized_topk",  # r7: centroid probe + int8 scoring composed
 ]
 
 
@@ -170,6 +180,9 @@ EVENT_QUERIES = [
     "distinct_users_per_type",  # exact distinct
     "value_percentiles",        # exact-percentile interpolation arithmetic
     "moving_range_sum",         # range-frame window
+    "hll_user_cardinality",     # r7: integer rank/register math on dup ties
+    "mad_by_type",              # r7: nested percentile interpolation
+    "salted_join_type_revenue", # r7: salted join vs plain-join oracle
 ]
 
 
@@ -240,6 +253,7 @@ def test_oracle_equivalence_on_random_events(spark, tmp_path_factory, name):
 LINEITEM_QUERIES = [
     "pricing_summary",   # TPC-H Q1: decimal-at-the-leaf sum chains
     "stat_aggregates",   # corr/covar/stddev float formulas
+    "table_fingerprint", # r7: canonical decimal rendering + xor fold
 ]
 
 
