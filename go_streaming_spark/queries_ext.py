@@ -1278,3 +1278,180 @@ def salted_join_type_revenue(spark, sf_dir):
         .alias("weighted_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# shared Q7/Q10/Q14/Q15 discounted-revenue expression: exact decimal
+# product summed, rounded to scale 4, reduced to DECIMAL(38,4) BEFORE the
+# double cast (the scale-8 sum can push the scaled int past 2^53, where
+# DuckDB double-rounds — same guard as grouping_sets_revenue)
+_DISC_REV_SQL = (
+    "CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4)"
+    " AS DECIMAL(38,4)) AS DOUBLE)"
+)
+
+
+def _disc_rev_col():
+    return (
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1) - F.col("l_discount").cast(DEC))
+            ),
+            4,
+        )
+        .cast("decimal(38,4)")
+        .cast("double")
+    )
+
+
+@query(
+    "nation_pair_volume",
+    # TPC-H Q7 shape: shipping volume between two nations, both
+    # directions, by ship year — two independent dimension chains
+    # (supplier→nation, orders→customer→nation) meeting at the fact table
+    f"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+ CAST(date_part('year', l_shipdate) AS INT) AS l_year,
+ {_DISC_REV_SQL} AS revenue, count(*) AS n_items
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY 1, 2, 3""",
+)
+def nation_pair_volume(spark, sf_dir):
+    # all four dimensions broadcast; the fact table shuffles once for the
+    # final (nation, nation, year) aggregation
+    eng = Engine(spark, sf_dir=sf_dir)
+    li, supp, nat, orders, cust = (
+        eng.stream(t) for t in ("lineitem", "supplier", "nation", "orders", "customer")
+    )
+    sn = nat.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    cn = nat.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))
+    j = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation",
+        F.date_part(F.lit("year"), F.col("l_shipdate")).cast("int").alias("l_year"),
+    ).agg(_disc_rev_col().alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+
+
+@query(
+    "returned_item_customers",
+    # TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    # 6-month window; deterministic tiebreak on custkey
+    f"""SELECT c_custkey, c_name, {_DISC_REV_SQL} AS revenue, count(*) AS n_items
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY 1, 2
+ORDER BY revenue DESC, c_custkey LIMIT 20""",
+)
+def returned_item_customers(spark, sf_dir):
+    # date filter pushes to the orders scan; customer broadcasts; plans
+    # as TakeOrderedAndProject (no global sort)
+    eng = Engine(spark, sf_dir=sf_dir)
+    li, orders, cust = (
+        eng.stream(t) for t in ("lineitem", "orders", "customer")
+    )
+    j = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1996-07-01")
+            ),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_name")
+        .agg(_disc_rev_col().alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "promo_revenue_pct",
+    # TPC-H Q14 shape: promo revenue share of one ship-month; both sums
+    # stay exact decimal, ONE double division, floor-quantized to 6 dec
+    "SELECT floor((100.0 *"
+    " CAST(CAST(round(SUM(CASE WHEN p_type = 'PROMO'"
+    "   THEN CAST(l_extendedprice AS DECIMAL(18,4))"
+    "        * (1 - CAST(l_discount AS DECIMAL(18,4))) ELSE 0 END), 4)"
+    "   AS DECIMAL(38,4)) AS DOUBLE) /"
+    " CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+    "        * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4)"
+    "   AS DECIMAL(38,4)) AS DOUBLE))*1e6 + 0.5)/1e6 AS promo_pct"
+    " FROM lineitem JOIN part ON l_partkey = p_partkey"
+    " WHERE l_shipdate >= TIMESTAMP '1996-03-01'"
+    "   AND l_shipdate < TIMESTAMP '1996-04-01'",
+)
+def promo_revenue_pct(spark, sf_dir):
+    eng = Engine(spark, sf_dir=sf_dir)
+    li, part = eng.stream("lineitem"), eng.stream("part")
+    prod = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1) - F.col("l_discount").cast(DEC)
+    )
+    j = li.filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    ).join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    agg = j.agg(
+        F.round(F.sum(F.when(F.col("p_type") == "PROMO", prod).otherwise(F.lit(0))), 4)
+        .cast("decimal(38,4)").cast("double").alias("_promo"),
+        F.round(F.sum(prod), 4).cast("decimal(38,4)").cast("double").alias("_all"),
+    )
+    return agg.select(
+        F.expr("floor((100.0 * _promo / _all)*1e6 + 0.5)/1e6").alias("promo_pct")
+    )
+
+
+@query(
+    "top_supplier_revenue",
+    # TPC-H Q15 shape: the supplier(s) achieving the global max quarterly
+    # revenue — scalar-subquery max over a derived view; the double
+    # equality is safe because both engines derive the value from the
+    # same exact decimal sum
+    f"""WITH rev AS (SELECT l_suppkey, {_DISC_REV_SQL} AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, total_rev
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)""",
+)
+def top_supplier_revenue(spark, sf_dir):
+    eng = Engine(spark, sf_dir=sf_dir)
+    li, supp = eng.stream("lineitem"), eng.stream("supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(_disc_rev_col().alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == mx._mx, "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
