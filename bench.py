@@ -68,6 +68,10 @@ HEADLINE = [
     "ann_ivf_quantized_topk",   # IVF cell pruning x int8 scoring (round 7)
     "dedup_incremental_bloom",  # Bloom-prefiltered digest anti-join (round 7)
     "hll_user_cardinality",     # mergeable HLL cardinality sketch (round 7)
+    "nation_pair_volume",       # Q7: two dimension chains, broadcast plan (round 7)
+    "returned_item_customers",  # Q10: top-20 via TakeOrdered (round 7)
+    "promo_revenue_pct",        # Q14: quantized revenue-share division (round 7)
+    "top_supplier_revenue",     # Q15: scalar-max semi-join (round 7)
 ]
 
 
