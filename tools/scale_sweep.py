@@ -76,6 +76,10 @@ QUERIES = [
     "dedup_incremental_bloom",  # Bloom-prefiltered digest anti-join (round 7)
     "hll_user_cardinality",     # mergeable HLL cardinality sketch (round 7)
     "corpus_ingest_survivors",  # unified CorpusState.ingest e2e (round 7)
+    "nation_pair_volume",       # Q7: two dimension chains (round 7)
+    "returned_item_customers",  # Q10: TakeOrdered top-20 (round 7)
+    "promo_revenue_pct",        # Q14: quantized revenue share (round 7)
+    "top_supplier_revenue",     # Q15: scalar-max semi-join (round 7)
 ]
 
 
