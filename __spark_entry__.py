@@ -50,8 +50,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # select_from_map, semi_join_urgent_customers, stratified_sample_counts,
 # stream_counting_window_sum, stream_static_enrich, tokenize_wordcount,
 # topk_orders, value_percentiles) are exactly two rounds old at end of r7
-# and MUST lead the r8 rotation together with every registration newer
-# than this list.
+# and MUST lead the r8 rotation together with the 18 queries registered
+# in r7 AFTER this gate froze, which have local sf0.01+sf0.1 verification
+# but no driver row yet (dedup_incremental_bloom, dedup_prefix_jaccard,
+# hll_user_cardinality, bloom_join_urgent_revenue,
+# multimodal_bmp_thumbnail_stats, multimodal_wav_downsample_stats,
+# dedup_spans_removed_counts, stream_window_join_left, stream_fan_in_sum,
+# cohort_retention_counts, mad_by_type, table_fingerprint,
+# incremental_cube_update, salted_agg_status_totals,
+# salted_join_type_revenue, nation_pair_volume, returned_item_customers,
+# promo_revenue_pct, top_supplier_revenue — 19 with the last one; count
+# them from the registry, do not trust this comment's arithmetic) — that
+# is 28 + 19 = 47 of the 50 r8 slots; fill the rest from the r6 greens
+# nearest staleness.
 GATE_PRIORITY = [
     # (a) last green in r4 — the mandatory staleness fix
     "counting_window_sliding", "counting_window_skip",
