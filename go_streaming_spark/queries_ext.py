@@ -1127,7 +1127,10 @@ def mad_by_type(spark, sf_dir):
     # primitive: row hash = 60-bit md5 prefix over the canonical row
     # string, folded with bit_xor (commutative/associative, no overflow)
     # plus exact count and value sum.  Two 100 TB tables compare by
-    # exchanging ONE row each.
+    # exchanging ONE row each.  NULL-bearing columns would need an
+    # explicit coalesce sentinel on BOTH engines (Spark's concat_ws skips
+    # NULLs where SQL || nulls the row) — these three columns are
+    # non-null by schema.
     "SELECT count(*) AS n_rows,"
     " CAST(bit_xor(CAST(('0x' || substr(md5("
     "   CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)"
