@@ -658,9 +658,11 @@ def wav_pcm_samples(p: bytes) -> list[int] | None:
 
 def wav_downsample(p: bytes, factor: int = 2) -> bytes:
     """REAL audio resample, no codec libraries: decimate a PCM WAV by
-    ``factor`` (keep every ``factor``-th 16-bit sample of the data chunk)
-    and re-encode a real RIFF/WAVE container with the sample rate divided
-    to preserve duration.  Non-WAV payloads pass through unchanged."""
+    ``factor`` (keep every ``factor``-th FRAME — one full channel group of
+    16-bit samples — of the data chunk, so multichannel interleave
+    survives) and re-encode a real RIFF/WAVE container with the sample
+    rate divided to preserve duration.  Non-WAV payloads pass through
+    unchanged."""
     if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
         return p
     i = 12
@@ -675,11 +677,13 @@ def wav_downsample(p: bytes, factor: int = 2) -> bytes:
         i += 8 + csize + (csize & 1)
     if fmt_chunk is None or data is None or len(fmt_chunk) < 16:
         return p
-    kept = b"".join(
-        data[2 * k:2 * k + 2] for k in range(0, len(data) // 2, factor)
-    )
     rate = int.from_bytes(fmt_chunk[4:8], "little")
     channels = int.from_bytes(fmt_chunk[2:4], "little") or 1
+    frame_bytes = 2 * channels
+    kept = b"".join(
+        data[frame_bytes * f:frame_bytes * (f + 1)]
+        for f in range(0, len(data) // frame_bytes, factor)
+    )
     new_rate = max(rate // factor, 1)
     fmt_chunk[4:8] = new_rate.to_bytes(4, "little")
     fmt_chunk[8:12] = (new_rate * channels * 2).to_bytes(4, "little")

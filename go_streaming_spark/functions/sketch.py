@@ -45,9 +45,13 @@ def count_min_build(
     groupBy; the shuffle carries at most depth×width rows per partition.
     Merge two sketches (e.g. per-day builds) by unioning and summing
     counts on (row, bucket).
+
+    NULL keys are dropped (they hash to no bucket); estimate/heavy-hitter
+    consumers therefore see drop-NULL-keys semantics.
     """
     if not 1 <= depth <= len(MINHASH_A):
         raise ValueError(f"depth must be in [1, {len(MINHASH_A)}]")
+    df = df.filter(F.col(key_col).isNotNull())
     key = F.col(key_col)
     buckets = F.array(
         *[
@@ -129,6 +133,8 @@ def heavy_hitters(
     """
     table = [[0] * width for _ in range(depth)]
     for r in count_min_build(df, key_col, depth, width).collect():
+        if r["row"] is None or r["bucket"] is None:  # defensive vs NULL keys
+            continue
         table[r["row"]][r["bucket"]] = r["count"]
     key = F.col(key_col)
     ests = [
@@ -173,9 +179,13 @@ def bloom_build(
     the shuffle carries at most ``ceil(m_bits/60)`` words per partition.
     Merge two filters (e.g. per-snapshot builds) by unioning and bit_or
     on word.
+
+    NULL keys are dropped at build: they can never match an equi-join, and
+    a NULL probe key evaluates to NULL membership (filtered out) anyway.
     """
     if not 1 <= k <= len(MINHASH_A):
         raise ValueError(f"k must be in [1, {len(MINHASH_A)}]")
+    df = df.filter(F.col(key_col).isNotNull())
     key = F.col(key_col)
     probes = F.array(*[bloom_probe_bits(key, j, m_bits) for j in range(k)])
     return (
@@ -210,6 +220,8 @@ def bloom_maybe_contains(
     n_words = (m_bits + BLOOM_WORD - 1) // BLOOM_WORD
     table = [0] * n_words
     for r in bloom.collect():
+        if r["word"] is None:  # defensive vs filters built before the NULL guard
+            continue
         table[r["word"]] = r["bits"]
     arr = F.lit(table)
     cond = None
@@ -271,30 +283,43 @@ def hll_build(df: DataFrame, key_col: str, p: int = 12) -> DataFrame:
     )
 
 
+def hll_scale_exp(p: int) -> int:
+    """Register scale exponent: registers contribute ``2^(scale - rank)``
+    with ``scale = 62 - p``, so the total ``s_int <= m * 2^(62-p) = 2^62``
+    fits int64 for the FULL p in [4, 18] range (a fixed 2^50 scale
+    overflowed at p >= 13).  The minimum exponent is
+    ``62 - p - (bits + 1) = 1 >= 0``.  At the default p=12 this is exactly
+    the historical 2^50, so existing oracles are bit-identical."""
+    return 62 - p
+
+
 def hll_alpha_mm_scaled(p: int) -> float:
-    """alpha_m * m^2 * 2^50 as ONE Python double, embedded as a literal in
-    both engines' estimate expressions (identical value by construction)."""
+    """alpha_m * m^2 * 2^(62-p) as ONE Python double, embedded as a
+    literal in both engines' estimate expressions (identical value by
+    construction)."""
     m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    return alpha * m * m * float(1 << 50)
+    return alpha * m * m * float(1 << hll_scale_exp(p))
 
 
 def hll_estimate(sketch: DataFrame, p: int) -> DataFrame:
     """Raw HLL estimate from a sketch table: one row
     (s_int, n_regs, est).
 
-    ``s_int = Σ_j 2^(50 - M_j)`` over all m registers (absent register →
-    M=0 → 2^50) is EXACT int64 (max m·2^50 = 2^62 at p=12), so the only
-    float op is the final ``alpha·m²·2^50 / s_int`` division — correctly
-    rounded, bit-identical across engines.  The small/large-range bias
+    ``s_int = Σ_j 2^(62-p - M_j)`` over all m registers (absent register →
+    M=0 → 2^(62-p)) is EXACT int64 (max m·2^(62-p) = 2^62 for ALL
+    p in [4,18]), so the only float op is the final
+    ``alpha·m²·2^(62-p) / s_int`` division — correctly rounded,
+    bit-identical across engines.  The small/large-range bias
     corrections of the paper are deliberately NOT applied here: they need
     ln(), whose last-ulp rounding differs between libms — callers wanting
     the corrected estimate apply it to the returned exact state.
     """
     m = 1 << p
     c = hll_alpha_mm_scaled(p)
+    scale = hll_scale_exp(p)
     term = F.call_function(
-        "shiftleft", F.lit(1).cast("long"), (50 - F.col("max_rank")).cast("int")
+        "shiftleft", F.lit(1).cast("long"), (scale - F.col("max_rank")).cast("int")
     )
     return (
         sketch.agg(
@@ -304,7 +329,7 @@ def hll_estimate(sketch: DataFrame, p: int) -> DataFrame:
         .select(
             (
                 F.col("_s_present")
-                + (F.lit(m) - F.col("n_regs")) * F.lit(1 << 50)
+                + (F.lit(m) - F.col("n_regs")) * F.lit(1 << scale)
             ).alias("s_int"),
             F.col("n_regs"),
         )
@@ -327,6 +352,7 @@ def hll_grouped(
     m = 1 << p
     bits = HLL_BITS - p
     c = hll_alpha_mm_scaled(p)
+    scale = hll_scale_exp(p)
     h = md5_int(F.col(key_col).cast("string"), hex_chars=15)
     rw = spread(df).select(F.col(group_col).alias("grp"), h.alias("_h")).select(
         "grp",
@@ -338,14 +364,14 @@ def hll_grouped(
         F.max("rank").alias("max_rank")
     )
     term = F.call_function(
-        "shiftleft", F.lit(1).cast("long"), (50 - F.col("max_rank")).cast("int")
+        "shiftleft", F.lit(1).cast("long"), (scale - F.col("max_rank")).cast("int")
     )
     return (
         sk.groupBy("grp")
         .agg(F.sum(term).alias("_sp"), F.count(F.lit(1)).alias("n_regs"))
         .select(
             F.col("grp").alias(group_col),
-            (F.col("_sp") + (F.lit(m) - F.col("n_regs")) * F.lit(1 << 50)).alias(
+            (F.col("_sp") + (F.lit(m) - F.col("n_regs")) * F.lit(1 << scale)).alias(
                 "s_int"
             ),
             "n_regs",

@@ -1612,16 +1612,20 @@ def dedup_spans_removed_counts(spark, sf_dir):
 @query(
     "multimodal_wav_downsample_stats",
     # REAL audio resample in the transform chain: PCM WAVs decimate 2x
-    # (multimodal.wav_downsample keeps every 2nd 16-bit sample,
-    # re-encodes a real RIFF container at half the rate), then
-    # content_stats decodes the downsampled PCM back out.  Oracle
-    # recomputes kept sample k = original sample 2k from the body hex.
+    # PER FRAME (multimodal.wav_downsample keeps every 2nd channel group
+    # of 16-bit samples — these synthesized ids are all stereo, channels
+    # = 1 + id%2 — and re-encodes a real RIFF container at half the
+    # rate), then content_stats decodes the downsampled PCM back out.
+    # Oracle recomputes kept sample k from its original byte offset
+    # 8*(k//2) + 2*(k%2): kept frame g = original frame 2g, a complete
+    # trailing half-frame is dropped (blen // 4 whole frames).
     """WITH src AS (SELECT doc_id AS id, hex(encode(coalesce(text,''))) AS hx,
          octet_length(encode(coalesce(text,''))) AS blen FROM documents
         WHERE doc_id % 2 = 1),
-wraw AS (SELECT id, CAST(('0x' || substr(hx, CAST(8*k+1 AS INT), 2)) AS BIGINT)
-              + 256 * CAST(('0x' || substr(hx, CAST(8*k+3 AS INT), 2)) AS BIGINT) AS raw
-         FROM (SELECT id, hx, unnest(range((blen // 2 + 1) // 2)) AS k FROM src)),
+wraw AS (SELECT id,
+           CAST(('0x' || substr(hx, CAST(16*(k//2) + 4*(k%2) + 1 AS INT), 2)) AS BIGINT)
+         + 256 * CAST(('0x' || substr(hx, CAST(16*(k//2) + 4*(k%2) + 3 AS INT), 2)) AS BIGINT) AS raw
+         FROM (SELECT id, hx, unnest(range(2 * ((blen // 4 + 1) // 2))) AS k FROM src)),
 wval AS (SELECT id, CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v FROM wraw),
 stats AS (SELECT id, count(*) AS n_units,
           CAST(sum(v) AS BIGINT) * 1.0 / count(*) AS mean_val,

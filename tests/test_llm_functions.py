@@ -1780,3 +1780,84 @@ def test_wav_downsample_never_raises_on_arbitrary_bytes():
         assert isinstance(out, bytes)
 
     run()
+
+
+def test_sketch_null_keys_dropped_not_crashing(spark):
+    """r7 advisory: NULL keys used to emit bucket=NULL/word=NULL sketch
+    rows that crashed the driver-collect loops with a TypeError.  The
+    build now drops NULLs (drop-NULL-keys semantics, matching the old
+    semi-join implementation) and the loops skip defensively."""
+    from go_streaming_spark.functions import sketch
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), (None,), (None,)], "word string"
+    )
+    hh = {r.key: r.n_occ for r in
+          sketch.heavy_hitters(df, "word", min_count=2, width=32).collect()}
+    assert hh == {"a": 2}
+
+    dim = spark.createDataFrame([(1, "x"), (None, "y")], "dk long, nm string")
+    fact = spark.createDataFrame([(1, 10), (2, 20), (None, 30)], "fk long, v long")
+    got = sorted(
+        (r.fk, r.v)
+        for r in sketch.bloom_filtered_join(fact, dim, "fk", "dk")
+        .select("fk", "v").collect()
+    )
+    assert got == [(1, 10)]  # == plain inner join: NULL never equi-matches
+
+
+def test_hll_high_precision_no_overflow(spark):
+    """r7 advisory: the fixed 2^50 register scale overflowed int64 under
+    ANSI at p >= 13.  The 2^(62-p) scale must hold the full advertised
+    p in [4, 18] range and stay bit-identical to the historical formula
+    at the default p=12."""
+    from go_streaming_spark.functions import sketch
+
+    import math
+
+    def corrected(st, p):
+        # the paper's linear-counting small-range correction, applied
+        # driver-side from the EXACT returned state (the documented contract)
+        m = 1 << p
+        zeros = m - st.n_regs
+        if st.est <= 2.5 * m and zeros > 0:
+            return m * math.log(m / zeros)
+        return st.est
+
+    df = spark.range(0, 60_000).select((F.col("id") % 30_011).alias("k"))
+    for p in (13, 14, 16):
+        est = sketch.hll_estimate(sketch.hll_build(df, "k", p=p), p=p).head()
+        assert est.s_int <= 1 << 62
+        assert abs(corrected(est, p) - 30_011) / 30_011 < 0.06, (p, est.est)
+    grouped = sketch.hll_grouped(
+        df.withColumn("g", F.col("k") % 2), "g", "k", p=14
+    ).collect()
+    assert len(grouped) == 2
+    for r in grouped:
+        assert abs(corrected(r, 14) - 15_005) / 15_005 < 0.06, (r.g, r.est)
+    # p=12 regression pin: scale exponent is exactly the historical 50
+    assert sketch.hll_scale_exp(12) == 50
+
+
+def test_wav_downsample_stereo_preserves_interleave():
+    """r7 advisory: decimation must step per FRAME (channel group), not
+    per sample — stereo factor=2 keeps frames 0,2,4... with BOTH channels
+    intact and byteRate consistent with the halved rate."""
+    import struct
+
+    frames = [(100, -100), (200, -200), (300, -300), (400, -400), (500, -500)]
+    data = b"".join(struct.pack("<hh", l, r) for l, r in frames)
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    down = multimodal.wav_downsample(wav, factor=2)
+    got = multimodal.wav_pcm_samples(down)
+    kept = [frames[0], frames[2], frames[4]]
+    assert got == [s for fr in kept for s in fr]
+    m = multimodal.parse_media_header(down)
+    assert m["format"] == "wav"
+    # fmt chunk re-encoded consistently: 2 channels, rate 4000, byteRate
+    # rate*channels*2 (fmt chunk starts at offset 20 in this layout)
+    ch, rate, byte_rate = struct.unpack("<HII", down[22:32])
+    assert (ch, rate, byte_rate) == (2, 4000, 16000)
