@@ -29,7 +29,7 @@ from typing import NamedTuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from go_streaming_spark.functions.util import spread
+from go_streaming_spark.functions.util import q6, spread
 
 # Cache entries created by the CONVENIENCE (index=None) paths, keyed by the
 # semantic hash of the cached plan.  Identical plans share one Spark storage
@@ -878,7 +878,7 @@ def embedding_cosine_pairs_blocked(
             ia, ib = ids[li][ka], ids[rj][kb]
             cs_exact = seq_dots_rowwise(A[ka], B[kb]) / (na[ka] * nb[kb])
         lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
-        cs_exact = np.round(cs_exact, 6)
+        cs_exact = np.floor(cs_exact * 1e6 + 0.5) / 1e6  # q6: np.round is banker's
         m = (cs_exact >= thr) & (lo != hi)
         return pd.DataFrame({"id_a": lo[m], "id_b": hi[m], "cos_sim": cs_exact[m]})
 
@@ -1009,7 +1009,7 @@ def embedding_cosine_pairs(
         joined = a.join(b, on=on)
     va, vb = F.col("a.vec"), F.col("b.vec")
     dot = sim.dot_expr_unrolled(va, vb, dim) if dim else sim.dot_expr(va, vb)
-    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    cos = q6(dot / (F.col("a.nrm") * F.col("b.nrm")))
     return (
         joined.select(
             F.col("a.id").alias("id_a"),

@@ -72,7 +72,7 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force cosine top-k against a literal query vector.
 
-    Ordering is (round(cos,6) DESC, id ASC) — fully deterministic across
+    Ordering is (q6(cos) DESC, id ASC) — fully deterministic across
     engines/partitionings.  Plans as TakeOrderedAndProject: no global sort.
     """
     # Unrolled codegen'd dot/norm, built as ONE SQL string: the interpreted
@@ -94,7 +94,7 @@ def cosine_topk(
     vnorm = " + ".join(f"(_v[{i}] * _v[{i}])" for i in range(dim))
     # try_divide: zero-norm corpus rows get NULL (sorted last by desc),
     # instead of an ANSI DIVIDE_BY_ZERO failure killing the whole scan
-    cos = F.expr(f"round(try_divide(({dot}), sqrt({vnorm}) * {qn!r}D), 6)")
+    cos = F.expr(f"floor(try_divide(({dot}), sqrt({vnorm}) * {qn!r}D)*1e6 + 0.5)/1e6")
     return (
         df.select(
             F.col(id_col).alias("id"),
@@ -266,7 +266,8 @@ def label_centroids(
     deterministic across engines (float summation order differs)."""
     v = F.col(vec_col).cast("array<double>")
     aggs = [
-        F.round(F.avg(F.element_at(v, i + 1)), round_to).alias(f"_c{i}")
+        (F.floor(F.avg(F.element_at(v, i + 1)) * F.lit(float(10 ** round_to))
+                 + F.lit(0.5)) / F.lit(float(10 ** round_to))).alias(f"_c{i}")
         for i in range(dim)
     ]
     return df.groupBy(cluster_col).agg(*aggs).select(
@@ -322,7 +323,7 @@ def ivf_quantized_topk(
     picking cells with quantized centroids would change WHICH cells are
     probed); candidate scoring is quantized.  Result = quantized scores
     restricted to the probed cells, deterministic
-    (round(cos,6) DESC, id ASC).
+    (q6(cos) DESC, id ASC).
     """
     probe = (
         cosine_topk(centroids, cluster_col, "vec", query_vec, nprobe)
@@ -391,7 +392,7 @@ def quantized_cosine_topk(
     cancel in cosine), so the score is deterministic bit-for-bit across
     engines; only the final sqrt/divide/round touch floating point.
 
-    Ordering: (round(cos,6) DESC, id ASC); plans as TakeOrderedAndProject
+    Ordering: (q6(cos) DESC, id ASC); plans as TakeOrderedAndProject
     (same unrolled codegen'd SQL-string pattern as :func:`cosine_topk` —
     see the driver-time note there).
     """
@@ -405,8 +406,8 @@ def quantized_cosine_topk(
         f"(CAST(_q[{i}] AS BIGINT) * CAST(_q[{i}] AS BIGINT))" for i in range(dim)
     )
     cos = F.expr(
-        f"round(try_divide(CAST(({dot}) AS DOUBLE),"
-        f" sqrt(CAST(({vq2}) AS DOUBLE)) * {qn!r}D), 6)"
+        f"floor(try_divide(CAST(({dot}) AS DOUBLE),"
+        f" sqrt(CAST(({vq2}) AS DOUBLE)) * {qn!r}D)*1e6 + 0.5)/1e6"
     )
     return (
         quantize_embeddings(df, id_col, vec_col, out_col="_q")

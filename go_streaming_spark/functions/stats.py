@@ -55,7 +55,8 @@ def winsorized_stats(
     )
     mean = F.avg("cv")
     if round_digits is not None:
-        mean = F.round(mean, round_digits)
+        scale = F.lit(float(10 ** round_digits))
+        mean = F.floor(mean * scale + F.lit(0.5)) / scale
     return clamped.groupBy(group_col).agg(
         mean.alias("wins_mean"),
         F.sum("is_cl").alias("n_clamped"),

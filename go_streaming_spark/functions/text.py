@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from go_streaming_spark.functions.util import spread
+from go_streaming_spark.functions.util import q6, spread
 
 # Minimal marker lexicons (heuristic n-gram/stopword language ID).  Real
 # deployments swap in fastText/CLD3 via a pandas UDF; the operator shape
@@ -88,9 +88,9 @@ def quality_exprs(t: Column) -> dict[str, Column]:
         "n_words": n_words,
         "n_stopwords": n_stop.cast("long"),
         "n_punct": n_punct.cast("long"),
-        "mean_word_len": F.round(mean_word_len, 6),
-        "stopword_ratio": F.round(stop_ratio, 6),
-        "alpha_ratio": F.round(alpha_ratio, 6),
+        "mean_word_len": q6(mean_word_len),
+        "stopword_ratio": q6(stop_ratio),
+        "alpha_ratio": q6(alpha_ratio),
     }
 
 
@@ -139,7 +139,7 @@ def gopher_quality_flags(
     df = spread(df)
     t = F.col(text_col)
     q = quality_exprs(t)
-    rep = F.round(repetition_ratio(t, 2), 6)
+    rep = q6(repetition_ratio(t, 2))
     too_short = (q["n_words"] < min_words).cast("int")
     too_long = (q["n_words"] > max_words).cast("int")
     bad_word_len = (
@@ -191,7 +191,7 @@ def tf_idf_top_terms(
     scored = (
         tf.join(dfreq, "token")
         .crossJoin(F.broadcast(n_docs))
-        .withColumn("score", F.round((F.col("tf") * F.col("n_docs")) / F.col("df"), 6))
+        .withColumn("score", q6((F.col("tf") * F.col("n_docs")) / F.col("df")))
     )
     w = Window.partitionBy("id").orderBy(F.col("score").desc(), "token")
     return (
@@ -471,7 +471,7 @@ def contamination_stats(
         "id",
         "n_grams",
         F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
-        F.round(
-            F.coalesce("n_hit", F.lit(0)) / F.col("n_grams").cast("double"), 6
+        q6(
+            F.coalesce("n_hit", F.lit(0)) / F.col("n_grams").cast("double")
         ).alias("hit_rate"),
     )

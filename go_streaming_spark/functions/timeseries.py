@@ -74,5 +74,6 @@ def znorm_sliding_distance(
     ex2 = unroll([x * x for x in xs]) / w
     sd = F.greatest(F.sqrt(ex2 - mu * mu), F.lit(1e-12))
     zdiffs = [((x - mu) / sd - F.lit(qq)) for x, qq in zip(xs, q)]
-    dist = F.round(F.sqrt(unroll([d * d for d in zdiffs])), round_to)
+    scale = F.lit(float(10 ** round_to))
+    dist = F.floor(F.sqrt(unroll([d * d for d in zdiffs])) * scale + F.lit(0.5)) / scale
     return base.select("key", "pos", dist.alias("zdist"))

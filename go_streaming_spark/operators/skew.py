@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from go_streaming_spark.functions.util import q6
+
 
 def salted_join(
     left: DataFrame,
@@ -111,7 +113,7 @@ def key_skew_stats(df, key_col: str, top: int = 10):
         .select(
             "key",
             "n_rows",
-            F.round(F.col("n_rows") / F.col("__t").cast("double"), 6).alias("share"),
+            q6(F.col("n_rows") / F.col("__t").cast("double")).alias("share"),
         )
         .orderBy(F.col("n_rows").desc(), F.col("key"))
         .limit(top)

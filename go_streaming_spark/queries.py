@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from go_streaming_spark import operators as ops
 from go_streaming_spark.engine import Engine
 from go_streaming_spark.events import to_events
+from go_streaming_spark.functions.util import q6
 from go_streaming_spark.operators.joins import window_join
 from go_streaming_spark.operators.windows import CountingWindow, TemporalWindow
 
@@ -934,9 +935,9 @@ def stat_aggregates(spark, sf_dir):
 
 @query(
     "value_percentiles",
-    "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,"
-    " round(quantile_cont(value, 0.9), 6) AS p90,"
-    " round(quantile_cont(value, 0.99), 6) AS p99"
+    "SELECT event_type, floor(quantile_cont(value, 0.5)*1e6 + 0.5)/1e6 AS p50,"
+    " floor(quantile_cont(value, 0.9)*1e6 + 0.5)/1e6 AS p90,"
+    " floor(quantile_cont(value, 0.99)*1e6 + 0.5)/1e6 AS p99"
     " FROM events GROUP BY event_type",
 )
 def value_percentiles(spark, sf_dir):
@@ -945,9 +946,9 @@ def value_percentiles(spark, sf_dir):
     # percentile is a per-group sort
     ev = Engine(spark, sf_dir=sf_dir).stream("events")
     return ev.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
-        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        q6(F.percentile("value", F.lit(0.5))).alias("p50"),
+        q6(F.percentile("value", F.lit(0.9))).alias("p90"),
+        q6(F.percentile("value", F.lit(0.99))).alias("p99"),
     )
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from go_streaming_spark.engine import Engine
+from go_streaming_spark.functions import util
 from go_streaming_spark.queries import DEC, DEC_OUT, ORACLES, query
 from go_streaming_spark.queries_llm import _COS as _COS_EXT
 
@@ -181,9 +182,9 @@ def burst_follow_counts(spark, sf_dir):
 tf AS (SELECT id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
 dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
 nn AS (SELECT count(*) AS n_docs FROM documents),
-scored AS (SELECT id, token, round((tf * n_docs) / df, 6) AS score,
+scored AS (SELECT id, token, floor(((tf * n_docs) / df)*1e6 + 0.5)/1e6 AS score,
   row_number() OVER (PARTITION BY id
-    ORDER BY round((tf * n_docs) / df, 6) DESC, token) AS rn
+    ORDER BY floor(((tf * n_docs) / df)*1e6 + 0.5)/1e6 DESC, token) AS rn
  FROM tf JOIN dfq USING(token), nn)
 SELECT id AS doc_id, token, score, rn FROM scored WHERE rn <= 3""",
 )
@@ -389,7 +390,7 @@ def funnel_counts(spark, sf_dir):
     # neighbors (ties break to the smaller label)
     f"""WITH q AS (SELECT embedding::DOUBLE[] qv FROM embeddings WHERE vec_id=0),
 v AS (SELECT vec_id id, label, embedding::DOUBLE[] e FROM embeddings WHERE vec_id <> 0),
-topk AS (SELECT id, label, round({_COS_EXT('e', 'q.qv')}, 6) cos_sim FROM v, q
+topk AS (SELECT id, label, floor(({_COS_EXT('e', 'q.qv')})*1e6 + 0.5)/1e6 cos_sim FROM v, q
          ORDER BY cos_sim DESC, id LIMIT 10)
 SELECT label AS pred_label, count(*) AS n_votes FROM topk
 GROUP BY 1 ORDER BY n_votes DESC, pred_label LIMIT 1""",
@@ -563,8 +564,8 @@ def moving_range_sum(spark, sf_dir):
     # the analytic-distribution trio over orders within each priority
     "SELECT o_orderpriority AS priority, o_orderkey,"
     " ntile(4) OVER w AS quartile,"
-    " round(percent_rank() OVER w, 6) AS pct_rank,"
-    " round(cume_dist() OVER w, 6) AS cume"
+    " floor((percent_rank() OVER w)*1e6 + 0.5)/1e6 AS pct_rank,"
+    " floor((cume_dist() OVER w)*1e6 + 0.5)/1e6 AS cume"
     " FROM orders WINDOW w AS (PARTITION BY o_orderpriority"
     "  ORDER BY o_totalprice DESC, o_orderkey)",
 )
@@ -579,8 +580,8 @@ def rank_distributions(spark, sf_dir):
         F.col("o_orderpriority").alias("priority"),
         "o_orderkey",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        util.q6(F.percent_rank().over(w)).alias("pct_rank"),
+        util.q6(F.cume_dist().over(w)).alias("cume"),
     )
 
 
@@ -989,7 +990,7 @@ def stream_session_window_count(spark, sf_dir):
     "  quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi"
     "  FROM events GROUP BY 1)"
     " SELECT e.event_type,"
-    " round(avg(least(greatest(e.value, b.lo), b.hi)), 6) AS wins_mean,"
+    " floor(avg(least(greatest(e.value, b.lo), b.hi))*1e6 + 0.5)/1e6 AS wins_mean,"
     " CAST(sum(CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 ELSE 0 END)"
     "   AS BIGINT) AS n_clamped,"
     " count(*) AS n"
@@ -1094,13 +1095,14 @@ def cohort_retention_counts(spark, sf_dir):
 @query(
     "mad_by_type",
     # robust dispersion: median absolute deviation around the per-type
-    # median.  The inner median is rounded to 6 decimals on BOTH sides
-    # before the deviation pass, so interpolation agrees bit-for-bit
-    # (same guard as value_percentiles).
-    "WITH med AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50"
+    # median.  The inner median is floor-quantized to 6 decimals on BOTH
+    # sides before the deviation pass, so interpolation agrees
+    # bit-for-bit (round(double,6) diverges on representation ties —
+    # the r7 temperature_mixture_counts lesson).
+    "WITH med AS (SELECT event_type, floor(quantile_cont(value, 0.5)*1e6 + 0.5)/1e6 AS p50"
     "  FROM events GROUP BY 1)"
     " SELECT e.event_type, med.p50,"
-    "  round(quantile_cont(abs(e.value - med.p50), 0.5), 6) AS mad"
+    "  floor(quantile_cont(abs(e.value - med.p50), 0.5)*1e6 + 0.5)/1e6 AS mad"
     " FROM events e JOIN med USING (event_type) GROUP BY 1, 2",
 )
 def mad_by_type(spark, sf_dir):
@@ -1108,14 +1110,14 @@ def mad_by_type(spark, sf_dir):
     # percentile_approx (same shape as winsorized_stats' sketch mode)
     ev = Engine(spark, sf_dir=sf_dir).stream("events")
     med = ev.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50")
+        util.q6(F.percentile("value", F.lit(0.5))).alias("p50")
     )
     return (
         ev.join(F.broadcast(med), "event_type")
         .groupBy("event_type", "p50")
         .agg(
-            F.round(
-                F.percentile(F.abs(F.col("value") - F.col("p50")), F.lit(0.5)), 6
+            util.q6(
+                F.percentile(F.abs(F.col("value") - F.col("p50")), F.lit(0.5))
             ).alias("mad")
         )
     )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from go_streaming_spark.engine import Engine
-from go_streaming_spark.functions import dedup, multimodal, similarity, text
+from go_streaming_spark.functions import dedup, multimodal, similarity, text, util
 from go_streaming_spark.queries import query
 
 
@@ -339,8 +339,8 @@ def dedup_simhash(spark, sf_dir):
 @query(
     "dedup_embedding_cosine",
     f"""WITH v AS (SELECT vec_id id, embedding::DOUBLE[] e FROM embeddings)
-SELECT a.id id_a, b.id id_b, round({_COS('a.e','b.e')}, 6) cos_sim
-FROM v a JOIN v b ON a.id < b.id WHERE round({_COS('a.e','b.e')}, 6) >= 0.4""",
+SELECT a.id id_a, b.id id_b, floor(({_COS('a.e','b.e')})*1e6 + 0.5)/1e6 cos_sim
+FROM v a JOIN v b ON a.id < b.id WHERE floor(({_COS('a.e','b.e')})*1e6 + 0.5)/1e6 >= 0.4""",
 )
 def dedup_embedding_cosine(spark, sf_dir):
     return dedup.embedding_cosine_pairs(
@@ -356,7 +356,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     "ann_cosine_topk",
     f"""WITH q AS (SELECT embedding::DOUBLE[] qv FROM embeddings WHERE vec_id=0),
 v AS (SELECT vec_id id, embedding::DOUBLE[] e FROM embeddings WHERE vec_id <> 0)
-SELECT id, round({_COS('e','q.qv')}, 6) cos_sim FROM v, q
+SELECT id, floor(({_COS('e','q.qv')})*1e6 + 0.5)/1e6 cos_sim FROM v, q
 ORDER BY cos_sim DESC, id LIMIT 10""",
 )
 def ann_cosine_topk(spark, sf_dir):
@@ -373,8 +373,8 @@ def ann_cosine_topk(spark, sf_dir):
     # in the same sequential dim order (no BLAS pairwise summation), so its
     # cosines are bit-identical
     f"""WITH v AS (SELECT vec_id id, embedding::DOUBLE[] e FROM embeddings)
-SELECT a.id id_a, b.id id_b, round({_COS('a.e','b.e')}, 6) cos_sim
-FROM v a JOIN v b ON a.id < b.id WHERE round({_COS('a.e','b.e')}, 6) >= 0.4""",
+SELECT a.id id_a, b.id id_b, floor(({_COS('a.e','b.e')})*1e6 + 0.5)/1e6 cos_sim
+FROM v a JOIN v b ON a.id < b.id WHERE floor(({_COS('a.e','b.e')})*1e6 + 0.5)/1e6 >= 0.4""",
 )
 def dedup_embedding_cosine_blocked(spark, sf_dir):
     return dedup.embedding_cosine_pairs_blocked(
@@ -386,12 +386,12 @@ def dedup_embedding_cosine_blocked(spark, sf_dir):
     "ann_ivf_topk",
     f"""WITH q AS (SELECT embedding::DOUBLE[] qv FROM embeddings WHERE vec_id=0),
 v AS (SELECT vec_id id, label, embedding::DOUBLE[] e FROM embeddings WHERE vec_id <> 0),
-cent AS (SELECT label, j, round(avg(e[CAST(j AS INT)]), 6) cv
+cent AS (SELECT label, j, floor(avg(e[CAST(j AS INT)])*1e6 + 0.5)/1e6 cv
          FROM v, (SELECT unnest(range(1,65)) j) jj GROUP BY 1,2),
 centv AS (SELECT label, list(cv ORDER BY j) cvec FROM cent GROUP BY 1),
 probe AS (SELECT label FROM centv, q
-          ORDER BY round({_COS('cvec','q.qv')}, 6) DESC, label LIMIT 2)
-SELECT id, round({_COS('e','q.qv')}, 6) cos_sim
+          ORDER BY floor(({_COS('cvec','q.qv')})*1e6 + 0.5)/1e6 DESC, label LIMIT 2)
+SELECT id, floor(({_COS('e','q.qv')})*1e6 + 0.5)/1e6 cos_sim
 FROM v JOIN probe USING(label), q
 ORDER BY cos_sim DESC, id LIMIT 10""",
 )
@@ -433,7 +433,7 @@ vb AS (SELECT id, sum(CASE WHEN s >= 0 THEN 1 << CAST(p AS INT) ELSE 0 END)::BIG
 probes AS (SELECT b FROM qb UNION ALL
            SELECT xor(qb.b, 1 << CAST(p AS INT)) FROM qb, (SELECT unnest(range({n_planes})) p) pp),
 cand AS (SELECT v.id, v.e FROM v JOIN vb USING(id) WHERE vb.b IN (SELECT b FROM probes))
-SELECT id, round({_COS('e', 'q.qv')}, 6) cos_sim FROM cand, q
+SELECT id, floor(({_COS('e', 'q.qv')})*1e6 + 0.5)/1e6 cos_sim FROM cand, q
 ORDER BY cos_sim DESC, id LIMIT 10"""
 
 
@@ -535,8 +535,8 @@ s AS (SELECT user_id, event_id, win, list_sum(win)/{w} AS mu,
   greatest(sqrt(list_sum(list_transform(win, x -> x*x))/{w}
                 - (list_sum(win)/{w})*(list_sum(win)/{w})), 1e-12) AS sd FROM f)
 SELECT user_id AS key, event_id AS pos,
- round(sqrt(list_sum(list_transform(range(1,{w + 1}),
-   i -> ({sq})*({sq})))), 6) AS zdist
+ floor(sqrt(list_sum(list_transform(range(1,{w + 1}),
+   i -> ({sq})*({sq}))))*1e6 + 0.5)/1e6 AS zdist
 FROM s, (SELECT [{q}]::DOUBLE[] q) qq"""
 
 
@@ -583,7 +583,7 @@ def pandas_udf_normalize(spark, sf_dir):
     f"""WITH kept AS (SELECT doc_id, source, text FROM documents
   WHERE {_NW} >= 5
     AND len(text) > 0
-    AND round(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) / len(text), 6) > 0.5)
+    AND floor((len(regexp_replace(text, '[^A-Za-z]', '', 'g')) / len(text))*1e6 + 0.5)/1e6 > 0.5)
 SELECT source, count(DISTINCT md5(text)) AS n_unique, count(*) AS n_docs
 FROM kept GROUP BY source""",
 )
@@ -635,9 +635,9 @@ def text_lang_id(spark, sf_dir):
  {_NW}::BIGINT n_words,
  {_NSTOP}::BIGINT n_stopwords,
  len(regexp_replace(text, '[^.,;:!?]', '', 'g'))::BIGINT n_punct,
- round(CASE WHEN {_NW} > 0 THEN (len(text) - ({_NW}-1))/{_NW} ELSE 0.0 END, 6) mean_word_len,
- round(CASE WHEN {_NW} > 0 THEN {_NSTOP}/{_NW} ELSE 0.0 END, 6) stopword_ratio,
- round(CASE WHEN len(text) > 0 THEN len(regexp_replace(text, '[^A-Za-z]', '', 'g'))/len(text) ELSE 0.0 END, 6) alpha_ratio
+ floor((CASE WHEN {_NW} > 0 THEN (len(text) - ({_NW}-1))/{_NW} ELSE 0.0 END)*1e6 + 0.5)/1e6 mean_word_len,
+ floor((CASE WHEN {_NW} > 0 THEN {_NSTOP}/{_NW} ELSE 0.0 END)*1e6 + 0.5)/1e6 stopword_ratio,
+ floor((CASE WHEN len(text) > 0 THEN len(regexp_replace(text, '[^A-Za-z]', '', 'g'))/len(text) ELSE 0.0 END)*1e6 + 0.5)/1e6 alpha_ratio
 FROM documents""",
 )
 def text_quality(spark, sf_dir):
@@ -835,7 +835,7 @@ def chunk_documents(spark, sf_dir):
         FROM documents))
 SELECT doc_id,
  CASE WHEN len(grams) > 0
-      THEN round(1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE), 6)
+      THEN floor((1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE))*1e6 + 0.5)/1e6
       ELSE 0.0 END AS rep_ratio
 FROM t""",
 )
@@ -843,7 +843,7 @@ def doc_repetition_scores(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
-        F.round(text.repetition_ratio(F.col("text"), 2), 6).alias("rep_ratio"),
+        util.q6(text.repetition_ratio(F.col("text"), 2)).alias("rep_ratio"),
     )
 
 
@@ -903,10 +903,9 @@ qz AS (SELECT vec_id,
 q AS (SELECT qv AS qq FROM qz WHERE vec_id = 0),
 v AS (SELECT vec_id AS id, qv FROM qz WHERE vec_id <> 0)
 SELECT id,
-  round(CAST(list_sum(list_transform(range(1,65), i -> qv[i]*q.qq[i])) AS DOUBLE) /
+  floor((CAST(list_sum(list_transform(range(1,65), i -> qv[i]*q.qq[i])) AS DOUBLE) /
         (sqrt(CAST(list_sum(list_transform(range(1,65), i -> qv[i]*qv[i])) AS DOUBLE)) *
-         sqrt(CAST(list_sum(list_transform(range(1,65), i -> q.qq[i]*q.qq[i])) AS DOUBLE))),
-        6) AS cos_sim
+         sqrt(CAST(list_sum(list_transform(range(1,65), i -> q.qq[i]*q.qq[i])) AS DOUBLE))))*1e6 + 0.5)/1e6 AS cos_sim
 FROM v, q ORDER BY cos_sim DESC, id LIMIT 10""",
 )
 def ann_quantized_topk(spark, sf_dir):
@@ -941,7 +940,7 @@ cc AS (SELECT d.doc_id, d.source, wt.weight,
           THEN 1 ELSE 0 END AS n_copies
        FROM documents d JOIN wt ON d.source = wt.stratum)
 SELECT source, count(*) AS n_rows, sum(n_copies) AS n_copies_total,
-       round(max(weight), 6) AS weight_r
+       floor(max(weight)*1e6 + 0.5)/1e6 AS weight_r
 FROM cc GROUP BY source""",
 )
 def temperature_mixture_counts(spark, sf_dir):
@@ -954,8 +953,11 @@ def temperature_mixture_counts(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("n_copies").alias("n_copies_total"),
     )
+    # floor-quantize, not round: the r7 driver red row was a
+    # round(double,6) representation tie in this very column
     wr = wts.select(
-        F.col("stratum").alias("source"), F.round("weight", 6).alias("weight_r")
+        F.col("stratum").alias("source"),
+        util.q6(F.col("weight")).alias("weight_r"),
     )
     return agg.join(wr, "source")
 
@@ -976,7 +978,7 @@ test AS (SELECT id, gh FROM g0 WHERE id % 10 <> 0),
 h AS (SELECT id, count(*) AS n_hit FROM test WHERE gh IN (SELECT gh FROM train) GROUP BY id),
 t AS (SELECT id, count(*) AS n_grams FROM test GROUP BY id)
 SELECT t.id, t.n_grams, coalesce(h.n_hit, 0) AS n_hit,
-       round(coalesce(h.n_hit, 0) / CAST(t.n_grams AS DOUBLE), 6) AS hit_rate
+       floor((coalesce(h.n_hit, 0) / CAST(t.n_grams AS DOUBLE))*1e6 + 0.5)/1e6 AS hit_rate
 FROM t LEFT JOIN h ON t.id = h.id""",
 )
 def contamination_rates(spark, sf_dir):
@@ -1021,8 +1023,8 @@ def dedup_spans_incremental(spark, sf_dir):
     "gopher_quality_flags",
     # rule-based quality gate (Gopher §A1.1): per-rule violation flags +
     # composite keep, so pipelines can audit WHY docs dropped.  All
-    # thresholds compare the ROUNDED feature values (both engines round
-    # identically on these positive ratios)
+    # thresholds compare the QUANTIZED feature values (floor(x*1e6+0.5)/1e6
+    # — identical double ops in both engines)
     f"""WITH b AS (SELECT doc_id,
         list_filter(regexp_split_to_array(text,'\\s+'), x -> x <> '') AS toks,
         length(text) AS n_chars FROM documents),
@@ -1032,14 +1034,14 @@ f AS (SELECT doc_id, len(toks) AS n_words,
                        i -> toks[i] || ' ' || toks[i+1]) AS grams,
         n_chars FROM b),
 m AS (SELECT doc_id, n_words,
-        round(CASE WHEN n_words > 0
+        floor((CASE WHEN n_words > 0
               THEN (n_chars - (n_words - 1)) / CAST(n_words AS DOUBLE)
-              ELSE 0.0 END, 6) AS mwl,
-        round(CASE WHEN n_words > 0 THEN n_stop / CAST(n_words AS DOUBLE)
-              ELSE 0.0 END, 6) AS sr,
-        round(CASE WHEN len(grams) > 0
+              ELSE 0.0 END)*1e6 + 0.5)/1e6 AS mwl,
+        floor((CASE WHEN n_words > 0 THEN n_stop / CAST(n_words AS DOUBLE)
+              ELSE 0.0 END)*1e6 + 0.5)/1e6 AS sr,
+        floor((CASE WHEN len(grams) > 0
               THEN 1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE)
-              ELSE 0.0 END, 6) AS rep
+              ELSE 0.0 END)*1e6 + 0.5)/1e6 AS rep
       FROM f),
 x AS (SELECT doc_id, n_words,
         CASE WHEN n_words < 50 THEN 1 ELSE 0 END AS flag_too_short,
@@ -1166,7 +1168,7 @@ def stratified_fixed_counts(spark, sf_dir):
     # — the decision input for salted_join / AQE skew handling
     """WITH c AS (SELECT event_type AS key, count(*) AS n_rows FROM events GROUP BY 1),
 t AS (SELECT sum(n_rows) AS tt FROM c)
-SELECT key, n_rows, round(n_rows / CAST(tt AS DOUBLE), 6) AS share
+SELECT key, n_rows, floor((n_rows / CAST(tt AS DOUBLE))*1e6 + 0.5)/1e6 AS share
 FROM c, t ORDER BY n_rows DESC, key LIMIT 10""",
 )
 def join_key_skew_stats(spark, sf_dir):
@@ -1385,11 +1387,11 @@ def multimodal_avi_content_stats(spark, sf_dir):
     # -- cell pruning and the 4x byte reduction multiply
     f"""WITH q AS (SELECT embedding::DOUBLE[] qv FROM embeddings WHERE vec_id=0),
 v AS (SELECT vec_id id, label, embedding::DOUBLE[] e FROM embeddings WHERE vec_id <> 0),
-cent AS (SELECT label, j, round(avg(e[CAST(j AS INT)]), 6) cv
+cent AS (SELECT label, j, floor(avg(e[CAST(j AS INT)])*1e6 + 0.5)/1e6 cv
          FROM v, (SELECT unnest(range(1,65)) j) jj GROUP BY 1,2),
 centv AS (SELECT label, list(cv ORDER BY j) cvec FROM cent GROUP BY 1),
 probe AS (SELECT label FROM centv, q
-          ORDER BY round({_COS('cvec','q.qv')}, 6) DESC, label LIMIT 2),
+          ORDER BY floor(({_COS('cvec','q.qv')})*1e6 + 0.5)/1e6 DESC, label LIMIT 2),
 qq AS (SELECT CASE WHEN amax > 0
               THEN list_transform(qv, x -> CAST(floor(x/(amax/127.0) + 0.5) AS BIGINT))
               ELSE list_transform(qv, x -> CAST(0 AS BIGINT)) END AS qq
@@ -1402,10 +1404,9 @@ cq AS (SELECT id,
                list_max(list_transform(v.e, x -> abs(x))) AS amax
              FROM v JOIN probe USING(label)))
 SELECT id,
-  round(CAST(list_sum(list_transform(range(1,65), i -> qv[i]*qq.qq[i])) AS DOUBLE) /
+  floor((CAST(list_sum(list_transform(range(1,65), i -> qv[i]*qq.qq[i])) AS DOUBLE) /
         (sqrt(CAST(list_sum(list_transform(range(1,65), i -> qv[i]*qv[i])) AS DOUBLE)) *
-         sqrt(CAST(list_sum(list_transform(range(1,65), i -> qq.qq[i]*qq.qq[i])) AS DOUBLE))),
-        6) AS cos_sim
+         sqrt(CAST(list_sum(list_transform(range(1,65), i -> qq.qq[i]*qq.qq[i])) AS DOUBLE))))*1e6 + 0.5)/1e6 AS cos_sim
 FROM cq, qq ORDER BY cos_sim DESC, id LIMIT 10""",
 )
 def ann_ivf_quantized_topk(spark, sf_dir):
