@@ -667,7 +667,8 @@ def star_join_agg(spark, sf_dir):
     # co-partitions on the orderkey (sort-merge/shuffle-hash via AQE).
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # cust is SF-proportional: no pinned broadcast — AQE decides
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.sum(
@@ -724,7 +725,8 @@ def regional_revenue(spark, sf_dir):
     li = eng.stream("lineitem")
     sup, nat, reg = eng.stream("supplier"), eng.stream("nation"), eng.stream("region")
     return (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        # sup is SF-proportional: no pinned broadcast — AQE decides
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -752,7 +754,8 @@ def part_type_stats(spark, sf_dir):
     eng = Engine(spark, sf_dir=sf_dir)
     li, part = eng.stream("lineitem"), eng.stream("part")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part is SF-proportional: no pinned broadcast — AQE decides
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_type")
         .agg(
             F.sum(F.col("l_quantity").cast(DEC)).cast(DEC_OUT).alias("sum_qty"),
@@ -1011,7 +1014,8 @@ def rank_topn_per_segment(spark, sf_dir):
         F.col("o_totalprice").desc(), "o_orderkey"
     )
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # cust is SF-proportional: no pinned broadcast — AQE decides
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_mktsegment", "o_orderkey", "o_totalprice")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)

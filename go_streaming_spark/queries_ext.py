@@ -350,7 +350,8 @@ def disjunctive_filter_revenue(spark, sf_dir):
     eng = Engine(spark, sf_dir=sf_dir)
     li, part = eng.stream("lineitem"), eng.stream("part")
     return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        # part is SF-proportional: no pinned broadcast — AQE decides
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .filter(F.expr(_Q19_PRED))
         .agg(
             F.sum(F.col("l_extendedprice").cast(DEC)).cast(DEC_OUT).alias("revenue"),
@@ -678,7 +679,8 @@ def stream_static_enrich(spark, sf_dir):
     )
     cust = Engine(spark, sf_dir=sf_dir).stream("customer")
     enriched = ev.join(
-        F.broadcast(cust), ev["user_id"] == cust["c_custkey"], "inner"
+        # cust is SF-proportional: no pinned broadcast — AQE decides
+        cust, ev["user_id"] == cust["c_custkey"], "inner"
     ).select("event_id", "user_id", "c_mktsegment", "value")
     return replay_to_memory(enriched, spark)
 
@@ -911,7 +913,8 @@ def sole_return_suppliers(spark, sf_dir):
         li.filter(F.col("l_returnflag") == "R")
         .join(po, F.col("l_orderkey") == F.col("ok"))
         .filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supp is SF-proportional: no pinned broadcast — AQE decides
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("n_fault_items"))
     )
@@ -1338,10 +1341,12 @@ def nation_pair_volume(spark, sf_dir):
     sn = nat.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
     cn = nat.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))
     j = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # supp/cust are SF-proportional: no pinned broadcast — AQE
+        # decides; the nation PROJECTIONS (sn/cn, fixed 25 rows) stay hinted
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
@@ -1384,7 +1389,8 @@ def returned_item_customers(spark, sf_dir):
             ),
             li.l_orderkey == orders.o_orderkey,
         )
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # cust is SF-proportional: no pinned broadcast — AQE decides
+        .join(cust, orders.o_custkey == cust.c_custkey)
     )
     return (
         j.groupBy("c_custkey", "c_name")
@@ -1418,7 +1424,8 @@ def promo_revenue_pct(spark, sf_dir):
     )
     j = li.filter(
         (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
-    ).join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    # part is SF-proportional: no pinned broadcast — AQE decides
+    ).join(part, li.l_partkey == part.p_partkey)
     agg = j.agg(
         F.round(F.sum(F.when(F.col("p_type") == "PROMO", prod).otherwise(F.lit(0))), 4)
         .cast("decimal(38,4)").cast("double").alias("_promo"),
@@ -1457,6 +1464,7 @@ def top_supplier_revenue(spark, sf_dir):
     mx = rev.agg(F.max("total_rev").alias("_mx"))
     return (
         rev.join(F.broadcast(mx), rev.total_rev == mx._mx, "left_semi")
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        # supp is SF-proportional: no pinned broadcast — AQE decides
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev")
     )

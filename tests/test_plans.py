@@ -317,3 +317,21 @@ def test_incremental_dedup_shuffles_digests_not_documents(spark):
         assert "text" not in m.group(1), m.group(0)
     # and the join itself is digest-keyed anti semantics
     assert "LeftAnti" in plan, plan
+
+
+def test_sf_growing_dims_broadcast_via_aqe_not_pinned_hint(spark):
+    """The r7 scale deduction: customer/part/supplier are SF-proportional
+    (15B/20B/1B rows at ~100 TB), so a pinned F.broadcast hint on them is
+    an executor OOM at the design point.  The hints are gone — this test
+    proves AQE still picks BroadcastHashJoin for them AT BENCH SCALE from
+    runtime size stats, so de-pinning costs nothing where it's safe."""
+    import go_streaming_spark.queries_ext  # noqa: F401
+
+    for name in ("star_join_agg",        # customer join
+                 "nation_pair_volume",   # supplier + customer joins
+                 "promo_revenue_pct"):   # part join
+        df = QUERIES[name](spark, "/root/testdata/sf0.1")
+        df.collect()  # materialize so AQE re-plans from runtime stats
+        plan = _plan(df)
+        assert "isFinalPlan=true" in plan, name
+        assert "BroadcastHashJoin" in plan, (name, plan[:2000])
