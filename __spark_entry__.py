@@ -31,64 +31,55 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate runs the FIRST 50 queries in registration
-# order.  Round-7 rotation (honoring the r6 pre-commitment): (a) the 9
-# queries whose last driver-green row is r4 — two rounds unwatched — lead;
-# (b) the 16 r6 registrations that have never faced the driver earn their
-# first hard rows; (c) the queries added THIS round (corpus_ingest_survivors,
-# multimodal_avi_content_stats, ann_ivf_quantized_topk) follow; (d) 22 of
-# the 50 r5-green rows fill the remaining slots, picked by touched-code
-# risk: json_struct_extract (oracle TRY_CAST fix), stat_aggregates (moment
-# template refactor), dedup_incremental_minhash (cache registry), the
-# similarity family (new composition in the same module), the multimodal
-# family (AVI decode in the same module), and the text/dedup rows closest
-# to this round's edits.  The 28 deferred r5 greens (anti_join_no_urgent_
-# customers, chunk_documents, convert_long, cube_revenue,
-# decontaminate_counts, distinct_users_per_type, doc_repetition_scores,
-# filter_contains/_even/_odd/_smaller, flatmap_chars,
-# grouping_sets_revenue, hash_split_counts, limit_first, map_affine,
-# mixture_sample_counts, observe_passthrough, part_type_stats, redact_pii,
-# select_from_map, semi_join_urgent_customers, stratified_sample_counts,
-# stream_counting_window_sum, stream_static_enrich, tokenize_wordcount,
-# topk_orders, value_percentiles) are exactly two rounds old at end of r7
-# and MUST lead the r8 rotation together with the 18 queries registered
-# in r7 AFTER this gate froze, which have local sf0.01+sf0.1 verification
-# but no driver row yet (dedup_incremental_bloom, dedup_prefix_jaccard,
-# hll_user_cardinality, bloom_join_urgent_revenue,
-# multimodal_bmp_thumbnail_stats, multimodal_wav_downsample_stats,
-# dedup_spans_removed_counts, stream_window_join_left, stream_fan_in_sum,
-# cohort_retention_counts, mad_by_type, table_fingerprint,
-# incremental_cube_update, salted_agg_status_totals,
-# salted_join_type_revenue, nation_pair_volume, returned_item_customers,
-# promo_revenue_pct, top_supplier_revenue — 19 with the last one; count
-# them from the registry, do not trust this comment's arithmetic) — that
-# is 28 + 19 = 47 of the 50 r8 slots; fill the rest from the r6 greens
-# nearest staleness.
+# order.  STANDING ROTATION POLICY (r8 onward): each round's gate is the
+# 50 registered queries with the OLDEST last-driver-green row, in LRU
+# order — queries with NO green driver row yet (new registrations and
+# red rows being re-proven) count as infinitely stale and always lead;
+# ties break toward code touched in the current round.  With ~150
+# registered queries every query earns a hard row at least every 3
+# rounds.
+#
+# Round-8 gate (honoring the r7 pre-commitment exactly): (a) the FIXED
+# r7 red row temperature_mixture_counts leads (round(double,6) tie →
+# floor-quantize, must re-prove green); (b) the 19 r7 registrations that
+# have never faced the driver; (c) the 28 r5 greens deferred since r6 —
+# two rounds unwatched; (d) 2 filler slots from the 50 r6 greens, picked
+# by touched-code risk: rank_distributions and winsorized_stats both had
+# their output columns swept to the q6 idiom this round.
+#
+# r9 PRE-COMMITMENT: the remaining 48 r6 greens are two rounds unwatched
+# at end of r8 and lead the r9 rotation (LRU), together with every query
+# registered in r8 after this gate froze (multimodal_mp4_content_stats,
+# corpus_ingest_clean_tokens, and any later r8 additions — enumerate
+# from the registry, newest-without-a-row first).  That exceeds 50: take
+# the r8 registrations first, then the stalest r6 greens; r6 greens that
+# miss the cut carry to r10 at the head of the queue.
 GATE_PRIORITY = [
-    # (a) last green in r4 — the mandatory staleness fix
-    "counting_window_sliding", "counting_window_skip",
-    "counting_window_per_type", "window_join_left", "window_join_sliding",
-    "fan_in_per_source", "stream_window_sum_per_user", "window_sampling",
-    "set_except_user_days",
-    # (b) registered in r6 after the gate froze — first hard rows
-    "dedup_substring_spans", "dedup_spans_incremental",
-    "dedup_spans_keep_first", "vocab_top_bigrams", "weighted_sample_ids",
-    "ann_quantized_topk", "temperature_mixture_counts", "contamination_rates",
-    "gopher_quality_flags", "cms_word_counts", "heavy_hitter_words",
-    "stratified_fixed_counts", "join_key_skew_stats",
-    "multimodal_png_content_stats", "multimodal_gif_content_stats",
-    "multimodal_jpeg_content_stats",
-    # (c) added this round — new work must earn hard rows
-    "corpus_ingest_survivors",       # NEW: unified CorpusState.ingest e2e
-    "multimodal_avi_content_stats",  # NEW: real AVI frame-pixel decode
-    "ann_ivf_quantized_topk",        # NEW: IVF cell pruning × int8 scoring
-    # (d) r5-green rows nearest this round's edits
-    "json_struct_extract", "stat_aggregates", "dedup_incremental_minhash",
-    "dedup_normalized_exact", "ann_cosine_topk", "ann_ivf_topk",
-    "ann_lsh_topk", "dedup_embedding_cosine", "dedup_embedding_cosine_blocked",
-    "multimodal_binary_meta", "multimodal_features", "multimodal_frame_plan",
-    "multimodal_transform_chain", "tfidf_top_terms", "timeseries_znorm_search",
-    "text_quality", "text_lang_id", "text_token_counts", "text_fingerprint",
-    "pack_sequences", "pipeline_clean_corpus", "knn_label_vote",
+    # (a) the fixed r7 red row — must re-prove green
+    "temperature_mixture_counts",
+    # (b) registered in r7 after the gate froze — first hard rows
+    "dedup_incremental_bloom", "dedup_prefix_jaccard",
+    "hll_user_cardinality", "bloom_join_urgent_revenue",
+    "multimodal_bmp_thumbnail_stats", "multimodal_wav_downsample_stats",
+    "dedup_spans_removed_counts", "stream_window_join_left",
+    "stream_fan_in_sum", "cohort_retention_counts", "mad_by_type",
+    "table_fingerprint", "incremental_cube_update",
+    "salted_agg_status_totals", "salted_join_type_revenue",
+    "nation_pair_volume", "returned_item_customers",
+    "promo_revenue_pct", "top_supplier_revenue",
+    # (c) the 28 r5 greens deferred since r6 — two rounds unwatched
+    "anti_join_no_urgent_customers", "chunk_documents", "convert_long",
+    "cube_revenue", "decontaminate_counts", "distinct_users_per_type",
+    "doc_repetition_scores", "filter_contains", "filter_even",
+    "filter_odd", "filter_smaller", "flatmap_chars",
+    "grouping_sets_revenue", "hash_split_counts", "limit_first",
+    "map_affine", "mixture_sample_counts", "observe_passthrough",
+    "part_type_stats", "redact_pii", "select_from_map",
+    "semi_join_urgent_customers", "stratified_sample_counts",
+    "stream_counting_window_sum", "stream_static_enrich",
+    "tokenize_wordcount", "topk_orders", "value_percentiles",
+    # (d) filler: r6 greens whose output columns were q6-swept this round
+    "rank_distributions", "winsorized_stats",
 ]
 
 
