@@ -565,6 +565,180 @@ def avi_frame_bytes(p: bytes) -> bytes | None:
     return bytes(out) if found else None
 
 
+def synthesize_payloads_mp4(df: DataFrame, id_col: str, body_col: str) -> DataFrame:
+    """Deterministic UNCOMPRESSED MP4 payloads — the ISO-BMFF twin of
+    :func:`synthesize_payloads_avi` (same spirit as the reference's
+    operators doing real work on event content,
+    /root/reference/examples/processing/customOperator/main.go:17-38).
+
+    Each doc becomes a real ISO base-media file: ``ftyp`` +
+    ``moov`` (mvhd; trak → tkhd → mdia → mdhd → minf → stbl with a
+    'raw ' stsd entry and REAL stsz/stsc/stco sample tables) + ``mdat``
+    holding ``1 + id % 4`` uncompressed RGB24 frames of width 8 ×
+    height ``2 + id % 6`` (stride 24, no padding) in one chunk.  The
+    frame pixel stream is the body's UTF-8 bytes cycled CONTIGUOUSLY
+    across all frames (empty bodies cycle 0x00) — an oracle recomputes
+    every content statistic from the formula alone.  All box sizes are
+    fixed by construction (sample geometry lives in the tables, not the
+    layout), so the whole container is JVM-side hex concat + ``unhex``.
+    """
+    _id = F.col(id_col)
+    body = F.encode(F.coalesce(F.col(body_col), F.lit("")), "UTF-8")
+    body_hex = F.hex(body)
+
+    h = (F.lit(2) + _id % 6).cast("long")
+    frame_bytes = h * 24                                      # 8 px × RGB24
+    n_frames = (F.lit(1) + _id % 4).cast("long")
+    needed = n_frames * frame_bytes
+    dur = n_frames * 40                                       # ms @ 25 fps, timescale 1000
+    padded = F.when(F.length(body_hex) > 0, body_hex).otherwise(F.lit("00"))
+    hlen = F.length(padded)
+    reps = F.floor((needed * 2 + hlen - 1) / hlen).cast("int")
+    pixel_hex = F.substr(
+        F.repeat(padded, reps), F.lit(1), (needed * 2).cast("int")
+    )
+
+    z4 = F.lit("00000000")
+    unity = F.lit("00010000" + "00000000" * 3 + "00010000" + "00000000" * 3
+                  + "40000000")                               # 3×3 16.16 matrix
+    ftyp = F.lit("00000010" "66747970" "69736F6D" "00000000")
+    mvhd = F.concat(
+        F.lit("0000006C" "6D766864"), z4, z4, z4,             # v0, ctime, mtime
+        F.lit("000003E8"), _be_hex(dur, 4),                   # timescale 1000, duration
+        F.lit("00010000"), F.lit("01000000"),                 # rate 1.0, volume+reserved
+        z4, z4,                                               # reserved2
+        unity, F.lit("00000000" * 6), F.lit("00000002"),      # matrix, predefined, next id
+    )
+    tkhd = F.concat(
+        F.lit("0000005C" "746B6864"), F.lit("00000007"),      # v0 flags=enabled
+        z4, z4, F.lit("00000001"), z4, _be_hex(dur, 4),       # times, track 1, duration
+        z4, z4,                                               # reserved
+        F.lit("0000" "0000" "0000" "0000"),                   # layer/alt/volume/reserved
+        unity,
+        F.lit("00080000"), F.concat(_be_hex(h, 2), F.lit("0000")),  # 16.16 w=8, h
+    )
+    mdhd = F.concat(
+        F.lit("00000020" "6D646864"), z4, z4, z4,
+        F.lit("000003E8"), _be_hex(dur, 4), F.lit("55C4" "0000"),   # scale, dur, 'und'
+    )
+    stsd = F.concat(
+        F.lit("00000066" "73747364"), z4, F.lit("00000001"),  # one entry:
+        F.lit("00000056" "72617720"), F.lit("000000000000" "0001"),  # 'raw ', dref 1
+        F.lit("00000000" * 4),                                # predefined
+        F.lit("0008"), _be_hex(h, 2),                         # width 8, height
+        F.lit("00480000" "00480000"), z4, F.lit("0001"),      # 72 dpi, frame_count 1
+        F.lit("00" * 32), F.lit("0018" "FFFF"),               # compressor, depth 24
+    )
+    stsz = F.concat(
+        F.lit("00000014" "7374737A"), z4,
+        _be_hex(frame_bytes, 4), _be_hex(n_frames, 4),        # uniform size, count
+    )
+    stsc = F.concat(
+        F.lit("0000001C" "73747363"), z4, F.lit("00000001"),
+        F.lit("00000001"), _be_hex(n_frames, 4), F.lit("00000001"),
+    )
+    stco = F.lit("00000014" "7374636F" "00000000" "00000001"
+                 "000001D2")                                  # 1 chunk at offset 466
+    stbl = F.concat(F.lit("000000B2" "7374626C"), stsd, stsz, stsc, stco)
+    minf = F.concat(F.lit("000000BA" "6D696E66"), stbl)
+    mdia = F.concat(F.lit("000000E2" "6D646961"), mdhd, minf)
+    trak = F.concat(F.lit("00000146" "7472616B"), tkhd, mdia)
+    moov = F.concat(F.lit("000001BA" "6D6F6F76"), mvhd, trak)
+    mdat = F.concat(_be_hex(needed + 8, 4), F.lit("6D646174"), pixel_hex)
+    return df.withColumn("media", F.unhex(F.concat(ftyp, moov, mdat)))
+
+
+def mp4_sample_bytes(p: bytes) -> bytes | None:
+    """REAL MP4 content decode: the concatenated sample bytes of every
+    trak, via the ISO-BMFF sample tables — walk
+    moov → trak → mdia → minf → stbl, then stsz (uniform or per-sample
+    sizes), stsc (sample-to-chunk runs) and stco (absolute chunk
+    offsets) locate each sample inside ``mdat``.  ``None`` for non-MP4
+    payloads or files without a usable sample table."""
+    if len(p) < 12 or p[4:8] != b"ftyp":
+        return None
+
+    def boxes(start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            size = int.from_bytes(p[i:i + 4], "big")
+            btype = p[i + 4:i + 8]
+            if size == 1 or size < 8 or i + size > end:
+                return  # 64-bit largesize / malformed: stop
+            yield btype, i + 8, i + size
+            i += size
+
+    def find(btype: bytes, span):
+        if span is None:
+            return None
+        for t, s, e in boxes(*span):
+            if t == btype:
+                return s, e
+        return None
+
+    moov = find(b"moov", (0, len(p)))
+    if moov is None:
+        return None
+    out = bytearray()
+    found = False
+    for t, ts, te in boxes(*moov):
+        if t != b"trak":
+            continue
+        stbl = find(b"stbl", find(b"minf", find(b"mdia", (ts, te))))
+        stsz = find(b"stsz", stbl)
+        stco = find(b"stco", stbl)
+        if stsz is None or stco is None or stsz[1] - stsz[0] < 12:
+            continue
+        s = stsz[0]
+        uniform = int.from_bytes(p[s + 4:s + 8], "big")
+        n_samples = int.from_bytes(p[s + 8:s + 12], "big")
+        if uniform:
+            sizes = [uniform] * n_samples
+        elif stsz[1] - s >= 12 + 4 * n_samples:
+            sizes = [
+                int.from_bytes(p[s + 12 + 4 * k:s + 16 + 4 * k], "big")
+                for k in range(n_samples)
+            ]
+        else:
+            continue
+        s = stco[0]
+        n_chunks = int.from_bytes(p[s + 4:s + 8], "big")
+        if stco[1] - s < 8 + 4 * n_chunks:
+            continue
+        offsets = [
+            int.from_bytes(p[s + 8 + 4 * k:s + 12 + 4 * k], "big")
+            for k in range(n_chunks)
+        ]
+        runs = [(1, n_samples)]                # stsc absent: one chunk holds all
+        stsc = find(b"stsc", stbl)
+        if stsc is not None:
+            s = stsc[0]
+            n_runs = int.from_bytes(p[s + 4:s + 8], "big")
+            if stsc[1] - s >= 8 + 12 * n_runs:
+                runs = [
+                    (
+                        int.from_bytes(p[s + 8 + 12 * k:s + 12 + 12 * k], "big"),
+                        int.from_bytes(p[s + 12 + 12 * k:s + 16 + 12 * k], "big"),
+                    )
+                    for k in range(n_runs)
+                ]
+        found = True
+        si = 0
+        for ci, off in enumerate(offsets):
+            spc = 0
+            for first_chunk, n_per in runs:     # last run starting at/before ci+1 wins
+                if first_chunk <= ci + 1:
+                    spc = n_per
+            pos = off
+            for _ in range(spc):
+                if si >= len(sizes) or pos + sizes[si] > len(p):
+                    break
+                out += p[pos:pos + sizes[si]]
+                pos += sizes[si]
+                si += 1
+    return bytes(out) if found else None
+
+
 def bmp_pixel_bytes(p: bytes) -> bytes | None:
     """REAL BMP content decode: the raw pixel array (BGR byte stream,
     stride-padded rows included) per the BITMAPINFOHEADER geometry.
@@ -729,7 +903,7 @@ def content_stats(
         # local refs: cloudpickle ships the decoders by value
         sniff, bmp_px, wav_pcm = parse_media_header, bmp_pixel_bytes, wav_pcm_samples
         png_px, gif_px, jpg_px = png_pixel_bytes, gif_pixel_bytes, jpeg_pixel_bytes
-        avi_px = avi_frame_bytes
+        avi_px, mp4_px = avi_frame_bytes, mp4_sample_bytes
 
         def stats_row(b) -> tuple:
             p = bytes(b) if b is not None else b""
@@ -749,6 +923,9 @@ def content_stats(
                 units = list(raw) if raw is not None else None
             elif fmt == "avi":
                 raw = avi_px(p)
+                units = list(raw) if raw is not None else None
+            elif fmt == "mp4":
+                raw = mp4_px(p)
                 units = list(raw) if raw is not None else None
             elif fmt == "wav":
                 units = wav_pcm(p)

@@ -1379,6 +1379,40 @@ def multimodal_avi_content_stats(spark, sf_dir):
 
 
 @query(
+    "multimodal_mp4_content_stats",
+    # REAL MP4 sample decode (the video tier's ISO-BMFF half): each doc
+    # becomes an uncompressed ISO base-media file with 1+id%4 RGB24
+    # samples of 8 x (2+id%6) pixels located by REAL stsz/stsc/stco
+    # sample tables (multimodal.synthesize_payloads_mp4); content_stats
+    # walks moov/trak/mdia/minf/stbl back to the sample bytes
+    # (multimodal.mp4_sample_bytes) and must reproduce the stats the
+    # oracle computes from the synthesis formula alone.  Integer sums
+    # divided once -> both engines bit-equal on mean/rms.
+    """WITH src AS (SELECT doc_id AS id, hex(encode(coalesce(text,''))) AS hx,
+         octet_length(encode(coalesce(text,''))) AS blen FROM documents),
+ph AS (SELECT id, (1 + id % 4) * (2 + id % 6) * 24 AS needed,
+        CASE WHEN blen > 0 THEN hx ELSE '00' END AS phx FROM src),
+pix AS (SELECT id, needed,
+        substr(repeat(phx, CAST((needed*2 + length(phx) - 1) // length(phx) AS INT)),
+               1, CAST(needed*2 AS INT)) AS phex FROM ph),
+v AS (SELECT id, needed,
+       CAST(('0x' || substr(phex, CAST(2*j+1 AS INT), 2)) AS BIGINT) AS v
+      FROM (SELECT id, needed, phex, unnest(range(needed)) AS j FROM pix))
+SELECT id, 'mp4' AS format, count(*) AS n_units,
+       CAST(sum(v) AS BIGINT) * 1.0 / count(*) AS mean_val,
+       sqrt(CAST(sum(v*v) AS BIGINT) * 1.0 / count(*)) AS rms,
+       min(v) AS min_val, max(v) AS max_val
+FROM v GROUP BY id""",
+)
+def multimodal_mp4_content_stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    media = multimodal.synthesize_payloads_mp4(docs, "doc_id", "text")
+    return multimodal.content_stats(media, "doc_id", "media")
+
+
+@query(
     "ann_ivf_quantized_topk",
     # IVF x int8 composition (the 100 TB serving shape): full-precision
     # label-mean centroids pick the 2 probe cells (same CTEs as

@@ -1861,3 +1861,70 @@ def test_wav_downsample_stereo_preserves_interleave():
     # rate*channels*2 (fmt chunk starts at offset 20 in this layout)
     ch, rate, byte_rate = struct.unpack("<HII", down[22:32])
     assert (ch, rate, byte_rate) == (2, 4000, 16000)
+
+
+def test_mp4_synthesis_roundtrip_and_header(spark):
+    """synthesize_payloads_mp4 emits a real ISO-BMFF container whose
+    sample tables locate exactly the cycled body bytes, and whose
+    mvhd/tkhd parse back to the declared geometry."""
+    texts = {0: "hello world", 1: "", 2: "x", 3: "abcdefg" * 40, 7: None}
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    media = multimodal.synthesize_payloads_mp4(docs, "doc_id", "text")
+    for r in media.collect():
+        i, p = r.doc_id, bytes(r.media)
+        h, nf = 2 + i % 6, 1 + i % 4
+        needed = nf * h * 24
+        cyc = (texts[i] or "").encode() or b"\x00"
+        expect = (cyc * (needed // len(cyc) + 1))[:needed]
+        assert multimodal.mp4_sample_bytes(p) == expect, i
+        m = multimodal.parse_media_header(p)
+        assert (m["format"], m["width"], m["height"], m["duration_ms"]) == (
+            "mp4", 8, h, nf * 40), i
+
+
+def test_mp4_sample_bytes_multi_chunk_stsc():
+    """The decoder honors stsc sample-to-chunk RUNS, not just the
+    single-chunk layout the synthesizer emits: two chunks with 2+1
+    samples via an explicit two-entry stsc."""
+    import struct
+
+    samples = [b"AAAA", b"BBBBBB", b"CC"]
+
+    def box(t, payload):
+        return struct.pack(">I", 8 + len(payload)) + t + payload
+
+    mdat_payload = b"".join(samples)
+    ftyp = box(b"ftyp", b"isom" + b"\x00" * 4)
+    stsz = box(b"stsz", b"\x00" * 4 + struct.pack(">II", 0, 3)
+               + b"".join(struct.pack(">I", len(s)) for s in samples))
+    # chunk 1 at off1 holds samples 1-2, chunk 2 at off2 holds sample 3
+    stsc = box(b"stsc", b"\x00" * 4 + struct.pack(">I", 2)
+               + struct.pack(">III", 1, 2, 1) + struct.pack(">III", 2, 1, 1))
+    # compute offsets: file = ftyp + moov + mdat_header + payload
+    def build(off1, off2):
+        stco = box(b"stco", b"\x00" * 4 + struct.pack(">III", 2, off1, off2))
+        stbl = box(b"stbl", stsz + stsc + stco)
+        moov = box(b"moov", box(b"trak", box(b"mdia", box(b"minf", stbl))))
+        return ftyp + moov + box(b"mdat", mdat_payload)
+    probe = build(0, 0)
+    base = len(probe) - len(mdat_payload)
+    p = build(base, base + len(samples[0]) + len(samples[1]))
+    assert multimodal.mp4_sample_bytes(p) == b"AAAABBBBBBCC"
+
+
+def test_mp4_sample_bytes_never_raises_on_arbitrary_bytes(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    docs = spark.createDataFrame([(5, "seed body")], "doc_id long, text string")
+    seed = bytes(
+        multimodal.synthesize_payloads_mp4(docs, "doc_id", "text").head().media
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(cut=st.integers(0, len(seed)), tail=st.binary(max_size=64))
+    def run(cut, tail):
+        out = multimodal.mp4_sample_bytes(seed[:cut] + tail)
+        assert out is None or isinstance(out, bytes)
+
+    run()
