@@ -223,3 +223,30 @@ class CorpusState:
             self.cms_depth, self.cms_width,
         )
         return clean, new_state
+
+    def ingest_clean(
+        self,
+        batch: DataFrame,
+        id_col: str,
+        text_col: str,
+        threshold: float = 0.5,
+    ) -> tuple[DataFrame, "CorpusState"]:
+        """:meth:`ingest` composed with span REMOVAL — the flag-then-cut
+        pipeline end-to-end: survivors' duplicated spans (every batch
+        occurrence of a ``gram_k``-gram the corpus-plus-batch stream has
+        seen ≥ 2×) are CUT from ``text_col`` via
+        :func:`dedup.remove_spans`, not just counted.
+
+        Returns (cleaned survivors, updated state).  The survivors keep
+        their ``dup_span_tokens`` column (now equal to the token count
+        removed), and the updated state indexes the AS-CRAWLED survivor
+        text — digests/bands/grams describe what was crawled, so a future
+        re-crawl of the same bytes still dedupes exactly; the cleaned
+        text is the emitted training artifact, not the corpus record.
+        """
+        clean, new_state = self.ingest(batch, id_col, text_col, threshold)
+        spans = dd.duplicated_spans_against_index(
+            clean, self.grams, id_col, text_col, self.gram_k
+        )
+        cleaned = dd.remove_spans(clean, spans, id_col, text_col)
+        return cleaned, new_state

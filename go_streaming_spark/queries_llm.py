@@ -1274,19 +1274,19 @@ def multimodal_jpeg_content_stats(spark, sf_dir):
     return multimodal.content_stats(media, "id", "media")
 
 
-@query(
-    "corpus_ingest_survivors",
-    # END-TO-END CorpusState.ingest (functions/corpus_state.py): ONE crawl
-    # batch (doc_id%10<>0) through the unified production pipeline against
-    # a corpus snapshot (doc_id%10=0) — (1) exact: byte-unseen vs corpus
-    # digests, lowest id per in-batch duplicate group; (2) near-dup: LSH
-    # bands vs the corpus MinHash index verified at exact-Jaccard >= 0.2,
-    # then in-batch pairs -> connected components -> keep min id;
-    # (3) span report: dup_span_tokens = tokens inside maximal spans of
-    # 8-grams already in the corpus gram index (plus in-survivor repeats).
-    # The oracle composes the dedup_incremental_full and
-    # dedup_spans_incremental CTEs over the SAME staged survivor sets.
-    f"""WITH RECURSIVE {_MINHASH_BANDS},
+# END-TO-END CorpusState.ingest (functions/corpus_state.py): ONE crawl
+# batch (doc_id%10<>0) through the unified production pipeline against
+# a corpus snapshot (doc_id%10=0) — (1) exact: byte-unseen vs corpus
+# digests, lowest id per in-batch duplicate group; (2) near-dup: LSH
+# bands vs the corpus MinHash index verified at exact-Jaccard >= 0.2,
+# then in-batch pairs -> connected components -> keep min id;
+# (3) span report: dup_span_tokens = tokens inside maximal spans of
+# 8-grams already in the corpus gram index (plus in-survivor repeats).
+# The oracle composes the dedup_incremental_full and
+# dedup_spans_incremental CTEs over the SAME staged survivor sets;
+# _INGEST_CTES is the shared chain, consumed by both the survivors
+# (flag) and clean-tokens (cut) gate queries.
+_INGEST_CTES = f"""WITH RECURSIVE {_MINHASH_BANDS},
 ex AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 <> 0),
 corpus_h AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 = 0),
 uniq AS (SELECT min(doc_id) AS id FROM ex
@@ -1327,7 +1327,12 @@ mk AS (SELECT id, pos,
 sp AS (SELECT id, pos, sum(new_span) OVER (PARTITION BY id ORDER BY pos) AS span_id FROM mk),
 spans AS (SELECT id, max(pos) + 8 - min(pos) AS span_tokens
           FROM sp GROUP BY id, span_id),
-st AS (SELECT id, sum(span_tokens) AS tok FROM spans GROUP BY id)
+st AS (SELECT id, sum(span_tokens) AS tok FROM spans GROUP BY id)"""
+
+
+@query(
+    "corpus_ingest_survivors",
+    _INGEST_CTES + """
 SELECT s.id AS doc_id, CAST(coalesce(st.tok, 0) AS BIGINT) AS dup_span_tokens
 FROM surv s LEFT JOIN st ON s.id = st.id""",
 )
@@ -1342,6 +1347,41 @@ def corpus_ingest_survivors(spark, sf_dir):
     )
     clean, _ = state.ingest(batch, "doc_id", "text", threshold=0.2)
     return clean.select("doc_id", "dup_span_tokens")
+
+
+@query(
+    "corpus_ingest_clean_tokens",
+    # the ingest pipeline's REMOVAL half end-to-end: CorpusState.
+    # ingest_clean CUTS every flagged span out of the survivor text
+    # (dedup.remove_spans over the same span set corpus_ingest_survivors
+    # counts), so n_tokens_after = n_tokens_before - dup_span_tokens by
+    # construction — verified here from the cleaned TEXT itself, not the
+    # counter: the oracle recomputes both token counts from the CTE span
+    # arithmetic while the engine re-tokenizes the post-cut strings.
+    _INGEST_CTES + """
+SELECT s.id AS doc_id,
+       CAST(len(ws.w) AS BIGINT) AS n_tokens_before,
+       CAST(len(ws.w) - coalesce(st.tok, 0) AS BIGINT) AS n_tokens_after
+FROM surv s JOIN ws ON ws.doc_id = s.id LEFT JOIN st ON s.id = st.id""",
+)
+def corpus_ingest_clean_tokens(spark, sf_dir):
+    from go_streaming_spark.functions.corpus_state import CorpusState
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 == 0)
+    batch = docs.filter(F.col("doc_id") % 10 != 0)
+    state = CorpusState.build(
+        corpus, "doc_id", "text", n=3, k=16, rows_per_band=4, gram_k=8
+    )
+    cleaned, _ = state.ingest_clean(batch, "doc_id", "text", threshold=0.2)
+    ntok = lambda c: F.size(
+        F.filter(F.split(F.col(c), r"\s+"), lambda w: w != "")
+    ).cast("long")
+    return cleaned.select(
+        "doc_id",
+        (ntok("text") + F.col("dup_span_tokens")).alias("n_tokens_before"),
+        ntok("text").alias("n_tokens_after"),
+    )
 
 
 @query(

@@ -169,3 +169,25 @@ def test_ingest_loop_plan_depth_bounded(spark):
     # not accumulate across checkpoint rounds
     assert depths == [depths[0]] * len(depths), depths
     assert depths[0] <= base, (depths, base)
+
+
+def test_ingest_clean_cuts_flagged_spans(spark):
+    """ingest_clean = ingest + remove_spans: the survivor that shares the
+    corpus boilerplate run loses EXACTLY those tokens from its text, the
+    novel survivor passes through untouched, and the updated state still
+    indexes the AS-CRAWLED text (a re-crawl of the original bytes is an
+    exact dup)."""
+    st = CorpusState.build(_df(spark, CORPUS), "doc_id", "text", gram_k=8)
+    batch = _df(spark, [
+        (12, "novel words entirely fresh content here today folks"),
+        (14, f"prefix tokens {BOILER} suffix tokens"),
+    ])
+    cleaned, st2 = st.ingest_clean(batch, "doc_id", "text", threshold=0.5)
+    got = {r.doc_id: (r.text, r.dup_span_tokens) for r in cleaned.collect()}
+    assert got[12] == ("novel words entirely fresh content here today folks", 0)
+    assert got[14] == ("prefix tokens suffix tokens", 10)
+    # state indexes the as-crawled text: re-crawling doc 14's ORIGINAL
+    # bytes is an exact dup and must be dropped by the next ingest
+    recrawl = _df(spark, [(30, f"prefix tokens {BOILER} suffix tokens")])
+    again, _ = st2.ingest_clean(recrawl, "doc_id", "text", threshold=0.5)
+    assert again.count() == 0

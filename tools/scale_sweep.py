@@ -212,14 +212,26 @@ def ingest_loop() -> None:
                 & ((F.col("doc_id") / 10).cast("long") % 4 == b)
             )
             t0 = time.time()
-            clean, st = st.ingest(batch, "doc_id", "text", threshold=0.2)
-            n = clean.count()
-            sec = round(time.time() - t0, 2)
+            # ingest_clean = ingest + span REMOVAL: the token agg forces
+            # the cut text to materialize, so the removal stage is timed
+            clean, st = st.ingest_clean(batch, "doc_id", "text", threshold=0.2)
+            row = clean.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.size(F.filter(F.split("text", r"\s+"), lambda w: w != ""))
+                ).alias("toks"),
+                F.sum("dup_span_tokens").alias("cut"),
+            ).head()
+            n, sec = row.n, round(time.time() - t0, 2)
             if b % 2 == 1:
                 t1 = time.time()
                 st = st.checkpoint()
                 out[f"ckpt{b}_sec"] = round(time.time() - t1, 2)
-            out[f"batch{b}"] = {"sec": sec, "survivors": n}
+            out[f"batch{b}"] = {
+                "sec": sec, "survivors": n,
+                "kept_tokens": int(row.toks or 0),
+                "cut_tokens": int(row.cut or 0),
+            }
         print(json.dumps({"sf": sf, "ingest_loop": out}), flush=True)
 
 
