@@ -72,6 +72,8 @@ HEADLINE = [
     "returned_item_customers",  # Q10: top-20 via TakeOrdered (round 7)
     "promo_revenue_pct",        # Q14: quantized revenue-share division (round 7)
     "top_supplier_revenue",     # Q15: scalar-max semi-join (round 7)
+    "multimodal_mp4_content_stats",  # real ISO-BMFF sample-table decode (round 8)
+    "corpus_ingest_clean_tokens",    # ingest + span removal end-to-end (round 8)
 ]
 
 

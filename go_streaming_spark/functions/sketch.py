@@ -411,3 +411,109 @@ def bloom_filtered_join(
     bloom = bloom_build(dim.select(dim_key), dim_key, k, m_bits)
     pre = fact.filter(bloom_maybe_contains(bloom, F.col(fact_key), k, m_bits))
     return pre.join(dim, pre[fact_key] == dim[dim_key], how)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram: the mergeable QUANTILE sketch
+# ---------------------------------------------------------------------------
+# State = (bin, count) rows, at most n_bins regardless of data size; two
+# histograms merge by summing counts on bin.  Unlike percentile_approx
+# (whose sketch internals are engine-specific), every op here — bin
+# assignment, cumulative rank walk, in-bin interpolation — is identical
+# double/integer arithmetic in Spark and DuckDB, so the estimates have a
+# bit-exact oracle.  Error is bounded by one bin width (hi-lo)/n_bins.
+
+
+def hist_build(
+    df: DataFrame, value_col: str, lo: float, hi: float, n_bins: int = 4096
+) -> DataFrame:
+    """Build the histogram table (bin, count) over ``value_col`` for the
+    domain [lo, hi).
+
+    One map-side-combined groupBy; the shuffle carries at most n_bins
+    rows per partition regardless of data size.  Out-of-domain values
+    CLAMP into the edge bins (documented bias: quantiles outside [lo,hi]
+    report the domain edge); NULLs are dropped.  Merge per-partition or
+    per-day builds by unioning and summing counts on bin.
+    """
+    if not (hi > lo and n_bins >= 1):
+        raise ValueError("need hi > lo and n_bins >= 1")
+    v = F.col(value_col).cast("double")
+    scale = float(n_bins) / (hi - lo)  # ONE Python double literal, both engines
+    raw = F.floor((v - F.lit(float(lo))) * F.lit(scale)).cast("long")
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        spread(df)
+        .filter(v.isNotNull())
+        .select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def hist_quantiles(
+    hist: DataFrame, qs: list[float], lo: float, hi: float, n_bins: int = 4096
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch → (q, est) rows.
+
+    rank = floor(q·N) + 1 (1-based; q=1 clamps to N); the crossing bin is
+    the first with cumulative count ≥ rank, and the estimate interpolates
+    linearly inside it: ``lo + (bin + (rank - cum_before)/count) · w``.
+    The cumulative walk runs over ≤ n_bins sketch rows — a single-row-ish
+    window, not a data-sized sort.  Output is q6-quantized.
+    """
+    from pyspark.sql.window import Window
+
+    w_bin = float(hi - lo) / n_bins
+    spark = hist.sparkSession
+    cum = hist.withColumn(
+        "cum", F.sum("count").over(Window.orderBy("bin").rowsBetween(
+            Window.unboundedPreceding, 0))
+    ).withColumn("cum_before", F.col("cum") - F.col("count"))
+    total = hist.agg(F.sum("count").alias("n"))
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    ranked = qdf.crossJoin(F.broadcast(total)).select(
+        "q",
+        F.least(
+            F.floor(F.col("q") * F.col("n")).cast("long") + 1, F.col("n")
+        ).alias("rank"),
+    )
+    hit = ranked.join(
+        F.broadcast(cum),
+        (F.col("cum") >= F.col("rank")) & (F.col("cum_before") < F.col("rank")),
+    )
+    est = (
+        F.lit(float(lo))
+        + (
+            F.col("bin")
+            + (F.col("rank") - F.col("cum_before")) / F.col("count")
+        )
+        * F.lit(w_bin)
+    )
+    q6 = F.floor(est * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return hit.select("q", q6.alias("est"))
+
+
+def hist_quantile_sql(
+    qs: list[float], lo: float, hi: float, n_bins: int, value_sql: str, from_sql: str
+) -> str:
+    """DuckDB oracle for :func:`hist_build` + :func:`hist_quantiles` —
+    the SAME bin/rank/interpolation arithmetic, generated from the same
+    Python double literals so every float op matches bit-for-bit."""
+    scale = float(n_bins) / (hi - lo)
+    w_bin = float(hi - lo) / n_bins
+    qvals = ", ".join(f"CAST({float(q)!r} AS DOUBLE)" for q in qs)
+    return f"""WITH v AS (SELECT CAST({value_sql} AS DOUBLE) AS v FROM {from_sql}
+           WHERE {value_sql} IS NOT NULL),
+b AS (SELECT least(greatest(CAST(floor((v - {float(lo)!r}) * {scale!r}) AS BIGINT),
+                            0), {n_bins - 1}) AS bin FROM v),
+h AS (SELECT bin, count(*) AS cnt FROM b GROUP BY 1),
+c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum,
+        sum(cnt) OVER (ORDER BY bin) - cnt AS cum_before FROM h),
+n AS (SELECT sum(cnt) AS n FROM h),
+r AS (SELECT q, least(CAST(floor(q * n) AS BIGINT) + 1, n) AS rank
+      FROM (SELECT unnest([{qvals}]) AS q), n)
+SELECT r.q AS q,
+       floor(({float(lo)!r} + (c.bin + (r.rank - c.cum_before) * 1.0 / c.cnt)
+              * {w_bin!r})*1e6 + 0.5)/1e6 AS est
+FROM r JOIN c ON c.cum >= r.rank AND c.cum_before < r.rank"""

@@ -617,6 +617,32 @@ def approx_distinct_users(spark, sf_dir):
 
 
 @query(
+    "hist_value_percentiles",
+    # mergeable fixed-width HISTOGRAM quantiles — the oracle-checkable
+    # 100 TB percentile: state is <= 4096 (bin,count) rows merged by
+    # addition, and every op (bin assignment, cumulative rank walk,
+    # in-bin interpolation) is identical double/integer arithmetic in
+    # both engines, so unlike percentile_approx the estimate itself is
+    # bit-exact-gated.  Error <= one bin width = 500/4096.
+    None,  # filled below from sketch.hist_quantile_sql
+)
+def hist_value_percentiles(spark, sf_dir):
+    from go_streaming_spark.functions import sketch as _sk2
+
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    hist = _sk2.hist_build(ev, "value", lo=0.0, hi=500.0, n_bins=4096)
+    return _sk2.hist_quantiles(hist, [0.5, 0.9, 0.99], lo=0.0, hi=500.0,
+                               n_bins=4096)
+
+
+from go_streaming_spark.functions import sketch as _sk_mod  # noqa: E402
+
+ORACLES["hist_value_percentiles"] = _sk_mod.hist_quantile_sql(
+    [0.5, 0.9, 0.99], 0.0, 500.0, 4096, "value", "events"
+)
+
+
+@query(
     "approx_value_percentiles",
     # gate form: RANK-bracketing, the GK sketch's actual guarantee — the
     # empirical quantile of each approx value must bracket the requested q

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from go_streaming_spark.engine import Engine
 from go_streaming_spark.functions import dedup, multimodal, similarity, text, util
-from go_streaming_spark.queries import query
+from go_streaming_spark.queries import ORACLES, query
 
 
 def _quantize_array(col: str, name: str | None = None):
@@ -1124,6 +1124,66 @@ def cms_word_counts(spark, sf_dir):
     sk = sketch.count_min_build(words, "word", depth=4, width=256)
     keys = words.distinct()
     return sketch.count_min_estimate(sk, keys, "word", depth=4, width=256)
+
+
+@query("stream_cms_word_counts")
+def stream_cms_word_counts(spark, sf_dir):
+    """The CMS accumulated the STREAMING way: the documents table replays
+    as 4 real micro-batches (maxFilesPerTrigger=1 over a 4-file copy),
+    foreachBatch builds each batch's sketch and merges it into the
+    running state by (row,bucket) count addition — the mergeable-sketch
+    ingestion contract under actual Structured Streaming replay, not a
+    unit-test union.  The merged state must equal the batch-built sketch
+    BIT-FOR-BIT, so the estimates gate against the SAME oracle as
+    cms_word_counts (registered below).  State is localCheckpointed per
+    batch — fixed-size, no lineage growth (the foreachBatch twin of
+    CorpusState.checkpoint's cadence)."""
+    import tempfile
+
+    from go_streaming_spark.functions import sketch
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="stream_cms_")
+    docs.repartition(4).write.mode("overwrite").parquet(f"{tmp}/docs")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/docs")
+    )
+    holder = {"cms": None, "batches": 0}
+
+    def ingest(batch_df, _bid):
+        words = batch_df.select(
+            F.explode(
+                F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+            ).alias("word")
+        )
+        part = sketch.count_min_build(words, "word", depth=4, width=256)
+        merged = part if holder["cms"] is None else (
+            holder["cms"].unionByName(part)
+            .groupBy("row", "bucket")
+            .agg(F.sum("count").alias("count"))
+        )
+        holder["cms"] = merged.localCheckpoint()
+        holder["batches"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    assert holder["batches"] >= 2, "replay must produce real micro-batches"
+    keys = docs.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+        ).alias("word")
+    ).distinct()
+    return sketch.count_min_estimate(holder["cms"], keys, "word", 4, 256)
+
+
+ORACLES["stream_cms_word_counts"] = ORACLES["cms_word_counts"]
 
 
 @query(

@@ -1928,3 +1928,36 @@ def test_mp4_sample_bytes_never_raises_on_arbitrary_bytes(spark):
         assert out is None or isinstance(out, bytes)
 
     run()
+
+
+def test_hist_quantiles_accuracy_merge_and_clamp(spark):
+    """Histogram quantile sketch: estimates within one bin width of the
+    exact percentile, per-half builds merged by count addition equal the
+    whole build, and out-of-domain values clamp into edge bins."""
+    from go_streaming_spark.functions import sketch
+
+    lo, hi, nb = 0.0, 1000.0, 2048
+    w_bin = (hi - lo) / nb
+    df = spark.range(0, 50_000).select(
+        ((F.col("id") * 7919) % 100_000 / 100.0).alias("v")  # ~U[0, 1000)
+    )
+    hist = sketch.hist_build(df, "v", lo, hi, nb)
+    got = {r.q: r.est for r in
+           sketch.hist_quantiles(hist, [0.5, 0.9, 0.99], lo, hi, nb).collect()}
+    exact = df.agg(
+        F.percentile("v", F.lit(0.5)), F.percentile("v", F.lit(0.9)),
+        F.percentile("v", F.lit(0.99))).head()
+    for q, ex in zip((0.5, 0.9, 0.99), exact):
+        assert abs(got[q] - ex) <= w_bin + 1e-9, (q, got[q], ex)
+
+    left = sketch.hist_build(df.filter(F.col("id") % 2 == 0), "v", lo, hi, nb)
+    right = sketch.hist_build(df.filter(F.col("id") % 2 == 1), "v", lo, hi, nb)
+    merged = (left.unionByName(right).groupBy("bin")
+              .agg(F.sum("count").alias("count")))
+    assert ({(r.bin, r["count"]) for r in merged.collect()}
+            == {(r.bin, r["count"]) for r in hist.collect()})
+
+    oob = spark.createDataFrame([(-5.0,), (1e9,), (None,)], "v double")
+    bins = {r.bin: r["count"] for r in
+            sketch.hist_build(oob, "v", lo, hi, nb).collect()}
+    assert bins == {0: 1, nb - 1: 1}  # clamped; NULL dropped
