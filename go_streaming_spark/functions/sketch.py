@@ -517,3 +517,101 @@ SELECT r.q AS q,
        floor(({float(lo)!r} + (c.bin + (r.rank - c.cum_before) * 1.0 / c.cnt)
               * {w_bin!r})*1e6 + 0.5)/1e6 AS est
 FROM r JOIN c ON c.cum >= r.rank AND c.cum_before < r.rank"""
+
+
+def hist_grouped_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 4096,
+) -> DataFrame:
+    """Per-group histogram quantiles → (group, q, est) — the grouped
+    composition of :func:`hist_build` + :func:`hist_quantiles`: one
+    map-side-combined shuffle on (group, bin) (≤ n_bins rows per group),
+    then the rank walk runs per group over sketch-sized state.  The
+    exact-percentile alternative shuffles and sorts every VALUE per
+    group; this shuffles a fixed-size summary.
+    """
+    from pyspark.sql.window import Window
+
+    if not (hi > lo and n_bins >= 1):
+        raise ValueError("need hi > lo and n_bins >= 1")
+    v = F.col(value_col).cast("double")
+    scale = float(n_bins) / (hi - lo)
+    w_bin = float(hi - lo) / n_bins
+    raw = F.floor((v - F.lit(float(lo))) * F.lit(scale)).cast("long")
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    hist = (
+        spread(df)
+        .filter(v.isNotNull())
+        .select(F.col(group_col).alias("grp"), bin_.alias("bin"))
+        .groupBy("grp", "bin")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    cum = hist.withColumn(
+        "cum",
+        F.sum("count").over(
+            Window.partitionBy("grp").orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    ).withColumn("cum_before", F.col("cum") - F.col("count"))
+    totals = hist.groupBy("grp").agg(F.sum("count").alias("n"))
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    ranked = totals.crossJoin(F.broadcast(qdf)).select(
+        "grp", "q",
+        F.least(
+            F.floor(F.col("q") * F.col("n")).cast("long") + 1, F.col("n")
+        ).alias("rank"),
+    )
+    hit = ranked.join(
+        cum,
+        (ranked["grp"] == cum["grp"])
+        & (F.col("cum") >= F.col("rank"))
+        & (F.col("cum_before") < F.col("rank")),
+    ).drop(cum["grp"])
+    est = (
+        F.lit(float(lo))
+        + (
+            F.col("bin")
+            + (F.col("rank") - F.col("cum_before")) / F.col("count")
+        )
+        * F.lit(w_bin)
+    )
+    q6 = F.floor(est * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return hit.select(F.col("grp").alias(group_col), "q", q6.alias("est"))
+
+
+def hist_grouped_quantile_sql(
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int,
+    group_sql: str,
+    value_sql: str,
+    from_sql: str,
+) -> str:
+    """DuckDB oracle for :func:`hist_grouped_quantiles` — identical
+    arithmetic, shared literals."""
+    scale = float(n_bins) / (hi - lo)
+    w_bin = float(hi - lo) / n_bins
+    qvals = ", ".join(f"CAST({float(q)!r} AS DOUBLE)" for q in qs)
+    return f"""WITH v AS (SELECT {group_sql} AS grp, CAST({value_sql} AS DOUBLE) AS v
+           FROM {from_sql} WHERE {value_sql} IS NOT NULL),
+b AS (SELECT grp, least(greatest(CAST(floor((v - {float(lo)!r}) * {scale!r}) AS BIGINT),
+                                 0), {n_bins - 1}) AS bin FROM v),
+h AS (SELECT grp, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+c AS (SELECT grp, bin, cnt,
+        sum(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+        sum(cnt) OVER (PARTITION BY grp ORDER BY bin) - cnt AS cum_before FROM h),
+n AS (SELECT grp, sum(cnt) AS n FROM h GROUP BY 1),
+r AS (SELECT grp, q, least(CAST(floor(q * n) AS BIGINT) + 1, n) AS rank
+      FROM n, (SELECT unnest([{qvals}]) AS q))
+SELECT r.grp AS {group_sql}, r.q AS q,
+       floor(({float(lo)!r} + (c.bin + (r.rank - c.cum_before) * 1.0 / c.cnt)
+              * {w_bin!r})*1e6 + 0.5)/1e6 AS est
+FROM r JOIN c ON c.grp = r.grp AND c.cum >= r.rank AND c.cum_before < r.rank"""

@@ -643,6 +643,29 @@ ORACLES["hist_value_percentiles"] = _sk_mod.hist_quantile_sql(
 
 
 @query(
+    "hist_percentiles_by_type",
+    # grouped histogram quantiles: per-event-type p50/p90/p99 from a
+    # (group, bin, count) sketch — one map-side-combined shuffle of
+    # <= n_bins rows per group instead of sorting every value, same
+    # bit-exact arithmetic contract as hist_value_percentiles
+    None,  # filled below from sketch.hist_grouped_quantile_sql
+)
+def hist_percentiles_by_type(spark, sf_dir):
+    from go_streaming_spark.functions import sketch as _sk3
+
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    return _sk3.hist_grouped_quantiles(
+        ev, "event_type", "value", [0.5, 0.9, 0.99],
+        lo=0.0, hi=500.0, n_bins=4096,
+    )
+
+
+ORACLES["hist_percentiles_by_type"] = _sk_mod.hist_grouped_quantile_sql(
+    [0.5, 0.9, 0.99], 0.0, 500.0, 4096, "event_type", "value", "events"
+)
+
+
+@query(
     "approx_value_percentiles",
     # gate form: RANK-bracketing, the GK sketch's actual guarantee — the
     # empirical quantile of each approx value must bracket the requested q

@@ -1961,3 +1961,24 @@ def test_hist_quantiles_accuracy_merge_and_clamp(spark):
     bins = {r.bin: r["count"] for r in
             sketch.hist_build(oob, "v", lo, hi, nb).collect()}
     assert bins == {0: 1, nb - 1: 1}  # clamped; NULL dropped
+
+
+def test_hist_grouped_quantiles_match_exact_within_bin(spark):
+    from go_streaming_spark.functions import sketch
+
+    lo, hi, nb = 0.0, 1000.0, 2048
+    w_bin = (hi - lo) / nb
+    df = spark.range(0, 30_000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        ((F.col("id") * 104_729) % 100_000 / 100.0).alias("v"),
+    )
+    got = {(r.g, r.q): r.est for r in sketch.hist_grouped_quantiles(
+        df, "g", "v", [0.5, 0.99], lo, hi, nb).collect()}
+    exact = {(r.g, q): getattr(r, f"p{int(q*100)}")
+             for r in df.groupBy("g").agg(
+                 F.percentile("v", F.lit(0.5)).alias("p50"),
+                 F.percentile("v", F.lit(0.99)).alias("p99")).collect()
+             for q in (0.5, 0.99)}
+    assert set(got) == set(exact)
+    for k in got:
+        assert abs(got[k] - exact[k]) <= w_bin + 1e-9, (k, got[k], exact[k])
