@@ -48,12 +48,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # their output columns swept to the q6 idiom this round.
 #
 # r9 PRE-COMMITMENT: the remaining 48 r6 greens are two rounds unwatched
-# at end of r8 and lead the r9 rotation (LRU), together with every query
-# registered in r8 after this gate froze (multimodal_mp4_content_stats,
-# corpus_ingest_clean_tokens, and any later r8 additions — enumerate
-# from the registry, newest-without-a-row first).  That exceeds 50: take
-# the r8 registrations first, then the stalest r6 greens; r6 greens that
-# miss the cut carry to r10 at the head of the queue.
+# at end of r8 and lead the r9 rotation (LRU), together with the 5
+# queries registered in r8 after this gate froze
+# (multimodal_mp4_content_stats, corpus_ingest_clean_tokens,
+# hist_value_percentiles, hist_percentiles_by_type,
+# stream_cms_word_counts — re-enumerate from the registry, newest-
+# without-a-row first, in case of later r8 additions).  That exceeds 50:
+# take the r8 registrations first, then the stalest r6 greens; the ~3 r6
+# greens that miss the cut carry to r10 at the head of the queue.
 GATE_PRIORITY = [
     # (a) the fixed r7 red row — must re-prove green
     "temperature_mixture_counts",
