@@ -74,6 +74,7 @@ HEADLINE = [
     "top_supplier_revenue",     # Q15: scalar-max semi-join (round 7)
     "multimodal_mp4_content_stats",  # real ISO-BMFF sample-table decode (round 8)
     "corpus_ingest_clean_tokens",    # ingest + span removal end-to-end (round 8)
+    "ann_pq_adc_topk",               # product quantization + ADC lookup scan (round 8)
 ]
 
 

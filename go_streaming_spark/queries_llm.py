@@ -1781,3 +1781,61 @@ def multimodal_wav_downsample_stats(spark, sf_dir):
         out_format="wav",
     )
     return multimodal.content_stats(down, "id", "media")
+
+
+@query(
+    "ann_pq_adc_topk",
+    # product quantization + ADC: vectors int8-quantize, split into 8
+    # subspaces, snap each subvector to the nearest of 16 codewords
+    # (exact-int64 squared L2, ties to the lowest code); scoring is 8
+    # lookup-table adds per row (dot and norm tables folded from the
+    # query driver-side).  Codewords = the 16 smallest vec_id%13==7
+    # anchors' quantized subvectors (the oracle-reproducible stand-in
+    # for sampled k-means training).  All accumulation exact int64 →
+    # bit-deterministic; only the final sqrt/divide/q6 touch floats.
+    """WITH base AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+qz AS (SELECT vec_id,
+         CASE WHEN amax > 0
+              THEN list_transform(e, x -> CAST(floor(x/(amax/127.0) + 0.5) AS BIGINT))
+              ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS qv
+       FROM (SELECT vec_id, e,
+               list_max(list_transform(e, x -> abs(x))) AS amax FROM base)),
+anch AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, qv
+         FROM qz WHERE vec_id % 13 = 7 AND vec_id <> 0
+         ORDER BY vec_id LIMIT 16),
+cw AS (SELECT c, m, list_transform(range(1, 9), i -> qv[m*8 + i]) AS sub
+       FROM anch, range(0, 8) t(m)),
+qsub AS (SELECT m, list_transform(range(1, 9), i -> qv[m*8 + i]) AS sub
+         FROM (SELECT qv FROM qz WHERE vec_id = 0) q0, range(0, 8) t(m)),
+vsub AS (SELECT vec_id, m, list_transform(range(1, 9), i -> qv[m*8 + i]) AS sub
+         FROM qz, range(0, 8) t(m) WHERE vec_id <> 0),
+dist AS (SELECT vec_id, v.m AS m, c,
+           list_sum(list_transform(range(1, 9),
+             i -> (v.sub[i]-w.sub[i])*(v.sub[i]-w.sub[i]))) AS d
+         FROM vsub v JOIN cw w ON v.m = w.m),
+codes AS (SELECT vec_id, m, c FROM (
+            SELECT vec_id, m, c,
+              row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+            FROM dist) WHERE rn = 1),
+lut AS (SELECT w.m AS m, w.c AS c,
+          list_sum(list_transform(range(1, 9), i -> w.sub[i]*q.sub[i])) AS dt,
+          list_sum(list_transform(range(1, 9), i -> w.sub[i]*w.sub[i])) AS n2
+        FROM cw w JOIN qsub q ON w.m = q.m),
+qn AS (SELECT sqrt(CAST(list_sum(list_transform(qv, x -> x*x)) AS DOUBLE)) AS qnorm
+       FROM qz WHERE vec_id = 0),
+sc AS (SELECT vec_id, sum(l.dt) AS num, sum(l.n2) AS den
+       FROM codes cd JOIN lut l ON cd.m = l.m AND cd.c = l.c GROUP BY vec_id)
+SELECT vec_id AS id,
+  floor((CAST(num AS DOUBLE) / (sqrt(CAST(den AS DOUBLE)) * qnorm))*1e6 + 0.5)/1e6 AS cos_pq
+FROM sc, qn ORDER BY cos_pq DESC, id LIMIT 10""",
+)
+def ann_pq_adc_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    books = similarity.pq_codebooks(
+        emb, "vec_id", "embedding", n_codes=16, n_subspaces=8,
+        anchor_mod=13, anchor_rem=7, exclude_id=0,
+    )
+    return similarity.pq_adc_topk(
+        emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", qv, books, 10
+    )

@@ -1982,3 +1982,60 @@ def test_hist_grouped_quantiles_match_exact_within_bin(spark):
     assert set(got) == set(exact)
     for k in got:
         assert abs(got[k] - exact[k]) <= w_bin + 1e-9, (k, got[k], exact[k])
+
+
+def test_pq_codebooks_bounded_shape(spark):
+    emb = _emb(spark)
+    books = similarity.pq_codebooks(emb, "vec_id", "embedding", exclude_id=0)
+    assert len(books) == 8
+    assert all(len(m) == 16 for m in books)
+    assert all(len(cw) == 8 for m in books for cw in m)
+    # int8 range — the broadcast payload is bounded by construction
+    assert all(-127 <= v <= 127 for m in books for cw in m for v in cw)
+
+
+def test_pq_encode_codes_in_range(spark):
+    emb = _emb(spark)
+    books = similarity.pq_codebooks(emb, "vec_id", "embedding", exclude_id=0)
+    codes = similarity.pq_encode(
+        emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", books
+    )
+    assert codes.columns == ["id"] + [f"_c{m}" for m in range(8)]
+    mins = codes.select(
+        *[F.min(f"_c{m}").alias(f"lo{m}") for m in range(8)],
+        *[F.max(f"_c{m}").alias(f"hi{m}") for m in range(8)],
+    ).head()
+    assert all(mins[f"lo{m}"] >= 0 and mins[f"hi{m}"] <= 15 for m in range(8))
+
+
+def test_pq_anchor_reconstructs_to_itself(spark):
+    """A vector that IS a codeword source snaps to its own subvectors in
+    every subspace (distance 0), so ADC against itself as the query is
+    num = den = ||q||² → cos_pq exactly 1.0 — the bit-exactness witness."""
+    emb = _emb(spark)
+    aid = emb.filter((F.col("vec_id") % 13 == 7) & (F.col("vec_id") != 0)).agg(
+        F.min("vec_id")
+    ).head()[0]
+    aqv = [float(x) for x in emb.filter(F.col("vec_id") == aid).select("embedding").head()[0]]
+    books = similarity.pq_codebooks(emb, "vec_id", "embedding", exclude_id=0)
+    top = similarity.pq_adc_topk(
+        emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", aqv, books, 3
+    ).collect()
+    assert top[0].id == aid and top[0].cos_pq == 1.0
+
+
+def test_pq_topk_partition_stable_and_overlaps_exact(spark):
+    emb = _emb(spark)
+    qv = _query_vec(emb)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    books = similarity.pq_codebooks(emb, "vec_id", "embedding", exclude_id=0)
+    got = [(r.id, r.cos_pq) for r in similarity.pq_adc_topk(
+        corpus, "vec_id", "embedding", qv, books, 10).collect()]
+    re7 = [(r.id, r.cos_pq) for r in similarity.pq_adc_topk(
+        corpus.repartition(7), "vec_id", "embedding", qv, books, 10).collect()]
+    assert got == re7
+    exact = {r.id for r in similarity.quantized_cosine_topk(
+        corpus, "vec_id", "embedding", qv, 10).collect()}
+    # 16 codewords/subspace is a coarse codebook — expect partial recall,
+    # not agreement; the number below is measured on the seed-42 corpus
+    assert len({i for i, _ in got} & exact) >= 2
