@@ -343,16 +343,14 @@ def hll_estimate(sketch: DataFrame, p: int) -> DataFrame:
     )
 
 
-def hll_grouped(
+def hll_grouped_build(
     df: DataFrame, group_col: str, key_col: str, p: int = 12
 ) -> DataFrame:
-    """Per-group HLL cardinality estimate: (group, s_int, n_regs, est) —
-    the grouped composition of :func:`hll_build` + :func:`hll_estimate`
-    in two map-side-combined shuffles on (group, reg) then (group)."""
-    m = 1 << p
+    """Per-group HLL sketch state: (grp, reg, max_rank) — at most
+    ``n_groups × 2^p`` rows regardless of data size, one map-side-combined
+    shuffle.  Two sketches merge by unioning and taking max(max_rank) on
+    (grp, reg) — the streaming/incremental ingestion primitive."""
     bits = HLL_BITS - p
-    c = hll_alpha_mm_scaled(p)
-    scale = hll_scale_exp(p)
     h = md5_int(F.col(key_col).cast("string"), hex_chars=15)
     rw = spread(df).select(F.col(group_col).alias("grp"), h.alias("_h")).select(
         "grp",
@@ -360,9 +358,20 @@ def hll_grouped(
         F.expr(f"_h % {1 << bits}").alias("w"),
     )
     rank = F.expr(hll_rank_case_sql("w", bits))
-    sk = rw.select("grp", "reg", rank.alias("rank")).groupBy("grp", "reg").agg(
+    return rw.select("grp", "reg", rank.alias("rank")).groupBy("grp", "reg").agg(
         F.max("rank").alias("max_rank")
     )
+
+
+def hll_grouped_estimate(
+    sk: DataFrame, group_col: str, p: int = 12
+) -> DataFrame:
+    """Estimate from per-group sketch state (grp, reg, max_rank) →
+    (group_col, s_int, n_regs, est).  Same exact-int64 register-sum
+    arithmetic as :func:`hll_estimate`, one shuffle on grp."""
+    m = 1 << p
+    c = hll_alpha_mm_scaled(p)
+    scale = hll_scale_exp(p)
     term = F.call_function(
         "shiftleft", F.lit(1).cast("long"), (scale - F.col("max_rank")).cast("int")
     )
@@ -384,6 +393,18 @@ def hll_grouped(
                 "est"
             ),
         )
+    )
+
+
+def hll_grouped(
+    df: DataFrame, group_col: str, key_col: str, p: int = 12
+) -> DataFrame:
+    """Per-group HLL cardinality estimate: (group, s_int, n_regs, est) —
+    the grouped composition of :func:`hll_grouped_build` +
+    :func:`hll_grouped_estimate` in two map-side-combined shuffles on
+    (group, reg) then (group)."""
+    return hll_grouped_estimate(
+        hll_grouped_build(df, group_col, key_col, p), group_col, p
     )
 
 

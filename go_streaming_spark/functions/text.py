@@ -475,3 +475,59 @@ def contamination_stats(
             F.coalesce("n_hit", F.lit(0)) / F.col("n_grams").cast("double")
         ).alias("hit_rate"),
     )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information →
+    (gram, n_xy, pmi_r).
+
+    PMI compares the bigram's observed rate against independence:
+    ``p(x,y) / (p(x)·p(y)) = n_xy·N_tok² / (N_big·c_x·c_y)``.  Ranking by
+    the raw ratio is order-equivalent to ranking by log-PMI and avoids
+    ln() — whose last-ulp rounding differs between libms — so the
+    q6-quantized ratio is bit-deterministic across engines (every factor
+    is an exact integer count; the multiply/divide chain is one fixed
+    left-associative double expression in both).
+
+    Scale shape: two map-side-combined groupBys (bigrams, unigrams), two
+    equi-joins of the min_count-filtered bigram table against the
+    vocabulary (the filter lands BEFORE the joins, pruning the join input
+    to frequent pairs), two 1-row broadcast scalars for the totals, and a
+    TakeOrdered top-k.  Stopword keys are hot — AQE skew-join splits them;
+    no pinned broadcasts (vocabulary grows with corpus size).
+    """
+    w = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    t = spread(df).select(w.alias("w"))
+    uni = t.select(F.explode("w").alias("tok"))
+    uc = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    nt = uni.agg(F.count(F.lit(1)).alias("nt"))
+    bi = t.filter(F.size("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, size(w)-1),"
+                   " i -> struct(w[i-1] AS w1, w[i] AS w2))")
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
+    nb = bi.agg(F.count(F.lit(1)).alias("nb"))
+    j = (
+        bc.filter(F.col("n_xy") >= min_count)
+        .join(uc.select(F.col("tok").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uc.select(F.col("tok").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nb))
+    )
+    pmi = F.expr(
+        "floor((CAST(n_xy AS DOUBLE) * CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE))"
+        " / (CAST(nb AS DOUBLE) * CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))"
+        " * 1e6 + 0.5)/1e6"
+    )
+    return (
+        j.select(F.concat_ws(" ", "w1", "w2").alias("gram"), "n_xy", pmi.alias("pmi_r"))
+        .orderBy(F.col("pmi_r").desc(), "gram")
+        .limit(k)
+    )

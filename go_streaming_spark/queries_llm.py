@@ -1839,3 +1839,117 @@ def ann_pq_adc_topk(spark, sf_dir):
     return similarity.pq_adc_topk(
         emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", qv, books, 10
     )
+
+
+@query("stream_hll_user_cardinality")
+def stream_hll_user_cardinality(spark, sf_dir):
+    """Grouped HLL accumulated the STREAMING way: events replay as 4 real
+    micro-batches, foreachBatch builds each batch's (grp, reg, max_rank)
+    sketch and max-merges it into the running state — the second
+    mergeable-sketch ingestion proof after stream_cms_word_counts, this
+    time with MAX-merge (idempotent, reorder/replay-tolerant) instead of
+    ADD-merge.  The merged state must equal the batch-built sketch
+    bit-for-bit, so it gates against the SAME oracle as
+    hll_user_cardinality.  State is localCheckpointed per batch —
+    ≤ n_groups × 2^p rows, no lineage growth."""
+    import tempfile
+
+    from go_streaming_spark.functions import sketch
+
+    ev = Engine(spark, sf_dir=sf_dir).stream("events").select("event_type", "user_id")
+    tmp = tempfile.mkdtemp(prefix="stream_hll_")
+    ev.repartition(4).write.mode("overwrite").parquet(f"{tmp}/ev")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/ev")
+    )
+    holder = {"sk": None, "batches": 0}
+
+    def ingest(batch_df, _bid):
+        part = sketch.hll_grouped_build(batch_df, "event_type", "user_id", p=_HLL_P)
+        merged = part if holder["sk"] is None else (
+            holder["sk"].unionByName(part)
+            .groupBy("grp", "reg")
+            .agg(F.max("max_rank").alias("max_rank"))
+        )
+        holder["sk"] = merged.localCheckpoint()
+        holder["batches"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    assert holder["batches"] >= 2, "replay must produce real micro-batches"
+    return sketch.hll_grouped_estimate(holder["sk"], "event_type", p=_HLL_P)
+
+
+ORACLES["stream_hll_user_cardinality"] = ORACLES["hll_user_cardinality"]
+
+@query(
+    "stream_dedup_exact",
+    # exact dedup as a NATIVE streaming operator: Spark's streaming
+    # dropDuplicates keeps one state row per digest across micro-batches
+    # and emits each digest once.  Which copy wins inside a batch is
+    # engine-internal, so every emitted column is digest-functional
+    # (derived from the text itself) — deterministic either way.
+    r"""SELECT DISTINCT md5(text) AS content_hash,
+  length(text) AS n_chars_txt,
+  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens
+FROM documents""",
+)
+def stream_dedup_exact(spark, sf_dir):
+    """Zero-custom-code streaming dedup: documents replay as 4 real
+    micro-batches and the per-key state survives between them (the
+    complement of CorpusState.ingest's anti-join path).  State is one
+    narrow row per distinct digest; with an event-time column the same
+    plan runs bounded-state via dropDuplicatesWithinWatermark."""
+    import tempfile
+
+    from go_streaming_spark.streaming.runner import replay_to_memory
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    docs.repartition(4).write.mode("overwrite").parquet(f"{tmp}/docs")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/docs")
+    )
+    proj = stream.select(
+        F.md5(F.col("text")).alias("content_hash"),
+        F.length("text").cast("long").alias("n_chars_txt"),
+        F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    ).dropDuplicates(["content_hash"])
+    return replay_to_memory(proj, spark, output_mode="append")
+
+@query(
+    "pmi_top_bigrams",
+    # top-50 collocations by PMI, ranked by the raw independence ratio
+    # n_xy·N_tok²/(N_big·c_x·c_y) — order-equivalent to log-PMI with no
+    # ln() (libm last-ulp hazard); every factor is an exact integer
+    # count, one fixed-order double chain, q6-quantized
+    r"""WITH t AS (SELECT list_filter(regexp_split_to_array(text, '\s+'),
+                    x -> x <> '') AS w FROM documents),
+uni AS (SELECT unnest(w) AS tok FROM t),
+uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+nt AS (SELECT count(*) AS n FROM uni),
+bi AS (SELECT w[i] AS w1, w[i+1] AS w2
+       FROM (SELECT w, unnest(range(1, len(w))) AS i FROM t WHERE len(w) >= 2)),
+bc AS (SELECT w1, w2, count(*) AS n_xy FROM bi GROUP BY 1, 2),
+nb AS (SELECT count(*) AS n FROM bi)
+SELECT w1 || ' ' || w2 AS gram, n_xy,
+  floor((CAST(n_xy AS DOUBLE) * CAST(nt.n AS DOUBLE) * CAST(nt.n AS DOUBLE))
+        / (CAST(nb.n AS DOUBLE) * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))
+        * 1e6 + 0.5)/1e6 AS pmi_r
+FROM bc JOIN uc u1 ON bc.w1 = u1.tok JOIN uc u2 ON bc.w2 = u2.tok, nt, nb
+WHERE n_xy >= 5
+ORDER BY pmi_r DESC, gram LIMIT 50""",
+)
+def pmi_top_bigrams(spark, sf_dir):
+    return text.pmi_bigrams(_docs(spark, sf_dir), "text", min_count=5, k=50)

@@ -2039,3 +2039,27 @@ def test_pq_topk_partition_stable_and_overlaps_exact(spark):
     # 16 codewords/subspace is a coarse codebook — expect partial recall,
     # not agreement; the number below is measured on the seed-42 corpus
     assert len({i for i, _ in got} & exact) >= 2
+
+
+def test_pmi_bigrams_hand_computed(spark):
+    """6 docs of 'a b', 2 of 'a c': N_tok=16, N_big=8, c_a=8, c_b=6,
+    c_c=2.  ratio(a b) = 6·16²/(8·8·6) = 4.0; ratio(a c) = 2·16²/(8·8·2)
+    = 4.0 — tie broken by gram."""
+    from go_streaming_spark.functions import text as textf
+
+    docs = spark.createDataFrame(
+        [("a b",)] * 6 + [("a c",)] * 2, ["text"]
+    )
+    got = [
+        (r.gram, r.n_xy, r.pmi_r)
+        for r in textf.pmi_bigrams(docs, "text", min_count=1, k=10).collect()
+    ]
+    assert got == [("a b", 6, 4.0), ("a c", 2, 4.0)]
+
+
+def test_pmi_bigrams_min_count_prunes_before_ranking(spark):
+    from go_streaming_spark.functions import text as textf
+
+    docs = spark.createDataFrame([("a b",)] * 6 + [("a c",)] * 2, ["text"])
+    got = textf.pmi_bigrams(docs, "text", min_count=3, k=10).collect()
+    assert [r.gram for r in got] == ["a b"]

@@ -651,3 +651,98 @@ def test_streaming_cms_accumulates_across_batches(spark, tmp_path):
     }
     got = {(r.row, r.bucket): r["count"] for r in state["sk"].collect()}
     assert got == expect
+
+
+def test_streaming_hll_max_merge_equals_batch(spark, tmp_path):
+    """Grouped HLL state max-merges across micro-batches into EXACTLY the
+    batch-built sketch — and unlike the CMS's additive merge, max-merge is
+    idempotent: re-ingesting a batch (at-least-once replay) must leave the
+    state unchanged."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from go_streaming_spark.functions import sketch
+
+    rows = [("a", i % 37) for i in range(60)] + [("b", i % 11) for i in range(40)]
+    src = tmp_path / "stream"
+    src.mkdir()
+    for b in range(3):
+        with open(src / f"b{b}.json", "w") as f:
+            for g, k in rows[b::3]:
+                f.write(_json.dumps({"g": g, "k": k}) + "\n")
+
+    stream = (
+        spark.readStream.schema("g string, k long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    state = {"sk": None, "last": None}
+
+    def ingest(batch_df, _bid):
+        part = sketch.hll_grouped_build(batch_df, "g", "k", p=8)
+        running = (
+            part if state["sk"] is None
+            else state["sk"].unionByName(part)
+            .groupBy("grp", "reg")
+            .agg(F.max("max_rank").alias("max_rank"))
+        )
+        state["sk"] = running.localCheckpoint()
+        state["last"] = batch_df.localCheckpoint()
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    all_df = spark.createDataFrame(rows, ["g", "k"])
+    expect = {
+        (r.grp, r.reg): r.max_rank
+        for r in sketch.hll_grouped_build(all_df, "g", "k", p=8).collect()
+    }
+    got = {(r.grp, r.reg): r.max_rank for r in state["sk"].collect()}
+    assert got == expect
+    # idempotence: replaying the last batch must not change the state
+    replay = sketch.hll_grouped_build(state["last"], "g", "k", p=8)
+    merged = (
+        state["sk"].unionByName(replay)
+        .groupBy("grp", "reg")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    assert {(r.grp, r.reg): r.max_rank for r in merged.collect()} == expect
+
+
+def test_streaming_drop_duplicates_state_spans_batches(spark, tmp_path):
+    """Native streaming dropDuplicates must suppress a digest ALREADY
+    emitted in an earlier micro-batch — the cross-batch state the
+    stream_dedup_exact gate query relies on."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "stream"
+    src.mkdir()
+    # "dup" appears in every file; each file adds one unique text
+    for b in range(3):
+        with open(src / f"b{b}.json", "w") as f:
+            f.write(_json.dumps({"text": "dup"}) + "\n")
+            f.write(_json.dumps({"text": f"only-{b}"}) + "\n")
+
+    stream = (
+        spark.readStream.schema("text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    from go_streaming_spark.streaming.runner import replay_to_memory
+
+    out = replay_to_memory(
+        stream.select(F.md5("text").alias("h"), F.col("text"))
+        .dropDuplicates(["h"]),
+        spark,
+        output_mode="append",
+    ).collect()
+    texts = sorted(r.text for r in out)
+    assert texts == ["dup", "only-0", "only-1", "only-2"]
