@@ -1953,3 +1953,80 @@ ORDER BY pmi_r DESC, gram LIMIT 50""",
 )
 def pmi_top_bigrams(spark, sf_dir):
     return text.pmi_bigrams(_docs(spark, sf_dir), "text", min_count=5, k=50)
+
+# shared oracle CTEs: int8 quantization of every embedding + the 8 anchor
+# centroids (vec_id%17==3, smallest-first) + exact-int64 nearest-centroid
+# assignment with ties to the lowest cluster
+_KMEANS_CTE = """base AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+qz AS (SELECT vec_id,
+         CASE WHEN amax > 0
+              THEN list_transform(e, x -> CAST(floor(x/(amax/127.0) + 0.5) AS BIGINT))
+              ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS qv
+       FROM (SELECT vec_id, e,
+               list_max(list_transform(e, x -> abs(x))) AS amax FROM base)),
+anch AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, qv
+         FROM qz WHERE vec_id % 17 = 3 ORDER BY vec_id LIMIT 8),
+dist AS (SELECT q.vec_id, a.c,
+           list_sum(list_transform(range(1, 65),
+             i -> (q.qv[i]-a.qv[i])*(q.qv[i]-a.qv[i]))) AS d
+         FROM qz q, anch a),
+asg AS (SELECT vec_id, c AS cluster FROM (
+          SELECT vec_id, c,
+            row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+          FROM dist) WHERE rn = 1)"""
+
+
+@query(
+    "kmeans_cluster_stats",
+    # nearest-anchor-centroid assignment in int8-quantized space (the
+    # k-means E-step, exact int64 → bit-deterministic), with an exact
+    # integer component-sum fingerprint per cluster
+    f"""WITH {_KMEANS_CTE}
+SELECT cluster, count(*) AS n_members, min(vec_id) AS min_id,
+       CAST(sum(list_sum(qv)) AS BIGINT) AS comp_sum
+FROM asg JOIN qz USING (vec_id) GROUP BY cluster""",
+)
+def kmeans_cluster_stats(spark, sf_dir):
+    from go_streaming_spark.functions import clustering
+
+    emb = _emb(spark, sf_dir)
+    cents = clustering.anchor_centroids_q(emb, "vec_id", "embedding", k=8)
+    asg = clustering.kmeans_assign_q(emb, "vec_id", "embedding", cents, keep_q=True)
+    return asg.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("id").alias("min_id"),
+        F.sum(F.expr("aggregate(_qb, 0L, (acc, v) -> acc + v)")).alias("comp_sum"),
+    )
+
+
+@query(
+    "semdedup_survivors",
+    # SemDeDup (cluster-then-dedup): within-cluster int8-cosine pairs at
+    # q6(cos) >= 0.4 drop the higher id; per-cluster member/survivor
+    # counts.  Quadratic work confined to within-cluster blocks — the
+    # learned-partition complement of LSH buckets and IVF cells.
+    f"""WITH {_KMEANS_CTE},
+qv2 AS (SELECT q.vec_id, q.qv, a.cluster FROM qz q JOIN asg a USING (vec_id)),
+pairs AS (SELECT a.cluster, b.vec_id AS ib
+          FROM qv2 a JOIN qv2 b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          WHERE floor((CAST(list_sum(list_transform(range(1, 65),
+                    i -> a.qv[i]*b.qv[i])) AS DOUBLE)
+              / (sqrt(CAST(list_sum(list_transform(range(1, 65),
+                    i -> a.qv[i]*a.qv[i])) AS DOUBLE))
+               * sqrt(CAST(list_sum(list_transform(range(1, 65),
+                    i -> b.qv[i]*b.qv[i])) AS DOUBLE))))*1e6 + 0.5)/1e6 >= 0.4),
+removed AS (SELECT DISTINCT ib FROM pairs)
+SELECT g.cluster, count(*) AS n_members,
+       count(*) FILTER (r.ib IS NULL) AS n_survivors
+FROM qv2 g LEFT JOIN removed r ON g.vec_id = r.ib
+GROUP BY g.cluster""",
+)
+def semdedup_survivors(spark, sf_dir):
+    from go_streaming_spark.functions import clustering
+
+    emb = _emb(spark, sf_dir)
+    cents = clustering.anchor_centroids_q(emb, "vec_id", "embedding", k=8)
+    return clustering.semdedup_survivor_stats(
+        emb, "vec_id", "embedding", cents, tau=0.4
+    )

@@ -2063,3 +2063,71 @@ def test_pmi_bigrams_min_count_prunes_before_ranking(spark):
     docs = spark.createDataFrame([("a b",)] * 6 + [("a c",)] * 2, ["text"])
     got = textf.pmi_bigrams(docs, "text", min_count=3, k=10).collect()
     assert [r.gram for r in got] == ["a b"]
+
+
+def _blob_rows(n_per, dim=64):
+    """Two deterministic, well-separated blobs: ids 0..n-1 around +100,
+    ids n..2n-1 around -100, with per-row integer jitter."""
+    rows = []
+    for i in range(n_per):
+        rows.append((i, [100.0 + ((i * 7 + j) % 5) for j in range(dim)]))
+    for i in range(n_per):
+        rows.append((n_per + i, [-100.0 - ((i * 3 + j) % 5) for j in range(dim)]))
+    return rows
+
+
+def test_kmeans_fit_separates_blobs_and_is_partition_stable(spark):
+    from go_streaming_spark.functions import clustering
+
+    df = spark.createDataFrame(_blob_rows(20), ["vec_id", "embedding"])
+    # init: one anchor from each blob (ids 3 and 20 via %17==3)
+    init = clustering.anchor_centroids_q(df, "vec_id", "embedding", k=2)
+    cents = clustering.kmeans_fit(df, "vec_id", "embedding", init, iters=3)
+    asg = {
+        r.id: r.cluster
+        for r in clustering.kmeans_assign_q(df, "vec_id", "embedding", cents).collect()
+    }
+    blob_a = {asg[i] for i in range(20)}
+    blob_b = {asg[i] for i in range(20, 40)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+    # exact int64 sums → identical centroids under any partitioning
+    cents7 = clustering.kmeans_fit(
+        df.repartition(7), "vec_id", "embedding", init, iters=3
+    )
+    assert cents == cents7
+
+
+def test_kmeans_fit_empty_cluster_keeps_previous_centroid(spark):
+    from go_streaming_spark.functions import clustering, similarity
+
+    rows = _blob_rows(10)
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    init = [
+        similarity.quantize_vec(rows[0][1]),
+        similarity.quantize_vec(rows[10][1]),
+        [0] * 63 + [1],  # faraway: no member will ever map here
+    ]
+    cents = clustering.kmeans_fit(df, "vec_id", "embedding", init, iters=2)
+    assert cents[2] == init[2]
+    assert cents[0] != init[0]  # populated clusters DID move to their means
+
+
+def test_semdedup_drops_duplicate_keeps_first(spark):
+    from go_streaming_spark.functions import clustering
+
+    # near-orthogonal one-hot vectors (pairwise cos = 0) + one exact
+    # duplicate of id 0 — only the duplicate pair crosses tau
+    rows = [(i, [127.0 if j == i else 0.0 for j in range(64)]) for i in range(5)]
+    rows.append((99, list(rows[0][1])))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = clustering.anchor_centroids_q(
+        df, "vec_id", "embedding", k=2
+    )  # only id 3 matches %17==3 → a single cluster; fine for this test
+    out = {
+        r.cluster: (r.n_members, r.n_survivors)
+        for r in clustering.semdedup_survivor_stats(
+            df, "vec_id", "embedding", cents, tau=0.999
+        ).collect()
+    }
+    assert sum(m for m, _ in out.values()) == 6
+    assert sum(m - s for m, s in out.values()) == 1

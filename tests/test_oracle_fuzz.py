@@ -39,10 +39,12 @@ FUZZ_QUERIES = [
     "multimodal_avi_content_stats",
     # round 8: the PMI ratio chain on degenerate corpora (empty docs,
     # sub-min_count pairs → empty result on both engines).
-    # ann_pq_adc_topk is NOT fuzzed: tiny random corpora can have zero
-    # vec_id%13==7 anchors (pq_codebooks raises by design); its
+    # ann_pq_adc_topk / kmeans_cluster_stats / semdedup_survivors are NOT
+    # fuzzed: tiny random corpora can have zero %-rule anchors
+    # (pq_codebooks/anchor_centroids_q raise by design); their
     # quantization path is fuzzed via ann_quantized_topk and the
-    # codebook/ADC math is exact-integer with dedicated unit tests.
+    # codebook/ADC/assignment math is exact-integer with dedicated unit
+    # tests.
     # stream_dedup_exact is not fuzzed (4 real micro-batches per example),
     # matching the other stream_* queries; its oracle is the plain
     # DISTINCT the batch path covers.

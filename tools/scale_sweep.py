@@ -80,6 +80,10 @@ QUERIES = [
     "returned_item_customers",  # Q10: TakeOrdered top-20 (round 7)
     "promo_revenue_pct",        # Q14: quantized revenue share (round 7)
     "top_supplier_revenue",     # Q15: scalar-max semi-join (round 7)
+    "multimodal_mp4_content_stats",  # real ISO-BMFF sample decode (round 8)
+    "hist_value_percentiles",   # mergeable histogram quantiles (round 8)
+    "ann_pq_adc_topk",          # PQ codebooks + ADC lookup scan (round 8)
+    "pmi_top_bigrams",          # PMI collocations, ratio-ranked (round 8)
 ]
 
 
