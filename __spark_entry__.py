@@ -48,13 +48,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # their output columns swept to the q6 idiom this round.
 #
 # r9 PRE-COMMITMENT: the remaining 48 r6 greens are two rounds unwatched
-# at end of r8 and lead the r9 rotation (LRU), together with the 5
+# at end of r8 and lead the r9 rotation (LRU), together with the 11
 # queries registered in r8 after this gate froze
 # (multimodal_mp4_content_stats, corpus_ingest_clean_tokens,
 # hist_value_percentiles, hist_percentiles_by_type,
-# stream_cms_word_counts — re-enumerate from the registry, newest-
-# without-a-row first, in case of later r8 additions).  That exceeds 50:
-# take the r8 registrations first, then the stalest r6 greens; the ~3 r6
+# stream_cms_word_counts, ann_pq_adc_topk, stream_hll_user_cardinality,
+# stream_dedup_exact, pmi_top_bigrams, kmeans_cluster_stats,
+# semdedup_survivors — re-enumerate from the registry, newest-without-
+# a-row first, in case of later r8 additions).  That exceeds 50: take
+# the r8 registrations first, then the stalest r6 greens; the ~9 r6
 # greens that miss the cut carry to r10 at the head of the queue.
 GATE_PRIORITY = [
     # (a) the fixed r7 red row — must re-prove green

@@ -75,6 +75,7 @@ HEADLINE = [
     "multimodal_mp4_content_stats",  # real ISO-BMFF sample-table decode (round 8)
     "corpus_ingest_clean_tokens",    # ingest + span removal end-to-end (round 8)
     "ann_pq_adc_topk",               # product quantization + ADC lookup scan (round 8)
+    "semdedup_survivors",            # cluster-then-dedup within learned clusters (round 8)
 ]
 
 

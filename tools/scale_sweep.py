@@ -84,6 +84,7 @@ QUERIES = [
     "hist_value_percentiles",   # mergeable histogram quantiles (round 8)
     "ann_pq_adc_topk",          # PQ codebooks + ADC lookup scan (round 8)
     "pmi_top_bigrams",          # PMI collocations, ratio-ranked (round 8)
+    "semdedup_survivors",       # cluster-then-dedup, within-cluster pairs (round 8)
 ]
 
 
