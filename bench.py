@@ -76,6 +76,8 @@ HEADLINE = [
     "corpus_ingest_clean_tokens",    # ingest + span removal end-to-end (round 8)
     "ann_pq_adc_topk",               # product quantization + ADC lookup scan (round 8)
     "semdedup_survivors",            # cluster-then-dedup within learned clusters (round 8)
+    "shipping_priority_topn",        # Q3: pushed filters + TakeOrdered top-10 (round 8)
+    "dormant_rich_customers",        # Q22: cross-multiplied avg + anti-join (round 8)
 ]
 
 

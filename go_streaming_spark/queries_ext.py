@@ -1517,3 +1517,101 @@ def top_supplier_revenue(spark, sf_dir):
         .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev")
     )
+
+
+@query(
+    "shipping_priority_topn",
+    # TPC-H Q3 shape: top-10 unshipped BUILDING-segment orders by
+    # discounted revenue at the cut date; all three scan filters push
+    # down, one shuffle on l_orderkey, TakeOrderedAndProject top-10
+    f"""SELECT l_orderkey, {_DISC_REV_SQL} AS revenue,
+  CAST(epoch(o_orderdate) AS BIGINT) AS odate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+)
+def shipping_priority_topn(spark, sf_dir):
+    # segment/date filters push to each scan; customer is SF-proportional
+    # (no pinned broadcast — AQE decides); plans as TakeOrderedAndProject
+    eng = Engine(spark, sf_dir=sf_dir)
+    li, orders, cust = (
+        eng.stream(t) for t in ("lineitem", "orders", "customer")
+    )
+    j = (
+        li.filter(F.col("l_shipdate") > "1998-01-01")
+        .join(
+            orders.filter(F.col("o_orderdate") < "1998-01-01"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(
+            cust.filter(F.col("c_mktsegment") == "BUILDING"),
+            orders.o_custkey == cust.c_custkey,
+        )
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate")
+        .agg(_disc_rev_col().alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_timestamp("o_orderdate").alias("odate"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "dormant_rich_customers",
+    # TPC-H Q22 shape on the available columns: customers whose balance
+    # beats the positive-balance AVERAGE (compared as the cross-multiply
+    # bal·n > sum — exact decimal, NO division, so the boundary can't
+    # diverge between engines) with no orders since 1999 (anti-join).
+    # Oracle decimals widened to (19,4): DuckDB DECIMAL(18) products
+    # overflow int64 (fuzz-confirmed r6)
+    """WITH pos AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(19,4))) AS DECIMAL(38,4)) AS sum_pos,
+        count(*) AS n_pos FROM customer WHERE c_acctbal > 0),
+sel AS (SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(19,4)) AS bal
+        FROM customer, pos
+        WHERE CAST(c_acctbal AS DECIMAL(19,4)) * n_pos > sum_pos),
+dormant AS (SELECT s.* FROM sel s WHERE NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_custkey = s.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '1999-01-01'))
+SELECT n_name, count(*) AS n_custs,
+  CAST(CAST(SUM(bal) AS DECIMAL(38,4)) AS DOUBLE) AS total_acctbal
+FROM dormant JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name""",
+)
+def dormant_rich_customers(spark, sf_dir):
+    # the positive-balance aggregate is a 1-row broadcast scalar; the
+    # anti-join shuffles on custkey (orders side filtered first);
+    # nation is fixed-cardinality → broadcast hint allowed by policy
+    eng = Engine(spark, sf_dir=sf_dir)
+    cust, orders, nation = (
+        eng.stream(t) for t in ("customer", "orders", "nation")
+    )
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        # stays exact decimal: the cross-multiply compare below needs it
+        F.sum(F.col("c_acctbal").cast(DEC)).alias("sum_pos"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    recent = orders.filter(F.col("o_orderdate") >= "1999-01-01").select("o_custkey")
+    sel = (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(F.col("c_acctbal").cast(DEC) * F.col("n_pos") > F.col("sum_pos"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+    )
+    return (
+        sel.join(F.broadcast(nation), sel.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            # sums of exact 4-dec values are exact at scale 4 — one cast out
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("total_acctbal"),
+        )
+    )

@@ -337,6 +337,11 @@ JOIN_QUERIES = [
     "star_join_agg",         # fact ⋈ orders ⋈ customer + decimal agg
     "big_order_customers",   # Q18: HAVING subquery + join-back
     "grouping_sets_revenue", # multi-grouping over a join
+    # round 8: Q3's empty-result regime (no lineitem survives the ship-date
+    # cut on the generated corpus) and Q22's cross-multiplied average
+    # boundary + anti-join over dangling custkeys
+    "shipping_priority_topn",
+    "dormant_rich_customers",
 ]
 
 
@@ -418,6 +423,12 @@ def test_oracle_equivalence_on_random_joins(spark, tmp_path_factory, name):
             duck.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet/*.parquet'"
             )
+        # fixed-cardinality dims come from the same linked sf0.001 files
+        # the engine side reads (their contents aren't fuzzed)
+        duck.execute(
+            "CREATE VIEW nation AS SELECT * FROM"
+            " '/root/testdata/sf0.001/nation.parquet'"
+        )
         res = duck.execute(oracles[name])
         ocols = [d[0] for d in res.description]
         orows = res.fetchall()

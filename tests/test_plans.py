@@ -335,3 +335,27 @@ def test_sf_growing_dims_broadcast_via_aqe_not_pinned_hint(spark):
         plan = _plan(df)
         assert "isFinalPlan=true" in plan, name
         assert "BroadcastHashJoin" in plan, (name, plan[:2000])
+
+
+def test_shipping_priority_pushed_filters_and_take_ordered(spark):
+    """Q3 shape: segment/date filters reach their scans; top-10 plans as
+    TakeOrderedAndProject (no global sort materialization)."""
+    import go_streaming_spark.queries_ext  # noqa: F401
+
+    df = QUERIES["shipping_priority_topn"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("PushedFilters: [IsNotNull") >= 2 or "GreaterThan" in plan
+
+
+def test_dormant_customers_anti_join_no_division(spark):
+    """Q22 shape: the average compare is a cross-multiply (no division
+    node — the boundary can't diverge between engines) and the no-recent-
+    orders predicate is a real anti-join, not a correlated subquery."""
+    import go_streaming_spark.queries_ext  # noqa: F401
+
+    df = QUERIES["dormant_rich_customers"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+    opt = _optimized(df)
+    assert "divide" not in opt.lower()

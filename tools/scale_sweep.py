@@ -85,6 +85,8 @@ QUERIES = [
     "ann_pq_adc_topk",          # PQ codebooks + ADC lookup scan (round 8)
     "pmi_top_bigrams",          # PMI collocations, ratio-ranked (round 8)
     "semdedup_survivors",       # cluster-then-dedup, within-cluster pairs (round 8)
+    "shipping_priority_topn",   # Q3: pushed filters + TakeOrdered (round 8)
+    "dormant_rich_customers",   # Q22: scalar compare + anti-join (round 8)
 ]
 
 
