@@ -2030,3 +2030,47 @@ def semdedup_survivors(spark, sf_dir):
     return clustering.semdedup_survivor_stats(
         emb, "vec_id", "embedding", cents, tau=0.4
     )
+
+
+@query(
+    "kmeans_lloyd_centroids",
+    # the k-means M-step: per-cluster integer-requantized mean centroid,
+    # floor(s/n + 1/2) computed as an EXACT integer floor-division — the
+    # numerator is first reduced by its non-negative remainder, so
+    # Spark's truncating `div`, DuckDB's `//`, and Python's `//` (used by
+    # clustering.kmeans_fit) all produce the identical quotient
+    # regardless of their negative-operand conventions
+    f"""WITH {_KMEANS_CTE},
+pv AS (SELECT a.cluster, t.i, q.qv[t.i] AS v
+       FROM asg a JOIN qz q USING (vec_id), range(1, 65) t(i)),
+ms AS (SELECT cluster, i, CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+       FROM pv GROUP BY 1, 2),
+md AS (SELECT cluster, i, n,
+         (2*s + n - ((((2*s + n) % (2*n)) + 2*n) % (2*n))) // (2*n) AS mv
+       FROM ms)
+SELECT cluster, min(n) AS n_members,
+  string_agg(CAST(mv AS VARCHAR), ',' ORDER BY i) AS centroid_s
+FROM md GROUP BY cluster""",
+)
+def kmeans_lloyd_centroids(spark, sf_dir):
+    from go_streaming_spark.functions import clustering
+
+    emb = _emb(spark, sf_dir)
+    cents = clustering.anchor_centroids_q(emb, "vec_id", "embedding", k=8)
+    asg = clustering.kmeans_assign_q(emb, "vec_id", "embedding", cents, keep_q=True)
+    aggs = [F.expr(f"sum(_qb[{i}]) AS s{i}") for i in range(64)] + [
+        F.expr("count(*) AS n")
+    ]
+    g = asg.groupBy("cluster").agg(aggs[0], *aggs[1:])
+    mcols = [
+        F.expr(
+            f"CAST((2*s{i} + n - ((((2*s{i} + n) % (2*n)) + 2*n) % (2*n)))"
+            f" div (2*n) AS STRING)"
+        )
+        for i in range(64)
+    ]
+    return g.select(
+        "cluster",
+        F.col("n").alias("n_members"),
+        F.concat_ws(",", *mcols).alias("centroid_s"),
+    )

@@ -2131,3 +2131,23 @@ def test_semdedup_drops_duplicate_keeps_first(spark):
     }
     assert sum(m for m, _ in out.values()) == 6
     assert sum(m - s for m, s in out.values()) == 1
+
+
+def test_kmeans_fit_one_step_matches_gated_mstep(spark):
+    """kmeans_fit(iters=1)'s Python floor-div update must equal the
+    distributed M-step the kmeans_lloyd_centroids gate query computes
+    (populated clusters; empty ones keep their previous centroid)."""
+    import go_streaming_spark.queries_llm  # noqa: F401  (registers QUERIES)
+    from go_streaming_spark.functions import clustering
+    from go_streaming_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    emb = _emb(spark)
+    cents0 = clustering.anchor_centroids_q(emb, "vec_id", "embedding", k=8)
+    fit1 = clustering.kmeans_fit(emb, "vec_id", "embedding", cents0, iters=1)
+    gate = {
+        r.cluster: [int(x) for x in r.centroid_s.split(",")]
+        for r in QUERIES["kmeans_lloyd_centroids"](spark, sf).collect()
+    }
+    for cl, cent in gate.items():
+        assert fit1[cl] == cent, cl
