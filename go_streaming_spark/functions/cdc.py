@@ -1,0 +1,101 @@
+"""Change-data-capture shapes: SCD2 interval history and incremental
+latest-wins snapshot maintenance.
+
+A 100 TB training corpus is never rebuilt from scratch — it is *maintained*:
+a large existing snapshot (one row per key) plus a small stream of change
+rows per refresh.  Two primitives cover the standard warehouse patterns:
+
+- :func:`scd2_history` — version every change row with a
+  ``[valid_from, valid_to)`` interval (type-2 slowly-changing dimension),
+  so point-in-time joins ("what was the state when this example was
+  sampled?") become range lookups.  One shuffle on the key; the
+  interval assignment is a single ``lead()`` window.
+- :func:`cdc_apply` — merge a change batch into a keyed snapshot with
+  latest-wins semantics.  The snapshot is touched only by an anti-join on
+  the key (map-side prunable via a Bloom/broadcast of the small change
+  key-set; shuffle-free entirely when the snapshot is bucketed on the key
+  — ``sources/formats.py:write_bucketed``); the change batch collapses to
+  one row per key on its own small shuffle.  Nothing re-aggregates the
+  full snapshot — the property that matters when the snapshot is 10⁴×
+  the batch.
+
+The reference's closest surface is stream migration / replay
+(`pkg/pubsub/pub_sub.go:54-74`): state evolves by applying new events to
+retained state.  These operators are that idea as set-based batch algebra.
+
+Determinism: "latest" is the lexicographic max of ``(ts, tie_col)`` with
+``tie_col`` unique, so results are partition- and engine-invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    sentinel_us: int = 253_402_300_800_000_000,  # 9999-12-31T24 in epoch µs
+) -> DataFrame:
+    """Type-2 history: every row gains ``valid_from_us`` (its own event
+    time) and ``valid_to_us`` (the next change's event time for the same
+    key, or ``sentinel_us`` for the current version).
+
+    Same-timestamp changes order by the unique ``tie_col`` — later
+    ``tie_col`` wins the later interval, deterministically.  Intervals are
+    half-open ``[from, to)`` and partition the key's timeline exactly.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    t = F.unix_micros(F.col(ts_col))
+    nxt = F.unix_micros(F.lead(ts_col).over(w))
+    return df.withColumn("valid_from_us", t).withColumn(
+        "valid_to_us", F.coalesce(nxt, F.lit(sentinel_us))
+    )
+
+
+def latest_per_key(
+    df: DataFrame, key_col: str, ts_col: str, tie_col: str
+) -> DataFrame:
+    """Collapse to one row per key: the row with the greatest
+    ``(ts, tie_col)``.  A plain ranking window (one shuffle on the key) —
+    used for the *small* change batch; never aim it at the full snapshot.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).desc(), F.col(tie_col).desc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def cdc_apply(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+) -> DataFrame:
+    """Latest-wins upsert of a change batch into a one-row-per-key
+    snapshot (the MERGE/refresh primitive).
+
+    The change batch collapses to its newest row per key, then replaces
+    the snapshot's rows for exactly those keys:
+    ``snapshot ANTI⋈ change_keys  ∪  latest(changes)``.  Requires every
+    change to be at least as new as the snapshot row it replaces (true by
+    construction when changes are captured after the snapshot was built);
+    under that contract the result equals ``latest_per_key`` over the full
+    concatenated history — the equivalence the oracle checks.
+
+    Scale: the anti-join broadcasts the (tiny) distinct change key-set;
+    the snapshot is scanned once, map-side filtered, and never shuffled
+    when bucket-laid-out on the key.
+    """
+    latest = latest_per_key(changes, key_col, ts_col, tie_col)
+    keys = latest.select(key_col)
+    kept = snapshot.join(F.broadcast(keys), key_col, "left_anti")
+    return kept.unionByName(latest)

@@ -636,6 +636,69 @@ def jaccard_verify_pairs(
     ).filter(F.col("n_common") > 0)
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int,
+    prefix_len: int = 80,
+) -> DataFrame:
+    """Near-dup pairs by bounded Levenshtein distance over a fixed-length
+    text prefix: (id_a < id_b, dist ≤ max_dist).
+
+    The character-level member of the near-dup family (minhash/simhash
+    miss single-character edits inside shared shingles; edit distance is
+    the ground truth for typo/OCR-noise duplicates).  Full-document
+    Levenshtein is O(L²) per pair, so comparison is over the first
+    ``prefix_len`` normalized characters — the standard bounded surrogate;
+    compose with a shingle/LSH prefilter when prefixes can diverge late.
+
+    Blocking: ``|len(a) - len(b)| > max_dist ⇒ dist > max_dist``, so docs
+    bucket by ``floor(len / (max_dist+1))`` and only adjacent buckets can
+    pair.  One side explodes to its 3 admissible buckets, the join is a
+    plain equi-join on the bucket (never an all-pairs cross), and the
+    ``id_a < id_b`` filter keeps exactly one orientation of each pair.
+    The distance itself uses Spark's threshold form (O(L·d) banded DP,
+    early-exit −1) — the verify cost is linear in the prefix, not
+    quadratic.  Within-bucket pairing is quadratic per bucket: cap bucket
+    population upstream (drop or sub-block degenerate length classes) the
+    same way hot shingles are capped in :func:`jaccard_pairs`.
+    """
+    w = max_dist + 1
+    key = F.substring(F.col(text_col), 1, prefix_len)
+    base = spread(df).select(
+        F.col(id_col).alias("id"),
+        key.alias("k"),
+        F.length(key).alias("len"),
+        F.floor(F.length(key) / F.lit(w)).alias("b"),
+    )
+    a = base.select(
+        F.col("id").alias("id_a"),
+        F.col("k").alias("k_a"),
+        F.col("len").alias("len_a"),
+        F.explode(
+            F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1)
+        ).alias("b"),
+    )
+    b = base.select(
+        F.col("id").alias("id_b"),
+        F.col("k").alias("k_b"),
+        F.col("len").alias("len_b"),
+        "b",
+    )
+    dist = F.levenshtein("k_a", "k_b", max_dist)
+    return (
+        a.join(b, "b")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= max_dist)
+        )
+        .withColumn("dist", dist)
+        .filter(F.col("dist") >= 0)
+        .select("id_a", "id_b", "dist")
+    )
+
+
 def minhash_signatures_wide(
     df: DataFrame,
     id_col: str,

@@ -201,6 +201,69 @@ def tf_idf_top_terms(
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of each document to a bag of query terms —
+    the classic sparse-retrieval ranking (used for hard-negative mining
+    and dedup-aware sampling over training corpora).
+
+    Log-free/engine-exact variant: the idf factor is the raw odds ratio
+    ``(N - df + 0.5)/(df + 0.5)`` instead of its logarithm — ``ln()`` is
+    the one BM25 ingredient whose last bit differs across engines, and
+    dropping it preserves each term's ranking monotonicity.  Every
+    per-term score is quantized to an exact int64 (``floor(s·10⁶ + ½)``)
+    BEFORE the per-document sum, so the total is an order-insensitive
+    integer sum — partition- and engine-invariant — and only the final
+    display division produces a double.
+
+    Shuffle shape (mirrors :func:`tf_idf_top_terms`): tokens are filtered
+    to the query terms map-side, so the tf groupBy shuffles only matching
+    (doc, term) pairs; document length and corpus totals ride one extra
+    narrow aggregation; df-per-term and the (N, total_tokens) scalar join
+    back as broadcasts.  Emits (id, bm25) for documents matching ≥1 term.
+    """
+    toks = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(words_expr(F.col(text_col))).alias("token"),
+    )
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.filter(F.col("token").isin(query_terms))
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfr"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    )
+    # every double op below is a single correctly-rounded IEEE operation
+    # with the SAME expression tree in the SQL oracle — bit-identical
+    dl_ratio = (F.col("dl") * F.col("n_docs")).cast("double") / F.col(
+        "total_tokens"
+    )
+    denom = F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl_ratio)
+    tnorm = (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    idf = (F.col("n_docs") - F.col("dfr") + F.lit(0.5)) / (
+        F.col("dfr") + F.lit(0.5)
+    )
+    sq = F.floor(idf * tnorm * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return (
+        tf.join(dl, "id")
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("sq", sq)
+        .groupBy("id")
+        .agg((F.sum("sq").cast("double") / F.lit(1e6)).alias("bm25"))
+    )
+
+
 # PII-ish patterns for corpus scrubbing (ASCII approximations; swap for
 # production-grade recognizers via the same regexp_replace chain)
 REDACT_PATTERNS: dict[str, str] = {

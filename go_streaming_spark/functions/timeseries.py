@@ -19,6 +19,68 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def resample_locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_us: int,
+    tie_col: str,
+) -> DataFrame:
+    """Regularize an irregular event series onto a fixed time grid with
+    last-observation-carried-forward fill — the standard preprocessing
+    step before any fixed-step sequence model sees sensor/telemetry data.
+
+    Per key, emits one row for EVERY ``bucket_us``-wide bucket between the
+    key's first and last observation: ``(key, bucket_start_us, value_f,
+    n_obs)`` where ``value_f`` is the bucket's last observation (by
+    ``(ts, tie_col)`` — ``tie_col`` unique ⇒ deterministic) carried
+    forward across empty buckets, and ``n_obs`` counts the bucket's real
+    observations (0 = a filled gap).
+
+    Scale shape: one groupBy on (key, bucket) collapses the raw stream to
+    ≤ one row per grid cell *before* anything else; the grid itself is a
+    generated ``sequence`` explode off a per-key (min, max) aggregate — no
+    driver-side calendar, no cross join against a date table.  The LOCF
+    fill is a single ``last(ignorenulls)`` running window per key over
+    grid-sized (not event-sized) data.
+    """
+    t_us = F.unix_micros(F.col(ts_col))
+    b = F.floor(t_us / F.lit(bucket_us))
+    obs = df.select(
+        F.col(key_col).alias("key"),
+        b.alias("b"),
+        F.col(value_col).alias("v"),
+        F.struct(t_us.alias("t"), F.col(tie_col).alias("tie")).alias("ord"),
+    )
+    per_bucket = obs.groupBy("key", "b").agg(
+        F.max_by("v", "ord").alias("v_last"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    grid = (
+        obs.groupBy("key")
+        .agg(F.min("b").alias("bmin"), F.max("b").alias("bmax"))
+        .select(
+            "key",
+            F.explode(F.sequence("bmin", "bmax")).alias("b"),
+        )
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(per_bucket, ["key", "b"], "left")
+        .select(
+            "key",
+            (F.col("b") * F.lit(bucket_us)).alias("bucket_start_us"),
+            F.last("v_last", ignorenulls=True).over(w).alias("value_f"),
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        )
+    )
+
+
 def znormalize(values: list[float]) -> list[float]:
     """Driver-side z-norm for query patterns (population σ, ε-guarded)."""
     n = len(values)

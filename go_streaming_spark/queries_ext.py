@@ -1615,3 +1615,158 @@ def dormant_rich_customers(spark, sf_dir):
             F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("total_acctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CDC / snapshot maintenance (functions/cdc.py)
+
+_SCD2_SENTINEL_US = 253_402_300_800_000_000  # 9999-12-31T24:00 epoch µs
+
+
+@query(
+    "scd2_order_history",
+    # type-2 history: each order's status version is valid until the
+    # customer's next order (sentinel for the current one); ties on the
+    # date break by o_orderkey — deterministic intervals
+    f"""SELECT o_custkey, o_orderkey, o_orderstatus,
+  CAST(epoch_us(o_orderdate) AS BIGINT) AS valid_from_us,
+  CAST(COALESCE(epoch_us(lead(o_orderdate) OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+    {_SCD2_SENTINEL_US}) AS BIGINT) AS valid_to_us
+FROM orders""",
+)
+def scd2_order_history(spark, sf_dir):
+    # one shuffle on the key; the interval assignment is a single lead()
+    # window (functions/cdc.py:scd2_history)
+    from go_streaming_spark.functions import cdc
+
+    orders = Engine(spark, sf_dir=sf_dir).stream("orders")
+    hist = cdc.scd2_history(
+        orders, "o_custkey", "o_orderdate", "o_orderkey",
+        sentinel_us=_SCD2_SENTINEL_US,
+    )
+    return hist.select(
+        "o_custkey", "o_orderkey", "o_orderstatus",
+        "valid_from_us", "valid_to_us",
+    )
+
+
+@query(
+    "cdc_latest_snapshot",
+    # latest-wins MERGE equivalence: snapshot(pre-1998 latest) upserted
+    # with the 1998+ change batch must equal the latest row per key over
+    # the whole history — the oracle computes the latter directly
+    """SELECT o_custkey, o_orderkey, o_orderstatus,
+  CAST(epoch_us(o_orderdate) AS BIGINT) AS odate_us
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) t
+WHERE rn = 1""",
+)
+def cdc_latest_snapshot(spark, sf_dir):
+    # cdc_apply: the snapshot is touched only by a broadcast anti-join on
+    # the change key-set (never re-aggregated); only the small change
+    # batch shuffles (functions/cdc.py:cdc_apply)
+    from go_streaming_spark.functions import cdc
+
+    orders = Engine(spark, sf_dir=sf_dir).stream("orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    snapshot = cdc.latest_per_key(
+        orders.filter(F.col("o_orderdate") < cut),
+        "o_custkey", "o_orderdate", "o_orderkey",
+    )
+    changes = orders.filter(F.col("o_orderdate") >= cut)
+    merged = cdc.cdc_apply(
+        snapshot, changes, "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    return merged.select(
+        "o_custkey", "o_orderkey", "o_orderstatus",
+        F.unix_micros("o_orderdate").alias("odate_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-series regularization (functions/timeseries.py)
+
+_6H_US = 21_600_000_000
+
+
+@query(
+    "timeseries_resample_6h",
+    # fixed-grid resample with last-observation-carried-forward fill: one
+    # row per 6h bucket per user between the user's first and last event;
+    # value_f is a passthrough double (no arithmetic → engine-exact)
+    f"""WITH obs AS (SELECT user_id,
+    CAST(floor(epoch_us(ts)/{_6H_US}) AS BIGINT) AS b,
+    value, epoch_us(ts) AS t, event_id FROM events),
+lastv AS (SELECT user_id, b, value FROM (
+  SELECT user_id, b, value, row_number() OVER (PARTITION BY user_id, b
+      ORDER BY t DESC, event_id DESC) AS rn FROM obs) x WHERE rn = 1),
+cnts AS (SELECT user_id, b, count(*) AS n_obs FROM obs GROUP BY 1, 2),
+bounds AS (SELECT user_id, min(b) AS bmin, max(b) AS bmax FROM obs GROUP BY 1),
+grid AS (SELECT user_id, unnest(range(bmin, bmax+1)) AS b FROM bounds),
+joined AS (SELECT g.user_id, g.b, l.value AS v, COALESCE(c.n_obs, 0) AS n_obs
+  FROM grid g LEFT JOIN lastv l USING (user_id, b)
+  LEFT JOIN cnts c ON c.user_id = g.user_id AND c.b = g.b)
+SELECT user_id AS key, CAST(b*{_6H_US} AS BIGINT) AS bucket_start_us,
+  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_f,
+  n_obs
+FROM joined""",
+)
+def timeseries_resample_6h(spark, sf_dir):
+    # groupBy(key,bucket) collapses events to grid cells first; the grid is
+    # a generated sequence off per-key bounds; LOCF is one last(ignorenulls)
+    # window over grid-sized data (functions/timeseries.py:resample_locf)
+    from go_streaming_spark.functions import timeseries
+
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    return timeseries.resample_locf(
+        ev, "user_id", "ts", "value", _6H_US, "event_id"
+    )
+
+
+@query("stream_hist_value_percentiles")
+def stream_hist_value_percentiles(spark, sf_dir):
+    """The histogram quantile sketch accumulated the STREAMING way: events
+    replay as 4 real micro-batches, foreachBatch builds each batch's
+    (bin, count) table and merges it into the running state by bin-count
+    addition.  Merged state ≡ the batch-built histogram bit-for-bit, so
+    the quantile estimates gate against the SAME oracle as
+    hist_value_percentiles (registered below).  State is localCheckpointed
+    per batch — ≤ n_bins rows, no lineage growth."""
+    import tempfile
+
+    from go_streaming_spark.functions import sketch
+
+    ev = Engine(spark, sf_dir=sf_dir).stream("events").select("value")
+    tmp = tempfile.mkdtemp(prefix="stream_hist_")
+    ev.repartition(4).write.mode("overwrite").parquet(f"{tmp}/ev")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/ev")
+    )
+    holder = {"hist": None, "batches": 0}
+
+    def ingest(batch_df, _bid):
+        part = _sk_mod.hist_build(batch_df, "value", lo=0.0, hi=500.0,
+                                  n_bins=4096)
+        merged = part if holder["hist"] is None else (
+            holder["hist"].unionByName(part)
+            .groupBy("bin")
+            .agg(F.sum("count").alias("count"))
+        )
+        holder["hist"] = merged.localCheckpoint()
+        holder["batches"] += 1
+
+    q = stream.writeStream.foreachBatch(ingest).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination()
+    assert holder["batches"] >= 2, "expected a real multi-batch replay"
+    return sketch.hist_quantiles(
+        holder["hist"], [0.5, 0.9, 0.99], lo=0.0, hi=500.0, n_bins=4096
+    )
+
+
+ORACLES["stream_hist_value_percentiles"] = ORACLES["hist_value_percentiles"]

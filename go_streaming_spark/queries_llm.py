@@ -2074,3 +2074,59 @@ def kmeans_lloyd_centroids(spark, sf_dir):
         F.col("n").alias("n_members"),
         F.concat_ws(",", *mcols).alias("centroid_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sparse retrieval ranking + character-level near-dup (round 8)
+
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TERMS = ("hash", "merge", "vector")
+
+
+@query(
+    "bm25_doc_scores",
+    # Okapi BM25 (log-free odds-ratio idf — ln() is the one cross-engine-
+    # divergent ingredient and dropping it keeps per-term monotonicity);
+    # every per-term score quantizes to int64 BEFORE the per-doc sum, so
+    # the total is an order-insensitive exact integer sum.  Double
+    # literals are CAST(repr AS DOUBLE): DuckDB parses bare decimals as
+    # DECIMAL, which would change every rounding step.
+    f"""WITH toks AS (SELECT doc_id AS id,
+    unnest(string_split_regex(text, '\\s+')) AS token FROM documents),
+tok2 AS (SELECT id, token FROM toks WHERE token <> ''),
+dl AS (SELECT id, count(*) AS dl FROM tok2 GROUP BY 1),
+tf AS (SELECT id, token, count(*) AS tf FROM tok2
+  WHERE token IN {_BM25_TERMS!r} GROUP BY 1, 2),
+dfr AS (SELECT token, count(*) AS dfr FROM tf GROUP BY 1),
+corpus AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dl),
+scored AS (SELECT tf.id,
+  CAST(floor( ((n_docs - dfr + CAST({0.5!r} AS DOUBLE))/(dfr + CAST({0.5!r} AS DOUBLE)))
+      * ((tf * CAST({_BM25_K1 + 1.0!r} AS DOUBLE))
+         / (tf + CAST({_BM25_K1!r} AS DOUBLE)*(CAST({1.0 - _BM25_B!r} AS DOUBLE)
+            + CAST({_BM25_B!r} AS DOUBLE)*(CAST(dl*n_docs AS DOUBLE)/total_tokens))))
+      * 1e6 + CAST({0.5!r} AS DOUBLE)) AS BIGINT) AS sq
+  FROM tf JOIN dl USING (id) CROSS JOIN corpus JOIN dfr USING (token))
+SELECT id, CAST(SUM(sq) AS DOUBLE)/1e6 AS bm25 FROM scored GROUP BY id""",
+)
+def bm25_doc_scores(spark, sf_dir):
+    return text.bm25_scores(
+        _docs(spark, sf_dir), "doc_id", "text", list(_BM25_TERMS),
+        k1=_BM25_K1, b=_BM25_B,
+    )
+
+
+@query(
+    "dedup_edit_distance",
+    # bounded-Levenshtein near-dup pairs over the 80-char prefix: the
+    # oracle is the quadratic ground truth (length prefilter only); the
+    # engine must find exactly the same pairs from its length-bucket
+    # blocking — a missed pair is a blocking soundness bug, not noise
+    """WITH k AS (SELECT doc_id AS id, substr(text, 1, 80) AS k FROM documents)
+SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.k, b.k) AS dist
+FROM k a JOIN k b ON a.id < b.id AND abs(length(a.k) - length(b.k)) <= 8
+WHERE levenshtein(a.k, b.k) <= 8""",
+)
+def dedup_edit_distance(spark, sf_dir):
+    return dedup.edit_distance_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", max_dist=8, prefix_len=80
+    )
