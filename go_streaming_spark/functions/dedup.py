@@ -653,6 +653,15 @@ def edit_distance_pairs(
     ``prefix_len`` normalized characters — the standard bounded surrogate;
     compose with a shingle/LSH prefilter when prefixes can diverge late.
 
+    Character-class normalization: non-ASCII characters project to ``?``
+    before the prefix is cut, so the distance is invariant to encoding
+    width — engines disagree on what "one edit" means outside ASCII
+    (byte-level vs UTF-16-unit vs code-point Levenshtein all differ on
+    multi-byte characters; caught by the oracle fuzzer on ``café``), and
+    a typo/OCR dedup pass loses nothing by treating all non-ASCII bytes
+    as one wildcard class.  Two distinct non-ASCII characters compare
+    equal after projection — a documented coarsening, like case folding.
+
     Blocking: ``|len(a) - len(b)| > max_dist ⇒ dist > max_dist``, so docs
     bucket by ``floor(len / (max_dist+1))`` and only adjacent buckets can
     pair.  One side explodes to its 3 admissible buckets, the join is a
@@ -665,7 +674,8 @@ def edit_distance_pairs(
     same way hot shingles are capped in :func:`jaccard_pairs`.
     """
     w = max_dist + 1
-    key = F.substring(F.col(text_col), 1, prefix_len)
+    ascii_text = F.regexp_replace(F.col(text_col), "[^\x00-\x7F]", "?")
+    key = F.substring(ascii_text, 1, prefix_len)
     base = spread(df).select(
         F.col(id_col).alias("id"),
         key.alias("k"),

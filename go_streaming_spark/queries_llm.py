@@ -2120,8 +2120,14 @@ def bm25_doc_scores(spark, sf_dir):
     # bounded-Levenshtein near-dup pairs over the 80-char prefix: the
     # oracle is the quadratic ground truth (length prefilter only); the
     # engine must find exactly the same pairs from its length-bucket
-    # blocking — a missed pair is a blocking soundness bug, not noise
-    """WITH k AS (SELECT doc_id AS id, substr(text, 1, 80) AS k FROM documents)
+    # blocking — a missed pair is a blocking soundness bug, not noise.
+    # Non-ASCII projects to '?' on BOTH sides first: DuckDB's levenshtein
+    # is byte-level while Spark's is character-level, so 'café' costs 5
+    # edits there and 4 here — the projection (documented in
+    # edit_distance_pairs) makes byte == character and the DP identical
+    r"""WITH k AS (SELECT doc_id AS id,
+    substr(regexp_replace(text, '[^\x00-\x7F]', '?', 'g'), 1, 80) AS k
+  FROM documents)
 SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.k, b.k) AS dist
 FROM k a JOIN k b ON a.id < b.id AND abs(length(a.k) - length(b.k)) <= 8
 WHERE levenshtein(a.k, b.k) <= 8""",

@@ -49,6 +49,11 @@ FUZZ_QUERIES = [
     # matching the other stream_* queries; its oracle is the plain
     # DISTINCT the batch path covers.
     "pmi_top_bigrams",
+    # round 8 (cont.): the BM25 chained-double arithmetic on degenerate
+    # corpora (empty docs, all-stopword docs, zero-match regime) and the
+    # length-bucket blocking soundness on short/empty prefixes
+    "bm25_doc_scores",
+    "dedup_edit_distance",
 ]
 
 WORD = st.sampled_from(
@@ -195,6 +200,7 @@ EVENT_QUERIES = [
     "hll_user_cardinality",     # r7: integer rank/register math on dup ties
     "mad_by_type",              # r7: nested percentile interpolation
     "salted_join_type_revenue", # r7: salted join vs plain-join oracle
+    "timeseries_resample_6h",   # r8: LOCF on boundary/duplicate timestamps
 ]
 
 
@@ -342,6 +348,10 @@ JOIN_QUERIES = [
     # boundary + anti-join over dangling custkeys
     "shipping_priority_topn",
     "dormant_rich_customers",
+    # round 8 (cont.): SCD2 intervals / MERGE equivalence over dangling
+    # and duplicate custkeys (orders-only reads; dims are irrelevant)
+    "scd2_order_history",
+    "cdc_latest_snapshot",
 ]
 
 
