@@ -48,16 +48,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # their output columns swept to the q6 idiom this round.
 #
 # r9 PRE-COMMITMENT: the remaining 48 r6 greens are two rounds unwatched
-# at end of r8 and lead the r9 rotation (LRU), together with the 11
+# at end of r8 and lead the r9 rotation (LRU), together with the 25
 # queries registered in r8 after this gate froze
 # (multimodal_mp4_content_stats, corpus_ingest_clean_tokens,
 # hist_value_percentiles, hist_percentiles_by_type,
 # stream_cms_word_counts, ann_pq_adc_topk, stream_hll_user_cardinality,
 # stream_dedup_exact, pmi_top_bigrams, kmeans_cluster_stats,
-# semdedup_survivors — re-enumerate from the registry, newest-without-
-# a-row first, in case of later r8 additions).  That exceeds 50: take
-# the r8 registrations first, then the stalest r6 greens; the ~9 r6
-# greens that miss the cut carry to r10 at the head of the queue.
+# kmeans_lloyd_centroids, semdedup_survivors, shipping_priority_topn,
+# dormant_rich_customers, scd2_order_history, cdc_latest_snapshot,
+# timeseries_resample_6h, bm25_doc_scores, dedup_edit_distance,
+# stream_hist_value_percentiles, leakage_cross_split_pairs,
+# textrank_top_terms, inverted_index_postings, zorder_locality_stats,
+# stream_heavy_hitter_words — re-enumerate from the registry,
+# newest-without-a-row first, in case of later r8 additions).  That
+# exceeds 50: take the 25 r8 registrations first, then the 25 stalest
+# r6 greens; the ~23 r6 greens that miss the cut carry to r10 at the
+# head of the queue.
 GATE_PRIORITY = [
     # (a) the fixed r7 red row — must re-prove green
     "temperature_mixture_counts",

@@ -1093,6 +1093,65 @@ def embedding_cosine_pairs(
     )
 
 
+def embedding_cosine_cross_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.99,
+    block_col: str | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """Exact cosine pairs BETWEEN two frames (every left×right pair with
+    round(cos,6) ≥ t) — the cross-table member of
+    :func:`embedding_cosine_pairs`.
+
+    The motivating pipeline step is **cross-split leakage detection**: a
+    train/test split by id hash is leak-free only at the *exact*-duplicate
+    level; near-duplicate pairs that straddle the split inflate eval
+    scores, so the split is audited by searching test vectors against the
+    train side (the embedding-space analogue of n-gram decontamination,
+    ``text.decontaminate``).  Also the shape of query-vs-corpus retrieval
+    audits and new-batch-vs-index near-dup checks.
+
+    Same exactness contract as the self-join variant: norms are per-row
+    properties computed once per side, the dot product is the unrolled
+    sequential fold when ``dim`` is given, zero-norm vectors are excluded
+    before pairing (undefined direction; ANSI division guard).  Scale
+    path: pass ``block_col`` (LSH bucket / IVF cell on BOTH sides) so the
+    join is an equi-join on the block instead of a full cross; without it
+    the smaller side should be broadcast-sized.
+    """
+    from go_streaming_spark.functions import similarity as sim
+    from go_streaming_spark.functions.util import spread
+
+    def prep(df: DataFrame, side: str) -> DataFrame:
+        vec = F.col(vec_col).cast("array<double>")
+        nrm = sim.norm_expr_unrolled(vec, dim) if dim else sim.norm_expr(vec)
+        return (
+            spread(df)
+            .select(
+                F.col(id_col).alias(f"id_{side}"),
+                vec.alias(f"vec_{side}"),
+                nrm.alias(f"nrm_{side}"),
+                *([F.col(block_col).alias(f"blk_{side}")] if block_col else []),
+            )
+            .filter(F.col(f"nrm_{side}") > 0)
+        )
+
+    a, b = prep(left, "a"), prep(right, "b")
+    if block_col:
+        joined = a.join(b, on=F.col("blk_a") == F.col("blk_b"))
+    else:
+        joined = a.crossJoin(b)
+    va, vb = F.col("vec_a"), F.col("vec_b")
+    dot = sim.dot_expr_unrolled(va, vb, dim) if dim else sim.dot_expr(va, vb)
+    cos = q6(dot / (F.col("nrm_a") * F.col("nrm_b")))
+    return joined.select("id_a", "id_b", cos.alias("cos_sim")).filter(
+        F.col("cos_sim") >= threshold
+    )
+
+
 def gram_digest_positions(
     df: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:

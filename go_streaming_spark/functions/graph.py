@@ -86,6 +86,82 @@ def connected_components(
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    weight: str | None = None,
+    iters: int = 3,
+    damping_pct: int = 85,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Weighted PageRank in exact integer arithmetic: (node, rk) after
+    ``iters`` synchronous power-iteration rounds, with every rank held in
+    int64 µ-units (``unit`` per node of starting mass).
+
+    Engine-exact by construction — three places where float PageRank
+    diverges across engines/partitionings are each replaced by an integer
+    floor operation with the same value regardless of order:
+    transition probabilities quantize once to ``p = (w·unit) div W_u``,
+    each edge contribution is ``(rk·p) div unit``, and damping is
+    ``base + (d·Σ) div 100`` with integer percent.  Sums of integers are
+    order-insensitive, so the result is bit-stable under AQE, partition
+    count, and a SQL oracle can reproduce it with unrolled CTEs.
+
+    Contract: every node reachable as ``dst`` must also have ≥1 out-edge
+    (true for symmetric graphs, e.g. co-occurrence); dangling-mass
+    redistribution is deliberately out of scope.  Repeated (u,v) rows are
+    treated as parallel edges (each quantizes its own p).
+
+    Overflow bound: a node's rank is ≤ total mass ≈ N·unit, and the hot
+    product ``rk·p ≤ N·unit²`` must stay under 2^63 — at the default
+    µ-unit that holds to ~9×10⁶ nodes; beyond that drop ``unit`` to 10³
+    (vocabulary graphs) or lift the product to DECIMAL(38,0).
+
+    Scale shape: per round, one equi-join of the (narrow, checkpointed)
+    transition table against the rank vector plus one groupBy(dst) —
+    both shuffle on the node id; ``localCheckpoint`` after every round
+    keeps round N's plan O(1).  In-degree skew (stopword-class hub
+    nodes) concentrates the groupBy — prune hubs upstream (max_df-style
+    cutoffs) or salt the sum; rank mass, unlike postings, is additive so
+    a salted two-phase sum is semantics-free.
+    """
+    e = edges.select(
+        F.col(src).alias("u"),
+        F.col(dst).alias("v"),
+        (F.col(weight) if weight else F.lit(1)).cast("long").alias("w"),
+    )
+    wu = e.groupBy("u").agg(F.sum("w").alias("wu"))
+    trans = (
+        e.join(wu, "u")
+        .selectExpr("u", "v", f"(w * {unit}) div wu AS p")
+        .localCheckpoint()
+    )
+    nodes = (
+        trans.select("u")
+        .union(trans.select(F.col("v").alias("u")))
+        .distinct()
+        .select(F.col("u").alias("node"))
+        .localCheckpoint()
+    )
+    base = ((100 - damping_pct) * unit) // 100
+    ranks = nodes.select("node", F.lit(unit).cast("long").alias("rk"))
+    for _ in range(iters):
+        contrib = trans.join(ranks, trans["u"] == ranks["node"]).selectExpr(
+            "v", f"(rk * p) div {unit} AS c"
+        )
+        s = contrib.groupBy("v").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(s, nodes["node"] == s["v"], "left")
+            .selectExpr(
+                "node",
+                f"{base} + ({damping_pct} * coalesce(s, 0)) div 100 AS rk",
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
 def dedup_components(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
 ) -> DataFrame:

@@ -131,8 +131,30 @@ def heavy_hitters(
 
     Emits (key, n_occ), exact counts.
     """
+    return heavy_hitters_from_sketch(
+        df, count_min_build(df, key_col, depth, width), key_col, min_count,
+        depth, width,
+    )
+
+
+def heavy_hitters_from_sketch(
+    df: DataFrame,
+    sketch: DataFrame,
+    key_col: str,
+    min_count: int,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """:func:`heavy_hitters` with a caller-supplied (row, bucket, count)
+    sketch — the shape streaming ingestion needs: the sketch accumulates
+    incrementally (additive merge per micro-batch), and the exact verify
+    pass runs on demand against whatever rows are queryable.  Soundness
+    requires the sketch to cover (at least) the rows in ``df``: extra
+    mass only loosens the prefilter, missing mass can undercount and
+    drop a true heavy hitter.
+    """
     table = [[0] * width for _ in range(depth)]
-    for r in count_min_build(df, key_col, depth, width).collect():
+    for r in sketch.collect():
         if r["row"] is None or r["bucket"] is None:  # defensive vs NULL keys
             continue
         table[r["row"]][r["bucket"]] = r["count"]

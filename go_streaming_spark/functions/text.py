@@ -201,6 +201,117 @@ def tf_idf_top_terms(
     )
 
 
+def textrank_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    iters: int = 3,
+    top_n: int = 50,
+) -> DataFrame:
+    """Corpus keywords by TextRank (Mihalcea & Tarau 2004): PageRank over
+    the word co-occurrence graph, where nodes are tokens and an undirected
+    edge weights each adjacent-token pair by its corpus-wide count.
+    Centrality-ranked vocabulary complements the frequency
+    (:func:`ngram_counts`) and association (:func:`pmi_bigrams`) views —
+    a term ranks high when its *neighbors* rank high, not merely when it
+    is common.
+
+    Returns the ``top_n`` (term, rk) rows by final rank, int64 µ-unit
+    exact via :func:`go_streaming_spark.functions.graph.pagerank` (ties
+    break by term).  Graph build is map-only until the edge-count
+    groupBy: adjacency pairs explode per document, self-loops drop, and
+    symmetry comes from emitting both directions.  The co-occurrence
+    graph inherits token Zipf skew as degree skew — see pagerank's hub
+    note; at corpus scale, cap the vocabulary (df bounds as in
+    :func:`inverted_index`) before ranking.
+    """
+    from go_streaming_spark.functions.graph import pagerank
+    from go_streaming_spark.functions.util import spread
+
+    words = words_expr(F.col(text_col))
+    pairs = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.struct(
+                F.element_at(words, i + 1).alias("u"),
+                F.element_at(words, i + 2).alias("v"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<u:string,v:string>>"))
+    e0 = (
+        spread(df)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.u", "p.v")
+        .filter(F.col("u") != F.col("v"))
+    )
+    sym = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    ew = sym.groupBy("u", "v").agg(F.count(F.lit(1)).alias("w"))
+    ranks = pagerank(ew, "u", "v", "w", iters=iters)
+    return (
+        ranks.select(F.col("node").alias("term"), "rk")
+        .orderBy(F.col("rk").desc(), "term")
+        .limit(top_n)
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Build a term → postings inverted index over a tokenized corpus:
+    one row per surviving term with its document frequency, total term
+    frequency, and the full postings list serialized as ``"id:tf,id:tf"``
+    in ascending document-id order (a deterministic string so downstream
+    storage and the equality oracle need no nested types).
+
+    The sparse-retrieval sibling of :func:`bm25_scores` — the index is
+    what a production retrieval stack persists; BM25/TF-IDF scoring then
+    reads postings instead of rescanning the corpus.
+
+    Shuffle shape: one groupBy(id, token) for tf (map-side combined), one
+    groupBy(token) assembling the postings.  The second shuffle's key
+    distribution IS the corpus term distribution — Zipf-skewed — so
+    ``max_df`` is the scale valve: terms in more than ``max_df`` documents
+    (stopword-class, the hot keys with the giant postings lists *and* the
+    least retrieval value) are dropped by an idf-style cutoff, bounding
+    both the skew and the widest output row.  ``min_df`` prunes the long
+    hapax tail (typos/noise) the same way tokenizer vocabularies do.
+    Postings order comes from ``array_sort`` on (id, tf) structs AFTER the
+    aggregation — no global sort, no window.
+    """
+    toks = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(words_expr(F.col(text_col))).alias("token"),
+    )
+    tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    agg = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df_docs"),
+        F.sum("tf").alias("total_tf"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("id"), F.col("tf")))
+        ).alias("_post"),
+    )
+    keep = F.col("df_docs") >= min_df
+    if max_df is not None:
+        keep = keep & (F.col("df_docs") <= max_df)
+    return agg.filter(keep).select(
+        F.col("token").alias("term"),
+        "df_docs",
+        "total_tf",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("_post"),
+                lambda s: F.concat_ws(":", s["id"].cast("string"), s["tf"].cast("string")),
+            ),
+        ).alias("postings"),
+    )
+
+
 def bm25_scores(
     df: DataFrame,
     id_col: str,

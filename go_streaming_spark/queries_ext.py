@@ -1770,3 +1770,44 @@ def stream_hist_value_percentiles(spark, sf_dir):
 
 
 ORACLES["stream_hist_value_percentiles"] = ORACLES["hist_value_percentiles"]
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (round 8)
+# ---------------------------------------------------------------------------
+
+from go_streaming_spark.operators import layout as _layout  # noqa: E402
+
+_Z_DAY = "CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT)"
+_Z_SQL = _layout.z_address_sql(
+    _layout.scaled_sql("a", "alo", "ahi", 8, div_op="//"),
+    _layout.scaled_sql("b", "blo", "bhi", 8, div_op="//"),
+    8,
+    div_op="//",
+)
+
+
+@query(
+    "zorder_locality_stats",
+    # Morton-interleave (o_custkey, order-day) — each range-normalized
+    # onto the 256-grid from its min/max — into a 16-bit Z-address, cut
+    # the space into 64 Z-ranges (file proxies), and report each range's
+    # row count + per-column min/max envelope: the numbers file-skipping
+    # would prune with.  The address math is the SAME generated
+    # div/%/*/+ text on both engines (operators/layout.py), bit-exact.
+    f"""WITH s AS (SELECT o_custkey AS a, {_Z_DAY} AS b FROM orders),
+r AS (SELECT min(a) AS alo, max(a) AS ahi, min(b) AS blo, max(b) AS bhi
+      FROM s),
+z AS (SELECT a, b, {_Z_SQL} // {1 << (2 * 8 - 6)} AS bucket FROM s, r)
+SELECT bucket, count(*) AS n, min(a) AS a_min, max(a) AS a_max,
+  min(b) AS b_min, max(b) AS b_max
+FROM z GROUP BY bucket""",
+)
+def zorder_locality_stats(spark, sf_dir):
+    orders = Engine(spark, sf_dir=sf_dir).stream("orders")
+    o = orders.withColumn(
+        "_day", F.datediff("o_orderdate", F.lit("1995-01-01")).cast("long")
+    )
+    return _layout.zorder_bucket_stats(
+        o, "o_custkey", "_day", bits=8, bucket_bits=6
+    )

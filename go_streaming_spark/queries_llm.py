@@ -348,6 +348,42 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+_T_SPLIT90 = int(0.9 * (1 << 32))
+
+
+@query(
+    "leakage_cross_split_pairs",
+    # embedding-space train/test leakage audit: near-dup pairs that
+    # straddle a deterministic 90/10 id-hash split (the same md5 bucket
+    # arithmetic as hash_split_counts, seed 'split') — an id-hash split
+    # is leak-free only at the exact-duplicate level, so eval integrity
+    # requires this cross-side sweep
+    f"""WITH b AS (SELECT vec_id id, embedding::DOUBLE[] e,
+  CAST(('0x'||substr(md5('split|'||CAST(vec_id AS VARCHAR)),1,8)) AS BIGINT) h
+  FROM embeddings),
+tr AS (SELECT id, e FROM b WHERE h < {_T_SPLIT90}),
+te AS (SELECT id, e FROM b WHERE h >= {_T_SPLIT90})
+SELECT tr.id AS id_a, te.id AS id_b,
+  floor(({_COS('tr.e','te.e')})*1e6 + 0.5)/1e6 AS cos_sim
+FROM tr, te
+WHERE floor(({_COS('tr.e','te.e')})*1e6 + 0.5)/1e6 >= 0.35""",
+)
+def leakage_cross_split_pairs(spark, sf_dir):
+    from go_streaming_spark.functions.sampling import hash_split
+
+    emb = hash_split(
+        _emb(spark, sf_dir), "vec_id", {"train": 0.9, "test": 0.1}, seed="split"
+    )
+    return dedup.embedding_cosine_cross_pairs(
+        emb.filter(F.col("split") == "train"),
+        emb.filter(F.col("split") == "test"),
+        "vec_id",
+        "embedding",
+        0.35,
+        dim=64,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -1186,6 +1222,7 @@ def stream_cms_word_counts(spark, sf_dir):
 ORACLES["stream_cms_word_counts"] = ORACLES["cms_word_counts"]
 
 
+
 @query(
     "heavy_hitter_words",
     # sketch-prefiltered EXACT heavy hitters: CMS candidates (sound — the
@@ -1204,6 +1241,63 @@ def heavy_hitter_words(spark, sf_dir):
         ).alias("word")
     )
     return sketch.heavy_hitters(words, "word", min_count=500, depth=4, width=256)
+
+
+@query("stream_heavy_hitter_words")
+def stream_heavy_hitter_words(spark, sf_dir):
+    """Heavy hitters the STREAMING way: the CMS accumulates across a real
+    4-micro-batch replay (additive merge per foreachBatch, state
+    localCheckpointed — the stream_cms_word_counts cadence), then the
+    sketch-prefiltered EXACT verify pass runs against the corpus with the
+    streamed state via heavy_hitters_from_sketch.  The accumulated sketch
+    is bit-identical to the batch build, so the result must equal the
+    plain GROUP BY ... HAVING — gated against the heavy_hitter_words
+    oracle (registered below)."""
+    import tempfile
+
+    from go_streaming_spark.functions import sketch
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    words_of = lambda df: df.select(  # noqa: E731
+        F.explode(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+        ).alias("word")
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_hh_")
+    docs.repartition(4).write.mode("overwrite").parquet(f"{tmp}/docs")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/docs")
+    )
+    holder = {"cms": None, "batches": 0}
+
+    def ingest(batch_df, _bid):
+        part = sketch.count_min_build(words_of(batch_df), "word", depth=4,
+                                      width=256)
+        merged = part if holder["cms"] is None else (
+            holder["cms"].unionByName(part)
+            .groupBy("row", "bucket")
+            .agg(F.sum("count").alias("count"))
+        )
+        holder["cms"] = merged.localCheckpoint()
+        holder["batches"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    assert holder["batches"] >= 2, "expected a real multi-batch replay"
+    return sketch.heavy_hitters_from_sketch(
+        words_of(docs), holder["cms"], "word", min_count=500, depth=4,
+        width=256,
+    )
+
+
+ORACLES["stream_heavy_hitter_words"] = ORACLES["heavy_hitter_words"]
 
 
 @query(
@@ -2112,6 +2206,66 @@ def bm25_doc_scores(spark, sf_dir):
     return text.bm25_scores(
         _docs(spark, sf_dir), "doc_id", "text", list(_BM25_TERMS),
         k1=_BM25_K1, b=_BM25_B,
+    )
+
+
+def _textrank_oracle(iters: int = 3, top_n: int = 50) -> str:
+    # integer-exact PageRank over the word co-occurrence graph, unrolled:
+    # transition p = (w*1e6) // W_u once, per-edge contribution
+    # (rk*p) // 1e6, damping 15% + 85% — every step an integer floor, so
+    # the SQL replay is bit-identical to the engine's iterative joins
+    cte = [
+        r"""WITH t AS (SELECT list_filter(regexp_split_to_array(text, '\s+'),
+                    x -> x <> '') AS w FROM documents),
+bi AS (SELECT w[i] AS u, w[i+1] AS v
+       FROM (SELECT w, unnest(range(1, len(w))) AS i FROM t WHERE len(w) >= 2)),
+e0 AS (SELECT u, v FROM bi WHERE u <> v),
+sym AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+ew AS (SELECT u, v, count(*) AS w FROM sym GROUP BY 1, 2),
+wu AS (SELECT u, CAST(sum(w) AS BIGINT) AS wu FROM ew GROUP BY 1),
+tr AS (SELECT e.u, e.v, (e.w * 1000000) // wu.wu AS p
+       FROM ew e JOIN wu ON e.u = wu.u),
+nodes AS (SELECT DISTINCT u AS node FROM sym),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rk FROM nodes)"""
+    ]
+    for k in range(1, iters + 1):
+        cte.append(
+            f"""s{k} AS (SELECT tr.v AS node, sum((r.rk * tr.p) // 1000000) AS s
+  FROM tr JOIN r{k - 1} r ON tr.u = r.node GROUP BY 1),
+r{k} AS (SELECT n.node, CAST(150000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rk
+  FROM nodes n LEFT JOIN s{k} s ON n.node = s.node)"""
+        )
+    return (
+        ",\n".join(cte)
+        + f"\nSELECT node AS term, rk FROM r{iters} ORDER BY rk DESC, term LIMIT {top_n}"
+    )
+
+
+@query("textrank_top_terms", _textrank_oracle())
+def textrank_top_terms(spark, sf_dir):
+    return text.textrank_terms(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@query(
+    "inverted_index_postings",
+    # term → serialized postings list; df bounds prune the hapax tail
+    # (min_df) and the stopword-class hot keys (max_df) — the same cutoffs
+    # a production index applies, and the skew valve for the Zipf-heavy
+    # groupBy(token).  Postings serialize "id:tf" ascending by id, so the
+    # compare is a plain string multiset.
+    """WITH toks AS (SELECT doc_id AS id,
+    unnest(string_split_regex(text, '\\s+')) AS token FROM documents),
+tok2 AS (SELECT id, token FROM toks WHERE token <> ''),
+tf AS (SELECT id, token, count(*) AS tf FROM tok2 GROUP BY 1, 2)
+SELECT token AS term, count(*) AS df_docs,
+  CAST(sum(tf) AS BIGINT) AS total_tf,
+  string_agg(id || ':' || tf, ',' ORDER BY id) AS postings
+FROM tf GROUP BY token
+HAVING count(*) >= 2 AND count(*) <= 400""",
+)
+def inverted_index_postings(spark, sf_dir):
+    return text.inverted_index(
+        _docs(spark, sf_dir), "doc_id", "text", min_df=2, max_df=400
     )
 
 

@@ -54,6 +54,11 @@ FUZZ_QUERIES = [
     # length-bucket blocking soundness on short/empty prefixes
     "bm25_doc_scores",
     "dedup_edit_distance",
+    # round 8 (cont.): integer PageRank over degenerate graphs (single-doc
+    # corpora, no-bigram docs, self-loop-only adjacency) and postings
+    # assembly / df-bound pruning on tiny vocabularies
+    "textrank_top_terms",
+    "inverted_index_postings",
 ]
 
 WORD = st.sampled_from(
@@ -133,6 +138,7 @@ EMB_QUERIES = [
     "ann_cosine_topk", "ann_quantized_topk",
     "dedup_embedding_cosine", "dedup_embedding_cosine_blocked",
     "ann_ivf_quantized_topk",  # r7: centroid probe + int8 scoring composed
+    "leakage_cross_split_pairs",  # r8: cross-split audit on dup/zero vecs
 ]
 
 
@@ -352,6 +358,9 @@ JOIN_QUERIES = [
     # and duplicate custkeys (orders-only reads; dims are irrelevant)
     "scd2_order_history",
     "cdc_latest_snapshot",
+    # round 8 (cont.): Z-address range normalization on degenerate ranges
+    # (single order → hi == lo constant-range guard, duplicate custkeys)
+    "zorder_locality_stats",
 ]
 
 
