@@ -375,6 +375,79 @@ def bm25_scores(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries_df: DataFrame,
+    qid_col: str = "query_id",
+    term_col: str = "term",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batch BM25 retrieval: the top-``k`` documents for EVERY query in
+    ``queries_df`` (query_id, term) — the many-queries-at-once shape of
+    hard-negative mining and retrieval-augmented corpus construction,
+    where thousands of queries score against the corpus in one plan
+    instead of one scan per query.
+
+    Scoring is :func:`bm25_scores`' engine-exact arithmetic (log-free
+    odds-ratio idf, per-term int64 quantization before the sum), factored
+    so the per-(doc, term) score is computed ONCE regardless of how many
+    queries share the term: the corpus tokenizes once, tf filters to the
+    union query vocabulary via a broadcast semi-join (query tables are
+    small by construction — no literal lists, no driver collect), and
+    only then fans out per query.  Emits (query_id, id, bm25, rank) with
+    rank 1..k per query, ties broken by id — the final window partitions
+    by query, so its shuffle carries candidate rows only.
+    """
+    terms = queries_df.select(
+        F.col(qid_col).alias("qid"), F.col(term_col).alias("token")
+    ).distinct()
+    toks = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(words_expr(F.col(text_col))).alias("token"),
+    )
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.join(F.broadcast(terms.select("token").distinct()), "token")
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfr"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    )
+    dl_ratio = (F.col("dl") * F.col("n_docs")).cast("double") / F.col(
+        "total_tokens"
+    )
+    denom = F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl_ratio)
+    tnorm = (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    idf = (F.col("n_docs") - F.col("dfr") + F.lit(0.5)) / (
+        F.col("dfr") + F.lit(0.5)
+    )
+    sq = F.floor(idf * tnorm * F.lit(1e6) + F.lit(0.5)).cast("long")
+    scored = (
+        tf.join(dl, "id")
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("sq", sq)
+        .join(F.broadcast(terms), "token")
+        .groupBy("qid", "id")
+        .agg((F.sum("sq").cast("double") / F.lit(1e6)).alias("bm25"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("bm25").desc(), F.col("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias(qid_col), "id", "bm25", "rank")
+    )
+
+
 # PII-ish patterns for corpus scrubbing (ASCII approximations; swap for
 # production-grade recognizers via the same regexp_replace chain)
 REDACT_PATTERNS: dict[str, str] = {

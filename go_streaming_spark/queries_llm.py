@@ -2246,6 +2246,50 @@ def textrank_top_terms(spark, sf_dir):
     return text.textrank_terms(_docs(spark, sf_dir), "doc_id", "text")
 
 
+_BM25_QUERIES = [
+    (1, "hash"), (1, "join"), (2, "vector"), (2, "stream"),
+    (3, "window"), (3, "merge"), (3, "sort"),
+]
+
+
+@query(
+    "bm25_topk_per_query",
+    # batch retrieval: top-5 docs per query over a 3-query table — the
+    # same engine-exact BM25 arithmetic as bm25_doc_scores (per-term
+    # int64 quantization before the sum), the per-(doc,term) score
+    # computed once and fanned out per query, ranked by a per-query
+    # window with id tiebreak
+    f"""WITH qt(query_id, token) AS (VALUES {", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)}),
+toks AS (SELECT doc_id AS id,
+    unnest(string_split_regex(text, '\\s+')) AS token FROM documents),
+tok2 AS (SELECT id, token FROM toks WHERE token <> ''),
+dl AS (SELECT id, count(*) AS dl FROM tok2 GROUP BY 1),
+tf AS (SELECT id, token, count(*) AS tf FROM tok2
+  WHERE token IN (SELECT token FROM qt) GROUP BY 1, 2),
+dfr AS (SELECT token, count(*) AS dfr FROM tf GROUP BY 1),
+corpus AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dl),
+scored AS (SELECT tf.id, tf.token,
+  CAST(floor( ((n_docs - dfr + CAST({0.5!r} AS DOUBLE))/(dfr + CAST({0.5!r} AS DOUBLE)))
+      * ((tf * CAST({_BM25_K1 + 1.0!r} AS DOUBLE))
+         / (tf + CAST({_BM25_K1!r} AS DOUBLE)*(CAST({1.0 - _BM25_B!r} AS DOUBLE)
+            + CAST({_BM25_B!r} AS DOUBLE)*(CAST(dl*n_docs AS DOUBLE)/total_tokens))))
+      * 1e6 + CAST({0.5!r} AS DOUBLE)) AS BIGINT) AS sq
+  FROM tf JOIN dl USING (id) CROSS JOIN corpus JOIN dfr USING (token)),
+persum AS (SELECT qt.query_id, s.id, CAST(SUM(s.sq) AS DOUBLE)/1e6 AS bm25
+  FROM scored s JOIN qt ON s.token = qt.token GROUP BY 1, 2)
+SELECT query_id, id, bm25, rank FROM (
+  SELECT query_id, id, bm25,
+    row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, id) AS rank
+  FROM persum) WHERE rank <= 5""",
+)
+def bm25_topk_per_query(spark, sf_dir):
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id long, term string")
+    return text.bm25_topk(
+        _docs(spark, sf_dir), "doc_id", "text", qdf, k=5,
+        k1=_BM25_K1, b=_BM25_B,
+    )
+
+
 @query(
     "inverted_index_postings",
     # term → serialized postings list; df bounds prune the hapax tail

@@ -216,3 +216,43 @@ def test_heavy_hitters_from_merged_sketch_equals_direct(spark):
     assert sorted(map(tuple, direct.collect())) == sorted(
         map(tuple, via_sketch.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# batch BM25 retrieval
+# ---------------------------------------------------------------------------
+
+def test_bm25_topk_matches_single_query_scores(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    qdf = spark.createDataFrame(
+        [(7, "hash"), (7, "merge"), (7, "vector")], "query_id long, term string"
+    )
+    multi = {
+        r["id"]: r["bm25"]
+        for r in text.bm25_topk(
+            docs, "doc_id", "text", qdf, k=10**9
+        ).collect()
+    }
+    single = {
+        r["id"]: r["bm25"]
+        for r in text.bm25_scores(
+            docs, "doc_id", "text", ["hash", "merge", "vector"]
+        ).collect()
+    }
+    assert multi == single
+
+
+def test_bm25_topk_rank_and_k(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    qdf = spark.createDataFrame(
+        [(1, "hash"), (2, "vector")], "query_id long, term string"
+    )
+    out = text.bm25_topk(docs, "doc_id", "text", qdf, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert len(rows) == 3
+        rows.sort(key=lambda r: r["rank"])
+        scores = [r["bm25"] for r in rows]
+        assert scores == sorted(scores, reverse=True)

@@ -59,6 +59,9 @@ FUZZ_QUERIES = [
     # assembly / df-bound pruning on tiny vocabularies
     "textrank_top_terms",
     "inverted_index_postings",
+    # round 8 (cont.): per-query top-k windows over zero-match queries
+    # and the shared (doc,term) score fan-out
+    "bm25_topk_per_query",
 ]
 
 WORD = st.sampled_from(
