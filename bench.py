@@ -78,6 +78,11 @@ HEADLINE = [
     "semdedup_survivors",            # cluster-then-dedup within learned clusters (round 8)
     "shipping_priority_topn",        # Q3: pushed filters + TakeOrdered top-10 (round 8)
     "dormant_rich_customers",        # Q22: cross-multiplied avg + anti-join (round 8)
+    "textrank_top_terms",            # integer-exact PageRank, 3 keyed rounds (round 8)
+    "inverted_index_postings",       # Zipf-skewed postings groupBy + df bounds (round 8)
+    "bm25_topk_per_query",           # batch retrieval fan-out + per-query top-k (round 8)
+    "leakage_cross_split_pairs",     # cross-split cosine audit, broadcast test side (round 8)
+    "zorder_locality_stats",         # Morton layout audit, generated integer expr (round 8)
 ]
 
 

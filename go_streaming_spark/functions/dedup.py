@@ -1152,6 +1152,102 @@ def embedding_cosine_cross_pairs(
     )
 
 
+def embedding_cosine_cross_pairs_blocked(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.99,
+    n_blocks: int = 16,
+) -> DataFrame:
+    """:func:`embedding_cosine_cross_pairs` scored by block-matrix BLAS —
+    bit-identical output, an order of magnitude cheaper per pair (the
+    64-dim unrolled dot exceeds the codegen method-size budget and falls
+    back to interpreted evaluation, measured ~5× the whole-query cost on
+    the leakage audit at sf0.1).
+
+    Layout exploits the asymmetry of the audit (the probe side — test
+    split, query batch — is the small one): the LEFT side hash-partitions
+    into ``n_blocks`` (no replication), the RIGHT side replicates into
+    every block, and each block group computes its |A_blk|×|B| cosine
+    matrix with one numpy matmul.  Shuffle volume is n_left + n_blocks ×
+    n_right rows — versus the symmetric block-pair scheme's (n_left +
+    n_right) × √-ish replication — so choose the smaller frame as
+    ``right``.  Exactness contract copied from
+    :func:`embedding_cosine_pairs_blocked`: BLAS scores only SELECT
+    candidates inside a 2e-6 safety band; every emitted pair recomputes
+    with the sequential d=0..dim-1 fold and q6-quantizes, so outputs are
+    bit-identical to the expression path and the DuckDB oracle.
+    Zero-norm vectors are excluded before pairing, as in the expression
+    path (threshold-independent).
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    lv = spread(left).select(
+        F.col(id_col).alias("id"),
+        vec.alias("vec"),
+        F.lit(0).alias("side"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("_b"),
+    )
+    rv = (
+        spread(right)
+        .select(
+            F.col(id_col).alias("id"),
+            vec.alias("vec"),
+            F.lit(1).alias("side"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("_eb"),
+        )
+        .select("id", "vec", "side", F.col("_eb").cast("int").alias("_b"))
+    )
+    thr = float(threshold)
+
+    def score(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        side = pdf["side"].to_numpy()
+        la, rb = side == 0, side == 1
+        if not la.any() or not rb.any():
+            return empty
+        A = np.vstack(pdf["vec"].to_numpy()[la])
+        B = np.vstack(pdf["vec"].to_numpy()[rb])
+        ia_all = pdf["id"].to_numpy()[la]
+        ib_all = pdf["id"].to_numpy()[rb]
+        dim = A.shape[1]
+
+        def seq_norms(X):
+            s = np.zeros(X.shape[0])
+            for d in range(dim):
+                s += X[:, d] * X[:, d]
+            return np.sqrt(s)
+
+        na, nb = seq_norms(A), seq_norms(B)
+        ka_keep, kb_keep = na > 0, nb > 0  # zero-norm: no direction
+        if not ka_keep.any() or not kb_keep.any():
+            return empty
+        A, ia_all, na = A[ka_keep], ia_all[ka_keep], na[ka_keep]
+        B, ib_all, nb = B[kb_keep], ib_all[kb_keep], nb[kb_keep]
+
+        band = thr - 2e-6
+        S = (A @ B.T) / (na[:, None] * nb[None, :])
+        ka, kb = np.nonzero(S >= band)
+        if len(ka) == 0:
+            return empty
+        s = np.zeros(len(ka))
+        Ak, Bk = A[ka], B[kb]
+        for d in range(dim):
+            s += Ak[:, d] * Bk[:, d]
+        cs = np.floor(s / (na[ka] * nb[kb]) * 1e6 + 0.5) / 1e6
+        m = cs >= thr
+        return pd.DataFrame(
+            {"id_a": ia_all[ka][m], "id_b": ib_all[kb][m], "cos_sim": cs[m]}
+        )
+
+    return lv.unionByName(rv).groupBy("_b").applyInPandas(
+        score, "id_a long, id_b long, cos_sim double"
+    )
+
+
 def gram_digest_positions(
     df: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:

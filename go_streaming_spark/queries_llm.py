@@ -374,13 +374,12 @@ def leakage_cross_split_pairs(spark, sf_dir):
     emb = hash_split(
         _emb(spark, sf_dir), "vec_id", {"train": 0.9, "test": 0.1}, seed="split"
     )
-    return dedup.embedding_cosine_cross_pairs(
+    return dedup.embedding_cosine_cross_pairs_blocked(
         emb.filter(F.col("split") == "train"),
         emb.filter(F.col("split") == "test"),
         "vec_id",
         "embedding",
         0.35,
-        dim=64,
     )
 
 

@@ -256,3 +256,45 @@ def test_bm25_topk_rank_and_k(spark):
         rows.sort(key=lambda r: r["rank"])
         scores = [r["bm25"] for r in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_cross_pairs_blocked_matches_expression_path(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    left = emb.filter(F.col("vec_id") % 4 != 0)
+    right = emb.filter(F.col("vec_id") % 4 == 0)
+    expr_path = sorted(
+        map(
+            tuple,
+            dedup.embedding_cosine_cross_pairs(
+                left, right, "vec_id", "embedding", 0.3, dim=64
+            ).collect(),
+        )
+    )
+    blas_path = sorted(
+        map(
+            tuple,
+            dedup.embedding_cosine_cross_pairs_blocked(
+                left, right, "vec_id", "embedding", 0.3, n_blocks=5
+            ).collect(),
+        )
+    )
+    assert expr_path == blas_path
+    assert len(expr_path) > 0
+
+
+def test_cross_pairs_blocked_zero_norm_and_empty_sides(spark):
+    left = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    right = spark.createDataFrame(
+        [(10, [2.0, 0.0]), (11, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in dedup.embedding_cosine_cross_pairs_blocked(
+            left, right, "vec_id", "embedding", -1.0, n_blocks=3
+        ).collect()
+    }
+    # zero-norm vectors excluded on BOTH sides even at a permissive
+    # threshold (the expression-path contract)
+    assert got == {(1, 10): 1.0}
