@@ -335,15 +335,28 @@ def bm25_scores(
 
     Shuffle shape (mirrors :func:`tf_idf_top_terms`): tokens are filtered
     to the query terms map-side, so the tf groupBy shuffles only matching
-    (doc, term) pairs; document length and corpus totals ride one extra
-    narrow aggregation; df-per-term and the (N, total_tokens) scalar join
-    back as broadcasts.  Emits (id, bm25) for documents matching ≥1 term.
+    (doc, term) pairs; document length is a map-side ``size()`` of the
+    token array — no explode, no groupBy (the exploded-count formulation
+    shuffles the entire token stream just to count it; at corpus scale
+    that shuffle dwarfs the scoring); corpus totals ride one narrow
+    aggregation over the per-doc lengths; df-per-term and the
+    (N, total_tokens) scalar join back as broadcasts.  Emits (id, bm25)
+    for documents matching ≥1 term.  Zero-token documents drop from the
+    corpus statistics (as in the exploded formulation, where they simply
+    have no rows).
     """
     toks = spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(words_expr(F.col(text_col))).alias("token"),
     )
-    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    dl = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.size(words_expr(F.col(text_col))).cast("long").alias("dl"),
+        )
+        .filter(F.col("dl") > 0)
+    )
     tf = (
         toks.filter(F.col("token").isin(query_terms))
         .groupBy("id", "token")
@@ -409,7 +422,15 @@ def bm25_topk(
         F.col(id_col).alias("id"),
         F.explode(words_expr(F.col(text_col))).alias("token"),
     )
-    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    # doc length map-side (see bm25_scores: no token-stream shuffle)
+    dl = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.size(words_expr(F.col(text_col))).cast("long").alias("dl"),
+        )
+        .filter(F.col("dl") > 0)
+    )
     tf = (
         toks.join(F.broadcast(terms.select("token").distinct()), "token")
         .groupBy("id", "token")
