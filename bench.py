@@ -83,6 +83,7 @@ HEADLINE = [
     "bm25_topk_per_query",           # batch retrieval fan-out + per-query top-k (round 8)
     "leakage_cross_split_pairs",     # cross-split cosine audit, broadcast test side (round 8)
     "zorder_locality_stats",         # Morton layout audit, generated integer expr (round 8)
+    "dedup_containment_pairs",       # asymmetric (quote-inclusion) near-dup (round 8)
 ]
 
 

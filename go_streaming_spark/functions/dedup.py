@@ -586,6 +586,67 @@ def jaccard_pairs(
     return out.select("id_a", "id_b", "n_common", "jaccard")
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """DIRECTED n-gram containment pairs: (id_src, id_dst) with
+    ``|sh(src) ∩ sh(dst)| / |sh(src)| ≥ t`` — "src's shingles are mostly
+    inside dst".
+
+    The asymmetric member of the near-dup family: symmetric Jaccard
+    divides by the UNION, so a short document quoted wholesale inside a
+    long one scores near zero and survives dedup — containment is how
+    quote-inclusion, boilerplate-wrapping, and subset-page duplicates are
+    actually caught (the measure behind CCNet/RefinedWeb-style subset
+    filters).  Each unordered candidate pair emits up to two directed
+    rows (each direction has its own denominator).
+
+    Same inverted-index join + hot-shingle cap as :func:`jaccard_pairs`
+    (one shingle shuffle, one pair aggregation); the directed fan-out is
+    a map-side projection AFTER the aggregation, so it costs no extra
+    shuffle.  The containment value is a single exact-int division —
+    bit-identical across engines without quantization, like jaccard.
+    """
+    sh = word_shingles(df, id_col, text_col, n).cache()
+    _register_convenience_cache(sh, [sh])
+    if max_shingle_freq:
+        hot = (
+            sh.groupBy("shingle").count()
+            .filter(F.col("count") > max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    joined = inter.join(sa, "id_a").join(sb, "id_b")
+    fwd = joined.select(
+        F.col("id_a").alias("id_src"),
+        F.col("id_b").alias("id_dst"),
+        "n_common",
+        (F.col("n_common") / F.col("n_a")).alias("containment"),
+    )
+    rev = joined.select(
+        F.col("id_b").alias("id_src"),
+        F.col("id_a").alias("id_dst"),
+        "n_common",
+        (F.col("n_common") / F.col("n_b")).alias("containment"),
+    )
+    return fwd.union(rev).filter(F.col("containment") >= threshold)
+
+
 def shingle_arrays(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:

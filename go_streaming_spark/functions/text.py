@@ -201,6 +201,61 @@ def tf_idf_top_terms(
     )
 
 
+def vocab_oov_rates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_n: int = 10_000,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``top_n`` token vocabulary — the tokenizer-prep coverage report
+    (how much of each document a fixed vocabulary fails to cover; high
+    OOV flags boilerplate, foreign-language and junk documents the
+    vocabulary was not built for).
+
+    Emits (id, n_tokens, n_oov, oov_rate) for every document with ≥1
+    token; oov_rate is one exact-int division.  The vocabulary is the
+    frequency top-``top_n`` with deterministic (count desc, token)
+    tie-break — TakeOrdered, no global sort — and broadcasts into a
+    left-anti join, so the OOV count shuffles only OOV occurrences;
+    per-doc token totals are a map-side ``size()`` (no token-stream
+    shuffle, as in :func:`bm25_scores`).
+    """
+    toks = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(words_expr(F.col(text_col))).alias("token"),
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "token")
+        .limit(top_n)
+        .select("token")
+    )
+    dl = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.size(words_expr(F.col(text_col))).cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    oov = (
+        toks.join(F.broadcast(vocab), "token", "left_anti")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_oov"))
+    )
+    return dl.join(oov, "id", "left").select(
+        "id",
+        "n_tokens",
+        F.coalesce(F.col("n_oov"), F.lit(0)).alias("n_oov"),
+        (
+            F.coalesce(F.col("n_oov"), F.lit(0)).cast("double")
+            / F.col("n_tokens")
+        ).alias("oov_rate"),
+    )
+
+
 def textrank_terms(
     df: DataFrame,
     id_col: str,

@@ -2252,6 +2252,50 @@ _BM25_QUERIES = [
 
 
 @query(
+    "dedup_containment_pairs",
+    # DIRECTED containment |sh(src) ∩ sh(dst)|/|sh(src)| — the asymmetric
+    # near-dup measure: a short doc quoted inside a long one scores ~1
+    # here but ~0 on union-normalized Jaccard.  Single exact-int division,
+    # no quantization needed (the jaccard oracle precedent)
+    f"""WITH {_SH},
+j AS (SELECT id_a, id_b, n_common, sa.n AS n_a, sb.n AS n_b
+      FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id)
+SELECT id_src, id_dst, n_common, containment FROM (
+  SELECT id_a AS id_src, id_b AS id_dst, n_common,
+         n_common/n_a AS containment FROM j
+  UNION ALL
+  SELECT id_b AS id_src, id_a AS id_dst, n_common,
+         n_common/n_b AS containment FROM j) u
+WHERE containment >= 0.5""",
+)
+def dedup_containment_pairs(spark, sf_dir):
+    return dedup.containment_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+@query(
+    "vocab_oov_rates",
+    # per-doc coverage of the corpus's own top-24 vocabulary (count desc,
+    # token tie-break): n_oov shuffles OOV occurrences only; n_tokens is
+    # a map-side size(); oov_rate one exact-int division
+    """WITH toks AS (SELECT doc_id AS id,
+    unnest(string_split_regex(text, '\\s+')) AS token FROM documents),
+tok2 AS (SELECT id, token FROM toks WHERE token <> ''),
+vc AS (SELECT token FROM (SELECT token, count(*) AS c FROM tok2
+       GROUP BY 1 ORDER BY c DESC, token LIMIT 24)),
+dl AS (SELECT id, count(*) AS n_tokens FROM tok2 GROUP BY 1),
+oov AS (SELECT id, count(*) AS n_oov FROM tok2
+        WHERE token NOT IN (SELECT token FROM vc) GROUP BY 1)
+SELECT dl.id, dl.n_tokens, COALESCE(oov.n_oov, 0) AS n_oov,
+  CAST(COALESCE(oov.n_oov, 0) AS DOUBLE)/n_tokens AS oov_rate
+FROM dl LEFT JOIN oov USING (id)""",
+)
+def vocab_oov_rates(spark, sf_dir):
+    return text.vocab_oov_rates(_docs(spark, sf_dir), "doc_id", "text", top_n=24)
+
+
+@query(
     "bm25_topk_per_query",
     # batch retrieval: top-5 docs per query over a 3-query table — the
     # same engine-exact BM25 arithmetic as bm25_doc_scores (per-term

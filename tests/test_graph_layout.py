@@ -298,3 +298,46 @@ def test_cross_pairs_blocked_zero_norm_and_empty_sides(spark):
     # zero-norm vectors excluded on BOTH sides even at a permissive
     # threshold (the expression-path contract)
     assert got == {(1, 10): 1.0}
+
+
+# ---------------------------------------------------------------------------
+# containment pairs (asymmetric near-dup) + vocabulary OOV rates
+# ---------------------------------------------------------------------------
+
+def test_containment_catches_subset_doc_jaccard_misses(spark):
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + " " + " ".join(f"filler{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id long, text string"
+    )
+    cont = {
+        (r["id_src"], r["id_dst"]): r["containment"]
+        for r in dedup.containment_pairs(
+            df, "doc_id", "text", n=3, threshold=0.9
+        ).collect()
+    }
+    # every shingle of the short doc appears in the long doc
+    assert cont == {(1, 2): 1.0}
+    # union-normalized jaccard scores the same pair far below threshold
+    jac = dedup.jaccard_pairs(df, "doc_id", "text", 3, 0.5).collect()
+    assert jac == []
+
+
+def test_containment_both_directions_on_near_identical_docs(spark):
+    t = "one two three four five six seven"
+    df = spark.createDataFrame([(1, t), (2, t)], "doc_id long, text string")
+    rows = dedup.containment_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+    assert {(r["id_src"], r["id_dst"]) for r in rows} == {(1, 2), (2, 1)}
+    assert all(r["containment"] == 1.0 for r in rows)
+
+
+def test_vocab_oov_rates_hand_check(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a rare"), (3, "")], "doc_id long, text string"
+    )
+    out = {r["id"]: r for r in text.vocab_oov_rates(df, "doc_id", "text", top_n=2).collect()}
+    # vocab = top-2 by count then token: a(3), b(1) beats rare(1) on tiebreak
+    assert set(out) == {1, 2}  # empty doc 3 has no row
+    assert out[1]["n_oov"] == 0 and out[1]["oov_rate"] == 0.0
+    assert out[2]["n_oov"] == 1 and out[2]["n_tokens"] == 2
+    assert out[2]["oov_rate"] == 0.5

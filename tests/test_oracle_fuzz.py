@@ -62,6 +62,10 @@ FUZZ_QUERIES = [
     # round 8 (cont.): per-query top-k windows over zero-match queries
     # and the shared (doc,term) score fan-out
     "bm25_topk_per_query",
+    # round 8 (cont.): directed containment denominators on subset docs,
+    # and top-N vocabulary tie-breaks / all-in-vocab zero-OOV docs
+    "dedup_containment_pairs",
+    "vocab_oov_rates",
 ]
 
 WORD = st.sampled_from(

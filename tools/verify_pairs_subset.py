@@ -43,6 +43,10 @@ PAIR_QUERIES = [
     "dedup_incremental_full",
     "corpus_ingest_survivors",    # composes the same jac CTE (round 7)
     "dedup_prefix_jaccard",       # all-pairs token-set oracle (round 7)
+    "dedup_edit_distance",        # quadratic levenshtein oracle (round 8)
+    "leakage_cross_split_pairs",  # quadratic cross-split cosine oracle (round 8)
+    "semdedup_survivors",         # within-cluster pair oracle (round 8)
+    "corpus_ingest_clean_tokens", # composes the jac CTE + span removal (round 8)
 ]
 
 TABLES = (
