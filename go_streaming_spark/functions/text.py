@@ -201,6 +201,98 @@ def tf_idf_top_terms(
     )
 
 
+def bpe_learn_merges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_merges: int = 8,
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules from a corpus
+    (Sennrich et al. 2016) — canonical greedy byte-pair encoding over
+    whitespace-pretokenized words.  Emits (rank, pair, n_occ): the k-th
+    most valuable merge, its "a b" symbol pair, and the weighted
+    occurrence count that won round k.
+
+    The production formulation: the corpus is touched ONCE (a word-count
+    groupBy); every iteration then runs over the distinct-word vocabulary
+    weighted by frequency — the table real tokenizer trainers iterate on,
+    millions of rows where the corpus has trillions of tokens.  Per round:
+    one explode+groupBy over vocabulary symbol pairs (map-side combined),
+    a 1-row TakeOrdered pull of the winning pair (bounded driver
+    traffic), and a vectorized Arrow-batched merge application over the
+    vocabulary (greedy left-to-right with skip-after-merge — canonical
+    BPE semantics, which string ``replace`` CANNOT reproduce: adjacent
+    occurrences share boundary symbols, so ``a a a a`` must become
+    ``aa aa``, not ``aa a a``).  Vocabulary is localCheckpointed per
+    round — O(1) plan depth in rounds.
+
+    Ties break (count desc, pair asc) — deterministic and
+    partition-invariant since counts are exact integers.  Not
+    SQL-oracle-expressible (the greedy fold is inherently sequential per
+    word); correctness is pinned instead by an exact pure-Python
+    reference implementation in the tests, the same pattern as
+    ``pagerank``'s integer reference.
+    """
+    import pandas as pd  # noqa: F401  (pandas_udf runtime dep)
+    from pyspark.sql.functions import pandas_udf
+
+    spark = df.sparkSession
+    toks = spread(df).select(
+        F.explode(words_expr(F.col(text_col))).alias("word")
+    )
+    vocab = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("syms", F.split(F.col("word"), ""))
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, int]] = []
+    for k in range(1, n_merges + 1):
+        pairs = F.when(
+            F.size("syms") >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size("syms") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("syms"), i + 1),
+                    F.element_at(F.col("syms"), i + 2),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        pc = (
+            vocab.select(F.explode(pairs).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("n"))
+        )
+        top = pc.orderBy(F.col("n").desc(), "pair").limit(1).collect()
+        if not top:
+            break
+        a, b = top[0]["pair"].split(" ")
+        n_occ = top[0]["n"]
+        merged = a + b
+
+        @pandas_udf("array<string>")
+        def apply_merge(s, a=a, b=b, merged=merged):
+            def one(arr):
+                out, i, n = [], 0, len(arr)
+                while i < n:
+                    if i + 1 < n and arr[i] == a and arr[i + 1] == b:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(arr[i])
+                        i += 1
+                return out
+
+            return s.map(one)
+
+        vocab = vocab.withColumn("syms", apply_merge("syms")).localCheckpoint()
+        merges.append((k, f"{a} {b}", int(n_occ)))
+    return spark.createDataFrame(
+        merges, "rank long, pair string, n_occ long"
+    )
+
+
 def vocab_oov_rates(
     df: DataFrame,
     id_col: str,

@@ -2251,6 +2251,19 @@ _BM25_QUERIES = [
 ]
 
 
+@query("bpe_top_merges")
+def bpe_top_merges(spark, sf_dir):
+    """First 8 BPE merge rules learned from the documents corpus — the
+    canonical greedy tokenizer-training step (Sennrich et al. 2016) in
+    its word-count formulation (corpus touched once; iterations run over
+    the weighted vocabulary).  No SQL oracle: greedy skip-after-merge
+    application is inherently sequential per word (rows-only driver
+    check); exactness is pinned by the pure-Python reference parity
+    tests in tests/test_graph_layout.py, the pagerank pattern."""
+    return text.bpe_learn_merges(_docs(spark, sf_dir), "doc_id", "text",
+                                 n_merges=8)
+
+
 @query(
     "dedup_containment_pairs",
     # DIRECTED containment |sh(src) ∩ sh(dst)|/|sh(src)| — the asymmetric

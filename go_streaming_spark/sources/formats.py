@@ -113,3 +113,34 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Read raw files as rows via Spark's `binaryFile` source — the
+    ingestion front door for the multimodal tier: each file becomes
+    (path, modificationTime, length, content binary), which
+    `functions.multimodal.attach_media` / `decode_media_meta` consume
+    directly (the reference's event-content spirit applied to media
+    payloads on disk).
+
+    `glob` filters by filename pattern (pushed into the file listing, not
+    a post-scan filter); `max_bytes` guards against whale files blowing
+    executor memory — at 100 TB a single unexpectedly-huge object in a
+    crawl bucket is a certainty, and the filter happens on the LENGTH
+    metadata column, so oversize payload bytes are never materialized
+    (the source reads content lazily per row batch).  Text formats go
+    through `read_source`; this is for media/opaque payloads only.
+    """
+    configure_session(spark)
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(df["length"] <= max_bytes)
+    return df

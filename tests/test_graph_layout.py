@@ -341,3 +341,88 @@ def test_vocab_oov_rates_hand_check(spark):
     assert out[1]["n_oov"] == 0 and out[1]["oov_rate"] == 0.0
     assert out[2]["n_oov"] == 1 and out[2]["n_tokens"] == 2
     assert out[2]["oov_rate"] == 0.5
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning
+# ---------------------------------------------------------------------------
+
+def _bpe_reference(word_freqs, n_merges):
+    """Exact pure-Python canonical BPE (greedy left-to-right with
+    skip-after-merge; ties break count desc then 'a b' string asc)."""
+    from collections import Counter
+
+    vocab = {w: list(w) for w in word_freqs}
+    merges = []
+    for k in range(1, n_merges + 1):
+        counts = Counter()
+        for w, f in word_freqs.items():
+            syms = vocab[w]
+            for i in range(len(syms) - 1):
+                counts[f"{syms[i]} {syms[i + 1]}"] += f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        a, b = best[0].split(" ")
+        for w in vocab:
+            arr, out, i = vocab[w], [], 0
+            while i < len(arr):
+                if i + 1 < len(arr) and arr[i] == a and arr[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(arr[i])
+                    i += 1
+            vocab[w] = out
+        merges.append((k, best[0], best[1]))
+    return merges
+
+
+def test_bpe_matches_reference_on_classic_corpus(spark):
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    rows = [(i, " ".join([w] * f)) for i, (w, f) in enumerate(freqs.items())]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["rank"], r["pair"], r["n_occ"])
+        for r in text.bpe_learn_merges(df, "doc_id", "text", n_merges=6)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == _bpe_reference(freqs, 6)
+
+
+def test_bpe_run_of_identical_symbols_merges_canonically(spark):
+    # 'aaaa' must tokenize through ('a','a') -> [aa, aa], the
+    # skip-after-merge semantics string replace cannot express
+    df = spark.createDataFrame([(1, "aaaa aaaa ab")], "doc_id long, text string")
+    got = [
+        (r["rank"], r["pair"], r["n_occ"])
+        for r in text.bpe_learn_merges(df, "doc_id", "text", n_merges=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == _bpe_reference({"aaaa": 2, "ab": 1}, 2)
+    # round 1: 'a a' appears 3 times per 'aaaa' (overlap-counted) x2 + ...
+    assert got[0][1] == "a a"
+    # round 2 operates on [aa, aa]: winning pair must be 'aa aa'
+    assert got[1][1] == "aa aa"
+
+
+def test_bpe_reference_parity_random(spark):
+    import random
+
+    rng = random.Random(7)
+    words = ["".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+             for _ in range(12)]
+    freqs = {}
+    for w in words:
+        freqs[w] = freqs.get(w, 0) + rng.randint(1, 4)
+    doc = " ".join(" ".join([w] * f) for w, f in freqs.items())
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    got = [
+        (r["rank"], r["pair"], r["n_occ"])
+        for r in text.bpe_learn_merges(df, "doc_id", "text", n_merges=5)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == _bpe_reference(freqs, 5)

@@ -101,3 +101,18 @@ def test_streaming_file_source_replay(spark, events_sample, tmp_path_factory):
 def test_streaming_requires_schema(spark):
     with pytest.raises(ValueError, match="schema"):
         read_source_stream(spark, "/tmp/nope", fmt="json")
+
+
+def test_read_binary_files_glob_and_size_guard(spark, tmp_path):
+    from go_streaming_spark.sources.formats import read_binary_files
+
+    (tmp_path / "a.bin").write_bytes(b"\x01\x02\x03")
+    (tmp_path / "b.bin").write_bytes(b"\x04" * 100)
+    (tmp_path / "c.txt").write_text("not media")
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = {r["path"].split("/")[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.bin", "b.bin"}
+    assert bytes(rows["a.bin"]["content"]) == b"\x01\x02\x03"
+    assert rows["b.bin"]["length"] == 100
+    small = read_binary_files(spark, str(tmp_path), glob="*.bin", max_bytes=10)
+    assert [r["path"].split("/")[-1] for r in small.collect()] == ["a.bin"]
