@@ -116,6 +116,74 @@ def plane_component(seed: int, p: int, d: int) -> float:
     return raw / 2_147_483_648.0 - 1.0
 
 
+def jl_sign(seed: str, j: int, d: int) -> int:
+    """Deterministic ±1 from md5(seed|j|d) parity — the Achlioptas sign
+    matrix for Johnson-Lindenstrauss projection (public construction;
+    same determinism convention as the LSH plane matrix)."""
+    import hashlib
+
+    h = hashlib.md5(f"{seed}|{j}|{d}".encode()).hexdigest()
+    return 1 if int(h[0], 16) % 2 == 0 else -1
+
+
+def random_projection_sql(
+    vec_sql: str, dim: int, out_dim: int, seed: str = "jl",
+    one_based: bool = False,
+) -> list[str]:
+    """Per-output-dimension SQL chains for the ±1 JL projection: each is
+    an explicit ``v[a] - v[b] + v[c] …`` sum whose left-to-right order is
+    the sequential fold BOTH engines evaluate identically — projections
+    are exact (no division, no rounding), so the oracle check is
+    bit-exact on the raw doubles.  ``one_based`` selects DuckDB's array
+    indexing; Spark SQL indexes from 0."""
+    chains = []
+    for j in range(out_dim):
+        parts = []
+        for d in range(dim):
+            idx = d + 1 if one_based else d
+            sign = jl_sign(seed, j, d)
+            term = f"{vec_sql}[{idx}]"
+            if not parts:
+                parts.append(term if sign > 0 else f"(- {term})")
+            else:
+                parts.append(f"{'+' if sign > 0 else '-'} {term}")
+        chains.append("(" + " ".join(parts) + ")")
+    return chains
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dim: int = 16,
+    dim: int = 64,
+    seed: str = "jl",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction by a deterministic
+    ±1 sign matrix: (id, p0..p{out_dim-1}) with each output component an
+    exact signed sum of input components.
+
+    The embedding-pipeline pre-step for ANN and clustering at scale:
+    a 4× dimension cut is a 4× cut in shuffle bytes, index size, and
+    per-pair score cost everywhere downstream (LSH, IVF, PQ, the blocked
+    matmuls), while JL guarantees pairwise distances distort by at most
+    ~ε with out_dim = O(log n / ε²) — and the ±1 construction needs no
+    stored matrix at all, only the seed.  Map-only: the projection is
+    ``out_dim`` codegen'd arithmetic chains per row; no shuffle, no UDF,
+    no multiplications even (signs fold into add/subtract).
+    """
+    from go_streaming_spark.functions.util import spread
+
+    v = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    chains = random_projection_sql("_v", dim, out_dim, seed, one_based=False)
+    return v.select(
+        "id", *[F.expr(c).alias(f"p{j}") for j, c in enumerate(chains)]
+    )
+
+
 def lsh_bucket_sql(
     vec_sql: str, dim: int, n_planes: int = 12, seed: int = 42
 ) -> str:

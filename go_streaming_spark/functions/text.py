@@ -201,6 +201,62 @@ def tf_idf_top_terms(
     )
 
 
+def lm_bigram_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-document corpus-LM fluency score: the average conditional
+    bigram probability P(w2|w1), estimated from the corpus itself and
+    held in exact integer µ-units — the log-free analogue of the
+    KenLM-perplexity filter (CCNet-style): documents whose word
+    transitions are unusual under the corpus LM (garbage, shuffled text,
+    wrong-language fragments) score low and get gated.
+
+    Emits (id, n_bigrams, avg_cond_q) where each bigram occurrence
+    contributes ``floor(c_xy·10⁶ / c_x)`` (its µ-quantized conditional
+    probability) and the document average is one more integer floor —
+    every step exact, order-insensitive, engine-identical, like
+    :func:`pmi_bigrams` dropping ln().
+
+    Shuffles: per-doc bigram counts (groupBy id,w1,w2 — map-side
+    combined), corpus bigram counts, corpus unigram counts; the score
+    join is an equi-join on the bigram (the bigram vocabulary grows with
+    the corpus — deliberately NOT broadcast), then one groupBy(id).
+    """
+    words = words_expr(F.col(text_col))
+    bi = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.struct(
+                F.element_at(words, i + 1).alias("w1"),
+                F.element_at(words, i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    occ = (
+        spread(df)
+        .select(F.col(id_col).alias("id"), F.explode(bi).alias("b"))
+        .select("id", "b.w1", "b.w2")
+    )
+    db = occ.groupBy("id", "w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    bc = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    uni = spread(df).select(
+        F.explode(words_expr(F.col(text_col))).alias("w1")
+    )
+    uc = uni.groupBy("w1").agg(F.count(F.lit(1)).alias("c_x"))
+    scored = (
+        db.join(bc, ["w1", "w2"])
+        .join(uc, "w1")
+        .selectExpr("id", "n", "(c_xy * 1000000) div c_x AS s")
+    )
+    return scored.groupBy("id").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.expr("sum(n * s) div sum(n)").alias("avg_cond_q"),
+    )
+
+
 def bpe_learn_merges(
     df: DataFrame,
     id_col: str,

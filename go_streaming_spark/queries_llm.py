@@ -383,6 +383,29 @@ def leakage_cross_split_pairs(spark, sf_dir):
     )
 
 
+def _jl_oracle() -> str:
+    chains = similarity.random_projection_sql("e", 64, 8, "jl", one_based=True)
+    cols = ", ".join(f"{c} AS p{j}" for j, c in enumerate(chains))
+    return (
+        "SELECT vec_id AS id, "
+        + cols
+        + " FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"
+    )
+
+
+@query(
+    # JL ±1 sign projection 64→8: every output component is an exact
+    # signed sum with the same left-to-right order in both engines —
+    # bit-exact on raw doubles, no quantization needed
+    "jl_projection_vectors",
+    _jl_oracle(),
+)
+def jl_projection_vectors(spark, sf_dir):
+    return similarity.random_projection(
+        _emb(spark, sf_dir), "vec_id", "embedding", out_dim=8, dim=64
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -2249,6 +2272,32 @@ _BM25_QUERIES = [
     (1, "hash"), (1, "join"), (2, "vector"), (2, "stream"),
     (3, "window"), (3, "merge"), (3, "sort"),
 ]
+
+
+@query(
+    "lm_bigram_quality",
+    # corpus-LM fluency: per-doc average of µ-quantized P(w2|w1) — every
+    # step an integer floor ((c_xy*1e6)//c_x per occurrence, sum//count
+    # per doc), so the check is bit-exact; the log-free KenLM-filter
+    # analogue (pmi_top_bigrams precedent)
+    r"""WITH t AS (SELECT doc_id AS id,
+    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+  FROM documents),
+occ AS (SELECT id, w[i] AS w1, w[i+1] AS w2
+        FROM (SELECT id, w, unnest(range(1, len(w))) AS i FROM t
+              WHERE len(w) >= 2)),
+db AS (SELECT id, w1, w2, count(*) AS n FROM occ GROUP BY 1, 2, 3),
+bc AS (SELECT w1, w2, count(*) AS c_xy FROM occ GROUP BY 1, 2),
+uni AS (SELECT unnest(w) AS w1 FROM t),
+uc AS (SELECT w1, count(*) AS c_x FROM uni GROUP BY 1),
+s AS (SELECT id, n, (c_xy * 1000000) // c_x AS s
+      FROM db JOIN bc USING (w1, w2) JOIN uc USING (w1))
+SELECT id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+  CAST(sum(n * s) // sum(n) AS BIGINT) AS avg_cond_q
+FROM s GROUP BY id""",
+)
+def lm_bigram_quality(spark, sf_dir):
+    return text.lm_bigram_quality(_docs(spark, sf_dir), "doc_id", "text")
 
 
 @query("bpe_top_merges")

@@ -426,3 +426,79 @@ def test_bpe_reference_parity_random(spark):
         .collect()
     ]
     assert got == _bpe_reference(freqs, 5)
+
+
+def test_pagerank_plan_depth_constant_in_rounds(spark):
+    """The iterative-lineage trap, regression-guarded for pagerank: the
+    rank vector after N rounds must be a constant-depth plan (each round
+    localCheckpoints), not an N-layer join tower."""
+    edges = [(i, (i + 1) % 20, 1) for i in range(20)]
+    edges += [(v, u, w) for u, v, w in edges]
+    df = spark.createDataFrame(edges, "u long, v long, w long")
+
+    def depth(iters):
+        out = graph.pagerank(df, "u", "v", "w", iters=iters)
+        return out._jdf.queryExecution().optimizedPlan().toString().count("\n")
+
+    assert depth(6) == depth(2)
+
+
+# ---------------------------------------------------------------------------
+# JL random projection + bigram-LM quality
+# ---------------------------------------------------------------------------
+
+def test_jl_projection_distortion_bounded_and_duplicates_collapse(spark):
+    from go_streaming_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(40)
+    proj = similarity.random_projection(emb, "vec_id", "embedding",
+                                        out_dim=16, dim=64)
+    pcols = [f"p{j}" for j in range(16)]
+    orig = {r["vec_id"]: list(map(float, r["embedding"]))
+            for r in emb.collect()}
+    pvecs = {r["id"]: [r[c] for c in pcols] for r in proj.collect()}
+
+    def cos(x, y):
+        import math
+
+        d = sum(a * b for a, b in zip(x, y))
+        nx = math.sqrt(sum(a * a for a in x))
+        ny = math.sqrt(sum(a * a for a in y))
+        return d / (nx * ny)
+
+    ids = sorted(orig)
+    errs = []
+    for i in range(0, len(ids) - 1):
+        a, b = ids[i], ids[i + 1]
+        errs.append(abs(cos(orig[a], orig[b]) - cos(pvecs[a], pvecs[b])))
+    # E|cos distortion| at k=16 is ~sqrt(2/(pi*16)) ~ 0.2; the JL claim
+    # is the AVERAGE stays bounded, not per-pair rank preservation
+    assert sum(errs) / len(errs) < 0.3
+    # exact duplicate vectors must project identically (determinism)
+    dup = spark.createDataFrame(
+        [(1, orig[ids[0]]), (2, orig[ids[0]])],
+        "vec_id long, embedding array<double>",
+    )
+    pd_ = similarity.random_projection(dup, "vec_id", "embedding",
+                                       out_dim=16, dim=64).collect()
+    assert [pd_[0][c] for c in pcols] == [pd_[1][c] for c in pcols]
+
+
+def test_lm_bigram_quality_hand_check(spark):
+    # corpus: 'a b' x3 and 'a c' x1 -> P(b|a)=3/4 of a-occurrences? No:
+    # c_x counts ALL 'a' tokens (8 total), c_ab=3, c_ac=1.
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a c"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in text.lm_bigram_quality(df, "doc_id", "text").collect()}
+    # doc1 bigrams: (a,b)x3, (b,a)x2. c_a=4, c_b=3, c_ab=3, c_ba=2
+    s_ab = (3 * 1_000_000) // 4
+    s_ba = (2 * 1_000_000) // 3
+    assert out[1]["n_bigrams"] == 5
+    assert out[1]["avg_cond_q"] == (3 * s_ab + 2 * s_ba) // 5
+    # doc2: single bigram (a,c): c_ac=1, c_a=4
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["avg_cond_q"] == (1 * 1_000_000) // 4
+    # doc3 has no bigrams -> no row
+    assert 3 not in out

@@ -66,6 +66,8 @@ FUZZ_QUERIES = [
     # and top-N vocabulary tie-breaks / all-in-vocab zero-OOV docs
     "dedup_containment_pairs",
     "vocab_oov_rates",
+    # round 8 (cont.): integer floor-division chains on degenerate corpora
+    "lm_bigram_quality",
 ]
 
 WORD = st.sampled_from(
@@ -146,6 +148,7 @@ EMB_QUERIES = [
     "dedup_embedding_cosine", "dedup_embedding_cosine_blocked",
     "ann_ivf_quantized_topk",  # r7: centroid probe + int8 scoring composed
     "leakage_cross_split_pairs",  # r8: cross-split audit on dup/zero vecs
+    "jl_projection_vectors",      # r8: signed-sum chains on zero/tiny vecs
 ]
 
 
