@@ -99,3 +99,69 @@ def cdc_apply(
     keys = latest.select(key_col)
     kept = snapshot.join(F.broadcast(keys), key_col, "left_anti")
     return kept.unionByName(latest)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+    digest: bool = False,
+) -> DataFrame:
+    """Keyed diff of two table versions: one row per differing key with
+    ``change`` ∈ {'added', 'removed', 'changed'} — migration validation's
+    workhorse (what exactly moved between snapshot N and N+1), the
+    row-level complement of the one-row `table_fingerprint` checksum.
+
+    Full outer join on the keys; 'changed' is per-column
+    ``IS DISTINCT FROM`` (NULL-safe, engine-exact — no float-to-string
+    formatting in the compare path).  ``digest=True`` pre-hashes the
+    compare columns to one md5 per side BEFORE the join, cutting shuffle
+    width to key+32 bytes for wide rows — the right call at 100 TB, where
+    the join shuffles both snapshots; classification is identical because
+    md5 is injective on the sentinel-delimited encoding in practice, and
+    equal rows always hash equal.  Unchanged keys are dropped (the
+    overwhelmingly common case — output ∝ churn, not table size).
+    """
+    def prep(df: DataFrame, side: str) -> DataFrame:
+        if digest:
+            enc = F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                        for c in compare_cols
+                    ],
+                )
+            )
+            cmp_cols = [enc.alias(f"{side}_h")]
+        else:
+            cmp_cols = [F.col(c).alias(f"{side}_{c}") for c in compare_cols]
+        return df.select(
+            *[F.col(k).alias(f"{side}_{k}") for k in key_cols], *cmp_cols
+        )
+
+    o, n = prep(old, "o"), prep(new, "n")
+    cond = [o[f"o_{k}"] == n[f"n_{k}"] for k in key_cols]
+    j = o.join(n, cond, "full_outer")
+    if digest:
+        differs = ~F.col("o_h").eqNullSafe(F.col("n_h"))
+    else:
+        differs = F.lit(False)
+        for c in compare_cols:
+            differs = differs | (
+                ~F.col(f"o_{c}").eqNullSafe(F.col(f"n_{c}"))
+            )
+    change = (
+        F.when(F.col(f"o_{key_cols[0]}").isNull(), F.lit("added"))
+        .when(F.col(f"n_{key_cols[0]}").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+    )
+    keys_out = [
+        F.coalesce(F.col(f"o_{k}"), F.col(f"n_{k}")).alias(k)
+        for k in key_cols
+    ]
+    return (
+        j.select(*keys_out, change.alias("change"))
+        .filter(F.col("change").isNotNull())
+    )

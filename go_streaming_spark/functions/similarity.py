@@ -184,6 +184,53 @@ def random_projection(
     )
 
 
+def jl_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    candidates: int = 50,
+    out_dim: int = 16,
+    dim: int = 64,
+    seed: str = "jl",
+) -> DataFrame:
+    """ANN through JL projection: candidate generation scores the
+    ``out_dim``-dimensional projections (4× fewer multiply-adds per row
+    at the default), then the ``candidates`` survivors rescore EXACTLY in
+    the original space — the two-stage serving shape of
+    ``ivf_quantized_topk``, with dimension reduction instead of cell
+    pruning as the cheap stage.  Both stages order by (q6(cos) DESC, id)
+    so the candidate cut and the final top-k are deterministic; stage 2
+    joins the candidate ids back as a broadcast semi-join (``candidates``
+    rows, bounded by construction).
+    """
+    proj = random_projection(df, id_col, vec_col, out_dim, dim, seed)
+    pv = proj.select(
+        "id", F.array(*[f"p{j}" for j in range(out_dim)]).alias("pvec")
+    )
+    # query projection: the same sequential signed sums, in Python floats
+    # (identical IEEE ops/order → bit-identical to the SQL chains)
+    qp = []
+    for j in range(out_dim):
+        s = 0.0
+        first = True
+        for d in range(dim):
+            term = float(query_vec[d])
+            if jl_sign(seed, j, d) < 0:
+                term = -term
+            s = term if first else s + term
+            first = False
+        qp.append(s)
+    cand = cosine_topk(pv, "id", "pvec", qp, candidates).select(
+        F.col("id").alias("_cid")
+    )
+    sub = df.join(
+        F.broadcast(cand), F.col(id_col) == F.col("_cid")
+    ).drop("_cid")
+    return cosine_topk(sub, id_col, vec_col, query_vec, k)
+
+
 def lsh_bucket_sql(
     vec_sql: str, dim: int, n_planes: int = 12, seed: int = 42
 ) -> str:

@@ -1811,3 +1811,41 @@ def zorder_locality_stats(spark, sf_dir):
     return _layout.zorder_bucket_stats(
         o, "o_custkey", "_day", bits=8, bucket_bits=6
     )
+
+
+from go_streaming_spark.functions import cdc as _cdc  # noqa: E402
+
+
+@query(
+    "snapshot_diff_orders",
+    # keyed diff of two deterministic derivations of orders (simulated
+    # deletions via %10/%7 cuts, simulated updates via a *2 price bump on
+    # %5 keys): added/removed/changed per key, NULL-safe column compare
+    # (IS DISTINCT FROM — no float formatting in the compare path)
+    """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS s
+       FROM orders WHERE o_orderkey % 10 <> 0),
+n AS (SELECT o_orderkey AS k,
+        CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+             ELSE o_totalprice END AS p,
+        o_orderstatus AS s
+      FROM orders WHERE o_orderkey % 7 <> 0),
+d AS (SELECT COALESCE(o.k, n.k) AS o_orderkey,
+        CASE WHEN o.k IS NULL THEN 'added'
+             WHEN n.k IS NULL THEN 'removed'
+             WHEN (o.p IS DISTINCT FROM n.p)
+               OR (o.s IS DISTINCT FROM n.s) THEN 'changed' END AS change
+      FROM o FULL OUTER JOIN n ON o.k = n.k)
+SELECT o_orderkey, change FROM d WHERE change IS NOT NULL""",
+)
+def snapshot_diff_orders(spark, sf_dir):
+    orders = Engine(spark, sf_dir=sf_dir).stream("orders")
+    old = orders.filter(F.col("o_orderkey") % 10 != 0)
+    new = orders.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return _cdc.snapshot_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )

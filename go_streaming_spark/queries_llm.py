@@ -406,6 +406,41 @@ def jl_projection_vectors(spark, sf_dir):
     )
 
 
+def _jl_topk_oracle(out_dim: int = 16, cand: int = 50, k: int = 10) -> str:
+    # stage 1 in projected space (chains over e and qv — the engine's
+    # Python query projection is the same sequential signed sum), stage 2
+    # exact rescore in the original space; both cuts tie-break by id
+    e_ch = similarity.random_projection_sql("e", 64, out_dim, "jl",
+                                            one_based=True)
+    q_ch = similarity.random_projection_sql("q.qv", 64, out_dim, "jl",
+                                            one_based=True)
+    pcols = ", ".join(f"{c} AS p{j}" for j, c in enumerate(e_ch))
+    qcols = ", ".join(f"{c} AS q{j}" for j, c in enumerate(q_ch))
+    dot = " + ".join(f"(p{j} * q{j})" for j in range(out_dim))
+    vn = " + ".join(f"(p{j} * p{j})" for j in range(out_dim))
+    qn = " + ".join(f"(q{j} * q{j})" for j in range(out_dim))
+    return f"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+qp AS (SELECT {qcols} FROM q),
+v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id <> 0),
+p AS (SELECT id, e, {pcols} FROM v),
+c AS (SELECT id, e,
+        floor((({dot}) / (sqrt({vn}) * sqrt({qn})))*1e6 + 0.5)/1e6 AS cos_p
+      FROM p, qp ORDER BY cos_p DESC, id LIMIT {cand})
+SELECT id, floor(({_COS('c.e', 'q.qv')})*1e6 + 0.5)/1e6 AS cos_sim
+FROM c, q ORDER BY cos_sim DESC, id LIMIT {k}"""
+
+
+@query("ann_jl_topk", _jl_topk_oracle())
+def ann_jl_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return similarity.jl_topk(
+        emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", qv,
+        k=10, candidates=50, out_dim=16, dim=64,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -206,3 +206,24 @@ def test_edit_distance_pairs_plan_has_no_cross_join(spark):
     plan = dedup.edit_distance_pairs(df, "doc_id", "text", 2)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_snapshot_diff_digest_mode_matches_column_mode(spark):
+    from go_streaming_spark.functions.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, None, "C"), (4, 40.0, None)],
+        "k long, p double, s string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 21.0, "B"), (3, None, "C2"), (5, 50.0, "E")],
+        "k long, p double, s string",
+    )
+    col_mode = sorted(
+        map(tuple, snapshot_diff(old, new, ["k"], ["p", "s"]).collect())
+    )
+    dig_mode = sorted(
+        map(tuple, snapshot_diff(old, new, ["k"], ["p", "s"], digest=True).collect())
+    )
+    expected = [(2, "changed"), (3, "changed"), (4, "removed"), (5, "added")]
+    assert col_mode == dig_mode == expected

@@ -149,6 +149,7 @@ EMB_QUERIES = [
     "ann_ivf_quantized_topk",  # r7: centroid probe + int8 scoring composed
     "leakage_cross_split_pairs",  # r8: cross-split audit on dup/zero vecs
     "jl_projection_vectors",      # r8: signed-sum chains on zero/tiny vecs
+    "ann_jl_topk",                # r8: projected-space candidate cut ties
 ]
 
 
@@ -371,6 +372,9 @@ JOIN_QUERIES = [
     # round 8 (cont.): Z-address range normalization on degenerate ranges
     # (single order → hi == lo constant-range guard, duplicate custkeys)
     "zorder_locality_stats",
+    # round 8 (cont.): full-outer diff classification over duplicate and
+    # dangling keys, NULL-safe compares
+    "snapshot_diff_orders",
 ]
 
 
