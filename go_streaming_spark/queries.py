@@ -907,6 +907,11 @@ def _moment_exprs(x: str, y: str, prec: int) -> dict:
         "covar": covar,
         "sd_x": sd(x),
         "corr": f"({covar}) / nullif(({sd(x)}) * ({sd(y)}), 0)",
+        # OLS ingredients (round-8): slope = covar/var, intercept from the
+        # means — same exact-decimal-sums discipline, same shared text
+        "var_x": comoment(x, x),
+        "mean_x": f"({dsum(x)} / {n})",
+        "mean_y": f"({dsum(y)} / {n})",
     }
 
 

@@ -1849,3 +1849,51 @@ def snapshot_diff_orders(spark, sf_dir):
     return _cdc.snapshot_diff(
         old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group OLS trend (round 8)
+# ---------------------------------------------------------------------------
+
+from go_streaming_spark.queries import _moment_exprs  # noqa: E402
+
+_OLS_X_SPARK = "CAST((unix_timestamp(ts) - 1704067200) div 3600 AS DOUBLE)"
+_OLS_X_DUCK = (
+    "CAST(date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts) // 3600"
+    " AS DOUBLE)"
+)
+
+
+def _ols_exprs(x: str, prec: int) -> tuple[str, str]:
+    m = _moment_exprs(x, "value", prec)
+    slope = f"({m['covar']}) / nullif({m['var_x']}, 0)"
+    intercept = f"({m['mean_y']}) - ({slope}) * ({m['mean_x']})"
+    return slope, intercept
+
+
+_OLS_SPARK = _ols_exprs(_OLS_X_SPARK, 18)
+_OLS_DUCK = _ols_exprs(_OLS_X_DUCK, 19)
+_Q6E = "floor(({})*1e6 + 0.5)/1e6"
+
+
+@query(
+    "ols_trend_by_type",
+    # per-group least-squares trend of value over time (x = hours since a
+    # fixed anchor, truncating division identical in both engines):
+    # slope = covar/var and intercept from the means, all built from the
+    # stat_aggregates exact-decimal-sums machinery so the double chain is
+    # byte-identical across engines; centered/coarse x keeps every
+    # rounded sum's scaled integer under 2^53 (the decimal->double
+    # double-rounding hazard)
+    f"""SELECT event_type, count(*) AS n,
+  {_Q6E.format(_OLS_DUCK[0])} AS slope_q,
+  {_Q6E.format(_OLS_DUCK[1])} AS intercept_q
+FROM events GROUP BY event_type""",
+)
+def ols_trend_by_type(spark, sf_dir):
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(_Q6E.format(_OLS_SPARK[0])).alias("slope_q"),
+        F.expr(_Q6E.format(_OLS_SPARK[1])).alias("intercept_q"),
+    )

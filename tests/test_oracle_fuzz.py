@@ -218,6 +218,7 @@ EVENT_QUERIES = [
     "mad_by_type",              # r7: nested percentile interpolation
     "salted_join_type_revenue", # r7: salted join vs plain-join oracle
     "timeseries_resample_6h",   # r8: LOCF on boundary/duplicate timestamps
+    "ols_trend_by_type",        # r8: decimal-exact OLS on degenerate groups
 ]
 
 
