@@ -1897,3 +1897,64 @@ def ols_trend_by_type(spark, sf_dir):
         F.expr(_Q6E.format(_OLS_SPARK[0])).alias("slope_q"),
         F.expr(_Q6E.format(_OLS_SPARK[1])).alias("intercept_q"),
     )
+
+
+@query(
+    "event_transition_counts",
+    # per-user behavioral transition matrix (Markov counts): consecutive
+    # event_type pairs under the deterministic (ts, event_id) order, with
+    # how many distinct users make each transition — the sequence-mining
+    # primitive behind funnel discovery and session modeling
+    """WITH s AS (SELECT user_id, event_type,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_type
+  FROM events)
+SELECT prev_type, event_type AS next_type, count(*) AS n_trans,
+  count(DISTINCT user_id) AS n_users
+FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2""",
+)
+def event_transition_counts(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    return s.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_trans"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# recency weighting: w = 1e6 >> (age_halflives), exact integer halving —
+# the engine-portable stand-in for exp-decay (pow/exp differ in the last
+# ulp across libms; halving buckets are exact and order-insensitive).
+# Shift counts clamp to [0, 62]: a negative count (event after the
+# anchor) is masked &63 by the JVM but clamped to 0 by DuckDB —
+# divergent on legal input without the greatest() guard.
+_RW_ANCHOR = 1706745600  # 2024-02-01 UTC, after the events range
+
+
+@query(
+    "recency_weighted_counts",
+    f"""WITH w AS (SELECT event_type,
+    (1000000 >> least((({_RW_ANCHOR} - date_diff('second',
+        TIMESTAMP '1970-01-01 00:00:00', ts)) // 3600) // 24, 62))
+      AS wt
+  FROM events)
+SELECT event_type, count(*) AS n, CAST(sum(wt) AS BIGINT) AS recency_mass
+FROM w GROUP BY event_type""",
+)
+def recency_weighted_counts(spark, sf_dir):
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    wt = F.expr(
+        f"shiftright(1000000, CAST(greatest(least((({_RW_ANCHOR}"
+        f" - unix_timestamp(ts)) div 3600) div 24, 62), 0) AS INT))"
+    )
+    return ev.select("event_type", wt.alias("wt")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("wt").alias("recency_mass"),
+    )

@@ -219,6 +219,8 @@ EVENT_QUERIES = [
     "salted_join_type_revenue", # r7: salted join vs plain-join oracle
     "timeseries_resample_6h",   # r8: LOCF on boundary/duplicate timestamps
     "ols_trend_by_type",        # r8: decimal-exact OLS on degenerate groups
+    "event_transition_counts",  # r8: lag ties on duplicate timestamps
+    "recency_weighted_counts",  # r8: integer halving on negative-age guard
 ]
 
 
