@@ -257,6 +257,70 @@ def lm_bigram_quality(
     )
 
 
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 4096,
+    seed: str = "qmodel",
+) -> DataFrame:
+    """Per-document quality score from a frozen hashed-feature linear
+    model — the fastText / CCNet quality-classifier serving shape.
+
+    Every token OCCURRENCE hashes into one of ``n_buckets`` feature
+    buckets (the hashing trick, Weinberger et al. 2009) and contributes
+    that bucket's integer weight in [-1000, 1000]; the document margin is
+    the exact int64 sum.  Weights here derive deterministically from
+    (seed, bucket) via the repo's md5 idiom — a frozen-random stand-in
+    for learned weights that keeps the DuckDB oracle bit-exact.  A real
+    deployment swaps in a trained weight table broadcast as literals (or
+    a broadcast join when n_buckets is large); the operator shape is
+    unchanged.
+
+    Emits (id, n_tokens, margin, score_q) with
+    ``score_q = floor(margin·10⁶ / n_tokens)`` — floor implemented as
+    subtract-nonnegative-remainder-then-exact-divide, because Spark's
+    integer ``div`` truncates toward zero while DuckDB's ``//`` floors;
+    after removing ``((m % n) + n) % n`` the division is exact and both
+    engines agree on the (possibly negative) quotient.  Zero-token docs
+    keep margin 0 and a NULL score.
+
+    Scale: a pure projection — zero shuffles, zero joins, no UDF; the
+    whole model evaluation lives inside whole-stage codegen and a
+    score-threshold filter pushes straight into the scan.  CPU ∝ tokens.
+    """
+    from go_streaming_spark.functions.dedup import md5_int
+
+    toks = words_expr(F.lower(F.col(text_col)))
+
+    def weight(tok: Column) -> Column:
+        bucket = md5_int(F.concat_ws("|", F.lit(seed), tok), 8) % n_buckets
+        return (
+            md5_int(
+                F.concat_ws("|", F.lit("w"), F.lit(seed), bucket.cast("string")), 8
+            )
+            % 2001
+            - 1000
+        )
+
+    margin = F.aggregate(
+        F.transform(toks, weight), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    out = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        margin.alias("margin"),
+    )
+    return out.selectExpr(
+        "id",
+        "n_tokens",
+        "margin",
+        "CASE WHEN n_tokens > 0 THEN"
+        " (margin * 1000000 - (((margin * 1000000) % n_tokens) + n_tokens)"
+        " % n_tokens) div n_tokens ELSE NULL END AS score_q",
+    )
+
+
 def bpe_learn_merges(
     df: DataFrame,
     id_col: str,

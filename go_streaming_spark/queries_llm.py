@@ -2335,6 +2335,36 @@ def lm_bigram_quality(spark, sf_dir):
     return text.lm_bigram_quality(_docs(spark, sf_dir), "doc_id", "text")
 
 
+@query(
+    "quality_linear_scores",
+    # frozen hashed-feature linear model (fastText/CCNet classifier
+    # shape): per-occurrence bucket weights from the md5 idiom, exact
+    # int64 margin, floor-division via the subtract-nonneg-remainder
+    # idiom (Spark div truncates, DuckDB // floors; exact division
+    # agrees).  Zero-token docs surface with margin 0, NULL score.
+    r"""WITH t AS (SELECT doc_id AS id,
+    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents),
+tok AS (SELECT id, unnest(w) AS tok FROM t),
+wt AS (SELECT id,
+    (CAST('0x' || substr(md5('w|qmodel|' ||
+        CAST(CAST('0x' || substr(md5('qmodel|' || tok), 1, 8) AS BIGINT)
+             % 4096 AS VARCHAR)), 1, 8) AS BIGINT) % 2001) - 1000 AS wv
+  FROM tok),
+agg AS (SELECT id, count(*) AS n, CAST(sum(wv) AS BIGINT) AS margin
+        FROM wt GROUP BY id)
+SELECT t.id, CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(agg.margin, 0) AS BIGINT) AS margin,
+  CASE WHEN COALESCE(agg.n, 0) > 0 THEN
+    (agg.margin * 1000000
+     - (((agg.margin * 1000000) % agg.n) + agg.n) % agg.n) // agg.n
+  ELSE NULL END AS score_q
+FROM t LEFT JOIN agg ON t.id = agg.id""",
+)
+def quality_linear_scores(spark, sf_dir):
+    return text.hashed_linear_score(_docs(spark, sf_dir), "doc_id", "text")
+
+
 @query("bpe_top_merges")
 def bpe_top_merges(spark, sf_dir):
     """First 8 BPE merge rules learned from the documents corpus — the

@@ -2151,3 +2151,49 @@ def test_kmeans_fit_one_step_matches_gated_mstep(spark):
     }
     for cl, cent in gate.items():
         assert fit1[cl] == cent, cl
+
+
+def test_hashed_linear_score_matches_python_reference(spark):
+    """Margin must equal a pure-Python recomputation of the same md5
+    bucket/weight arithmetic; zero-token docs keep margin 0 and a NULL
+    score; the floor idiom must floor (not truncate) negative margins."""
+    import hashlib
+
+    from go_streaming_spark.functions import text as T
+
+    def md5i(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def weight(tok, seed="qmodel", buckets=4096):
+        b = md5i(f"{seed}|{tok}") % buckets
+        return md5i(f"w|{seed}|{b}") % 2001 - 1000
+
+    docs = [
+        (1, "The quick Brown fox JUMPS over the lazy dog"),
+        (2, "hash join hash join hash"),
+        (3, ""),  # zero tokens → margin 0, NULL score
+        (4, "singleton"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["id"]: r
+        for r in T.hashed_linear_score(df, "doc_id", "text").collect()
+    }
+    saw_negative = False
+    for doc_id, txt in docs:
+        toks = [w for w in txt.lower().split() if w]
+        margin = sum(weight(w) for w in toks)
+        row = out[doc_id]
+        assert row["n_tokens"] == len(toks)
+        assert row["margin"] == margin
+        if toks:
+            expect = (margin * 1_000_000) // len(toks)  # Python // floors
+            assert row["score_q"] == expect, (doc_id, margin)
+            saw_negative = saw_negative or margin < 0
+        else:
+            assert row["score_q"] is None
+    # the fixture must actually exercise a signed margin; if the frozen
+    # weights ever make every doc positive, change a document above
+    assert saw_negative or any(
+        sum(weight(w) for w in t.lower().split() if w) < 0 for _, t in docs
+    )

@@ -68,6 +68,9 @@ FUZZ_QUERIES = [
     "vocab_oov_rates",
     # round 8 (cont.): integer floor-division chains on degenerate corpora
     "lm_bigram_quality",
+    # round 8 (cont.): hashed-feature weights on negative margins and
+    # zero-token docs (NULL score path, nonneg-remainder floor idiom)
+    "quality_linear_scores",
 ]
 
 WORD = st.sampled_from(
