@@ -1275,6 +1275,31 @@ def stream_fan_in_sum(spark, sf_dir):
     return replay_to_memory(out, spark, output_mode="complete")
 
 
+@query("stream_session_window_count", ORACLES["session_window_count"])
+def stream_session_window_count(spark, sf_dir):
+    # STREAMING gap-based sessionization: Spark's native session_window
+    # state store merges per-user sessions across micro-batches (the twin
+    # of the batch session_window_count; same 30-minute gap).  Complete
+    # mode + availableNow replay emits the final merged sessions — the
+    # batch gaps-and-islands oracle is the exact ground truth.  Scale:
+    # one stateful shuffle on (user_id); session state is bounded by the
+    # watermark in a live deployment (none needed for a finite replay).
+    from go_streaming_spark.sources.catalog import load_stream
+    from go_streaming_spark.streaming.runner import replay_to_memory
+
+    ev = load_stream(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("session_start_us"),
+            "n_events",
+        )
+    )
+    return replay_to_memory(out, spark, output_mode="complete")
+
+
 @query(
     "salted_agg_status_totals",
     # two-phase salted aggregation over the skewed o_orderstatus key

@@ -746,3 +746,49 @@ def test_streaming_drop_duplicates_state_spans_batches(spark, tmp_path):
     ).collect()
     texts = sorted(r.text for r in out)
     assert texts == ["dup", "only-0", "only-1", "only-2"]
+
+
+def test_streaming_session_window_merges_across_batches(spark, tmp_path):
+    """session_window state must MERGE a session whose events arrive in
+    different micro-batches: two events 10 minutes apart (inside the
+    30-minute gap) split across files must come out as ONE session, while
+    a third event 2 hours later opens a second session."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from go_streaming_spark.streaming.runner import replay_to_memory
+
+    src = tmp_path / "sess"
+    src.mkdir()
+    batches = [
+        [("u1", "2024-01-01T00:00:00")],
+        [("u1", "2024-01-01T00:10:00")],  # same session, later batch
+        [("u1", "2024-01-01T02:10:00")],  # > 30 min gap → new session
+    ]
+    for b, rows in enumerate(batches):
+        with open(src / f"b{b}.json", "w") as f:
+            for uid, ts in rows:
+                f.write(_json.dumps({"user_id": uid, "ts": ts}) + "\n")
+
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = replay_to_memory(
+        stream.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("string").alias("start"),
+            "n_events",
+        ),
+        spark,
+        output_mode="complete",
+    ).collect()
+    got = sorted((r.user_id, r.start, r.n_events) for r in out)
+    assert got == [
+        ("u1", "2024-01-01 00:00:00", 2),
+        ("u1", "2024-01-01 02:10:00", 1),
+    ], got
