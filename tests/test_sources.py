@@ -116,3 +116,54 @@ def test_read_binary_files_glob_and_size_guard(spark, tmp_path):
     assert rows["b.bin"]["length"] == 100
     small = read_binary_files(spark, str(tmp_path), glob="*.bin", max_bytes=10)
     assert [r["path"].split("/")[-1] for r in small.collect()] == ["a.bin"]
+
+
+def test_compact_small_files_reduces_count_preserves_rows(spark, tmp_path):
+    from go_streaming_spark.sources.formats import compact_small_files
+
+    src = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    df = spark.range(0, 10_000).selectExpr("id", "id % 7 AS k")
+    df.repartition(40).write.parquet(src)  # 40 tiny files
+
+    import glob as _glob
+
+    n_in = len(_glob.glob(f"{src}/part-*"))
+    assert n_in >= 30
+    # huge target → everything folds into one file
+    n = compact_small_files(spark, src, out, target_bytes=1 << 30)
+    assert n == 1
+    assert len(_glob.glob(f"{out}/part-*")) == 1
+    a = spark.read.parquet(src).groupBy("k").count().collect()
+    b = spark.read.parquet(out).groupBy("k").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_compact_small_files_range_layout_sorts_file_stats(spark, tmp_path):
+    """range_cols re-establishes clustering: with 2 output files the id
+    ranges must not interleave (file A's max < file B's min)."""
+    from go_streaming_spark.sources.formats import compact_small_files
+
+    src = str(tmp_path / "frag2")
+    out = str(tmp_path / "ranged")
+    spark.range(0, 10_000).repartition(16).write.parquet(src)
+
+    import glob as _glob
+
+    total = sum(
+        __import__("os").path.getsize(f) for f in _glob.glob(f"{src}/part-*")
+    )
+    n = compact_small_files(
+        spark, src, out, target_bytes=-(-total // 2), range_cols=["id"]
+    )
+    assert n == 2
+    files = sorted(_glob.glob(f"{out}/part-*"))
+    assert len(files) == 2
+    spans = []
+    for f in files:
+        r = spark.read.parquet(f).agg(
+            {"id": "min"}
+        ).collect()[0][0], spark.read.parquet(f).agg({"id": "max"}).collect()[0][0]
+        spans.append(r)
+    spans.sort()
+    assert spans[0][1] < spans[1][0]  # disjoint, ordered ranges
