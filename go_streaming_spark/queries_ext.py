@@ -1983,3 +1983,166 @@ def recency_weighted_counts(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("wt").alias("recency_mass"),
     )
+
+
+@query(
+    "cust_order_distribution",
+    # TPC-H Q13 shape: customers LEFT JOIN their non-urgent orders →
+    # per-customer order count → distribution of counts.  count(o_orderkey)
+    # gives no-order customers c_count = 0 on both engines.
+    "WITH c_orders AS ("
+    " SELECT c_custkey, count(o_orderkey) AS c_count"
+    " FROM customer LEFT JOIN orders ON c_custkey = o_custkey"
+    "   AND o_orderpriority <> '1-URGENT'"
+    " GROUP BY c_custkey)"
+    " SELECT c_count, count(*) AS custdist"
+    " FROM c_orders GROUP BY c_count",
+)
+def cust_order_distribution(spark, sf_dir):
+    # The priority filter is part of the JOIN condition (not a WHERE —
+    # that would turn the outer join inner); Spark pushes it to the
+    # orders scan.  Scale: in the 100 TB regime the join is a sort-merge
+    # shuffled on custkey and the per-customer count REUSES that
+    # partitioning (groupBy on the join key adds no exchange); at bench
+    # scale AQE broadcasts orders instead and the count pays its own
+    # exchange — correct at both ends, which is why neither side carries
+    # a pinned hint.  The distribution agg exchanges ≤ |distinct counts|
+    # rows after map-side combine.
+    eng = Engine(spark, sf_dir=sf_dir)
+    cust, orders = eng.stream("customer"), eng.stream("orders")
+    j = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    per_cust = j.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "nation_market_share",
+    # TPC-H Q8 shape: one supplier nation's share of ECONOMY-part revenue
+    # sold into ASIA customers, by order year.  Both the nation's sum and
+    # the total stay exact decimal; ONE double division per year,
+    # floor-quantized (q6 idiom).
+    "WITH base AS ("
+    " SELECT year(o_orderdate) AS o_year,"
+    "  CAST(l_extendedprice AS DECIMAL(18,4))"
+    "   * (1 - CAST(l_discount AS DECIMAL(18,4))) AS rev,"
+    "  sn.n_name AS supp_nation"
+    " FROM lineitem"
+    " JOIN orders ON l_orderkey = o_orderkey"
+    " JOIN customer ON o_custkey = c_custkey"
+    " JOIN nation cn ON c_nationkey = cn.n_nationkey"
+    " JOIN region ON cn.n_regionkey = r_regionkey"
+    " JOIN supplier ON l_suppkey = s_suppkey"
+    " JOIN nation sn ON s_nationkey = sn.n_nationkey"
+    " WHERE r_name = 'ASIA'"
+    "   AND o_orderdate >= TIMESTAMP '1995-01-01'"
+    "   AND o_orderdate < TIMESTAMP '1997-01-01')"
+    " SELECT o_year, floor(("
+    "  CAST(CAST(round(SUM(CASE WHEN supp_nation = 'NATION_3'"
+    "    THEN rev ELSE 0 END), 4) AS DECIMAL(38,4)) AS DOUBLE) /"
+    "  CAST(CAST(round(SUM(rev), 4) AS DECIMAL(38,4)) AS DOUBLE)"
+    " )*1e6 + 0.5)/1e6 AS mkt_share"
+    " FROM base GROUP BY o_year",
+)
+def nation_market_share(spark, sf_dir):
+    # Two dimension chains meet at lineitem (orders→customer→nation→
+    # region on one side, supplier→nation on the other — the Q7 pattern
+    # plus a share division).  nation/region are fixed-cardinality →
+    # broadcast-hinted; customer/supplier/orders grow with SF → AQE
+    # decides.  The ASIA + date filters push into the scans and prune
+    # the fact rows before any join.
+    eng = Engine(spark, sf_dir=sf_dir)
+    li, orders, cust = (
+        eng.stream("lineitem"), eng.stream("orders"), eng.stream("customer"),
+    )
+    supp, nation, region = (
+        eng.stream("supplier"), eng.stream("nation"), eng.stream("region"),
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_regionkey").alias("crk")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1) - F.col("l_discount").cast(DEC)
+    )
+    base = (
+        li.join(
+            orders.filter(
+                (F.col("o_orderdate") >= "1995-01-01")
+                & (F.col("o_orderdate") < "1997-01-01")
+            ),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("crk") == F.col("r_regionkey"),
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            rev.alias("rev"),
+            F.col("supp_nation"),
+        )
+    )
+    agg = base.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("rev"))
+                .otherwise(F.lit(0))
+            ),
+            4,
+        ).cast("decimal(38,4)").cast("double").alias("_nat"),
+        F.round(F.sum("rev"), 4)
+        .cast("decimal(38,4)").cast("double").alias("_all"),
+    )
+    return agg.select(
+        "o_year",
+        F.expr("floor((_nat / _all)*1e6 + 0.5)/1e6").alias("mkt_share"),
+    )
+
+
+@query(
+    "disjunctive_part_revenue",
+    # TPC-H Q19 shape: revenue under an OR of brand/size/quantity
+    # condition groups.  The redundant conjunct l_quantity BETWEEN 1 AND
+    # 30 is implied by the disjunction and stated explicitly so it
+    # PUSHES into the lineitem scan (Catalyst does not infer range
+    # hulls across OR arms) — the classic Q19 rewrite.
+    f"""SELECT {_DISC_REV_SQL} AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_quantity BETWEEN 1 AND 30
+  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        AND l_quantity BETWEEN 20 AND 30))""",
+)
+def disjunctive_part_revenue(spark, sf_dir):
+    eng = Engine(spark, sf_dir=sf_dir)
+    li, part = eng.stream("lineitem"), eng.stream("part")
+    q = F.col("l_quantity")
+    arm = lambda brand, smax, qlo, qhi: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & q.between(qlo, qhi)
+    )
+    j = li.filter(q.between(1, 30)).join(
+        part, li.l_partkey == part.p_partkey
+    ).filter(
+        arm("Brand#1", 15, 1, 11)
+        | arm("Brand#2", 25, 10, 20)
+        | arm("Brand#3", 35, 20, 30)
+    )
+    return j.agg(_disc_rev_col().alias("revenue"))

@@ -381,6 +381,12 @@ JOIN_QUERIES = [
     # round 8 (cont.): full-outer diff classification over duplicate and
     # dangling keys, NULL-safe compares
     "snapshot_diff_orders",
+    # round 8 (cont.): Q13's zero-order customers through the outer join,
+    # Q8's empty-share regime (no ASIA customer in the generated dims,
+    # zero-group output), Q19's NULL revenue over an empty disjunction
+    "cust_order_distribution",
+    "nation_market_share",
+    "disjunctive_part_revenue",
 ]
 
 
@@ -462,12 +468,13 @@ def test_oracle_equivalence_on_random_joins(spark, tmp_path_factory, name):
             duck.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet/*.parquet'"
             )
-        # fixed-cardinality dims come from the same linked sf0.001 files
-        # the engine side reads (their contents aren't fuzzed)
-        duck.execute(
-            "CREATE VIEW nation AS SELECT * FROM"
-            " '/root/testdata/sf0.001/nation.parquet'"
-        )
+        # non-fuzzed dims come from the same linked sf0.001 files the
+        # engine side reads (their contents aren't fuzzed)
+        for t in ("nation", "region", "supplier", "part"):
+            duck.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM"
+                f" '/root/testdata/sf0.001/{t}.parquet'"
+            )
         res = duck.execute(oracles[name])
         ocols = [d[0] for d in res.description]
         orows = res.fetchall()
