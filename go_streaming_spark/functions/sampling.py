@@ -342,3 +342,44 @@ def stratified_fixed_sample(
         .filter(F.col("__rn") <= m)
         .drop("__key", "__rn")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    splits: dict[str, float],
+    seed: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Near-duplicate-aware train/val/test assignment: every member of a
+    near-dup component receives the SAME label, so paraphrases and exact
+    copies can never straddle the train/test boundary (the cross-split
+    contamination a plain per-id hash split silently allows — the reason
+    dedup-aware splits are standard for LLM eval hygiene).
+
+    ``pairs`` is any (id_a, id_b) near-dup pair frame (MinHash-LSH,
+    SimHash, embedding-cosine, ...).  Components come from
+    :func:`go_streaming_spark.functions.graph.dedup_components`
+    (min-label propagation); the split hash is computed on the component
+    representative (min member id) — singletons hash their own id, so
+    rows outside any pair keep exactly the :func:`hash_split` labels.
+
+    Scale: the component table is ~|paired docs| rows (tiny vs the
+    corpus — near-dup mass is the exception, not the rule), so the
+    label join is a candidate for AQE broadcast; everything else is the
+    same map-side threshold CASE as :func:`hash_split`.
+    """
+    from go_streaming_spark.functions.graph import dedup_components
+
+    comps = dedup_components(pairs).withColumnsRenamed(
+        {"doc_id": "__lss_id", "cluster_id": "__lss_rep"}
+    )
+    rep = F.coalesce(F.col("__lss_rep"), F.col(id_col))
+    labeled = (
+        df.join(comps, df[id_col] == F.col("__lss_id"), "left")
+        .withColumn("__lss_key", rep)
+        .drop("__lss_id", "__lss_rep")
+    )
+    out = hash_split(labeled, "__lss_key", splits, seed=seed, split_col=split_col)
+    return out.drop("__lss_key")

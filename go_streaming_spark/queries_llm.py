@@ -2336,6 +2336,41 @@ def lm_bigram_quality(spark, sf_dir):
 
 
 @query(
+    "leakage_safe_split_counts",
+    # near-dup-aware split: hash the component representative (min member
+    # id from the same MinHash-LSH component oracle dedup_clusters uses;
+    # singletons hash their own id) so a near-dup pair can never straddle
+    # train/test.  Thresholds identical to hash_split_counts.
+    f"""WITH RECURSIVE {_MINHASH_CTES},
+pairs AS (SELECT c.id_a, c.id_b FROM cand c JOIN jac j USING(id_a, id_b) WHERE j.jaccard >= 0.2),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach AS (SELECT u AS node, v AS r FROM edges
+          UNION SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u),
+comp AS (SELECT node AS doc_id, least(node, min(r)) AS cluster_id FROM reach GROUP BY node),
+k AS (SELECT d.source, COALESCE(c.cluster_id, d.doc_id) AS rep
+      FROM documents d LEFT JOIN comp c USING (doc_id)),
+b AS (SELECT source,
+  CAST(('0x'||substr(md5('split|'||CAST(rep AS VARCHAR)),1,8)) AS BIGINT) h
+  FROM k)
+SELECT CASE WHEN h < {_T_TRAIN} THEN 'train' WHEN h < {_T_VAL} THEN 'val'
+       ELSE 'test' END AS split, source, count(*) AS n
+FROM b GROUP BY 1, 2""",
+)
+def leakage_safe_split_counts(spark, sf_dir):
+    from go_streaming_spark.functions.sampling import leakage_safe_split
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, k=16, rows_per_band=4, threshold=0.2
+    )
+    out = leakage_safe_split(
+        docs, "doc_id", pairs.select("id_a", "id_b"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return out.groupBy("split", "source").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
     "quality_linear_scores",
     # frozen hashed-feature linear model (fastText/CCNet classifier
     # shape): per-occurrence bucket weights from the md5 idiom, exact

@@ -2197,3 +2197,38 @@ def test_hashed_linear_score_matches_python_reference(spark):
     assert saw_negative or any(
         sum(weight(w) for w in t.lower().split() if w) < 0 for _, t in docs
     )
+
+
+def test_leakage_safe_split_components_share_label(spark):
+    """Every member of a near-dup component must get the SAME split label
+    (hashed from the min member id); rows outside any pair must keep the
+    plain hash_split label exactly."""
+    from go_streaming_spark.functions.sampling import (
+        hash_split,
+        leakage_safe_split,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    # components: {0,1,2} (chained), {10,11}; everything else singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    out = leakage_safe_split(
+        df, "doc_id", pairs, {"train": 0.5, "val": 0.25, "test": 0.25}
+    ).collect()
+    got = {r["doc_id"]: r["split"] for r in out}
+    assert len(got) == 40  # left join must not drop or duplicate rows
+    assert got[0] == got[1] == got[2]
+    assert got[10] == got[11]
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            df, "doc_id", {"train": 0.5, "val": 0.25, "test": 0.25}
+        ).collect()
+    }
+    for i in range(40):
+        if i in (1, 2, 11):  # non-representative members may move
+            continue
+        assert got[i] == plain[i], i
