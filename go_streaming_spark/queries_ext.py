@@ -2146,3 +2146,48 @@ def disjunctive_part_revenue(spark, sf_dir):
         | arm("Brand#3", 35, 20, 30)
     )
     return j.agg(_disc_rev_col().alias("revenue"))
+
+
+@query(
+    "dq_violation_counts",
+    # data-quality expectation report: every CASE rule rides ONE scan of
+    # orders; the referential rule is one anti-join-shaped left join.
+    # NULL rule results count as violations (conservative reading).
+    "SELECT 'totalprice_positive' AS rule, count(*) AS n_rows,"
+    " CAST(sum(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE)"
+    "   THEN 1 ELSE 0 END) AS BIGINT) AS n_violations FROM orders"
+    " UNION ALL"
+    " SELECT 'orderdate_in_range', count(*),"
+    " CAST(sum(CASE WHEN NOT COALESCE(o_orderdate >= TIMESTAMP '1990-01-01'"
+    "   AND o_orderdate < TIMESTAMP '2030-01-01', FALSE)"
+    "   THEN 1 ELSE 0 END) AS BIGINT) FROM orders"
+    " UNION ALL"
+    " SELECT 'priority_in_domain', count(*),"
+    " CAST(sum(CASE WHEN NOT COALESCE(o_orderpriority IN ('1-URGENT',"
+    "   '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'), FALSE)"
+    "   THEN 1 ELSE 0 END) AS BIGINT) FROM orders"
+    " UNION ALL"
+    " SELECT 'fk:o_custkey', count(*),"
+    " CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+    " FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c"
+    "   ON o.o_custkey = c.c_custkey",
+)
+def dq_violation_counts(spark, sf_dir):
+    from go_streaming_spark.functions.dq import check_expectations, fk_violations
+
+    eng = Engine(spark, sf_dir=sf_dir)
+    orders, cust = eng.stream("orders"), eng.stream("customer")
+    report = check_expectations(
+        orders,
+        {
+            "totalprice_positive": F.col("o_totalprice") > 0,
+            "orderdate_in_range": (F.col("o_orderdate") >= "1990-01-01")
+            & (F.col("o_orderdate") < "2030-01-01"),
+            "priority_in_domain": F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+            ),
+        },
+    )
+    return report.unionByName(
+        fk_violations(orders, "o_custkey", cust, "c_custkey")
+    )

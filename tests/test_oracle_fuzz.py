@@ -387,6 +387,9 @@ JOIN_QUERIES = [
     "cust_order_distribution",
     "nation_market_share",
     "disjunctive_part_revenue",
+    # round 8 (cont.): nonzero violation counts — the generated orders
+    # carry out-of-domain priorities and dangling custkeys
+    "dq_violation_counts",
 ]
 
 
