@@ -383,3 +383,67 @@ def leakage_safe_split(
     )
     out = hash_split(labeled, "__lss_key", splits, seed=seed, split_col=split_col)
     return out.drop("__lss_key")
+
+
+def bucketed_negative_samples(
+    df: DataFrame,
+    id_col: str,
+    k: int = 4,
+    n_buckets: int = 16,
+    seed: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each row
+    gets up to ``k`` pseudo-random partners drawn from its hash bucket —
+    the distributed form of in-batch negatives.
+
+    Rows land in ``n_buckets`` buckets by id hash; within a bucket they
+    are ordered by a second hash (so neighbors are unrelated documents),
+    and row *i* pairs with rows *i+1 … i+k* cyclically.  Every pairing is
+    a pure function of (seed, ids): reproducible across engines, reruns,
+    and partitionings, unlike `sample()`-based negatives.  Self-pairs are
+    impossible while the shift stays below the bucket size, so a bucket
+    of *m* rows yields exactly ``min(k, m-1)`` negatives per row.
+
+    Emits (id, slot, neg_id), slot in 1..k.
+
+    Scale: one shuffle into buckets (window sort is per-bucket, fully
+    parallel — size buckets via ``n_buckets ≈ corpus/64k`` to keep sorts
+    in-memory) and one equi-join on (bucket, position).  No global sort,
+    no driver state, no pair explosion: output is exactly k·n rows.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql.window import Window
+
+    sid = F.col(id_col).cast("string")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        (hash_bucket(F.col(id_col), f"{seed}|b") % n_buckets).alias("bucket"),
+        md5_int(F.concat_ws("|", F.lit(f"{seed}|p"), sid), 15).alias("pos"),
+    )
+    w = Window.partitionBy("bucket").orderBy("pos", "id")
+    rn = base.select(
+        "id", "bucket",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("bucket")).alias("m"),
+    )
+    probes = (
+        rn.select(
+            "id", "bucket", "rn", "m",
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("slot"),
+        )
+        .filter(F.col("slot") < F.col("m"))
+        .select(
+            "id", "slot", "bucket",
+            ((F.col("rn") - 1 + F.col("slot")) % F.col("m") + 1).alias("target_rn"),
+        )
+    )
+    ring = rn.select(
+        F.col("bucket").alias("r_bucket"),
+        F.col("rn").alias("r_rn"),
+        F.col("id").alias("neg_id"),
+    )
+    return probes.join(
+        ring,
+        (probes.bucket == ring.r_bucket) & (probes.target_rn == ring.r_rn),
+    ).select("id", "slot", "neg_id")

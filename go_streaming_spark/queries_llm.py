@@ -2336,6 +2336,36 @@ def lm_bigram_quality(spark, sf_dir):
 
 
 @query(
+    "negative_sample_pairs",
+    # deterministic in-bucket negative sampling (contrastive training):
+    # hash-bucketed rows, per-bucket hash order, cyclic shifts 1..k —
+    # every pairing a pure function of (seed, ids) on both engines
+    """WITH pos AS (SELECT doc_id AS id,
+    CAST(('0x'||substr(md5('neg|b|'||CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
+      % 16 AS bucket,
+    CAST(('0x'||substr(md5('neg|p|'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+      AS pos
+  FROM documents),
+rn AS (SELECT id, bucket,
+    row_number() OVER (PARTITION BY bucket ORDER BY pos, id) AS rn,
+    count(*) OVER (PARTITION BY bucket) AS m FROM pos),
+probes AS (SELECT id, bucket, rn, m, unnest(range(1, 5)) AS slot FROM rn),
+sel AS (SELECT id, CAST(slot AS BIGINT) AS slot, bucket,
+        ((rn - 1 + slot) % m) + 1 AS target
+        FROM probes WHERE slot < m)
+SELECT s.id, s.slot, r.id AS neg_id
+FROM sel s JOIN rn r ON r.bucket = s.bucket AND r.rn = s.target""",
+)
+def negative_sample_pairs(spark, sf_dir):
+    from go_streaming_spark.functions.sampling import bucketed_negative_samples
+
+    out = bucketed_negative_samples(
+        _docs(spark, sf_dir), "doc_id", k=4, n_buckets=16
+    )
+    return out.select("id", F.col("slot").cast("long").alias("slot"), "neg_id")
+
+
+@query(
     "leakage_safe_split_counts",
     # near-dup-aware split: hash the component representative (min member
     # id from the same MinHash-LSH component oracle dedup_clusters uses;

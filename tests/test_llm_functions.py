@@ -2232,3 +2232,37 @@ def test_leakage_safe_split_components_share_label(spark):
         if i in (1, 2, 11):  # non-representative members may move
             continue
         assert got[i] == plain[i], i
+
+
+def test_bucketed_negative_samples_properties(spark):
+    """No self-pairs, exactly min(k, m-1) negatives per row, distinct
+    negatives per row, and partition-layout independence."""
+    from go_streaming_spark.functions.sampling import (
+        bucketed_negative_samples,
+    )
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(60)], "doc_id long"
+    )
+    out = bucketed_negative_samples(df, "doc_id", k=3, n_buckets=4).collect()
+    by_id = {}
+    for r in out:
+        assert r["neg_id"] != r["id"]
+        by_id.setdefault(r["id"], []).append(r["neg_id"])
+    for negs in by_id.values():
+        assert len(negs) == len(set(negs)) <= 3
+    # single-bucket tiny corpus: m=2 → exactly one negative each
+    tiny = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    t = bucketed_negative_samples(tiny, "doc_id", k=5, n_buckets=1).collect()
+    assert sorted((r["id"], r["neg_id"]) for r in t) == [(1, 2), (2, 1)]
+    # determinism across partition layouts
+    a = sorted(map(tuple, out))
+    b = sorted(
+        map(
+            tuple,
+            bucketed_negative_samples(
+                df.repartition(7), "doc_id", k=3, n_buckets=4
+            ).collect(),
+        )
+    )
+    assert a == b

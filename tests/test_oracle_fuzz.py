@@ -71,6 +71,9 @@ FUZZ_QUERIES = [
     # round 8 (cont.): hashed-feature weights on negative margins and
     # zero-token docs (NULL score path, nonneg-remainder floor idiom)
     "quality_linear_scores",
+    # round 8 (cont.): tiny corpora force the m <= k bucket regime
+    # (fewer than k negatives available; singleton buckets yield none)
+    "negative_sample_pairs",
 ]
 
 WORD = st.sampled_from(
