@@ -59,11 +59,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # timeseries_resample_6h, bm25_doc_scores, dedup_edit_distance,
 # stream_hist_value_percentiles, leakage_cross_split_pairs,
 # textrank_top_terms, inverted_index_postings, zorder_locality_stats,
-# stream_heavy_hitter_words — re-enumerate from the registry,
-# newest-without-a-row first, in case of later r8 additions).  That
-# exceeds 50: take the 25 r8 registrations first, then the 25 stalest
-# r6 greens; the ~23 r6 greens that miss the cut carry to r10 at the
-# head of the queue.
+# stream_heavy_hitter_words, plus the late-r8 batch: bm25_topk_per_query,
+# dedup_containment_pairs, vocab_oov_rates, bpe_top_merges,
+# jl_projection_vectors, lm_bigram_quality, ann_jl_topk,
+# snapshot_diff_orders, ols_trend_by_type, event_transition_counts,
+# recency_weighted_counts, quality_linear_scores,
+# stream_session_window_count, cust_order_distribution,
+# nation_market_share, disjunctive_part_revenue,
+# leakage_safe_split_counts, dq_violation_counts, negative_sample_pairs
+# — re-enumerate from the registry, newest-without-a-row first, in case
+# of later r8 additions).  That exceeds 50: the ~44 r8 registrations
+# take the first slots (newest last), the stalest r6 greens fill the
+# remainder; r6 greens that miss the cut carry to r10 at the head of
+# the queue.
 GATE_PRIORITY = [
     # (a) the fixed r7 red row — must re-prove green
     "temperature_mixture_counts",
