@@ -745,6 +745,39 @@ REDACT_PATTERNS: dict[str, str] = {
 }
 
 
+def pii_hit_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns: dict[str, str] | None = None,
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """Per-document PII match counts, one ``regexp_count`` per pattern in
+    ONE scan — the audit that decides whether a source needs scrubbing
+    (:func:`redact`) or dropping.
+
+    Each pattern is counted independently on the raw text (a substring
+    matched by two patterns counts once under each — the audit question
+    is per-pattern exposure, not residual text).  Map-only, codegen'd;
+    column per pattern (lower-cased tag) plus ``n_pii`` total; ``carry``
+    columns (e.g. the source/domain the report groups by) pass through.
+    """
+    t = F.col(text_col)
+    pats = patterns or REDACT_PATTERNS
+    counts = [
+        F.regexp_count(t, F.lit(pat)).cast("long").alias(tag.lower())
+        for tag, pat in pats.items()
+    ]
+    out = spread(df).select(
+        F.col(id_col).alias("id"), *[F.col(c) for c in carry or []], *counts
+    )
+    total = None
+    for tag in pats:
+        c = F.col(tag.lower())
+        total = c if total is None else total + c
+    return out.withColumn("n_pii", total)
+
+
 def redact(text: Column, patterns: dict[str, str] | None = None) -> Column:
     """Replace each PII-ish pattern with its ``[TAG]`` placeholder — the
     standard corpus-scrubbing pass.  A chain of ``regexp_replace`` column

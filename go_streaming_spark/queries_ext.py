@@ -261,6 +261,51 @@ def redact_pii(spark, sf_dir):
     return docs.select("doc_id", redact(with_pii).alias("clean"))
 
 
+@query(
+    "pii_audit_by_source",
+    # per-source PII exposure audit: synthesize PII onto each doc (both
+    # engines build the identical string, redact_pii precedent) and count
+    # per-pattern hits in one scan; docs_with_pii = rows with any hit
+    "WITH t AS (SELECT source,"
+    " text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com"
+    " or +1 (555) 000-1234 at 10.0.0.' || CAST(doc_id AS VARCHAR) AS x"
+    " FROM documents),"
+    " c AS (SELECT source,"
+    r" len(regexp_extract_all(x, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS email,"
+    r" len(regexp_extract_all(x, '\+?[0-9][0-9()\-\s]{6,}[0-9]')) AS phone,"
+    r" len(regexp_extract_all(x, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS ipv4"
+    " FROM t)"
+    " SELECT source, CAST(sum(email) AS BIGINT) AS n_email,"
+    " CAST(sum(phone) AS BIGINT) AS n_phone,"
+    " CAST(sum(ipv4) AS BIGINT) AS n_ipv4,"
+    " CAST(sum(CASE WHEN email + phone + ipv4 > 0 THEN 1 ELSE 0 END)"
+    "   AS BIGINT) AS docs_with_pii"
+    " FROM c GROUP BY source",
+)
+def pii_audit_by_source(spark, sf_dir):
+    from go_streaming_spark.functions.text import pii_hit_counts
+
+    docs = Engine(spark, sf_dir=sf_dir).stream("documents")
+    sid = F.col("doc_id").cast("string")
+    with_pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), sid,
+        F.lit("@example.com or +1 (555) 000-1234 at 10.0.0."), sid,
+    )
+    hits = pii_hit_counts(
+        docs.select("doc_id", "source", with_pii.alias("x")),
+        "doc_id", "x", carry=["source"],
+    )
+    return hits.groupBy("source").agg(
+        F.sum("email").alias("n_email"),
+        F.sum("phone").alias("n_phone"),
+        F.sum("ipv4").alias("n_ipv4"),
+        F.sum(F.when(F.col("n_pii") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("docs_with_pii"),
+    )
+
+
 _BANNED = ["stream table hash", "row column sort"]
 _BANNED_SQL = ", ".join(f"'{g}'" for g in _BANNED)
 

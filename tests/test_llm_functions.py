@@ -2266,3 +2266,25 @@ def test_bucketed_negative_samples_properties(spark):
         )
     )
     assert a == b
+
+
+def test_pii_hit_counts_per_pattern(spark):
+    from go_streaming_spark.functions.text import pii_hit_counts
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c@d.org, call +1 555-123-4567", "s0"),
+            (2, "server at 192.168.0.1 and 10.0.0.2", "s1"),
+            (3, "clean text, no pii here", "s0"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["id"]: r
+        for r in pii_hit_counts(df, "doc_id", "text", carry=["source"]).collect()
+    }
+    assert (out[1]["email"], out[1]["phone"], out[1]["ipv4"]) == (2, 1, 0)
+    assert (out[2]["email"], out[2]["phone"], out[2]["ipv4"]) == (0, 0, 2)
+    assert out[3]["n_pii"] == 0
+    assert out[1]["n_pii"] == 3
+    assert out[1]["source"] == "s0"  # carry column passes through

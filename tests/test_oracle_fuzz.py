@@ -74,6 +74,9 @@ FUZZ_QUERIES = [
     # round 8 (cont.): tiny corpora force the m <= k bucket regime
     # (fewer than k negatives available; singleton buckets yield none)
     "negative_sample_pairs",
+    # round 8 (cont.): regexp_count vs regexp_extract_all length on
+    # hostile separators around the synthesized PII suffix
+    "pii_audit_by_source",
 ]
 
 WORD = st.sampled_from(
