@@ -2236,3 +2236,62 @@ def dq_violation_counts(spark, sf_dir):
     return report.unionByName(
         fk_violations(orders, "o_custkey", cust, "c_custkey")
     )
+
+
+@query("stream_dq_violation_counts", ORACLES["dq_violation_counts"])
+def stream_dq_violation_counts(spark, sf_dir):
+    """The DQ report accumulated the STREAMING way: orders replays as 4
+    real micro-batches; each batch's expectation counters (additive by
+    construction — counts and violation counts) merge into the running
+    per-rule state, and the FK rule joins each batch against the static
+    customer dimension (the standard stream-static enrichment).  The
+    merged report must equal the batch report bit-for-bit, so it gates
+    against the SAME oracle as dq_violation_counts.  State is one row
+    per rule, localCheckpointed per batch — fixed-size, no lineage
+    growth."""
+    import tempfile
+
+    from go_streaming_spark.functions.dq import check_expectations, fk_violations
+
+    eng = Engine(spark, sf_dir=sf_dir)
+    orders, cust = eng.stream("orders"), eng.stream("customer")
+    tmp = tempfile.mkdtemp(prefix="stream_dq_")
+    orders.repartition(4).write.mode("overwrite").parquet(f"{tmp}/orders")
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/orders")
+    )
+    holder = {"state": None}
+
+    def ingest(batch_df, _bid):
+        report = check_expectations(
+            batch_df,
+            {
+                "totalprice_positive": F.col("o_totalprice") > 0,
+                "orderdate_in_range": (F.col("o_orderdate") >= "1990-01-01")
+                & (F.col("o_orderdate") < "2030-01-01"),
+                "priority_in_domain": F.col("o_orderpriority").isin(
+                    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                    "5-LOW",
+                ),
+            },
+        ).unionByName(fk_violations(batch_df, "o_custkey", cust, "c_custkey"))
+        merged = report if holder["state"] is None else (
+            holder["state"].unionByName(report)
+            .groupBy("rule")
+            .agg(
+                F.sum("n_rows").alias("n_rows"),
+                F.sum("n_violations").alias("n_violations"),
+            )
+        )
+        holder["state"] = merged.localCheckpoint()
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    return holder["state"].select("rule", "n_rows", "n_violations")
