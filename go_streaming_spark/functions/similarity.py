@@ -688,3 +688,130 @@ def pq_adc_topk(
         .orderBy(F.col("cos_pq").desc(), F.col("id"))
         .limit(k)
     )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_blocks: int = 16,
+) -> DataFrame:
+    """Batched kNN join: the exact cosine top-k corpus neighbors for
+    EVERY query row — the retrieval-training / serving-batch shape the
+    single-query tiers (:func:`cosine_topk`, IVF, PQ) don't cover.
+
+    Layout mirrors ``dedup.embedding_cosine_cross_pairs_blocked``: the
+    corpus hash-partitions into ``n_blocks`` (no replication), queries
+    replicate into every block, each block scores its |C_blk|×|Q| matrix
+    with one numpy matmul and keeps, per query, only rows whose BLAS
+    score reaches the block's k-th best minus a 2e-6 safety band —
+    every survivor is rescored with the dimension-ordered fold and
+    q6-quantized, so emitted scores are bit-identical to the Column
+    expression path and the DuckDB oracle.  A global per-query window
+    (cos desc, id asc) cuts the ≤ n_blocks·(k+ties) candidates to the
+    final k.  Self-pairs (query id present in the corpus) are excluded;
+    zero-norm vectors on either side never pair.
+
+    Emits (query_id, neighbor_id, cos_sim, rank), rank 1..k.
+
+    Scale: shuffle volume is n_corpus + n_blocks·n_queries rows (choose
+    the probe batch as ``queries``); per-block memory is one
+    |C_blk|×|Q| float64 matrix — size ``n_blocks`` to keep it in an
+    executor's working set.  The final window touches only candidates.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql.window import Window
+
+    from go_streaming_spark.functions.util import spread
+
+    vec = F.col(vec_col).cast("array<double>")
+    cv = spread(corpus).select(
+        F.col(id_col).alias("id"),
+        vec.alias("vec"),
+        F.lit(0).alias("side"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("_b"),
+    )
+    qv = (
+        spread(queries)
+        .select(
+            F.col(id_col).alias("id"),
+            vec.alias("vec"),
+            F.lit(1).alias("side"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("_eb"),
+        )
+        .select("id", "vec", "side", F.col("_eb").cast("int").alias("_b"))
+    )
+    kk = int(k)
+
+    def score(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cos_sim": []})
+        side = pdf["side"].to_numpy()
+        lc, lq = side == 0, side == 1
+        if not lc.any() or not lq.any():
+            return empty
+        C = np.vstack(pdf["vec"].to_numpy()[lc])
+        Q = np.vstack(pdf["vec"].to_numpy()[lq])
+        ic = pdf["id"].to_numpy()[lc]
+        iq = pdf["id"].to_numpy()[lq]
+        dim = C.shape[1]
+
+        def seq_norms(X):
+            s = np.zeros(X.shape[0])
+            for d in range(dim):
+                s += X[:, d] * X[:, d]
+            return np.sqrt(s)
+
+        nc, nq = seq_norms(C), seq_norms(Q)
+        c_keep, q_keep = nc > 0, nq > 0  # zero-norm: no direction
+        if not c_keep.any() or not q_keep.any():
+            return empty
+        C, ic, nc = C[c_keep], ic[c_keep], nc[c_keep]
+        Q, iq, nq = Q[q_keep], iq[q_keep], nq[q_keep]
+
+        S = (C @ Q.T) / (nc[:, None] * nq[None, :])  # corpus × queries
+        S[ic[:, None] == iq[None, :]] = -np.inf  # self-pairs out
+        out_c, out_q = [], []
+        for j in range(S.shape[1]):
+            col = S[:, j]
+            valid = np.isfinite(col)
+            if not valid.any():
+                continue
+            vals = col[valid]
+            kth = (
+                np.partition(vals, len(vals) - kk)[len(vals) - kk]
+                if len(vals) > kk
+                else vals.min()
+            )
+            sel = np.nonzero(valid & (col >= kth - 2e-6))[0]
+            out_c.append(sel)
+            out_q.append(np.full(len(sel), j))
+        if not out_c:
+            return empty
+        ka = np.concatenate(out_c)
+        kb = np.concatenate(out_q)
+        s = np.zeros(len(ka))
+        Ck, Qk = C[ka], Q[kb]
+        for d in range(dim):
+            s += Ck[:, d] * Qk[:, d]
+        cs = np.floor(s / (nc[ka] * nq[kb]) * 1e6 + 0.5) / 1e6
+        return pd.DataFrame(
+            {"query_id": iq[kb], "neighbor_id": ic[ka], "cos_sim": cs}
+        )
+
+    cand = cv.unionByName(qv).groupBy("_b").applyInPandas(
+        score, "query_id long, neighbor_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )

@@ -2336,6 +2336,30 @@ def lm_bigram_quality(spark, sf_dir):
 
 
 @query(
+    "knn_join_topk",
+    # batched kNN join: exact cosine top-5 corpus neighbors for EVERY
+    # query row (vec_id % 17 = 3 probe batch); self-pairs and zero-norm
+    # vectors excluded on both engines; q6 ties break by neighbor id
+    f"""WITH v AS (SELECT vec_id id, embedding::DOUBLE[] e FROM embeddings
+  WHERE list_sum(list_transform(range(1,65), i -> embedding[i]*embedding[i])) > 0),
+q AS (SELECT id, e FROM v WHERE id % 17 = 3),
+p AS (SELECT q.id AS query_id, c.id AS neighbor_id,
+        floor(({_COS('c.e', 'q.e')})*1e6 + 0.5)/1e6 AS cos_sim
+      FROM q JOIN v c ON c.id <> q.id),
+r AS (SELECT query_id, neighbor_id, cos_sim,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM p)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5""",
+)
+def knn_join_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") % 17 == 3)
+    return similarity.knn_join(probes, emb, "vec_id", "embedding", k=5)
+
+
+@query(
     "negative_sample_pairs",
     # deterministic in-bucket negative sampling (contrastive training):
     # hash-bucketed rows, per-bucket hash order, cyclic shifts 1..k —

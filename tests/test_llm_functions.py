@@ -2288,3 +2288,27 @@ def test_pii_hit_counts_per_pattern(spark):
     assert out[3]["n_pii"] == 0
     assert out[1]["n_pii"] == 3
     assert out[1]["source"] == "s0"  # carry column passes through
+
+
+def test_knn_join_matches_per_query_brute_force(spark):
+    """knn_join's per-query neighbor lists must equal independent
+    cosine_topk runs (same ordering contract: cos desc, id asc)."""
+    from go_streaming_spark.functions import similarity
+
+    emb = _emb(spark).limit(80).cache()
+    probes = emb.filter((F.col("vec_id") % 11) == 2)
+    out = similarity.knn_join(probes, emb, "vec_id", "embedding", k=4).collect()
+    by_q = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["cos_sim"])
+        )
+    for qrow in probes.collect():
+        qid = qrow["vec_id"]
+        brute = similarity.cosine_topk(
+            emb.filter(F.col("vec_id") != qid),
+            "vec_id", "embedding", [float(x) for x in qrow["embedding"]], 4,
+        ).collect()
+        expect = [(r["id"], r["cos_sim"]) for r in brute]
+        assert by_q[qid] == expect, qid
+    emb.unpersist()

@@ -159,6 +159,8 @@ EMB_QUERIES = [
     "leakage_cross_split_pairs",  # r8: cross-split audit on dup/zero vecs
     "jl_projection_vectors",      # r8: signed-sum chains on zero/tiny vecs
     "ann_jl_topk",                # r8: projected-space candidate cut ties
+    "knn_join_topk",              # r8: batched kNN on dup vectors (cos=1
+                                  # ties), zero-norm probes, corpus < k
 ]
 
 
