@@ -1099,3 +1099,74 @@ def pmi_bigrams(
         .orderBy(F.col("pmi_r").desc(), "gram")
         .limit(k)
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Apply an ordered BPE merge list (from :func:`bpe_learn_merges`, or
+    any trained tokenizer's rules) to the corpus and report per-document
+    token statistics: (id, n_words, n_pieces).  Docs with no words don't
+    appear (nothing to encode).
+
+    The vocabulary formulation again: the corpus is touched once for
+    per-doc word counts; the greedy merge fold (rank order, left-to-right
+    with skip-after-merge — same canonical semantics as the trainer) runs
+    ONCE per distinct word via an Arrow-batched UDF, and piece counts
+    join back to the per-doc counts.  At 100 TB the distinct-word
+    vocabulary is millions of rows where the corpus is trillions of
+    tokens — the encode cost is amortized across every occurrence.  The
+    vocabulary join deliberately carries no broadcast hint (it grows
+    with the corpus; AQE decides).
+    """
+    import pandas as pd  # noqa: F401  (pandas_udf runtime dep)
+    from pyspark.sql.functions import pandas_udf
+
+    rules = [(str(a), str(b)) for a, b in merges]
+
+    wc = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(words_expr(F.col(text_col))).alias("word"),
+        )
+        .groupBy("id", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    @pandas_udf("int")
+    def n_pieces(words):
+        cache: dict[str, int] = {}
+
+        def enc(w: str) -> int:
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            syms = list(w)
+            for a, b in rules:
+                out, i, n = [], 0, len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            cache[w] = len(syms)
+            return cache[w]
+
+        return words.map(enc)
+
+    enc = wc.select("word").distinct().withColumn("pieces", n_pieces("word"))
+    return (
+        wc.join(enc, "word")
+        .groupBy("id")
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.sum(F.col("n") * F.col("pieces")).cast("long").alias("n_pieces"),
+        )
+    )

@@ -2454,6 +2454,18 @@ def quality_linear_scores(spark, sf_dir):
     return text.hashed_linear_score(_docs(spark, sf_dir), "doc_id", "text")
 
 
+@query("bpe_encode_counts")
+def bpe_encode_counts(spark, sf_dir):
+    """Per-doc token statistics after applying a fixed BPE merge list —
+    the ENCODE half of the tokenizer story (bpe_top_merges is the
+    trainer).  Rows-only: the greedy rank-ordered merge fold is not
+    SQL-expressible; exactness is pinned by the pure-Python reference
+    parity test (test_bpe_encode_matches_python_reference), the
+    bpe_top_merges pattern."""
+    merges = [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d")]
+    return text.bpe_encode(_docs(spark, sf_dir), "doc_id", "text", merges)
+
+
 @query("bpe_top_merges")
 def bpe_top_merges(spark, sf_dir):
     """First 8 BPE merge rules learned from the documents corpus — the

@@ -2312,3 +2312,42 @@ def test_knn_join_matches_per_query_brute_force(spark):
         expect = [(r["id"], r["cos_sim"]) for r in brute]
         assert by_q[qid] == expect, qid
     emb.unpersist()
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """Corpus-wide encode must equal a per-word pure-Python greedy merge
+    fold (rank order, skip-after-merge), including the 'aaaa' -> 'aa aa'
+    boundary case string replace can't reproduce."""
+    from go_streaming_spark.functions.text import bpe_encode
+
+    merges = [("a", "a"), ("aa", "b"), ("c", "d")]
+
+    def enc_len(w):
+        syms = list(w)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    docs = [
+        (1, "aaaa aab cd"),        # 'aa aa'=2, 'aab'->'aa b'->'aab'=1, 'cd'=1
+        (2, "abcd dcba abcd"),
+        (3, "aaa"),                # odd run: 'aa a' = 2
+        (4, ""),                   # no words -> absent from output
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["id"]: r for r in bpe_encode(df, "doc_id", "text", merges).collect()}
+    assert 4 not in out
+    for doc_id, txt in docs[:3]:
+        words = [w for w in txt.split() if w]
+        assert out[doc_id]["n_words"] == len(words)
+        assert out[doc_id]["n_pieces"] == sum(enc_len(w) for w in words), doc_id
+    assert out[1]["n_pieces"] == 4
+    assert out[3]["n_pieces"] == 2
