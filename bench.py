@@ -84,6 +84,14 @@ HEADLINE = [
     "leakage_cross_split_pairs",     # cross-split cosine audit, broadcast test side (round 8)
     "zorder_locality_stats",         # Morton layout audit, generated integer expr (round 8)
     "dedup_containment_pairs",       # asymmetric (quote-inclusion) near-dup (round 8)
+    "knn_join_topk",                 # batched kNN join: blocked BLAS + exact rescore (round 8)
+    "cust_order_distribution",       # Q13: outer join + double aggregation (round 8)
+    "nation_market_share",           # Q8: two dimension chains + share division (round 8)
+    "disjunctive_part_revenue",      # Q19: OR-of-ANDs with pushed quantity hull (round 8)
+    "quality_linear_scores",         # map-only hashed-feature model scoring (round 8)
+    "leakage_safe_split_counts",     # dedup-aware split: components + threshold CASE (round 8)
+    "negative_sample_pairs",         # bucketed windows + equi-join, k·n output (round 8)
+    "dq_violation_counts",           # single-scan expectation report + FK join (round 8)
 ]
 
 

@@ -47,6 +47,8 @@ PAIR_QUERIES = [
     "leakage_cross_split_pairs",  # quadratic cross-split cosine oracle (round 8)
     "semdedup_survivors",         # within-cluster pair oracle (round 8)
     "corpus_ingest_clean_tokens", # composes the jac CTE + span removal (round 8)
+    "leakage_safe_split_counts",  # recursive component CTE over pairs (round 8)
+    "knn_join_topk",              # quadratic per-query neighbor oracle (round 8)
 ]
 
 TABLES = (
