@@ -1170,3 +1170,60 @@ def bpe_encode(
             F.sum(F.col("n") * F.col("pieces")).cast("long").alias("n_pieces"),
         )
     )
+
+
+def token_tv_drift(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Distribution drift per group: the total-variation distance between
+    each group's token distribution and the whole-corpus distribution —
+    the monitoring stat that catches a source going off the rails (a
+    crawler feeding navigation boilerplate, a language flip, template
+    spam) long before eval metrics move.
+
+    TV(s) = ½ Σ_t |p_s(t) − p(t)| computed EXACTLY in integers:
+    ½ Σ_t |c_{s,t}·N − c_t·N_s| / (N_s·N).  Tokens absent from a group
+    contribute algebraically — Σ_{t∉s} c_t·N_s = (N − Σ_{t∈s} c_t)·N_s —
+    so the join touches only (group, token) pairs that EXIST; no outer
+    join over the full vocabulary.  Emits (group, n_tokens, tv_q6) with
+    tv_q6 = the µ-quantized distance via exact integer floor division.
+
+    Shuffles: one groupBy(group, token) with map-side combine, one
+    groupBy(token) over its output for corpus counts, one equi-join on
+    token (vocabulary grows with the corpus — deliberately unhinted),
+    one groupBy(group).  Int64 bounds: c·N ≤ N² must stay under 2^63 —
+    exact up to ~3e9 corpus tokens; beyond that, pre-quantize
+    frequencies to per-million units (same output grid).
+    """
+    toks = spread(df).select(
+        F.col(group_col).alias("grp"),
+        F.explode(words_expr(F.col(text_col))).alias("tok"),
+    )
+    gt = toks.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("c_gt"))
+    ct = gt.groupBy("tok").agg(F.sum("c_gt").alias("c_t"))
+    totals = gt.groupBy("grp").agg(F.sum("c_gt").alias("n_g"))
+    n_all = gt.agg(F.sum("c_gt").alias("n_all"))
+    per_tok = (
+        gt.join(ct, "tok")
+        .crossJoin(F.broadcast(n_all))  # 1-row scalar
+        .join(totals, "grp")
+        .groupBy("grp")
+        .agg(
+            F.first("n_g").alias("n_g"),
+            F.first("n_all").alias("n_all"),
+            F.sum(F.abs(F.col("c_gt") * F.col("n_all") - F.col("c_t") * F.col("n_g")))
+            .alias("sum_abs_present"),
+            F.sum(F.col("c_t")).alias("ct_present"),
+        )
+    )
+    return per_tok.selectExpr(
+        "grp AS " + group_col,
+        "n_g AS n_tokens",
+        # ½·(Σ_present |…| + (N − Σ_present c_t)·N_g) / (N_g·N), µ-quantized:
+        # numerator and denominator exact int64, one floor division
+        "(sum_abs_present + (n_all - ct_present) * n_g) * 1000000"
+        " div (2 * n_g * n_all) AS tv_q6",
+    )

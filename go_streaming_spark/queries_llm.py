@@ -2336,6 +2336,33 @@ def lm_bigram_quality(spark, sf_dir):
 
 
 @query(
+    "token_drift_by_source",
+    # per-source total-variation drift vs the corpus token distribution —
+    # exact integer arithmetic end-to-end (absent tokens handled
+    # algebraically: (N - Σ_present c_t)·N_g); sources with zero tokens
+    # don't appear (no distribution to compare)
+    r"""WITH toks AS (SELECT source AS grp,
+    unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+  FROM documents),
+gt AS (SELECT grp, tok, count(*) AS c_gt FROM toks GROUP BY 1, 2),
+ct AS (SELECT tok, CAST(sum(c_gt) AS BIGINT) AS c_t FROM gt GROUP BY 1),
+tot AS (SELECT grp, CAST(sum(c_gt) AS BIGINT) AS n_g FROM gt GROUP BY 1),
+na AS (SELECT CAST(sum(c_gt) AS BIGINT) AS n_all FROM gt),
+agg AS (SELECT grp, any_value(n_g) AS n_g, any_value(n_all) AS n_all,
+    CAST(sum(abs(c_gt * n_all - c_t * n_g)) AS BIGINT) AS s_abs,
+    CAST(sum(c_t) AS BIGINT) AS ct_present
+  FROM gt JOIN ct USING (tok) CROSS JOIN na JOIN tot USING (grp)
+  GROUP BY grp)
+SELECT grp AS source, n_g AS n_tokens,
+  (s_abs + (n_all - ct_present) * n_g) * 1000000
+    // (2 * n_g * n_all) AS tv_q6
+FROM agg""",
+)
+def token_drift_by_source(spark, sf_dir):
+    return text.token_tv_drift(_docs(spark, sf_dir), "doc_id", "text", "source")
+
+
+@query(
     "knn_join_topk",
     # batched kNN join: exact cosine top-5 corpus neighbors for EVERY
     # query row (vec_id % 17 = 3 probe batch); self-pairs and zero-norm

@@ -2351,3 +2351,36 @@ def test_bpe_encode_matches_python_reference(spark):
         assert out[doc_id]["n_pieces"] == sum(enc_len(w) for w in words), doc_id
     assert out[1]["n_pieces"] == 4
     assert out[3]["n_pieces"] == 2
+
+
+def test_token_tv_drift_hand_computed(spark):
+    """TV distance must match the hand-derived exact value, including the
+    absent-token algebra; a group matching the corpus distribution
+    exactly scores 0; zero-token groups are absent."""
+    from go_streaming_spark.functions.text import token_tv_drift
+
+    # g1: 3×a 1×b (N_g=4); g2: 3×a 1×b (N_g=4)  -> both == corpus -> 0
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b", "g1"),
+            (2, "a a a b", "g2"),
+            (3, "", "g3"),  # zero tokens -> absent
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in
+           token_tv_drift(df, "doc_id", "text", "source").collect()}
+    assert set(out) == {"g1", "g2"}
+    assert out["g1"]["tv_q6"] == 0 and out["g2"]["tv_q6"] == 0
+
+    # skewed: g1 = {a:2} (p_a=1), corpus = {a:2+1, b:1} of N=4
+    # TV = ½(|1 - 3/4| + |0 - 1/4|) = 1/4 -> 250000 µ
+    df2 = spark.createDataFrame(
+        [(1, "a a", "g1"), (2, "a b", "g2")],
+        "doc_id long, text string, source string",
+    )
+    out2 = {r["source"]: r["tv_q6"] for r in
+            token_tv_drift(df2, "doc_id", "text", "source").collect()}
+    assert out2["g1"] == 250000
+    # g2 = {a:1, b:1}: TV = ½(|1/2 - 3/4| + |1/2 - 1/4|) = 1/4
+    assert out2["g2"] == 250000

@@ -77,6 +77,9 @@ FUZZ_QUERIES = [
     # round 8 (cont.): regexp_count vs regexp_extract_all length on
     # hostile separators around the synthesized PII suffix
     "pii_audit_by_source",
+    # round 8 (cont.): absent-token algebra on single-token groups and
+    # all-empty sources (zero-token groups must vanish on both engines)
+    "token_drift_by_source",
 ]
 
 WORD = st.sampled_from(
