@@ -62,3 +62,54 @@ def winsorized_stats(
         F.sum("is_cl").alias("n_clamped"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def categorical_tv_drift(
+    keyed: DataFrame, group_col: str, key_col: str
+) -> DataFrame:
+    """Total-variation distance between each group's distribution over
+    ``key_col`` and the all-groups distribution — exact integer
+    arithmetic throughout (the generalized core of
+    ``text.token_tv_drift``; feed it tokens, histogram bins, enum
+    columns, anything categorical).
+
+    Input is one row per OBSERVATION (group, key); output one row per
+    group: (group, n, tv_q6).  Keys absent from a group contribute
+    algebraically — Σ_{k∉g} c_k·N_g = (N − Σ_{k∈g} c_k)·N_g — so the
+    key join touches only existing (group, key) pairs.  Groups with no
+    rows are absent (no distribution to compare).
+
+    Shuffles: groupBy(group, key) with map-side combine, groupBy(key)
+    over its output, one equi-join on key (unhinted — key cardinality
+    grows with the data), one groupBy(group).  Int64 bound: c·N < 2^63
+    (≈3e9 observations); beyond that pre-quantize frequencies.
+    """
+    gt = (
+        keyed.select(
+            F.col(group_col).alias("grp"), F.col(key_col).alias("k")
+        )
+        .groupBy("grp", "k")
+        .agg(F.count(F.lit(1)).alias("c_gk"))
+    )
+    ck = gt.groupBy("k").agg(F.sum("c_gk").alias("c_k"))
+    totals = gt.groupBy("grp").agg(F.sum("c_gk").alias("n_g"))
+    n_all = gt.agg(F.sum("c_gk").alias("n_all"))
+    agg = (
+        gt.join(ck, "k")
+        .crossJoin(F.broadcast(n_all))  # 1-row scalar
+        .join(totals, "grp")
+        .groupBy("grp")
+        .agg(
+            F.first("n_g").alias("n_g"),
+            F.first("n_all").alias("n_all"),
+            F.sum(F.abs(F.col("c_gk") * F.col("n_all") - F.col("c_k") * F.col("n_g")))
+            .alias("s_abs"),
+            F.sum(F.col("c_k")).alias("ck_present"),
+        )
+    )
+    return agg.selectExpr(
+        f"grp AS {group_col}",
+        "n_g AS n",
+        "(s_abs + (n_all - ck_present) * n_g) * 1000000"
+        " div (2 * n_g * n_all) AS tv_q6",
+    )

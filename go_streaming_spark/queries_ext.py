@@ -2295,3 +2295,41 @@ def stream_dq_violation_counts(spark, sf_dir):
     )
     q.awaitTermination()
     return holder["state"].select("rule", "n_rows", "n_violations")
+
+
+@query(
+    "value_drift_by_type",
+    # numeric drift monitor: TV distance between each event_type's VALUE
+    # histogram (hist_build's exact bin arithmetic, domain [0,500),
+    # 4096 bins, clamped edges) and the all-events histogram — the
+    # numeric twin of token_drift_by_source, same exact-integer algebra
+    """WITH b AS (SELECT event_type AS grp,
+    least(greatest(CAST(floor((CAST(value AS DOUBLE) - 0.0) * 8.192)
+      AS BIGINT), 0), 4095) AS k
+  FROM events WHERE value IS NOT NULL),
+gt AS (SELECT grp, k, count(*) AS c_gk FROM b GROUP BY 1, 2),
+ck AS (SELECT k, CAST(sum(c_gk) AS BIGINT) AS c_k FROM gt GROUP BY 1),
+tot AS (SELECT grp, CAST(sum(c_gk) AS BIGINT) AS n_g FROM gt GROUP BY 1),
+na AS (SELECT CAST(sum(c_gk) AS BIGINT) AS n_all FROM gt),
+agg AS (SELECT grp, any_value(n_g) AS n_g, any_value(n_all) AS n_all,
+    CAST(sum(abs(c_gk * n_all - c_k * n_g)) AS BIGINT) AS s_abs,
+    CAST(sum(c_k) AS BIGINT) AS ck_present
+  FROM gt JOIN ck USING (k) CROSS JOIN na JOIN tot USING (grp)
+  GROUP BY grp)
+SELECT grp AS event_type, n_g AS n,
+  (s_abs + (n_all - ck_present) * n_g) * 1000000
+    // (2 * n_g * n_all) AS tv_q6
+FROM agg""",
+)
+def value_drift_by_type(spark, sf_dir):
+    from go_streaming_spark.functions.stats import categorical_tv_drift
+
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    v = F.col("value").cast("double")
+    scale = 4096.0 / 500.0  # ONE Python double literal, both engines
+    raw = F.floor((v - F.lit(0.0)) * F.lit(scale)).cast("long")
+    binned = ev.filter(v.isNotNull()).select(
+        "event_type",
+        F.least(F.greatest(raw, F.lit(0)), F.lit(4095)).alias("bin"),
+    )
+    return categorical_tv_drift(binned, "event_type", "bin")

@@ -235,6 +235,8 @@ EVENT_QUERIES = [
     "ols_trend_by_type",        # r8: decimal-exact OLS on degenerate groups
     "event_transition_counts",  # r8: lag ties on duplicate timestamps
     "recency_weighted_counts",  # r8: integer halving on negative-age guard
+    "value_drift_by_type",      # r8: TV drift on clamped edge bins
+                                # (negative values) and single-type draws
 ]
 
 
