@@ -2333,3 +2333,44 @@ def value_drift_by_type(spark, sf_dir):
         F.least(F.greatest(raw, F.lit(0)), F.lit(4095)).alias("bin"),
     )
     return categorical_tv_drift(binned, "event_type", "bin")
+
+
+@query(
+    "cheapest_supplier_per_part",
+    # TPC-H Q2's argmin shape on the available tables: per part, the
+    # supplier offering the lowest unit price.  Oracle = window row_number;
+    # the engine uses the min-struct idiom instead — see the docstring.
+    "WITH up AS (SELECT l_partkey, l_suppkey,"
+    " l_extendedprice / l_quantity AS unit_price FROM lineitem"
+    " WHERE l_quantity > 0),"
+    " r AS (SELECT l_partkey, l_suppkey, unit_price,"
+    "  row_number() OVER (PARTITION BY l_partkey"
+    "    ORDER BY unit_price, l_suppkey) AS rn FROM up)"
+    " SELECT l_partkey AS partkey, l_suppkey AS suppkey, unit_price"
+    " FROM r WHERE rn = 1",
+)
+def cheapest_supplier_per_part(spark, sf_dir):
+    # The argmin-per-group WITHOUT a window: min over a (price, suppkey)
+    # struct — lexicographic struct ordering gives the deterministic
+    # tie-break for free.  One groupBy with MAP-SIDE COMBINE (each
+    # partition keeps one candidate per part before the shuffle), versus
+    # the window formulation's full per-group sort of every row — at
+    # 100 TB the struct-min shuffles |parts| candidates per partition
+    # while row_number shuffles the whole fact table.  The double
+    # division is IEEE-exact on identical operands, so the oracle's
+    # window form agrees bit-for-bit.
+    eng = Engine(spark, sf_dir=sf_dir)
+    li = eng.stream("lineitem").filter(F.col("l_quantity") > 0)
+    unit = (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    best = (
+        li.select("l_partkey", "l_suppkey", unit)
+        .groupBy("l_partkey")
+        .agg(
+            F.min(F.struct("unit_price", "l_suppkey")).alias("best")
+        )
+    )
+    return best.select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("best.l_suppkey").alias("suppkey"),
+        F.col("best.unit_price").alias("unit_price"),
+    )

@@ -308,6 +308,9 @@ LINEITEM_QUERIES = [
     "pricing_summary",   # TPC-H Q1: decimal-at-the-leaf sum chains
     "stat_aggregates",   # corr/covar/stddev float formulas
     "table_fingerprint", # r7: canonical decimal rendering + xor fold
+    # r8: struct-min argmin vs window oracle on duplicate unit prices
+    # (tie-break by suppkey) and zero-quantity guard
+    "cheapest_supplier_per_part",
 ]
 
 
