@@ -792,3 +792,65 @@ def test_streaming_session_window_merges_across_batches(spark, tmp_path):
         ("u1", "2024-01-01 00:00:00", 2),
         ("u1", "2024-01-01 02:10:00", 1),
     ], got
+
+
+def test_streaming_dedup_within_watermark_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark = the state-BOUNDED streaming dedup:
+    duplicates arriving within the watermark window are suppressed, and
+    a duplicate arriving after its key was evicted re-emits — the price
+    of fixed state, vs dropDuplicates' unbounded key store.  Within one
+    micro-batch the key is always live, so the in-batch duplicate and
+    the next-batch duplicate inside the window must both be suppressed."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from go_streaming_spark.streaming.runner import replay_to_memory
+
+    src = tmp_path / "wmdedup"
+    src.mkdir()
+    batches = [
+        # b0: key A twice (in-batch dup), key B once
+        [("A", "2024-01-01T00:00:00"), ("A", "2024-01-01T00:00:01"),
+         ("B", "2024-01-01T00:00:02")],
+        # b1: A again 1 minute later — inside the 10-minute watermark
+        # window of its first sighting → suppressed
+        [("A", "2024-01-01T00:01:00")],
+        # b2: far-future event advances the watermark past A's expiry
+        [("C", "2024-01-01T05:00:00")],
+        # b3: another advance — state eviction applies at batch END with
+        # the batch's watermark, so A leaves the store here
+        [("D", "2024-01-01T10:00:00")],
+        # b4: A re-arrives with a fresh event time → RE-EMITTED (evicted)
+        [("A", "2024-01-01T10:00:30")],
+    ]
+    import os as _os
+
+    for b, rows in enumerate(batches):
+        p = src / f"b{b}.json"
+        with open(p, "w") as f:
+            for k, ts in rows:
+                f.write(_json.dumps({"k": k, "ts": ts}) + "\n")
+        # the file source orders batches by modification time — pin it,
+        # or all four files share an mtime and the replay order is luck
+        _os.utime(p, (1_700_000_000 + b, 1_700_000_000 + b))
+
+    stream = (
+        spark.readStream.schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = replay_to_memory(
+        stream.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["k"]),
+        spark,
+        output_mode="append",
+    ).collect()
+    got = sorted((r.k, str(r.ts)) for r in out)
+    assert got == [
+        ("A", "2024-01-01 00:00:00"),
+        ("A", "2024-01-01 10:00:30"),  # re-emitted after eviction
+        ("B", "2024-01-01 00:00:02"),
+        ("C", "2024-01-01 05:00:00"),
+        ("D", "2024-01-01 10:00:00"),
+    ], got
