@@ -66,10 +66,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # recency_weighted_counts, quality_linear_scores,
 # stream_session_window_count, cust_order_distribution,
 # nation_market_share, disjunctive_part_revenue,
-# leakage_safe_split_counts, dq_violation_counts, negative_sample_pairs
+# leakage_safe_split_counts, dq_violation_counts, negative_sample_pairs,
+# pii_audit_by_source, stream_dq_violation_counts, knn_join_topk,
+# bpe_encode_counts, token_drift_by_source, value_drift_by_type,
+# cheapest_supplier_per_part
 # — re-enumerate from the registry, newest-without-a-row first, in case
-# of later r8 additions).  That exceeds 50: the ~44 r8 registrations
-# take the first slots (newest last), the stalest r6 greens fill the
+# of later r8 additions).  That exceeds 50: the ~51 r8 registrations
+# take the first slots (newest last), the stalest r6 greens fill any
 # remainder; r6 greens that miss the cut carry to r10 at the head of
 # the queue.
 GATE_PRIORITY = [
