@@ -1227,3 +1227,39 @@ def token_tv_drift(
         "(sum_abs_present + (n_all - ct_present) * n_g) * 1000000"
         " div (2 * n_g * n_all) AS tv_q6",
     )
+
+
+def mixed_language_flags(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Detect documents whose halves disagree on language — the cheap
+    mixed-language screen (concatenated boilerplate, code-switched spam,
+    mis-merged crawl records) that a whole-document argmax hides: a doc
+    that is half English half German still gets a confident single
+    label from :func:`lang_id`.
+
+    Splits on the word midpoint (head = first ⌊n/2⌋ words, tail = the
+    rest), runs the same marker-argmax on each half, and flags
+    disagreement.  Docs with fewer than 2 words don't appear (nothing
+    to split).  Emits (id, lang_head, lang_tail, mixed).
+
+    Map-only: one scan, the split is array slicing, both argmaxes are
+    the CASE cascade — no shuffle, no UDF.
+    """
+    words = words_expr(F.col(text_col))
+    n = F.size(words)
+    half = F.greatest((n / 2).cast("int"), F.lit(1))
+    head = F.concat_ws(" ", F.slice(words, 1, half))
+    tail = F.concat_ws(" ", F.slice(words, half + 1, n - half))
+    lh = lang_id(head)
+    lt = lang_id(tail)
+    return (
+        spread(df)
+        .filter(n >= 2)
+        .select(
+            F.col(id_col).alias("id"),
+            lh.alias("lang_head"),
+            lt.alias("lang_tail"),
+            (lh != lt).cast("int").alias("mixed"),
+        )
+    )

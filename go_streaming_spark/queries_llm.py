@@ -2335,6 +2335,51 @@ def lm_bigram_quality(spark, sf_dir):
     return text.lm_bigram_quality(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def _lang_case_sql(texpr: str, tag: str) -> str:
+    """The lang_id marker-argmax as DuckDB SQL over an arbitrary text
+    expression — the text_lang_id oracle generalized (same CASE order)."""
+    scores = ", ".join(
+        f"len(list_intersect(list_filter(regexp_split_to_array(lower({texpr}),"
+        f"'\\s+'),x->x<>''), {markers})) s_{tag}_{lang}"
+        for lang, markers in sorted(text.LANG_MARKERS.items())
+    )
+    g = f"greatest(s_{tag}_de, s_{tag}_en, s_{tag}_es, s_{tag}_fr)"
+    case = (
+        f"CASE WHEN {g} <= 0 THEN 'und'"
+        + "".join(
+            f" WHEN s_{tag}_{lang} = {g} THEN '{lang}'"
+            for lang in sorted(text.LANG_MARKERS)
+        )
+        + " END"
+    )
+    return scores, case
+
+
+_MIX_S1, _MIX_C1 = _lang_case_sql("t1", "a")
+_MIX_S2, _MIX_C2 = _lang_case_sql("t2", "b")
+
+
+@query(
+    "mixed_language_flags",
+    # language disagreement between the word-midpoint halves — the same
+    # marker-argmax CASE as text_lang_id applied to each half; docs with
+    # < 2 words can't split and don't appear
+    rf"""WITH w AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS wd
+  FROM documents),
+h AS (SELECT doc_id,
+    array_to_string(wd[1:greatest(len(wd)//2, 1)], ' ') AS t1,
+    array_to_string(wd[greatest(len(wd)//2, 1)+1:len(wd)], ' ') AS t2
+  FROM w WHERE len(wd) >= 2),
+s AS (SELECT doc_id, {_MIX_S1}, {_MIX_S2} FROM h),
+l AS (SELECT doc_id, {_MIX_C1} AS lang_head, {_MIX_C2} AS lang_tail FROM s)
+SELECT doc_id AS id, lang_head, lang_tail,
+  CAST(lang_head <> lang_tail AS INT) AS mixed FROM l""",
+)
+def mixed_language_flags(spark, sf_dir):
+    return text.mixed_language_flags(_docs(spark, sf_dir), "doc_id", "text")
+
+
 @query(
     "token_drift_by_source",
     # per-source total-variation drift vs the corpus token distribution —

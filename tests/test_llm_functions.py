@@ -2384,3 +2384,25 @@ def test_token_tv_drift_hand_computed(spark):
     assert out2["g1"] == 250000
     # g2 = {a:1, b:1}: TV = ½(|1/2 - 3/4| + |1/2 - 1/4|) = 1/4
     assert out2["g2"] == 250000
+
+
+def test_mixed_language_flags_detects_code_switch(spark):
+    from go_streaming_spark.functions.text import mixed_language_flags
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat der hund ist nicht ein gut"),  # en|de
+            (2, "the dog is a good dog and it is here"),              # en|en
+            (3, "one"),                                               # 1 word
+            (4, "xyzzy plugh"),                                       # und|und
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in
+           mixed_language_flags(df, "doc_id", "text").collect()}
+    assert 3 not in out
+    assert (out[1]["lang_head"], out[1]["lang_tail"], out[1]["mixed"]) == (
+        "en", "de", 1)
+    assert out[2]["mixed"] == 0 and out[2]["lang_head"] == "en"
+    assert (out[4]["lang_head"], out[4]["lang_tail"], out[4]["mixed"]) == (
+        "und", "und", 0)

@@ -80,6 +80,9 @@ FUZZ_QUERIES = [
     # round 8 (cont.): absent-token algebra on single-token groups and
     # all-empty sources (zero-token groups must vanish on both engines)
     "token_drift_by_source",
+    # round 8 (cont.): half-split slicing on 1-2 word docs and the
+    # und/argmax tie cascade on marker-free halves
+    "mixed_language_flags",
 ]
 
 WORD = st.sampled_from(
