@@ -165,3 +165,32 @@ def snapshot_diff(
         j.select(*keys_out, change.alias("change"))
         .filter(F.col("change").isNotNull())
     )
+
+
+def partition_fingerprint(
+    df: DataFrame,
+    group_cols: list[str],
+    hash_cols: list[str],
+) -> DataFrame:
+    """Per-partition order-insensitive checksums — the incremental-copy
+    validator: after replicating only the partitions a backfill touched,
+    compare ONE row per partition instead of re-fingerprinting the whole
+    100 TB table (the grouped form of the table_fingerprint primitive).
+
+    Row hash = 60-bit md5 prefix over the '|'-joined canonical strings
+    of ``hash_cols``, folded per group with bit_xor (commutative,
+    associative, overflow-free), plus the exact row count.  Two tables'
+    manifests anti-join on (group, xor_hash, n_rows) to list exactly the
+    partitions that diverge.  NULL-bearing hash_cols need an explicit
+    coalesce sentinel on BOTH engines (concat_ws skips NULLs where SQL
+    || nulls the row) — pass pre-coalesced columns for those.
+
+    One map-side-combined groupBy; output ∝ partition count.
+    """
+    from go_streaming_spark.functions.dedup import md5_int
+
+    row_str = F.concat_ws("|", *[F.col(c).cast("string") for c in hash_cols])
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(md5_int(row_str, hex_chars=15)).alias("xor_hash"),
+    )

@@ -2374,3 +2374,27 @@ def cheapest_supplier_per_part(spark, sf_dir):
         F.col("best.l_suppkey").alias("suppkey"),
         F.col("best.unit_price").alias("unit_price"),
     )
+
+
+@query(
+    "partition_manifest_orders",
+    # per-partition checksum manifest (grouped table_fingerprint): one
+    # row per o_orderpriority partition — count + xor-folded 60-bit row
+    # hashes; incremental copies validate by comparing manifests
+    "SELECT o_orderpriority AS priority, count(*) AS n_rows,"
+    " CAST(bit_xor(CAST(('0x' || substr(md5("
+    "   CAST(o_orderkey AS VARCHAR) || '|'"
+    "   || CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR)"
+    " ), 1, 15)) AS BIGINT)) AS BIGINT) AS xor_hash"
+    " FROM orders GROUP BY 1",
+)
+def partition_manifest_orders(spark, sf_dir):
+    from go_streaming_spark.functions.cdc import partition_fingerprint
+
+    orders = Engine(spark, sf_dir=sf_dir).stream("orders")
+    prepped = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderkey").cast("string").alias("k"),
+        F.col("o_totalprice").cast(DEC).cast("string").alias("p"),
+    )
+    return partition_fingerprint(prepped, ["priority"], ["k", "p"])

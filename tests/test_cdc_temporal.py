@@ -227,3 +227,36 @@ def test_snapshot_diff_digest_mode_matches_column_mode(spark):
     )
     expected = [(2, "changed"), (3, "changed"), (4, "removed"), (5, "added")]
     assert col_mode == dig_mode == expected
+
+
+def test_partition_fingerprint_detects_divergent_partition(spark):
+    """Manifests of two copies must agree exactly on untouched partitions
+    and differ only on the mutated one; order-insensitivity means a
+    reshuffled copy fingerprints identically."""
+    from pyspark.sql import functions as F
+
+    from go_streaming_spark.functions.cdc import partition_fingerprint
+
+    a = spark.createDataFrame(
+        [(i, ["x", "y"][i % 2], float(i)) for i in range(40)],
+        "id long, part string, v double",
+    )
+    prep = lambda df: df.select(
+        "part", F.col("id").cast("string").alias("k"),
+        F.col("v").cast("string").alias("val"),
+    )
+    ma = {r["part"]: (r["n_rows"], r["xor_hash"])
+          for r in partition_fingerprint(prep(a), ["part"], ["k", "val"]).collect()}
+    # reshuffled copy → identical manifest
+    mb = {r["part"]: (r["n_rows"], r["xor_hash"])
+          for r in partition_fingerprint(
+              prep(a.repartition(7)), ["part"], ["k", "val"]).collect()}
+    assert ma == mb
+    # mutate one row in partition 'y' → only 'y' diverges
+    c = a.withColumn(
+        "v", F.when(F.col("id") == 1, F.lit(999.0)).otherwise(F.col("v"))
+    )
+    mc = {r["part"]: (r["n_rows"], r["xor_hash"])
+          for r in partition_fingerprint(prep(c), ["part"], ["k", "val"]).collect()}
+    assert mc["x"] == ma["x"]
+    assert mc["y"] != ma["y"]
