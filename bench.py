@@ -92,6 +92,9 @@ HEADLINE = [
     "leakage_safe_split_counts",     # dedup-aware split: components + threshold CASE (round 8)
     "negative_sample_pairs",         # bucketed windows + equi-join, k·n output (round 8)
     "dq_violation_counts",           # single-scan expectation report + FK join (round 8)
+    "cheapest_supplier_per_part",    # argmin via min-struct map-side combine (round 8)
+    "token_drift_by_source",         # exact-TV drift: two keyed shuffles + vocab join (round 8)
+    "mixed_language_flags",          # dual lang-ID argmax, map-only (round 8)
 ]
 
 
