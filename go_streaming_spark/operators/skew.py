@@ -118,3 +118,38 @@ def key_skew_stats(df, key_col: str, top: int = 10):
         .orderBy(F.col("n_rows").desc(), F.col("key"))
         .limit(top)
     )
+
+
+def adaptive_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    share_threshold: float = 0.2,
+    salt: int = 8,
+    top: int = 1,
+) -> DataFrame:
+    """Skew-aware join wrapper: measure first, salt only when it pays.
+
+    Runs :func:`key_skew_stats` on the left side's join key (one
+    map-side-combined groupBy + a ``top``-row collect — bounded driver
+    traffic by construction) and routes to :func:`salted_join` when the
+    hottest key owns more than ``share_threshold`` of the rows,
+    otherwise to the plain equi-join where AQE's runtime skew splitting
+    and broadcast promotion do their normal work.  Output is identical
+    either way (salted_join is exact); only the physical plan changes.
+
+    The diagnostic pass costs one extra scan of the left side — worth it
+    when the join is the dominant stage (the usual case for a fact-fact
+    join at 100 TB) and the key distribution is unknown; skip straight
+    to :func:`salted_join` when the hot key is known a priori.
+
+    Single-column keys only (the diagnostic measures one column).
+    """
+    if len(on) != 1:
+        raise ValueError("adaptive_join measures a single join column")
+    rows = key_skew_stats(left, on[0], top=top).collect()
+    hot = max((r["share"] for r in rows), default=0.0)
+    if hot > share_threshold:
+        return salted_join(left, right, on, salt=salt, how=how)
+    return left.join(right, on=on, how=how)

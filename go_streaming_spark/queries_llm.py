@@ -2677,3 +2677,37 @@ def dedup_edit_distance(spark, sf_dir):
     return dedup.edit_distance_pairs(
         _docs(spark, sf_dir), "doc_id", "text", max_dist=8, prefix_len=80
     )
+
+
+@query(
+    "review_queue_sample",
+    # human-review queue: k=3 deterministic example docs per language,
+    # chosen by id hash (stable across reruns — reviewers see the same
+    # queue), ordered within group by the hash with id tie-break
+    f"""WITH s AS (SELECT doc_id, lang,
+    CAST(('0x'||substr(md5('review|'||CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT)
+      AS h FROM documents),
+r AS (SELECT doc_id, lang, h,
+    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn FROM s)
+SELECT lang, doc_id, CAST(rn AS BIGINT) AS pick
+FROM r WHERE rn <= 3""",
+)
+def review_queue_sample(spark, sf_dir):
+    # per-group deterministic top-k by hash: the sampling shape for QC
+    # review queues (same docs every rerun, unlike LIMIT's plan-dependent
+    # pick).  One window per group — partitioned by the group key, so the
+    # sort is per-group and parallel; at 100 TB pre-filter with
+    # deterministic_sample to keep the window input bounded.
+    from pyspark.sql.window import Window
+
+    from go_streaming_spark.functions.sampling import hash_bucket
+
+    docs = _docs(spark, sf_dir)
+    h = hash_bucket(F.col("doc_id"), "review")
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", "lang", h.alias("h"))
+        .withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= 3)
+        .select("lang", "doc_id", F.col("pick").cast("long").alias("pick"))
+    )

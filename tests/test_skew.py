@@ -65,3 +65,32 @@ def test_salted_agg_rejects_holistic(spark):
     df = spark.createDataFrame([(1, "a")], "id long, k string")
     with pytest.raises(ValueError, match="non-re-aggregatable"):
         salted_agg(df, ["k"], {"x": ("collect_list", "id")})
+
+
+def test_adaptive_join_routes_by_measured_skew(spark):
+    """Hot-key input must route through the salted plan (visible as the
+    salt-replica explode in the physical plan); uniform input must stay
+    a plain join.  Results equal the plain join in BOTH regimes."""
+    from pyspark.sql import functions as F
+
+    from go_streaming_spark.operators.skew import adaptive_join
+
+    dim = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(10)], "k long, payload string"
+    )
+    hot = spark.createDataFrame(
+        [(0 if i % 10 else i % 7, i) for i in range(1000)], "k long, x long"
+    )  # ~90% of rows on k=0
+    uni = spark.createDataFrame(
+        [(i % 10, i) for i in range(1000)], "k long, x long"
+    )
+
+    for fact, expect_salted in ((hot, True), (uni, False)):
+        out = adaptive_join(fact, dim, ["k"], share_threshold=0.2)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert ("explode" in plan.lower()) == expect_salted, plan[:500]
+        got = sorted((r.k, r.x, r.payload) for r in out.collect())
+        ref = sorted(
+            (r.k, r.x, r.payload) for r in fact.join(dim, "k").collect()
+        )
+        assert got == ref
