@@ -2398,3 +2398,40 @@ def partition_manifest_orders(spark, sf_dir):
         F.col("o_totalprice").cast(DEC).cast("string").alias("p"),
     )
     return partition_fingerprint(prepped, ["priority"], ["k", "p"])
+
+
+@query(
+    "missing_days_report",
+    # backfill planner input: days with NO events per event_type, over
+    # the type's own [min_day, max_day] span — a calendar spine
+    # (sequence/generate_series) anti-joined with observed days.  The
+    # spine is generated, not scanned; the observed set is one distinct
+    # groupBy.
+    "WITH span AS (SELECT event_type,"
+    "   CAST(min(date_trunc('day', ts)) AS DATE) AS d0,"
+    "   CAST(max(date_trunc('day', ts)) AS DATE) AS d1"
+    " FROM events GROUP BY 1),"
+    " spine AS (SELECT event_type, unnest(generate_series(d0, d1,"
+    "   INTERVAL 1 DAY))::DATE AS day FROM span),"
+    " seen AS (SELECT DISTINCT event_type,"
+    "   CAST(date_trunc('day', ts) AS DATE) AS day FROM events)"
+    " SELECT s.event_type, CAST(s.day AS VARCHAR) AS missing_day"
+    " FROM spine s LEFT JOIN seen ON s.event_type = seen.event_type"
+    "   AND s.day = seen.day"
+    " WHERE seen.day IS NULL",
+)
+def missing_days_report(spark, sf_dir):
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    day = F.to_date(F.date_trunc("day", F.col("ts")))
+    span = ev.groupBy("event_type").agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    spine = span.select(
+        "event_type",
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    seen = ev.select("event_type", day.alias("day")).distinct()
+    return (
+        spine.join(seen, ["event_type", "day"], "left_anti")
+        .select("event_type", F.col("day").cast("string").alias("missing_day"))
+    )

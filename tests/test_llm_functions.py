@@ -2406,3 +2406,30 @@ def test_mixed_language_flags_detects_code_switch(spark):
     assert out[2]["mixed"] == 0 and out[2]["lang_head"] == "en"
     assert (out[4]["lang_head"], out[4]["lang_tail"], out[4]["mixed"]) == (
         "und", "und", 0)
+
+
+def test_missing_days_report_finds_planted_gaps(spark, tmp_path):
+    import datetime as dt
+
+    import go_streaming_spark.queries_ext  # noqa: F401
+    from go_streaming_spark.queries import QUERIES
+
+    rows = []
+    # type A: days 1,2,5 -> missing 3,4 ; type B: days 1,2 -> none
+    for i, (t, day) in enumerate(
+        [("A", 1), ("A", 2), ("A", 5), ("B", 1), ("B", 2)]
+    ):
+        rows.append(
+            (i, dt.datetime(2024, 3, day, 12, 0), i, t, 1.0, "{}")
+        )
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+    out = sorted(
+        (r.event_type, r.missing_day)
+        for r in QUERIES["missing_days_report"](spark, sf).collect()
+    )
+    assert out == [("A", "2024-03-03"), ("A", "2024-03-04")], out

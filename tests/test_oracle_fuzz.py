@@ -240,6 +240,8 @@ EVENT_QUERIES = [
     "recency_weighted_counts",  # r8: integer halving on negative-age guard
     "value_drift_by_type",      # r8: TV drift on clamped edge bins
                                 # (negative values) and single-type draws
+    "missing_days_report",      # r8: single-day spine degenerate case,
+                                # day-boundary truncation ties
 ]
 
 
