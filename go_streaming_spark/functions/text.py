@@ -60,11 +60,15 @@ def lang_id(text: Column) -> Column:
     return expr.otherwise(result)
 
 
-def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Whitespace token count + BPE-ish piece count + char count per doc."""
+def token_counts(
+    df: DataFrame, id_col: str, text_col: str, carry: list[str] | None = None
+) -> DataFrame:
+    """Whitespace token count + BPE-ish piece count + char count per doc;
+    ``carry`` columns (e.g. a grouping key) pass through the projection."""
     t = F.col(text_col)
     return spread(df).select(
         F.col(id_col).alias("id"),
+        *[F.col(c) for c in carry or []],
         F.size(words_expr(t)).cast("long").alias("n_words"),
         F.regexp_count(t, F.lit(BPE_TOKEN_RE)).cast("long").alias("n_bpe_pieces"),
         F.length(t).cast("long").alias("n_chars"),
@@ -1262,4 +1266,48 @@ def mixed_language_flags(
             lt.alias("lang_tail"),
             (lh != lt).cast("int").alias("mixed"),
         )
+    )
+
+
+def compression_ratio(
+    df: DataFrame, id_col: str, text_col: str, level: int = 6
+) -> DataFrame:
+    """Per-document zlib compression ratio — the classic cheap signal for
+    templated/repetitive text (highly compressible → boilerplate, spam,
+    generated filler) and for binary-ish noise (incompressible past
+    ~1.0).  Complements :func:`repetition_ratio` (which sees only
+    adjacent-bigram repeats) with whole-document redundancy.
+
+    Emits (id, n_bytes, c_bytes, ratio_q) with
+    ``ratio_q = floor(10⁶·c_bytes / n_bytes)`` (empty docs → NULL).
+    Arrow-batched pandas UDF over the text column — zlib is stdlib, CPU
+    ∝ bytes, embarrassingly parallel, no shuffle.  Deterministic for a
+    fixed zlib build+level (partition-stability tested); no SQL oracle —
+    exactness is pinned by a direct-zlib parity test, the BPE pattern.
+    """
+    import pandas as pd  # noqa: F401  (pandas_udf runtime dep)
+    from pyspark.sql.functions import pandas_udf
+
+    lvl = int(level)
+
+    @pandas_udf("long")
+    def c_len(texts):
+        import zlib
+
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), lvl))
+            if t is not None
+            else None
+        )
+
+    t = F.col(text_col)
+    out = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.length(t.cast("binary")).cast("long").alias("n_bytes"),
+        c_len(t).alias("c_bytes"),
+    )
+    return out.selectExpr(
+        "id", "n_bytes", "c_bytes",
+        "CASE WHEN n_bytes > 0 THEN (c_bytes * 1000000) div n_bytes"
+        " ELSE NULL END AS ratio_q",
     )

@@ -2711,3 +2711,46 @@ def review_queue_sample(spark, sf_dir):
         .filter(F.col("pick") <= 3)
         .select("lang", "doc_id", F.col("pick").cast("long").alias("pick"))
     )
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    # tokenizer-eval staple: BPE-ish pieces per whitespace word, by
+    # language — µ-quantized exact integer division; zero-word docs
+    # contribute nothing (no words to tokenize)
+    rf"""WITH t AS (SELECT lang,
+    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+      AS n_words,
+    len(regexp_extract_all(text, '{text.BPE_TOKEN_RE}')) AS n_pieces
+  FROM documents)
+SELECT lang, CAST(sum(n_words) AS BIGINT) AS n_words,
+  CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+  (sum(n_pieces) * 1000000) // sum(n_words) AS fertility_q
+FROM t WHERE n_words > 0 GROUP BY lang""",
+)
+def tokenizer_fertility_by_lang(spark, sf_dir):
+    # fertility = pieces per word: the per-language tokenizer quality
+    # metric (high fertility = the tokenizer fragments that language).
+    # Map-only feature extraction + one groupBy(lang).
+    docs = _docs(spark, sf_dir)
+    counted = text.token_counts(docs, "doc_id", "text", carry=["lang"])
+    agg = (
+        counted.filter(F.col("n_words") > 0)
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_bpe_pieces").alias("n_pieces"),
+        )
+    )
+    return agg.selectExpr(
+        "lang", "n_words", "n_pieces",
+        "(n_pieces * 1000000) div n_words AS fertility_q",
+    )
+
+
+@query("compression_ratio_stats")
+def compression_ratio_stats(spark, sf_dir):
+    """Per-doc zlib compression ratio (rows-only: DuckDB has no zlib;
+    exactness pinned by the direct-zlib parity test, the bpe_encode
+    pattern).  The templated-text screen."""
+    return text.compression_ratio(_docs(spark, sf_dir), "doc_id", "text")

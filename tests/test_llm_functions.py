@@ -2433,3 +2433,35 @@ def test_missing_days_report_finds_planted_gaps(spark, tmp_path):
         for r in QUERIES["missing_days_report"](spark, sf).collect()
     )
     assert out == [("A", "2024-03-03"), ("A", "2024-03-04")], out
+
+
+def test_compression_ratio_matches_direct_zlib(spark):
+    import zlib
+
+    from go_streaming_spark.functions.text import compression_ratio
+
+    docs = [
+        (1, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),   # highly compressible
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, ""),                                        # empty -> NULL ratio
+        (4, "z8#kQ!m2@vX9$wL7%"),                       # noise
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["id"]: r for r in
+           compression_ratio(df, "doc_id", "text").collect()}
+    for doc_id, t in docs:
+        raw = t.encode("utf-8")
+        c = len(zlib.compress(raw, 6))
+        row = out[doc_id]
+        assert row["n_bytes"] == len(raw)
+        assert row["c_bytes"] == c
+        if raw:
+            assert row["ratio_q"] == (c * 1_000_000) // len(raw)
+        else:
+            assert row["ratio_q"] is None
+    # the repetitive doc must compress far better than the noise doc
+    assert out[1]["ratio_q"] < out[4]["ratio_q"]
+    # partition stability
+    again = {r["id"]: r["ratio_q"] for r in
+             compression_ratio(df.repartition(5), "doc_id", "text").collect()}
+    assert again == {k: v["ratio_q"] for k, v in out.items()}
