@@ -2435,3 +2435,29 @@ def missing_days_report(spark, sf_dir):
         spine.join(seen, ["event_type", "day"], "left_anti")
         .select("event_type", F.col("day").cast("string").alias("missing_day"))
     )
+
+
+@query(
+    "stream_distinct_users_hourly",
+    # STREAMING exact windowed distinct: count(DISTINCT) is unsupported
+    # in streaming aggregations, so the stream dedupes (window, user)
+    # pairs in the state store first and counts the survivors — two
+    # chained stateful operators, replayed to completion in complete
+    # mode.  Oracle = the batch per-hour distinct count.
+    "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,"
+    " count(DISTINCT user_id) AS n_users"
+    " FROM events GROUP BY 1",
+)
+def stream_distinct_users_hourly(spark, sf_dir):
+    from go_streaming_spark.sources.catalog import load_stream
+    from go_streaming_spark.streaming.runner import replay_to_memory
+
+    ev = load_stream(spark, sf_dir, "events")
+    per_user = (
+        ev.select(F.window("ts", "1 hour").alias("w"), "user_id")
+        .dropDuplicates(["w", "user_id"])
+    )
+    out = per_user.groupBy("w").agg(F.count(F.lit(1)).alias("n_users")).select(
+        F.unix_timestamp("w.start").alias("ws"), "n_users"
+    )
+    return replay_to_memory(out, spark, output_mode="complete")
