@@ -90,6 +90,12 @@ def categorical_tv_drift(
         )
         .groupBy("grp", "k")
         .agg(F.count(F.lit(1)).alias("c_gk"))
+        # four consumers (per-key totals, per-group totals, the corpus
+        # scalar, the join) — column pruning makes their subplans
+        # non-identical, so ReuseExchange never fires and the raw
+        # observation stream would be recomputed per branch (measured: 4
+        # source scans).  Materialize the small aggregate once instead.
+        .localCheckpoint()
     )
     ck = gt.groupBy("k").agg(F.sum("c_gk").alias("c_k"))
     totals = gt.groupBy("grp").agg(F.sum("c_gk").alias("n_g"))

@@ -1206,7 +1206,14 @@ def token_tv_drift(
         F.col(group_col).alias("grp"),
         F.explode(words_expr(F.col(text_col))).alias("tok"),
     )
-    gt = toks.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("c_gt"))
+    # materialized once: four consumers with different pruned columns
+    # defeat ReuseExchange, and each would otherwise re-tokenize the
+    # corpus (see stats.categorical_tv_drift)
+    gt = (
+        toks.groupBy("grp", "tok")
+        .agg(F.count(F.lit(1)).alias("c_gt"))
+        .localCheckpoint()
+    )
     ct = gt.groupBy("tok").agg(F.sum("c_gt").alias("c_t"))
     totals = gt.groupBy("grp").agg(F.sum("c_gt").alias("n_g"))
     n_all = gt.agg(F.sum("c_gt").alias("n_all"))
