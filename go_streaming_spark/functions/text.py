@@ -189,7 +189,14 @@ def tf_idf_top_terms(
     toks = spread(df).select(
         F.col(id_col).alias("id"), F.explode(words_expr(F.col(text_col))).alias("token")
     )
-    tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds both dfreq and the score join with different pruned
+    # columns — ReuseExchange misses, so without materialization the
+    # corpus tokenizes once per branch (see categorical_tv_drift)
+    tf = (
+        toks.groupBy("id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -243,6 +250,9 @@ def lm_bigram_quality(
         spread(df)
         .select(F.col(id_col).alias("id"), F.explode(bi).alias("b"))
         .select("id", "b.w1", "b.w2")
+        # feeds per-doc AND corpus bigram counts — materialize or build
+        # the bigram structs twice (see categorical_tv_drift)
+        .localCheckpoint()
     )
     db = occ.groupBy("id", "w1", "w2").agg(F.count(F.lit(1)).alias("n"))
     bc = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
@@ -702,10 +712,13 @@ def bm25_topk(
         )
         .filter(F.col("dl") > 0)
     )
+    dl = dl.localCheckpoint()  # feeds the corpus scalar AND the score join
     tf = (
         toks.join(F.broadcast(terms.select("token").distinct()), "token")
         .groupBy("id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # feeds dfreq and the score join — materialize or re-tokenize twice
+        .localCheckpoint()
     )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfr"))
     corpus = dl.agg(
