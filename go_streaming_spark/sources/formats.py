@@ -189,3 +189,63 @@ def compact_small_files(
     )
     out.write.format(fmt).mode(mode).save(out_path)
     return n_files
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    order_col: str,
+    target_bytes: int = 128 << 20,
+    fmt: str = "parquet",
+    mode: str = "error",
+) -> "DataFrame":
+    """Write the final training layout: ~``target_bytes`` shards,
+    range-partitioned and sorted by ``order_col`` (the deterministic
+    shuffle key from ``sampling.corpus_shuffle``), so a trainer streaming
+    shard 0..N-1 in filename order reads the corpus in the intended
+    global order without any reader-side sort.
+
+    Returns the shard manifest as a DataFrame — (shard, n_rows,
+    min_key, max_key) per output file, derived from a post-write scan
+    with the filename virtual column — which the training job checks in
+    (row totals match, key ranges are disjoint and sorted ⇒ no shard
+    was dropped or duplicated).  Estimation note: shard count sizes from
+    the SOURCE directory when ``df`` is a plain scan; for derived frames
+    pass an explicit ``target_bytes``-per-row-derived count via
+    ``df.repartitionByRange`` upstream instead.
+
+    One range shuffle (sampled boundaries) + sortWithinPartitions —
+    the same cost any global-order write pays; no driver-side data.
+    """
+    spark = df.sparkSession
+    configure_session(spark)
+    est_rows = df.count()
+    # bytes-per-row from a bounded sample written nowhere: use Spark's
+    # logical size stats when available, else assume 1 KiB/row (docs) —
+    # the knob that matters is target_bytes; callers tune one number.
+    try:
+        logical = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        bpr = max(64, int(logical) // max(1, est_rows))
+    except Exception:
+        bpr = 1024
+    n_shards = max(1, -(-(est_rows * bpr) // int(target_bytes)))
+    (
+        df.repartitionByRange(n_shards, order_col)
+        .sortWithinPartitions(order_col)
+        .write.format(fmt)
+        .mode(mode)
+        .save(path)
+    )
+    from pyspark.sql import functions as _F
+
+    out = spark.read.format(fmt).load(path)
+    return (
+        out.withColumn("shard", _F.element_at(_F.split(_F.input_file_name(), "/"), -1))
+        .groupBy("shard")
+        .agg(
+            _F.count(_F.lit(1)).alias("n_rows"),
+            _F.min(order_col).alias("min_key"),
+            _F.max(order_col).alias("max_key"),
+        )
+        .orderBy("shard")
+    )

@@ -167,3 +167,32 @@ def test_compact_small_files_range_layout_sorts_file_stats(spark, tmp_path):
         spans.append(r)
     spans.sort()
     assert spans[0][1] < spans[1][0]  # disjoint, ordered ranges
+
+
+def test_write_training_shards_order_and_manifest(spark, tmp_path):
+    """Shards must carry disjoint, sorted key ranges covering every row,
+    and each shard must be internally sorted (a trainer reading files in
+    name order sees the global order)."""
+    from pyspark.sql import functions as F
+
+    from go_streaming_spark.sources.formats import write_training_shards
+
+    df = spark.range(0, 5_000).select(
+        F.col("id"),
+        F.md5(F.col("id").cast("string")).alias("order_key"),
+    )
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(
+        df, out, "order_key", target_bytes=64 << 10
+    ).collect()
+    assert sum(r["n_rows"] for r in manifest) == 5_000
+    assert len(manifest) >= 2  # small target must split
+    spans = sorted((r["min_key"], r["max_key"]) for r in manifest)
+    for (lo, hi), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert lo <= hi < lo2  # disjoint ordered ranges
+    # internal order: per file, the key column is non-decreasing
+    import glob as _glob
+
+    for fpath in _glob.glob(f"{out}/part-*"):
+        keys = [r["order_key"] for r in spark.read.parquet(fpath).collect()]
+        assert keys == sorted(keys)
