@@ -2461,3 +2461,55 @@ def stream_distinct_users_hourly(spark, sf_dir):
         F.unix_timestamp("w.start").alias("ws"), "n_users"
     )
     return replay_to_memory(out, spark, output_mode="complete")
+
+
+@query(
+    "mad_outlier_counts",
+    # row-level robust anomaly flags: |x - median| > 3·MAD per type (the
+    # Hampel filter), counted per type.  The comparison operand is built
+    # from the SAME q6-quantized median/MAD both engines compute, so the
+    # flag boundary is engine-exact; zero-MAD types (constant values)
+    # flag any deviation from the median.
+    "WITH med AS (SELECT event_type,"
+    "   floor(quantile_cont(value, 0.5)*1e6 + 0.5)/1e6 AS p50"
+    "  FROM events GROUP BY 1),"
+    " m2 AS (SELECT e.event_type, med.p50,"
+    "   floor(quantile_cont(abs(e.value - med.p50), 0.5)*1e6 + 0.5)/1e6 AS mad"
+    "  FROM events e JOIN med USING (event_type) GROUP BY 1, 2)"
+    " SELECT e.event_type, count(*) AS n_events,"
+    "  CAST(sum(CASE WHEN abs(e.value - m2.p50) > 3 * m2.mad"
+    "    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers"
+    " FROM events e JOIN m2 USING (event_type) GROUP BY 1",
+)
+def mad_outlier_counts(spark, sf_dir):
+    # two bounded stats passes (per-type median, then MAD — tiny
+    # broadcast tables) + ONE map-side flag pass over the facts; at
+    # 100 TB swap percentile for percentile_approx (winsorized_stats
+    # precedent).  The Hampel-filter shape: X is anomalous when
+    # |X - med| > k·MAD, robust where mean/stddev z-scores break under
+    # the outliers themselves.
+    from go_streaming_spark.functions import util
+
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    med = ev.groupBy("event_type").agg(
+        util.q6(F.percentile("value", F.lit(0.5))).alias("p50")
+    )
+    m2 = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "p50")
+        .agg(
+            util.q6(
+                F.percentile(F.abs(F.col("value") - F.col("p50")), F.lit(0.5))
+            ).alias("mad")
+        )
+    )
+    flagged = ev.join(F.broadcast(m2), "event_type").select(
+        "event_type",
+        (F.abs(F.col("value") - F.col("p50")) > 3 * F.col("mad"))
+        .cast("int")
+        .alias("is_out"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("is_out").cast("long").alias("n_outliers"),
+    )

@@ -242,6 +242,8 @@ EVENT_QUERIES = [
                                 # (negative values) and single-type draws
     "missing_days_report",      # r8: single-day spine degenerate case,
                                 # day-boundary truncation ties
+    "mad_outlier_counts",       # r8: Hampel boundary on zero-MAD
+                                # (constant-value) types, q6 flag edge
 ]
 
 
