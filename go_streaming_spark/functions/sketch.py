@@ -468,7 +468,12 @@ def bloom_filtered_join(
 
 
 def hist_build(
-    df: DataFrame, value_col: str, lo: float, hi: float, n_bins: int = 4096
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 4096,
+    weight: Column | None = None,
 ) -> DataFrame:
     """Build the histogram table (bin, count) over ``value_col`` for the
     domain [lo, hi).
@@ -478,6 +483,14 @@ def hist_build(
     CLAMP into the edge bins (documented bias: quantiles outside [lo,hi]
     report the domain edge); NULLs are dropped.  Merge per-partition or
     per-day builds by unioning and summing counts on bin.
+
+    ``weight`` (an int64, NON-NEGATIVE Column — quantize doubles with
+    the µ-floor idiom first) turns the sketch into a WEIGHTED histogram:
+    ``count`` becomes the bin's weight mass, and
+    :func:`hist_quantiles`' rank walk then yields weighted quantiles
+    (e.g. the order value below which half the REVENUE sits) with the
+    same bit-exact arithmetic — the rank/interpolation formulas never
+    assume unit weights.
     """
     if not (hi > lo and n_bins >= 1):
         raise ValueError("need hi > lo and n_bins >= 1")
@@ -485,12 +498,14 @@ def hist_build(
     scale = float(n_bins) / (hi - lo)  # ONE Python double literal, both engines
     raw = F.floor((v - F.lit(float(lo))) * F.lit(scale)).cast("long")
     bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    cols = [bin_.alias("bin")] + ([] if weight is None else [weight.alias("__w")])
+    agg = F.count(F.lit(1)) if weight is None else F.sum(F.col("__w"))
     return (
         spread(df)
         .filter(v.isNotNull())
-        .select(bin_.alias("bin"))
+        .select(*cols)
         .groupBy("bin")
-        .agg(F.count(F.lit(1)).alias("count"))
+        .agg(agg.alias("count"))
     )
 
 
@@ -538,19 +553,30 @@ def hist_quantiles(
 
 
 def hist_quantile_sql(
-    qs: list[float], lo: float, hi: float, n_bins: int, value_sql: str, from_sql: str
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int,
+    value_sql: str,
+    from_sql: str,
+    weight_sql: str | None = None,
 ) -> str:
     """DuckDB oracle for :func:`hist_build` + :func:`hist_quantiles` —
     the SAME bin/rank/interpolation arithmetic, generated from the same
-    Python double literals so every float op matches bit-for-bit."""
+    Python double literals so every float op matches bit-for-bit.
+    ``weight_sql`` (int64, non-negative) generates the WEIGHTED variant
+    (bin mass = sum of weights, matching ``hist_build(weight=...)``)."""
     scale = float(n_bins) / (hi - lo)
     w_bin = float(hi - lo) / n_bins
     qvals = ", ".join(f"CAST({float(q)!r} AS DOUBLE)" for q in qs)
-    return f"""WITH v AS (SELECT CAST({value_sql} AS DOUBLE) AS v FROM {from_sql}
+    w_proj = f", CAST({weight_sql} AS BIGINT) AS w" if weight_sql else ""
+    w_pass = ", w" if weight_sql else ""
+    mass = "CAST(sum(w) AS BIGINT)" if weight_sql else "count(*)"
+    return f"""WITH v AS (SELECT CAST({value_sql} AS DOUBLE) AS v{w_proj} FROM {from_sql}
            WHERE {value_sql} IS NOT NULL),
 b AS (SELECT least(greatest(CAST(floor((v - {float(lo)!r}) * {scale!r}) AS BIGINT),
-                            0), {n_bins - 1}) AS bin FROM v),
-h AS (SELECT bin, count(*) AS cnt FROM b GROUP BY 1),
+                            0), {n_bins - 1}) AS bin{w_pass} FROM v),
+h AS (SELECT bin, {mass} AS cnt FROM b GROUP BY 1),
 c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum,
         sum(cnt) OVER (ORDER BY bin) - cnt AS cum_before FROM h),
 n AS (SELECT sum(cnt) AS n FROM h),

@@ -2513,3 +2513,31 @@ def mad_outlier_counts(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.sum("is_out").cast("long").alias("n_outliers"),
     )
+
+
+@query(
+    "weighted_value_percentiles",
+    None,  # filled below from sketch.hist_quantile_sql (weighted form)
+)
+def weighted_value_percentiles(spark, sf_dir):
+    # REVENUE-weighted percentiles: the value below which half the total
+    # µ-quantized value MASS sits (Lorenz-curve reading), not half the
+    # rows — hist_build(weight=...) with the same bit-exact rank walk.
+    # Negative values clamp their weight to 0 (mass must be monotone).
+    from go_streaming_spark.functions import sketch as _sk3
+
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    w = F.greatest(
+        F.floor(F.col("value").cast("double") * 1e6 + F.lit(0.5)).cast("long"),
+        F.lit(0),
+    )
+    hist = _sk3.hist_build(ev, "value", lo=0.0, hi=500.0, n_bins=4096, weight=w)
+    return _sk3.hist_quantiles(hist, [0.5, 0.9, 0.99], lo=0.0, hi=500.0,
+                               n_bins=4096)
+
+
+ORACLES["weighted_value_percentiles"] = _sk_mod.hist_quantile_sql(
+    [0.5, 0.9, 0.99], 0.0, 500.0, 4096, "value", "events",
+    weight_sql="greatest(CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5)"
+    " AS BIGINT), 0)",
+)

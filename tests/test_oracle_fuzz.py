@@ -244,6 +244,8 @@ EVENT_QUERIES = [
                                 # day-boundary truncation ties
     "mad_outlier_counts",       # r8: Hampel boundary on zero-MAD
                                 # (constant-value) types, q6 flag edge
+    "weighted_value_percentiles",  # r8: zero-weight clamped negatives,
+                                   # all-weight-in-one-bin rank walk
 ]
 
 
