@@ -684,3 +684,38 @@ SELECT r.grp AS {group_sql}, r.q AS q,
        floor(({float(lo)!r} + (c.bin + (r.rank - c.cum_before) * 1.0 / c.cnt)
               * {w_bin!r})*1e6 + 0.5)/1e6 AS est
 FROM r JOIN c ON c.grp = r.grp AND c.cum >= r.rank AND c.cum_before < r.rank"""
+
+
+def cms_join_size_estimate(
+    sketch_a: DataFrame, sketch_b: DataFrame, depth: int = 4
+) -> DataFrame:
+    """Join-cardinality estimate from two count-min sketches over the
+    join key: ``est = min_j Σ_b cntA[j,b]·cntB[j,b]`` — the classic
+    sketch inner product (Alon-Matias-Szegedy estimator in the
+    Cormode-Muthukrishnan count-min form).  The planning primitive for
+    "will this fact-fact join explode?" answered from two fixed-size
+    summaries WITHOUT touching either table again: at 100 TB the
+    sketches are ≤ depth×width rows each, mergeable across partitions/
+    days, and the estimate NEVER undercounts (all counts non-negative,
+    each row's inner product ≥ the true join size; min over depth rows
+    tightens it).
+
+    Returns one row (est_join_size).  Rows sharing no buckets contribute
+    an inner product of 0 (the row spine keeps them — dropping empty
+    rows would silently overestimate).
+    """
+    spark = sketch_a.sparkSession
+    j = sketch_a.select(
+        "row", "bucket", F.col("count").alias("ca")
+    ).join(
+        sketch_b.select("row", "bucket", F.col("count").alias("cb")),
+        ["row", "bucket"],
+    )
+    per_row = j.groupBy("row").agg(
+        F.sum(F.col("ca") * F.col("cb")).alias("ip")
+    )
+    spine = spark.range(depth).select(F.col("id").cast("int").alias("row"))
+    full = spine.join(per_row, "row", "left").select(
+        F.coalesce(F.col("ip"), F.lit(0)).alias("ip")
+    )
+    return full.agg(F.min("ip").cast("long").alias("est_join_size"))

@@ -2541,3 +2541,50 @@ ORACLES["weighted_value_percentiles"] = _sk_mod.hist_quantile_sql(
     weight_sql="greatest(CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5)"
     " AS BIGINT), 0)",
 )
+
+
+from go_streaming_spark.functions import dedup as _dd  # noqa: E402
+
+
+@query(
+    "cms_join_size",
+    # join-cardinality estimate from two count-min sketches over the
+    # join key (sketch inner product, min over depth rows) next to the
+    # true size — the "will this fact-fact join explode?" planning
+    # primitive answered from fixed-size summaries.  Integer-exact.
+    f"""WITH ha AS (SELECT CAST(('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)),1,8)) AS BIGINT) AS h32 FROM orders),
+ea AS (SELECT j, (({_dd.MINHASH_A}[CAST(j AS INT)+1]*h32
+                 + {_dd.MINHASH_B}[CAST(j AS INT)+1]) % 2147483647) % 256 AS bucket
+       FROM ha, (SELECT unnest(range(4)) AS j) jj),
+ska AS (SELECT j AS row, bucket, count(*) AS ca FROM ea GROUP BY 1, 2),
+hb AS (SELECT CAST(('0x'||substr(md5(CAST(l_orderkey AS VARCHAR)),1,8)) AS BIGINT) AS h32 FROM lineitem),
+eb AS (SELECT j, (({_dd.MINHASH_A}[CAST(j AS INT)+1]*h32
+                 + {_dd.MINHASH_B}[CAST(j AS INT)+1]) % 2147483647) % 256 AS bucket
+       FROM hb, (SELECT unnest(range(4)) AS j) jj),
+skb AS (SELECT j AS row, bucket, count(*) AS cb FROM eb GROUP BY 1, 2),
+ip AS (SELECT a.row, sum(a.ca * b.cb) AS ip
+       FROM ska a JOIN skb b USING (row, bucket) GROUP BY 1),
+spine AS (SELECT unnest(range(4)) AS row),
+fullr AS (SELECT COALESCE(ip.ip, 0) AS ip FROM spine LEFT JOIN ip USING (row)),
+est AS (SELECT CAST(min(ip) AS BIGINT) AS est_join_size FROM fullr),
+tj AS (SELECT count(*) AS true_join_size
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+SELECT est_join_size, true_join_size FROM est, tj""",
+)
+def cms_join_size(spark, sf_dir):
+    from go_streaming_spark.functions import sketch as _sk4
+
+    eng = Engine(spark, sf_dir=sf_dir)
+    orders, li = eng.stream("orders"), eng.stream("lineitem")
+    ska = _sk4.count_min_build(
+        orders.select("o_orderkey"), "o_orderkey", depth=4, width=256
+    )
+    skb = _sk4.count_min_build(
+        li.select("l_orderkey"), "l_orderkey", depth=4, width=256
+    )
+    est = _sk4.cms_join_size_estimate(ska, skb, depth=4)
+    true = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .agg(F.count(F.lit(1)).alias("true_join_size"))
+    )
+    return est.crossJoin(F.broadcast(true))

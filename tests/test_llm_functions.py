@@ -2465,3 +2465,38 @@ def test_compression_ratio_matches_direct_zlib(spark):
     again = {r["id"]: r["ratio_q"] for r in
              compression_ratio(df.repartition(5), "doc_id", "text").collect()}
     assert again == {k: v["ratio_q"] for k, v in out.items()}
+
+
+def test_cms_join_size_never_undercounts_and_tightens(spark):
+    """est >= true always (non-negative counts); with width >> distinct
+    keys the inner product has no collisions and est == true."""
+    from pyspark.sql import functions as F
+
+    from go_streaming_spark.functions import sketch
+
+    a = spark.createDataFrame([(i % 5,) for i in range(100)], "k long")
+    b = spark.createDataFrame([(i % 7,) for i in range(70)], "k long")
+    true = a.join(b, "k").count()
+
+    def est(width):
+        ska = sketch.count_min_build(a, "k", depth=4, width=width)
+        skb = sketch.count_min_build(b, "k", depth=4, width=width)
+        return sketch.cms_join_size_estimate(ska, skb, depth=4).collect()[0][
+            "est_join_size"
+        ]
+
+    wide = est(4096)   # no collisions among <= 7 keys
+    narrow = est(4)    # heavy collisions
+    assert wide == true
+    assert narrow >= true
+
+
+def test_cms_join_size_disjoint_keys_is_zero_with_wide_sketch(spark):
+    from go_streaming_spark.functions import sketch
+
+    a = spark.createDataFrame([(1,), (2,)], "k long")
+    b = spark.createDataFrame([(100,), (200,)], "k long")
+    ska = sketch.count_min_build(a, "k", depth=4, width=4096)
+    skb = sketch.count_min_build(b, "k", depth=4, width=4096)
+    out = sketch.cms_join_size_estimate(ska, skb, depth=4).collect()[0]
+    assert out["est_join_size"] == 0  # empty-row spine keeps the 0 min

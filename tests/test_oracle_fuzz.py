@@ -415,6 +415,9 @@ JOIN_QUERIES = [
     # round 8 (cont.): nonzero violation counts — the generated orders
     # carry out-of-domain priorities and dangling custkeys
     "dq_violation_counts",
+    # round 8 (cont.): sketch inner product on duplicate orderkeys
+    # (ca·cb products > 1) and dangling keys (disjoint mass)
+    "cms_join_size",
 ]
 
 
