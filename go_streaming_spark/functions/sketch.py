@@ -596,13 +596,16 @@ def hist_grouped_quantiles(
     lo: float,
     hi: float,
     n_bins: int = 4096,
+    weight: Column | None = None,
 ) -> DataFrame:
     """Per-group histogram quantiles → (group, q, est) — the grouped
     composition of :func:`hist_build` + :func:`hist_quantiles`: one
     map-side-combined shuffle on (group, bin) (≤ n_bins rows per group),
     then the rank walk runs per group over sketch-sized state.  The
     exact-percentile alternative shuffles and sorts every VALUE per
-    group; this shuffles a fixed-size summary.
+    group; this shuffles a fixed-size summary.  ``weight`` (int64,
+    non-negative) reads per-group MASS-weighted quantiles, as in
+    :func:`hist_build`.
     """
     from pyspark.sql.window import Window
 
@@ -613,12 +616,16 @@ def hist_grouped_quantiles(
     w_bin = float(hi - lo) / n_bins
     raw = F.floor((v - F.lit(float(lo))) * F.lit(scale)).cast("long")
     bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    cols = [F.col(group_col).alias("grp"), bin_.alias("bin")] + (
+        [] if weight is None else [weight.alias("__w")]
+    )
+    mass = F.count(F.lit(1)) if weight is None else F.sum(F.col("__w"))
     hist = (
         spread(df)
         .filter(v.isNotNull())
-        .select(F.col(group_col).alias("grp"), bin_.alias("bin"))
+        .select(*cols)
         .groupBy("grp", "bin")
-        .agg(F.count(F.lit(1)).alias("count"))
+        .agg(mass.alias("count"))
     )
     cum = hist.withColumn(
         "cum",
@@ -663,17 +670,22 @@ def hist_grouped_quantile_sql(
     group_sql: str,
     value_sql: str,
     from_sql: str,
+    weight_sql: str | None = None,
 ) -> str:
     """DuckDB oracle for :func:`hist_grouped_quantiles` — identical
-    arithmetic, shared literals."""
+    arithmetic, shared literals.  ``weight_sql`` generates the weighted
+    form (matching ``hist_grouped_quantiles(weight=...)``)."""
     scale = float(n_bins) / (hi - lo)
     w_bin = float(hi - lo) / n_bins
     qvals = ", ".join(f"CAST({float(q)!r} AS DOUBLE)" for q in qs)
-    return f"""WITH v AS (SELECT {group_sql} AS grp, CAST({value_sql} AS DOUBLE) AS v
+    w_proj = f", CAST({weight_sql} AS BIGINT) AS w" if weight_sql else ""
+    w_pass = ", w" if weight_sql else ""
+    mass = "CAST(sum(w) AS BIGINT)" if weight_sql else "count(*)"
+    return f"""WITH v AS (SELECT {group_sql} AS grp, CAST({value_sql} AS DOUBLE) AS v{w_proj}
            FROM {from_sql} WHERE {value_sql} IS NOT NULL),
 b AS (SELECT grp, least(greatest(CAST(floor((v - {float(lo)!r}) * {scale!r}) AS BIGINT),
-                                 0), {n_bins - 1}) AS bin FROM v),
-h AS (SELECT grp, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+                                 0), {n_bins - 1}) AS bin{w_pass} FROM v),
+h AS (SELECT grp, bin, {mass} AS cnt FROM b GROUP BY 1, 2),
 c AS (SELECT grp, bin, cnt,
         sum(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum,
         sum(cnt) OVER (PARTITION BY grp ORDER BY bin) - cnt AS cum_before FROM h),

@@ -2588,3 +2588,33 @@ def cms_join_size(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("true_join_size"))
     )
     return est.crossJoin(F.broadcast(true))
+
+
+@query(
+    "weighted_price_percentiles_by_priority",
+    None,  # filled below from sketch.hist_grouped_quantile_sql (weighted)
+)
+def weighted_price_percentiles_by_priority(spark, sf_dir):
+    # per-priority DOLLAR-weighted price percentiles: the order value
+    # below which half of each priority class's revenue sits — grouped
+    # weighted histogram quantiles over [0, 500000), µ-cent weights
+    from go_streaming_spark.functions import sketch as _sk5
+
+    orders = Engine(spark, sf_dir=sf_dir).stream("orders")
+    w = F.floor(
+        F.col("o_totalprice").cast("double") * 1e2 + F.lit(0.5)
+    ).cast("long")  # cents: o_totalprice >= 0 by domain
+    return _sk5.hist_grouped_quantiles(
+        orders, "o_orderpriority", "o_totalprice", [0.5, 0.9],
+        lo=0.0, hi=500_000.0, n_bins=4096, weight=w,
+    )
+
+
+ORACLES["weighted_price_percentiles_by_priority"] = (
+    _sk_mod.hist_grouped_quantile_sql(
+        [0.5, 0.9], 0.0, 500_000.0, 4096, "o_orderpriority", "o_totalprice",
+        "orders",
+        weight_sql="CAST(floor(CAST(o_totalprice AS DOUBLE) * 1e2 + 0.5)"
+        " AS BIGINT)",
+    )
+)
