@@ -731,3 +731,52 @@ def cms_join_size_estimate(
         F.coalesce(F.col("ip"), F.lit(0)).alias("ip")
     )
     return full.agg(F.min("ip").cast("long").alias("est_join_size"))
+
+
+def hist_cdf_transform(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 4096,
+    out_col: str = "cdf_q",
+) -> DataFrame:
+    """Rank-normalize a column WITHOUT a global sort: every row gains its
+    approximate CDF position ``floor(cum_count(bin)·10⁶ / N)`` from the
+    histogram sketch — the quantile/rank-gauss feature transform at
+    100 TB scale, where the exact alternative (percent_rank) is a
+    single-partition global window.
+
+    Error ≤ one bin's mass; monotone in the value by construction.  The
+    ≤ n_bins cumulative table joins back map-side (broadcast); the input
+    is scanned twice (once to build, once to transform) — persist
+    upstream if the source is a derived frame.  NULL values pass
+    through with NULL cdf.
+    """
+    from pyspark.sql.window import Window
+
+    hist = hist_build(df, value_col, lo, hi, n_bins)
+    cum = hist.withColumn(
+        "cum",
+        F.sum("count").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).select("bin", "cum")
+    n = hist.agg(F.sum("count").alias("__n"))
+    v = F.col(value_col).cast("double")
+    scale = float(n_bins) / (hi - lo)
+    raw = F.floor((v - F.lit(float(lo))) * F.lit(scale)).cast("long")
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        df.withColumn("__bin", F.when(v.isNotNull(), bin_))
+        .join(F.broadcast(cum), F.col("__bin") == F.col("bin"), "left")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            out_col,
+            F.when(
+                v.isNotNull(),
+                F.expr("(cum * 1000000) div __n"),
+            ),
+        )
+        .drop("__bin", "bin", "cum", "__n")
+    )

@@ -2618,3 +2618,28 @@ ORACLES["weighted_price_percentiles_by_priority"] = (
         " AS BIGINT)",
     )
 )
+
+
+@query(
+    "value_cdf_quantized",
+    # per-row CDF position from the histogram sketch (rank-gauss feature
+    # transform without percent_rank's single-partition global window):
+    # cdf_q = floor(cum_count(bin)·1e6 / N), monotone, error <= one bin
+    "WITH b AS (SELECT event_id,"
+    "   least(greatest(CAST(floor((CAST(value AS DOUBLE) - 0.0) * 8.192)"
+    "     AS BIGINT), 0), 4095) AS bin"
+    "  FROM events WHERE value IS NOT NULL),"
+    " h AS (SELECT bin, count(*) AS cnt FROM b GROUP BY 1),"
+    " c AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM h),"
+    " n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h)"
+    " SELECT b.event_id, (c.cum * 1000000) // n.n AS cdf_q"
+    " FROM b JOIN c USING (bin) CROSS JOIN n",
+)
+def value_cdf_quantized(spark, sf_dir):
+    from go_streaming_spark.functions import sketch as _sk6
+
+    ev = Engine(spark, sf_dir=sf_dir).stream("events").select(
+        "event_id", "value"
+    ).filter(F.col("value").isNotNull())
+    out = _sk6.hist_cdf_transform(ev, "value", lo=0.0, hi=500.0, n_bins=4096)
+    return out.select("event_id", "cdf_q")

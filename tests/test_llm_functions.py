@@ -2500,3 +2500,22 @@ def test_cms_join_size_disjoint_keys_is_zero_with_wide_sketch(spark):
     skb = sketch.count_min_build(b, "k", depth=4, width=4096)
     out = sketch.cms_join_size_estimate(ska, skb, depth=4).collect()[0]
     assert out["est_join_size"] == 0  # empty-row spine keeps the 0 min
+
+
+def test_hist_cdf_transform_monotone_and_bounded(spark):
+    from pyspark.sql import functions as F
+
+    from go_streaming_spark.functions.sketch import hist_cdf_transform
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([1, 5, 5, 42, 99, 77, 3])],
+        "id long, x double",
+    )
+    out = hist_cdf_transform(df, "x", lo=0.0, hi=100.0, n_bins=100).collect()
+    by_val = sorted((r["x"], r["cdf_q"]) for r in out)
+    # monotone in the value; bounded in (0, 1e6]; duplicates share cdf
+    for (v1, c1), (v2, c2) in zip(by_val, by_val[1:]):
+        assert c1 <= c2
+        if v1 == v2:
+            assert c1 == c2
+    assert by_val[0][1] > 0 and by_val[-1][1] == 1_000_000

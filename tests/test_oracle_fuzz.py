@@ -246,6 +246,8 @@ EVENT_QUERIES = [
                                 # (constant-value) types, q6 flag edge
     "weighted_value_percentiles",  # r8: zero-weight clamped negatives,
                                    # all-weight-in-one-bin rank walk
+    "value_cdf_quantized",         # r8: per-row CDF on edge-clamped bins
+                                   # and duplicate values (shared cum)
 ]
 
 
