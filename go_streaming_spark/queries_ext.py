@@ -2643,3 +2643,51 @@ def value_cdf_quantized(spark, sf_dir):
     ).filter(F.col("value").isNotNull())
     out = _sk6.hist_cdf_transform(ev, "value", lo=0.0, hi=500.0, n_bins=4096)
     return out.select("event_id", "cdf_q")
+
+
+@query(
+    "hourly_burst_flags",
+    # rate anomaly: an hour is a BURST for a type when its event count
+    # more than doubles the trailing 3-hour average — compared as
+    # 2·(sum of the 3 trailing counts) < 3·count·2... all-integer
+    # cross-multiplication: count > 2·avg  ⇔  3·count > 2·trail_sum.
+    # Hours with no complete 3-hour history are reported unflagged.
+    "WITH h AS (SELECT event_type,"
+    "   CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hr,"
+    "   count(*) AS n FROM events GROUP BY 1, 2),"
+    " w AS (SELECT event_type, hr, n,"
+    "   sum(n) OVER (PARTITION BY event_type ORDER BY hr"
+    "     ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS trail,"
+    "   count(*) OVER (PARTITION BY event_type ORDER BY hr"
+    "     ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS n_trail"
+    "  FROM h)"
+    " SELECT event_type, hr, n,"
+    "  CAST(CASE WHEN n_trail = 3 AND 3 * n > 2 * trail"
+    "    THEN 1 ELSE 0 END AS INT) AS burst"
+    " FROM w",
+)
+def hourly_burst_flags(spark, sf_dir):
+    # one keyed aggregation + one keyed window over the tiny per-hour
+    # table (the window input is |types|×|hours| rows, NOT the events);
+    # the threshold is an exact integer cross-multiply — no doubles in
+    # the flag.  The batch form of a streaming rate alarm.
+    from pyspark.sql.window import Window
+
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    h = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hr").rowsBetween(-3, -1)
+    flagged = h.select(
+        "event_type", "hr", "n",
+        F.sum("n").over(w).alias("trail"),
+        F.count(F.lit(1)).over(w).alias("n_trail"),
+    )
+    return flagged.select(
+        "event_type", "hr", "n",
+        F.when(
+            (F.col("n_trail") == 3) & (3 * F.col("n") > 2 * F.col("trail")),
+            1,
+        ).otherwise(0).cast("int").alias("burst"),
+    )

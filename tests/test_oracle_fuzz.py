@@ -248,6 +248,8 @@ EVENT_QUERIES = [
                                    # all-weight-in-one-bin rank walk
     "value_cdf_quantized",         # r8: per-row CDF on edge-clamped bins
                                    # and duplicate values (shared cum)
+    "hourly_burst_flags",          # r8: trailing-window frames shorter
+                                   # than 3 rows (unflagged by contract)
 ]
 
 
