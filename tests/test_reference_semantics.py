@@ -370,3 +370,36 @@ def test_approx_aggregates_near_exact(spark):
     p_rows = QUERIES["approx_value_percentiles"](spark, sf).collect()
     assert len(p_rows) == 5
     assert all(r.p50_ok and r.p90_ok and r.p99_ok for r in p_rows), p_rows
+
+
+def test_udtf_registry_over_topics(spark):
+    """SURVEY §2.5/§2.6: the reference has no UDTF registry (custom
+    operators fill the role); Spark gives one free — a Python UDTF
+    registered once is callable from SQL over any topic, composing with
+    LATERAL the way the reference composes operator stages."""
+    from pyspark.sql.functions import udtf
+
+    from go_streaming_spark.engine import Engine
+
+    @udtf(returnType="pos int, piece string")
+    class SplitWords:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, w in enumerate(x for x in text.split() if x):
+                yield i, w
+
+    spark.udtf.register("split_words_t", SplitWords)
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    out = eng.sql(
+        "SELECT d.doc_id, s.pos, s.piece"
+        " FROM documents d, LATERAL split_words_t(d.text) s"
+        " WHERE d.doc_id = 0"
+    ).collect()
+    doc0 = (
+        eng.stream("documents").filter("doc_id = 0").select("text").head()[0]
+    )
+    words = [w for w in doc0.split() if w]
+    assert [(r.pos, r.piece) for r in sorted(out, key=lambda r: r.pos)] == list(
+        enumerate(words)
+    )
