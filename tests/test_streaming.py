@@ -854,3 +854,51 @@ def test_streaming_dedup_within_watermark_bounds_state(spark, tmp_path):
         ("C", "2024-01-01 05:00:00"),
         ("D", "2024-01-01 10:00:00"),
     ], got
+
+
+def test_stream_enrich_rereads_dim_per_batch(spark, tmp_path):
+    """Slowly-changing-dimension enrichment: a dim RE-READ inside
+    foreachBatch picks up updates made between micro-batches — the safe
+    refresh pattern (a static frame captured once pins its file listing
+    and may serve stale or deleted files).  Batch 1 enriches with v1,
+    the callback rewrites the dim, batch 2 must see v2."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "facts"
+    src.mkdir()
+    for b in range(2):
+        p = src / f"b{b}.json"
+        with open(p, "w") as f:
+            f.write(_json.dumps({"k": 1, "batch": b}) + "\n")
+        _os.utime(p, (1_700_000_000 + b,) * 2)
+
+    dim_path = str(tmp_path / "dim")
+
+    def write_dim(tag):
+        spark.createDataFrame([(1, tag)], "k long, tag string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(dim_path)
+
+    write_dim("v1")
+    seen = []
+
+    def enrich(batch_df, _bid):
+        dim = spark.read.parquet(dim_path)  # re-read EVERY batch
+        rows = batch_df.join(dim, "k").select("batch", "tag").collect()
+        seen.extend((r["batch"], r["tag"]) for r in rows)
+        write_dim("v2")  # dim changes after the first batch
+
+    q = (
+        spark.readStream.schema("k long, batch long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .writeStream.foreachBatch(enrich)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(seen) == [(0, "v1"), (1, "v2")], seen
