@@ -1496,3 +1496,52 @@ def remove_spans(
         .drop("__id", "__spans")
     )
     return out
+
+
+def keep_best_per_component(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    score_col: str,
+) -> DataFrame:
+    """Near-dup dedup that keeps the HIGHEST-QUALITY copy of each
+    duplicate cluster instead of the arbitrary minimum id — what
+    production pipelines actually want once a quality score exists
+    (e.g. :func:`go_streaming_spark.functions.text.hashed_linear_score`):
+    the boilerplate-laden mirror of a page should lose to the clean one.
+
+    Components come from min-label propagation over ``pairs``; within a
+    component the survivor maximizes (score, then smaller id on ties —
+    deterministic).  Rows outside any pair survive unconditionally.
+    Returns the surviving rows of ``df`` (all columns).
+
+    Scale: the component table is ~|paired docs| (AQE-broadcastable);
+    the winner per component is ONE min-struct groupBy (map-side
+    combine, the argmin idiom — no window over the corpus), and the
+    final keep is a semi-join on the id.
+    """
+    from go_streaming_spark.functions.graph import dedup_components
+
+    comps = dedup_components(pairs).withColumnsRenamed(
+        {"doc_id": "__kb_id", "cluster_id": "__kb_comp"}
+    )
+    member = df.join(
+        comps, df[id_col] == F.col("__kb_id"), "inner"
+    ).select(
+        F.col("__kb_comp").alias("comp"),
+        F.col(id_col).alias("mid"),
+        F.col(score_col).alias("s"),
+    )
+    # argmax(score) with min-id tie-break == min over (-score, id) struct
+    winners = (
+        member.groupBy("comp")
+        .agg(F.min(F.struct((-F.col("s")).alias("ns"), F.col("mid").alias("mid"))).alias("w"))
+        .select(F.col("w.mid").alias("__kb_keep"))
+    )
+    losers_removed = df.join(
+        comps, df[id_col] == F.col("__kb_id"), "left_anti"
+    )
+    kept_members = df.join(
+        winners, df[id_col] == F.col("__kb_keep"), "left_semi"
+    )
+    return losers_removed.unionByName(kept_members)

@@ -2497,6 +2497,53 @@ def leakage_safe_split_counts(spark, sf_dir):
 
 
 @query(
+    "dedup_keep_best_survivors",
+    # keep-BEST near-dup dedup: within each MinHash component the
+    # survivor maximizes the hashed-linear quality margin (min id on
+    # ties); unpaired docs survive unconditionally.  Oracle = recursive
+    # components + the margin CTE + per-component row_number.
+    f"""WITH RECURSIVE {_MINHASH_CTES},
+prs AS (SELECT c.id_a, c.id_b FROM cand c JOIN jac j USING(id_a, id_b) WHERE j.jaccard >= 0.2),
+edges AS (SELECT id_a AS u, id_b AS v FROM prs UNION SELECT id_b, id_a FROM prs),
+reach AS (SELECT u AS node, v AS r FROM edges
+          UNION SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u),
+comp AS (SELECT node AS doc_id, least(node, min(r)) AS cluster_id FROM reach GROUP BY node),
+t AS (SELECT doc_id AS id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents),
+tok AS (SELECT id, unnest(w) AS tok FROM t),
+wt AS (SELECT id,
+    (CAST('0x' || substr(md5('w|qmodel|' ||
+        CAST(CAST('0x' || substr(md5('qmodel|' || tok), 1, 8) AS BIGINT)
+             % 4096 AS VARCHAR)), 1, 8) AS BIGINT) % 2001) - 1000 AS wv
+  FROM tok),
+mg AS (SELECT t.id, CAST(COALESCE(sum(wv), 0) AS BIGINT) AS margin
+       FROM t LEFT JOIN wt ON t.id = wt.id GROUP BY t.id),
+fl AS (SELECT mg.id, c.cluster_id AS comp, mg.margin
+       FROM mg LEFT JOIN comp c ON mg.id = c.doc_id),
+rk AS (SELECT id, margin,
+    row_number() OVER (PARTITION BY comp ORDER BY margin DESC, id) AS rn
+  FROM fl WHERE comp IS NOT NULL)
+SELECT id, margin FROM rk WHERE rn = 1
+UNION ALL
+SELECT id, margin FROM fl WHERE comp IS NULL""",
+)
+def dedup_keep_best_survivors(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, k=16, rows_per_band=4, threshold=0.2
+    )
+    scored = docs.join(
+        text.hashed_linear_score(docs, "doc_id", "text").select("id", "margin"),
+        docs.doc_id == F.col("id"),
+    ).select("doc_id", "margin")
+    kept = dedup.keep_best_per_component(
+        scored, "doc_id", pairs.select("id_a", "id_b"), "margin"
+    )
+    return kept.select(F.col("doc_id").alias("id"), "margin")
+
+
+@query(
     "quality_linear_scores",
     # frozen hashed-feature linear model (fastText/CCNet classifier
     # shape): per-occurrence bucket weights from the md5 idiom, exact

@@ -2519,3 +2519,29 @@ def test_hist_cdf_transform_monotone_and_bounded(spark):
         if v1 == v2:
             assert c1 == c2
     assert by_val[0][1] > 0 and by_val[-1][1] == 1_000_000
+
+
+def test_keep_best_per_component_prefers_quality_over_id(spark):
+    """The survivor must be the highest-scored member even when it has
+    the LARGEST id (the min-id convention would pick differently);
+    unpaired rows always survive."""
+    from go_streaming_spark.functions.dedup import keep_best_per_component
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 20.0), (9, 5.0)],
+        "doc_id long, score double",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = sorted(
+        r["doc_id"]
+        for r in keep_best_per_component(df, "doc_id", pairs, "score").collect()
+    )
+    assert kept == [2, 9]  # 2 wins its cluster on score; 9 unpaired
+    # tie on score -> smaller id
+    df2 = spark.createDataFrame(
+        [(5, 1.0), (7, 1.0)], "doc_id long, score double"
+    )
+    p2 = spark.createDataFrame([(5, 7)], "id_a long, id_b long")
+    kept2 = [r["doc_id"] for r in
+             keep_best_per_component(df2, "doc_id", p2, "score").collect()]
+    assert kept2 == [5]

@@ -49,6 +49,7 @@ PAIR_QUERIES = [
     "corpus_ingest_clean_tokens", # composes the jac CTE + span removal (round 8)
     "leakage_safe_split_counts",  # recursive component CTE over pairs (round 8)
     "knn_join_topk",              # quadratic per-query neighbor oracle (round 8)
+    "dedup_keep_best_survivors",  # components + margin argmax (round 8)
 ]
 
 TABLES = (
