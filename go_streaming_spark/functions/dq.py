@@ -69,3 +69,38 @@ def fk_violations(
         .cast("long")
         .alias("n_violations"),
     ).select(F.lit(rule).alias("rule"), "n_rows", "n_violations")
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Column-level profile in one statement: (column, n_rows, n_null,
+    n_distinct) per requested column — the first look every new feed
+    gets (nullable key? constant column? unexpected cardinality?).
+
+    All counts ride a single aggregate statement; Spark plans the
+    multiple COUNT(DISTINCT)s via one Expand (input × |cols| rows, one
+    scan, map-side partial aggregation).  For 100 TB-cardinality
+    columns swap in the HLL sketch (`sketch.hll_grouped`) — exact
+    distinct is kept here because it is oracle-checkable.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null{i}")
+        )
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__dist{i}"))
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c.replace(chr(39), chr(39) * 2)}', __null{i}, __dist{i}"
+        for i, c in enumerate(cols)
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (column, n_null, n_distinct)",
+        "__n AS n_rows",
+    ).select(
+        "column",
+        "n_rows",
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+    )

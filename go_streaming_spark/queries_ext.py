@@ -2691,3 +2691,29 @@ def hourly_burst_flags(spark, sf_dir):
             1,
         ).otherwise(0).cast("int").alias("burst"),
     )
+
+
+@query(
+    "profile_orders_columns",
+    # column profile: null count + exact distinct per column, one
+    # aggregate statement (Expand plan) — the first-look feed audit
+    "SELECT 'o_custkey' AS column, count(*) AS n_rows,"
+    " CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+    "   AS n_null,"
+    " count(DISTINCT o_custkey) AS n_distinct FROM orders"
+    " UNION ALL"
+    " SELECT 'o_orderstatus', count(*),"
+    " CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),"
+    " count(DISTINCT o_orderstatus) FROM orders"
+    " UNION ALL"
+    " SELECT 'o_orderpriority', count(*),"
+    " CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),"
+    " count(DISTINCT o_orderpriority) FROM orders",
+)
+def profile_orders_columns(spark, sf_dir):
+    from go_streaming_spark.functions.dq import profile_columns
+
+    orders = Engine(spark, sf_dir=sf_dir).stream("orders")
+    return profile_columns(
+        orders, ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    )

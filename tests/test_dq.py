@@ -64,3 +64,29 @@ def test_fk_violations_counts_orphans_and_nulls(spark):
     )
     row = fk_violations(child, "fk", parent, "pk").collect()[0]
     assert (row["rule"], row["n_rows"], row["n_violations"]) == ("fk:fk", 4, 2)
+
+
+def test_profile_columns_counts_nulls_and_distincts(spark):
+    from go_streaming_spark.functions.dq import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")],
+        "k long, s string",
+    )
+    out = {r["column"]: r for r in profile_columns(df, ["k", "s"]).collect()}
+    assert out["k"]["n_rows"] == 4
+    assert (out["k"]["n_null"], out["k"]["n_distinct"]) == (1, 2)
+    assert (out["s"]["n_null"], out["s"]["n_distinct"]) == (1, 2)
+
+
+def test_profile_columns_single_scan(spark):
+    from go_streaming_spark.functions.dq import profile_columns
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    plan = (
+        profile_columns(df, ["o_custkey", "o_orderstatus"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1, plan
