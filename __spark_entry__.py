@@ -69,12 +69,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # leakage_safe_split_counts, dq_violation_counts, negative_sample_pairs,
 # pii_audit_by_source, stream_dq_violation_counts, knn_join_topk,
 # bpe_encode_counts, token_drift_by_source, value_drift_by_type,
-# cheapest_supplier_per_part
+# cheapest_supplier_per_part, stream_distinct_users_hourly,
+# mad_outlier_counts, weighted_value_percentiles,
+# weighted_price_percentiles_by_priority, value_cdf_quantized,
+# hourly_burst_flags, cms_join_size, dedup_keep_best_survivors,
+# profile_orders_columns, review_queue_sample, missing_days_report,
+# tokenizer_fertility_by_lang, compression_ratio_stats,
+# mixed_language_flags, partition_manifest_orders
 # — re-enumerate from the registry, newest-without-a-row first, in case
-# of later r8 additions).  That exceeds 50: the ~51 r8 registrations
-# take the first slots (newest last), the stalest r6 greens fill any
-# remainder; r6 greens that miss the cut carry to r10 at the head of
-# the queue.
+# of later r8 additions).  That far exceeds 50: the r8 registrations
+# fill the r9 gate newest-last; everything that misses the cut
+# (remaining r8 registrations first, then the stalest r6 greens)
+# carries to r10 at the head of the queue.
 GATE_PRIORITY = [
     # (a) the fixed r7 red row — must re-prove green
     "temperature_mixture_counts",
