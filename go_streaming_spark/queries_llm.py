@@ -2801,3 +2801,54 @@ def compression_ratio_stats(spark, sf_dir):
     exactness pinned by the direct-zlib parity test, the bpe_encode
     pattern).  The templated-text screen."""
     return text.compression_ratio(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@query(
+    "source_health_report",
+    # per-source corpus health scorecard: volume, exact-dup rate, PII
+    # exposure, and the frozen-model quality margin — the four signals a
+    # release review reads, composed over ONE scan + one groupBy
+    # (duplicate detection via count distinct digest; margin stays an
+    # exact integer sum / count floor)
+    r"""WITH t AS (SELECT source, doc_id, text, md5(text) AS dg,
+    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS w,
+    len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS pii
+  FROM documents),
+wt AS (SELECT source, doc_id,
+    (CAST('0x' || substr(md5('w|qmodel|' ||
+        CAST(CAST('0x' || substr(md5('qmodel|' || tok), 1, 8) AS BIGINT)
+             % 4096 AS VARCHAR)), 1, 8) AS BIGINT) % 2001) - 1000 AS wv
+  FROM (SELECT source, doc_id, unnest(w) AS tok FROM t)),
+mg AS (SELECT source, doc_id, CAST(COALESCE(sum(wv), 0) AS BIGINT) AS margin
+       FROM t LEFT JOIN wt USING (source, doc_id) GROUP BY 1, 2)
+SELECT t.source, count(*) AS n_docs,
+  count(DISTINCT t.dg) AS n_unique,
+  CAST(sum(CASE WHEN t.pii > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS docs_with_email,
+  CAST(sum(mg.margin) AS BIGINT) AS margin_sum
+FROM t JOIN mg ON t.source = mg.source AND t.doc_id = mg.doc_id
+GROUP BY 1""",
+)
+def source_health_report(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    scored = text.hashed_linear_score(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "margin"
+    )
+    base = docs.select(
+        "source", "doc_id",
+        F.md5("text").alias("dg"),
+        (
+            F.regexp_count(
+                F.col("text"),
+                F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+            )
+            > 0
+        ).cast("int").alias("has_email"),
+    ).join(scored, "doc_id")
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("dg").alias("n_unique"),
+        F.sum("has_email").cast("long").alias("docs_with_email"),
+        F.sum("margin").alias("margin_sum"),
+    )

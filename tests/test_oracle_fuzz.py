@@ -83,6 +83,9 @@ FUZZ_QUERIES = [
     # round 8 (cont.): half-split slicing on 1-2 word docs and the
     # und/argmax tie cascade on marker-free halves
     "mixed_language_flags",
+    # round 8 (cont.): composed scorecard on duplicate texts (n_unique <
+    # n_docs) and zero-token margins
+    "source_health_report",
 ]
 
 WORD = st.sampled_from(
