@@ -2852,3 +2852,44 @@ def source_health_report(spark, sf_dir):
         F.sum("has_email").cast("long").alias("docs_with_email"),
         F.sum("margin").alias("margin_sum"),
     )
+
+
+@query(
+    "dedup_source_matrix",
+    # provenance insight: near-dup pair counts BETWEEN sources (which
+    # feeds copy from which — mirror sites, syndication, scraper echo).
+    # Unordered source pair (lexicographic) so the matrix is triangular.
+    f"""WITH {_MINHASH_CTES},
+prs AS (SELECT c.id_a, c.id_b FROM cand c JOIN jac j USING(id_a, id_b)
+        WHERE j.jaccard >= 0.2),
+lab AS (SELECT p.id_a, p.id_b, da.source AS sa, db.source AS sb
+        FROM prs p JOIN documents da ON p.id_a = da.doc_id
+                   JOIN documents db ON p.id_b = db.doc_id)
+SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+       count(*) AS n_pairs
+FROM lab GROUP BY 1, 2""",
+)
+def dedup_source_matrix(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, k=16, rows_per_band=4, threshold=0.2
+    ).select("id_a", "id_b")
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")),
+            "id_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")),
+            "id_b",
+        )
+    )
+    return (
+        lab.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -50,6 +50,7 @@ PAIR_QUERIES = [
     "leakage_safe_split_counts",  # recursive component CTE over pairs (round 8)
     "knn_join_topk",              # quadratic per-query neighbor oracle (round 8)
     "dedup_keep_best_survivors",  # components + margin argmax (round 8)
+    "dedup_source_matrix",        # pair labeling join (round 8)
 ]
 
 TABLES = (
