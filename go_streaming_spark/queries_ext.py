@@ -2717,3 +2717,59 @@ def profile_orders_columns(spark, sf_dir):
     return profile_columns(
         orders, ["o_custkey", "o_orderstatus", "o_orderpriority"]
     )
+
+
+@query(
+    "user_lifespan_report",
+    # per-user activity envelope: first/last event, distinct active
+    # days, volume — the base table of retention/LTV analyses
+    "SELECT user_id, min(epoch_us(ts)) AS first_us,"
+    " max(epoch_us(ts)) AS last_us,"
+    " count(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS n_days,"
+    " count(*) AS n_events"
+    " FROM events GROUP BY user_id",
+)
+def user_lifespan_report(spark, sf_dir):
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    return ev.groupBy("user_id").agg(
+        F.unix_micros(F.min("ts")).alias("first_us"),
+        F.unix_micros(F.max("ts")).alias("last_us"),
+        F.countDistinct(F.to_date(F.date_trunc("day", F.col("ts")))).alias(
+            "n_days"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "session_conversion_counts",
+    # sessionized conversion: of each user's 30-minute-gap sessions, how
+    # many contain a purchase — counts, not rates (exact integers)
+    "WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),"
+    " marks AS (SELECT user_id, t, event_type,"
+    "   CASE WHEN t - lag(t) OVER w > 1800000000 OR lag(t) OVER w IS NULL"
+    "   THEN 1 ELSE 0 END AS new_s FROM e"
+    "   WINDOW w AS (PARTITION BY user_id ORDER BY t)),"
+    " sess AS (SELECT user_id, event_type, sum(new_s) OVER"
+    "   (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid"
+    "   FROM marks),"
+    " per AS (SELECT user_id, sid,"
+    "   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv"
+    "   FROM sess GROUP BY 1, 2)"
+    " SELECT user_id, count(*) AS n_sessions,"
+    " CAST(sum(conv) AS BIGINT) AS n_converted"
+    " FROM per GROUP BY user_id",
+)
+def session_conversion_counts(spark, sf_dir):
+    # native session_window carries the flag through the same one-shuffle
+    # session agg the count query uses
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    per = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("conv").cast("long").alias("n_converted"),
+    )

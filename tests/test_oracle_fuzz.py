@@ -253,6 +253,9 @@ EVENT_QUERIES = [
                                    # and duplicate values (shared cum)
     "hourly_burst_flags",          # r8: trailing-window frames shorter
                                    # than 3 rows (unflagged by contract)
+    "user_lifespan_report",        # r8: day-boundary distinct on dup ts
+    "session_conversion_counts",   # r8: session flag on the exact-gap
+                                   # boundary, single-event sessions
 ]
 
 
