@@ -2773,3 +2773,41 @@ def session_conversion_counts(spark, sf_dir):
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("conv").cast("long").alias("n_converted"),
     )
+
+
+@query(
+    "top_user_journeys",
+    # most common 3-step event journeys: per-user consecutive triples
+    # under the deterministic (ts, event_id) order (the trigram extension
+    # of event_transition_counts), top-10 by count with path tie-break
+    "WITH o AS (SELECT user_id, event_type,"
+    "   row_number() OVER (PARTITION BY user_id"
+    "     ORDER BY epoch_us(ts), event_id) AS rn FROM events),"
+    " tri AS (SELECT a.event_type AS s1, b.event_type AS s2,"
+    "   c.event_type AS s3"
+    "  FROM o a JOIN o b ON a.user_id = b.user_id AND b.rn = a.rn + 1"
+    "           JOIN o c ON a.user_id = c.user_id AND c.rn = a.rn + 2)"
+    " SELECT s1, s2, s3, count(*) AS n FROM tri GROUP BY 1, 2, 3"
+    " ORDER BY n DESC, s1, s2, s3 LIMIT 10",
+)
+def top_user_journeys(spark, sf_dir):
+    # lead() twice over the per-user order — ONE keyed window pass, no
+    # self-joins (the oracle's rn-join form is the semantic spec; the
+    # engine's lead() form shuffles the events once)
+    from pyspark.sql.window import Window
+
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    tri = ev.select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    ).filter(F.col("s3").isNotNull())
+    return (
+        tri.groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "s1", "s2", "s3")
+        .limit(10)
+    )

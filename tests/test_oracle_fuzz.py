@@ -256,6 +256,8 @@ EVENT_QUERIES = [
     "user_lifespan_report",        # r8: day-boundary distinct on dup ts
     "session_conversion_counts",   # r8: session flag on the exact-gap
                                    # boundary, single-event sessions
+    "top_user_journeys",           # r8: lead() ties on duplicate ts,
+                                   # top-10 cut ties on path strings
 ]
 
 
