@@ -815,3 +815,36 @@ def knn_join(
         .filter(F.col("rank") <= kk)
         .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def embedding_dim_stats(
+    df: DataFrame, id_col: str, vec_col: str, dim: int
+) -> DataFrame:
+    """Per-dimension moment sums across the corpus — the embedding QC
+    pass that catches collapsed/dead dimensions (a dimension whose
+    variance ≈ 0 carries no information; a mean far off 0 suggests a
+    normalization bug upstream).
+
+    Components quantize to µ-ints first, so the sums are EXACT int64
+    (double summation is order-dependent — the partition-stability trap)
+    and the oracle is bit-exact.  Emits (d, n, sum_q, sumsq_q); derive
+    mean = sum_q/(n·10⁶) and variance from the sums downstream — they
+    are kept as raw integers because n·Σx² can exceed int64 while each
+    sum alone cannot (µ² ≤ 10¹² per component, ×10⁹ rows ≈ 10²¹ needs
+    the consumer's decimal, but Σ itself stays ≤ 2^63 for ≤ ~9M rows
+    per unit-scale dim; larger corpora shard by id-hash and merge sums).
+
+    One posexplode + one groupBy(d) with map-side combine.
+    """
+    from go_streaming_spark.functions.util import spread
+
+    vec = F.col(vec_col).cast("array<double>")
+    q = F.transform(
+        vec, lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long")
+    )
+    ex = spread(df).select(F.posexplode(q).alias("d", "xq"))
+    return ex.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("sum_q"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sumsq_q"),
+    )

@@ -2893,3 +2893,21 @@ def dedup_source_matrix(spark, sf_dir):
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query(
+    "embedding_dim_stats",
+    # embedding QC: per-dimension exact µ-int moment sums (collapsed-dim
+    # and normalization-bug detection); integer-exact both engines
+    """SELECT d - 1 AS d, count(*) AS n,
+  CAST(sum(xq) AS BIGINT) AS sum_q,
+  CAST(sum(xq * xq) AS BIGINT) AS sumsq_q
+FROM (SELECT unnest(range(1, 65)) AS d, e FROM
+        (SELECT embedding::DOUBLE[] AS e FROM embeddings)),
+LATERAL (SELECT CAST(floor(e[CAST(d AS INT)] * 1e6 + 0.5) AS BIGINT) AS xq) x
+GROUP BY 1""",
+)
+def embedding_dim_stats(spark, sf_dir):
+    return similarity.embedding_dim_stats(
+        _emb(spark, sf_dir), "vec_id", "embedding", dim=64
+    )

@@ -170,6 +170,8 @@ EMB_QUERIES = [
     "ann_jl_topk",                # r8: projected-space candidate cut ties
     "knn_join_topk",              # r8: batched kNN on dup vectors (cos=1
                                   # ties), zero-norm probes, corpus < k
+    "embedding_dim_stats",        # r8: µ-quantization of zero/tiny/
+                                  # negative components, exact sums
 ]
 
 
