@@ -2811,3 +2811,28 @@ def top_user_journeys(spark, sf_dir):
         .orderBy(F.col("n").desc(), "s1", "s2", "s3")
         .limit(10)
     )
+
+
+@query(
+    "activity_heatmap",
+    # day-of-week × hour-of-day activity matrix — the load-profile view.
+    # DOW computed as ((epoch_days) + 4) % 7 (1970-01-01 was a Thursday;
+    # 0 = Sunday) because the engines' dayofweek() conventions differ
+    # (Spark 1=Sunday, DuckDB 0=Sunday) while integer epoch math is
+    # identical everywhere.
+    "SELECT CAST(((epoch_us(ts) // 86400000000) + 4) % 7 AS BIGINT) AS dow,"
+    " CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hod,"
+    " count(*) AS n, count(DISTINCT user_id) AS n_users"
+    " FROM events GROUP BY 1, 2",
+)
+def activity_heatmap(spark, sf_dir):
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    return ev.groupBy(
+        F.expr(
+            "((unix_micros(ts) div 86400000000) + 4) % 7"
+        ).alias("dow"),
+        F.expr("(unix_micros(ts) div 3600000000) % 24").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

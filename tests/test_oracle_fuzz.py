@@ -260,6 +260,8 @@ EVENT_QUERIES = [
                                    # boundary, single-event sessions
     "top_user_journeys",           # r8: lead() ties on duplicate ts,
                                    # top-10 cut ties on path strings
+    "activity_heatmap",            # r8: engine-agnostic dow/hod integer
+                                   # arithmetic on boundary timestamps
 ]
 
 
