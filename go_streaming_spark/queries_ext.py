@@ -2836,3 +2836,30 @@ def activity_heatmap(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query("stream_activity_heatmap", ORACLES["activity_heatmap"])
+def stream_activity_heatmap(spark, sf_dir):
+    # the heatmap as a STREAMING aggregation: distinct users per (dow,
+    # hod) via the dedup-then-count state chain (stream_distinct_users
+    # pattern), replayed to completion in complete mode
+    from go_streaming_spark.sources.catalog import load_stream
+    from go_streaming_spark.streaming.runner import replay_to_memory
+
+    ev = load_stream(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.expr("((unix_micros(ts) div 86400000000) + 4) % 7").alias("dow"),
+        F.expr("(unix_micros(ts) div 3600000000) % 24").alias("hod"),
+        "user_id",
+    )
+    n = keyed.groupBy("dow", "hod").agg(F.count(F.lit(1)).alias("n"))
+    users = (
+        keyed.dropDuplicates(["dow", "hod", "user_id"])
+        .groupBy("dow", "hod")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    # two independent stateful aggs over one source; join their final
+    # complete-mode snapshots
+    a = replay_to_memory(n, spark, output_mode="complete")
+    b = replay_to_memory(users, spark, output_mode="complete")
+    return a.join(b, ["dow", "hod"]).select("dow", "hod", "n", "n_users")
