@@ -39,74 +39,63 @@ def entry(spark: SparkSession) -> DataFrame:
 # registered queries every query earns a hard row at least every 3
 # rounds.
 #
-# Round-8 gate (honoring the r7 pre-commitment exactly): (a) the FIXED
-# r7 red row temperature_mixture_counts leads (round(double,6) tie →
-# floor-quantize, must re-prove green); (b) the 19 r7 registrations that
-# have never faced the driver; (c) the 28 r5 greens deferred since r6 —
-# two rounds unwatched; (d) 2 filler slots from the 50 r6 greens, picked
-# by touched-code risk: rank_distributions and winsorized_stats both had
-# their output columns swept to the q6 idiom this round.
+# Round-9 gate (honoring the r8 pre-commitment): after the r8 close the
+# never-driver-green set is 75 names (all r8 registrations plus the
+# two-round red row plus the two un-shadowed renames) — more than fills
+# the gate, so strict LRU applies: (a) the two-round red row
+# temperature_mixture_counts leads (r9 fix: oracle HUGEINT sum cast to
+# BIGINT + weight emitted as integer micro-units on both sides, so no
+# double and no int128 ever reaches the driver's hasher); (b) the 25
+# early-r8 registrations in the pre-committed enumeration, with
+# stream_dedup_exact_native carrying the slot the shadowed
+# queries_llm stream_dedup_exact registration occupied (renamed in r9 —
+# the duplicate-name guard in queries.py now makes shadowing an import
+# error); (c) the late-r8 batch in registration order up to the 50-slot
+# cut, including BOTH un-shadowed session-window twins.
 #
-# r9 PRE-COMMITMENT: the remaining 48 r6 greens are two rounds unwatched
-# at end of r8 and lead the r9 rotation (LRU), together with the 25
-# queries registered in r8 after this gate froze
-# (multimodal_mp4_content_stats, corpus_ingest_clean_tokens,
-# hist_value_percentiles, hist_percentiles_by_type,
-# stream_cms_word_counts, ann_pq_adc_topk, stream_hll_user_cardinality,
-# stream_dedup_exact, pmi_top_bigrams, kmeans_cluster_stats,
-# kmeans_lloyd_centroids, semdedup_survivors, shipping_priority_topn,
-# dormant_rich_customers, scd2_order_history, cdc_latest_snapshot,
-# timeseries_resample_6h, bm25_doc_scores, dedup_edit_distance,
-# stream_hist_value_percentiles, leakage_cross_split_pairs,
-# textrank_top_terms, inverted_index_postings, zorder_locality_stats,
-# stream_heavy_hitter_words, plus the late-r8 batch: bm25_topk_per_query,
-# dedup_containment_pairs, vocab_oov_rates, bpe_top_merges,
-# jl_projection_vectors, lm_bigram_quality, ann_jl_topk,
-# snapshot_diff_orders, ols_trend_by_type, event_transition_counts,
-# recency_weighted_counts, quality_linear_scores,
-# stream_session_window_count, cust_order_distribution,
-# nation_market_share, disjunctive_part_revenue,
-# leakage_safe_split_counts, dq_violation_counts, negative_sample_pairs,
-# pii_audit_by_source, stream_dq_violation_counts, knn_join_topk,
-# bpe_encode_counts, token_drift_by_source, value_drift_by_type,
+# r10 PRE-COMMITMENT: the 25 never-green names that missed this cut
+# carry to the r10 head in registration order (bpe_encode_counts was
+# gated in r9; then token_drift_by_source, value_drift_by_type,
 # cheapest_supplier_per_part, stream_distinct_users_hourly,
 # mad_outlier_counts, weighted_value_percentiles,
 # weighted_price_percentiles_by_priority, value_cdf_quantized,
 # hourly_burst_flags, cms_join_size, dedup_keep_best_survivors,
 # profile_orders_columns, review_queue_sample, missing_days_report,
 # tokenizer_fertility_by_lang, compression_ratio_stats,
-# mixed_language_flags, partition_manifest_orders
-# — re-enumerate from the registry, newest-without-a-row first, in case
-# of later r8 additions).  That far exceeds 50: the r8 registrations
-# fill the r9 gate newest-last; everything that misses the cut
-# (remaining r8 registrations first, then the stalest r6 greens)
-# carries to r10 at the head of the queue.
+# mixed_language_flags, partition_manifest_orders, source_health_report,
+# dedup_source_matrix, embedding_dim_stats, user_lifespan_report,
+# session_conversion_counts, top_user_journeys, activity_heatmap,
+# stream_activity_heatmap, plus any r9 registrations), followed by the
+# stalest r6 greens (three rounds unwatched by then: star_join_agg,
+# pricing_summary, dedup_exact, dedup_minhash_lsh, window_sum_tumbling,
+# ... — re-enumerate from CORRECTNESS history, oldest-green first,
+# alphabetical within a round) to fill 50.
 GATE_PRIORITY = [
-    # (a) the fixed r7 red row — must re-prove green
+    # (a) the two-round red row — fixed in r9, must re-prove green
     "temperature_mixture_counts",
-    # (b) registered in r7 after the gate froze — first hard rows
-    "dedup_incremental_bloom", "dedup_prefix_jaccard",
-    "hll_user_cardinality", "bloom_join_urgent_revenue",
-    "multimodal_bmp_thumbnail_stats", "multimodal_wav_downsample_stats",
-    "dedup_spans_removed_counts", "stream_window_join_left",
-    "stream_fan_in_sum", "cohort_retention_counts", "mad_by_type",
-    "table_fingerprint", "incremental_cube_update",
-    "salted_agg_status_totals", "salted_join_type_revenue",
-    "nation_pair_volume", "returned_item_customers",
-    "promo_revenue_pct", "top_supplier_revenue",
-    # (c) the 28 r5 greens deferred since r6 — two rounds unwatched
-    "anti_join_no_urgent_customers", "chunk_documents", "convert_long",
-    "cube_revenue", "decontaminate_counts", "distinct_users_per_type",
-    "doc_repetition_scores", "filter_contains", "filter_even",
-    "filter_odd", "filter_smaller", "flatmap_chars",
-    "grouping_sets_revenue", "hash_split_counts", "limit_first",
-    "map_affine", "mixture_sample_counts", "observe_passthrough",
-    "part_type_stats", "redact_pii", "select_from_map",
-    "semi_join_urgent_customers", "stratified_sample_counts",
-    "stream_counting_window_sum", "stream_static_enrich",
-    "tokenize_wordcount", "topk_orders", "value_percentiles",
-    # (d) filler: r6 greens whose output columns were q6-swept this round
-    "rank_distributions", "winsorized_stats",
+    # (b) early-r8 registrations — first hard rows (pre-committed order)
+    "multimodal_mp4_content_stats", "corpus_ingest_clean_tokens",
+    "hist_value_percentiles", "hist_percentiles_by_type",
+    "stream_cms_word_counts", "ann_pq_adc_topk",
+    "stream_hll_user_cardinality", "stream_dedup_exact_native",
+    "pmi_top_bigrams", "kmeans_cluster_stats", "kmeans_lloyd_centroids",
+    "semdedup_survivors", "shipping_priority_topn",
+    "dormant_rich_customers", "scd2_order_history", "cdc_latest_snapshot",
+    "timeseries_resample_6h", "bm25_doc_scores", "dedup_edit_distance",
+    "stream_hist_value_percentiles", "leakage_cross_split_pairs",
+    "textrank_top_terms", "inverted_index_postings",
+    "zorder_locality_stats", "stream_heavy_hitter_words",
+    # (c) late-r8 batch, registration order, to the 50-slot cut
+    "bm25_topk_per_query", "dedup_containment_pairs", "vocab_oov_rates",
+    "bpe_top_merges", "jl_projection_vectors", "lm_bigram_quality",
+    "ann_jl_topk", "snapshot_diff_orders", "ols_trend_by_type",
+    "event_transition_counts", "recency_weighted_counts",
+    "quality_linear_scores", "stream_session_window_count",
+    "stream_session_window_count_envelope", "cust_order_distribution",
+    "nation_market_share", "disjunctive_part_revenue",
+    "leakage_safe_split_counts", "dq_violation_counts",
+    "negative_sample_pairs", "pii_audit_by_source",
+    "stream_dq_violation_counts", "knn_join_topk", "bpe_encode_counts",
 ]
 
 

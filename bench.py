@@ -125,19 +125,34 @@ def main():
         if name not in QUERIES:
             continue
         try:
-            timings[name] = round(_time_query(spark, name, sf_dir, runs), 4)
+            timings[name] = round(_time_query(spark, name, sf_dir, runs), 3)
         except Exception as exc:  # one broken query must not kill the record
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
 
-    total = round(sum(t for t in timings.values() if t > 0), 4)
-    print(json.dumps({
+    total = round(sum(t for t in timings.values() if t > 0), 3)
+    record = {
         "metric": "headline_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    # The driver records only a bounded TAIL of our stdout; the r8 run
+    # truncated the leading queries out of the captured JSON.  Persist
+    # the full record to a repo file the driver can't truncate, then
+    # print the compact one-line contract (3-decimal seconds, separators
+    # without spaces) — small enough to survive any reasonable capture.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LOCAL_LATEST.json"), "w"
+        ) as fh:
+            json.dump(record, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"bench: could not persist repo copy: {exc}", file=sys.stderr)
+    print(json.dumps(record, separators=(",", ":")))
     spark.stop()
 
 

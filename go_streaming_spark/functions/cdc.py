@@ -178,19 +178,31 @@ def partition_fingerprint(
     100 TB table (the grouped form of the table_fingerprint primitive).
 
     Row hash = 60-bit md5 prefix over the '|'-joined canonical strings
-    of ``hash_cols``, folded per group with bit_xor (commutative,
-    associative, overflow-free), plus the exact row count.  Two tables'
-    manifests anti-join on (group, xor_hash, n_rows) to list exactly the
-    partitions that diverge.  NULL-bearing hash_cols need an explicit
-    coalesce sentinel on BOTH engines (concat_ws skips NULLs where SQL
-    || nulls the row) — pass pre-coalesced columns for those.
+    of ``hash_cols``, folded per group TWO order-insensitive ways:
+    ``bit_xor`` (commutative, associative, overflow-free) and a modular
+    SUM (decimal-accumulated, reduced mod 2^60 — exact for any row
+    count).  The xor alone cancels duplicate rows pairwise (two
+    identical rows xor to 0), so two partitions with equal counts but
+    different dup-heavy multisets could collide; the sum fold breaks
+    exactly that degeneracy (a row appearing twice adds 2h, not 0).
+    Two tables' manifests anti-join on (group, xor_hash, sum_hash,
+    n_rows) to list exactly the partitions that diverge.  NULL-bearing
+    hash_cols need an explicit coalesce sentinel on BOTH engines
+    (concat_ws skips NULLs where SQL || nulls the row) — pass
+    pre-coalesced columns for those.
 
     One map-side-combined groupBy; output ∝ partition count.
     """
     from go_streaming_spark.functions.dedup import md5_int
 
     row_str = F.concat_ws("|", *[F.col(c).cast("string") for c in hash_cols])
+    h = md5_int(row_str, hex_chars=15)
     return df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.bit_xor(md5_int(row_str, hex_chars=15)).alias("xor_hash"),
+        F.bit_xor(h).alias("xor_hash"),
+        # decimal(38,0) accumulation is exact to ~1e20 rows/partition;
+        # mod 2^60 brings it back into int64 on both engines
+        (F.sum(h.cast("decimal(38,0)")) % F.lit(1 << 60))
+        .cast("long")
+        .alias("sum_hash"),
     )

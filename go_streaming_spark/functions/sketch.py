@@ -157,7 +157,11 @@ def heavy_hitters_from_sketch(
     for r in sketch.collect():
         if r["row"] is None or r["bucket"] is None:  # defensive vs NULL keys
             continue
-        table[r["row"]][r["bucket"]] = r["count"]
+        # ACCUMULATE, don't assign: a caller may hand us unioned
+        # per-batch sketches that haven't been groupBy-merged yet;
+        # last-write-wins would undercount and break the soundness
+        # contract (a true heavy hitter must never be prefiltered out)
+        table[r["row"]][r["bucket"]] += r["count"]
     key = F.col(key_col)
     ests = [
         F.element_at(
@@ -756,27 +760,30 @@ def hist_cdf_transform(
     from pyspark.sql.window import Window
 
     hist = hist_build(df, value_col, lo, hi, n_bins)
+    # sketch-side columns use reserved __cdf_* names so an input frame
+    # that already has a 'bin' or 'cum' column is neither ambiguous in
+    # the join condition nor silently dropped afterwards
     cum = hist.withColumn(
-        "cum",
+        "__cdf_cum",
         F.sum("count").over(
             Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
         ),
-    ).select("bin", "cum")
-    n = hist.agg(F.sum("count").alias("__n"))
+    ).select(F.col("bin").alias("__cdf_bin"), "__cdf_cum")
+    n = hist.agg(F.sum("count").alias("__cdf_n"))
     v = F.col(value_col).cast("double")
     scale = float(n_bins) / (hi - lo)
     raw = F.floor((v - F.lit(float(lo))) * F.lit(scale)).cast("long")
     bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
     return (
         df.withColumn("__bin", F.when(v.isNotNull(), bin_))
-        .join(F.broadcast(cum), F.col("__bin") == F.col("bin"), "left")
+        .join(F.broadcast(cum), F.col("__bin") == F.col("__cdf_bin"), "left")
         .crossJoin(F.broadcast(n))
         .withColumn(
             out_col,
             F.when(
                 v.isNotNull(),
-                F.expr("(cum * 1000000) div __n"),
+                F.expr("(__cdf_cum * 1000000) div __cdf_n"),
             ),
         )
-        .drop("__bin", "bin", "cum", "__n")
+        .drop("__bin", "__cdf_bin", "__cdf_cum", "__cdf_n")
     )

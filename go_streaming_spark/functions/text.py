@@ -293,11 +293,13 @@ def hashed_linear_score(
 
     Emits (id, n_tokens, margin, score_q) with
     ``score_q = floor(margin·10⁶ / n_tokens)`` — floor implemented as
-    subtract-nonnegative-remainder-then-exact-divide, because Spark's
-    integer ``div`` truncates toward zero while DuckDB's ``//`` floors;
-    after removing ``((m % n) + n) % n`` the division is exact and both
-    engines agree on the (possibly negative) quotient.  Zero-token docs
-    keep margin 0 and a NULL score.
+    subtract-nonnegative-remainder-then-exact-divide.  Both engines'
+    integer division (Spark ``div``, DuckDB ``//``) truncates TOWARD
+    ZERO (duckdb: -7//2 = -3), so plain division would round negative
+    margins the wrong way on both; removing ``((m % n) + n) % n`` first
+    makes the division exact, giving true floor semantics for negative
+    margins identically in both engines.  Zero-token docs keep margin 0
+    and a NULL score.
 
     Scale: a pure projection — zero shuffles, zero joins, no UDF; the
     whole model evaluation lives inside whole-stage codegen and a
@@ -366,6 +368,16 @@ def bpe_learn_merges(
     word); correctness is pinned instead by an exact pure-Python
     reference implementation in the tests, the same pattern as
     ``pagerank``'s integer reference.
+
+    COST — read before training a real tokenizer with this: each merge
+    is ONE Spark job ending in a 1-row ``limit(1).collect()`` — the loop
+    is driver-paced, so a 32k-merge vocabulary is 32k job round-trips
+    (hours of scheduler overhead even though each job is small; this is
+    the canonical distributed-BPE structure, not an accident of this
+    implementation).  Use it for small research vocabularies and merge
+    audits; for production tokenization, learn merges once offline (or
+    with a specialized trainer) and apply them at corpus scale via
+    :func:`bpe_encode`, which is a single embarrassingly-parallel pass.
     """
     import pandas as pd  # noqa: F401  (pandas_udf runtime dep)
     from pyspark.sql.functions import pandas_udf

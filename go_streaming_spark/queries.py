@@ -50,6 +50,15 @@ ORACLES: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def register(fn):
+        if name in QUERIES:
+            # a silent last-import-wins overwrite makes a documented
+            # capability unreachable by the correctness gate (this
+            # happened twice pre-r9) — fail loudly at import time instead
+            raise ValueError(
+                f"duplicate query registration: {name!r} "
+                f"(already bound to {QUERIES[name].__module__}."
+                f"{QUERIES[name].__qualname__})"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

@@ -1053,11 +1053,14 @@ def stream_dedup_exact(spark, sf_dir):
     return out.select("user_id", "event_type", "value")
 
 
-@query("stream_session_window_count", ORACLES["session_window_count"])
-def stream_session_window_count(spark, sf_dir):
+@query("stream_session_window_count_envelope", ORACLES["session_window_count"])
+def stream_session_window_count_envelope(spark, sf_dir):
     # gap-based session windows ARE streaming-native (state merges
     # overlapping sessions per key); complete-mode availableNow replay
-    # reproduces the batch gaps-and-islands result exactly
+    # reproduces the batch gaps-and-islands result exactly.  This variant
+    # goes through the reference-parity event ENVELOPE (to_events) with an
+    # explicit zero watermark; its twin stream_session_window_count runs
+    # the same sessionization directly on the raw stream
     from go_streaming_spark.events import to_events
     from go_streaming_spark.sources.catalog import load_stream
     from go_streaming_spark.streaming.runner import replay_to_memory
@@ -2011,8 +2014,8 @@ _RW_ANCHOR = 1706745600  # 2024-02-01 UTC, after the events range
 @query(
     "recency_weighted_counts",
     f"""WITH w AS (SELECT event_type,
-    (1000000 >> least((({_RW_ANCHOR} - date_diff('second',
-        TIMESTAMP '1970-01-01 00:00:00', ts)) // 3600) // 24, 62))
+    (1000000 >> greatest(least((({_RW_ANCHOR} - date_diff('second',
+        TIMESTAMP '1970-01-01 00:00:00', ts)) // 3600) // 24, 62), 0))
       AS wt
   FROM events)
 SELECT event_type, count(*) AS n, CAST(sum(wt) AS BIGINT) AS recency_mass
@@ -2380,13 +2383,17 @@ def cheapest_supplier_per_part(spark, sf_dir):
     "partition_manifest_orders",
     # per-partition checksum manifest (grouped table_fingerprint): one
     # row per o_orderpriority partition — count + xor-folded 60-bit row
-    # hashes; incremental copies validate by comparing manifests
-    "SELECT o_orderpriority AS priority, count(*) AS n_rows,"
-    " CAST(bit_xor(CAST(('0x' || substr(md5("
+    # hashes + mod-2^60 sum fold (the xor's dup-cancellation breaker);
+    # incremental copies validate by comparing manifests
+    "WITH h AS (SELECT o_orderpriority AS priority,"
+    " CAST(('0x' || substr(md5("
     "   CAST(o_orderkey AS VARCHAR) || '|'"
     "   || CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR)"
-    " ), 1, 15)) AS BIGINT)) AS BIGINT) AS xor_hash"
-    " FROM orders GROUP BY 1",
+    " ), 1, 15)) AS BIGINT) AS rh FROM orders)"
+    " SELECT priority, count(*) AS n_rows,"
+    " CAST(bit_xor(rh) AS BIGINT) AS xor_hash,"
+    " CAST(sum(rh) % 1152921504606846976 AS BIGINT) AS sum_hash"
+    " FROM h GROUP BY 1",
 )
 def partition_manifest_orders(spark, sf_dir):
     from go_streaming_spark.functions.cdc import partition_fingerprint
@@ -2632,7 +2639,7 @@ ORACLES["weighted_price_percentiles_by_priority"] = (
     " h AS (SELECT bin, count(*) AS cnt FROM b GROUP BY 1),"
     " c AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM h),"
     " n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h)"
-    " SELECT b.event_id, (c.cum * 1000000) // n.n AS cdf_q"
+    " SELECT b.event_id, CAST((c.cum * 1000000) // n.n AS BIGINT) AS cdf_q"
     " FROM b JOIN c USING (bin) CROSS JOIN n",
 )
 def value_cdf_quantized(spark, sf_dir):

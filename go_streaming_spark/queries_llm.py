@@ -1032,8 +1032,9 @@ cc AS (SELECT d.doc_id, d.source, wt.weight,
                < CAST(floor((weight - floor(weight)) * 4294967296.0) AS BIGINT)
           THEN 1 ELSE 0 END AS n_copies
        FROM documents d JOIN wt ON d.source = wt.stratum)
-SELECT source, count(*) AS n_rows, sum(n_copies) AS n_copies_total,
-       floor(max(weight)*1e6 + 0.5)/1e6 AS weight_r
+SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_copies) AS BIGINT) AS n_copies_total,
+       CAST(floor(max(weight)*1e6 + 0.5) AS BIGINT) AS weight_u
 FROM cc GROUP BY source""",
 )
 def temperature_mixture_counts(spark, sf_dir):
@@ -1044,13 +1045,17 @@ def temperature_mixture_counts(spark, sf_dir):
     counted = sampling.mixture_copy_counts_df(docs, "doc_id", "source", wts)
     agg = counted.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum("n_copies").alias("n_copies_total"),
+        F.sum("n_copies").cast("long").alias("n_copies_total"),
     )
-    # floor-quantize, not round: the r7 driver red row was a
-    # round(double,6) representation tie in this very column
+    # emit the weight as exact integer micro-units so no double ever
+    # reaches the driver's value hasher: the r7 red row was a
+    # round(double,6) tie, the r8 red row was the oracle's uncast
+    # HUGEINT sum — integers on both sides close both surfaces
     wr = wts.select(
         F.col("stratum").alias("source"),
-        util.q6(F.col("weight")).alias("weight_r"),
+        F.floor(F.col("weight") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("weight_u"),
     )
     return agg.join(wr, "source")
 
@@ -2041,7 +2046,7 @@ def stream_hll_user_cardinality(spark, sf_dir):
 ORACLES["stream_hll_user_cardinality"] = ORACLES["hll_user_cardinality"]
 
 @query(
-    "stream_dedup_exact",
+    "stream_dedup_exact_native",
     # exact dedup as a NATIVE streaming operator: Spark's streaming
     # dropDuplicates keeps one state row per digest across micro-batches
     # and emits each digest once.  Which copy wins inside a batch is
@@ -2052,7 +2057,7 @@ ORACLES["stream_hll_user_cardinality"] = ORACLES["hll_user_cardinality"]
   len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens
 FROM documents""",
 )
-def stream_dedup_exact(spark, sf_dir):
+def stream_dedup_exact_native(spark, sf_dir):
     """Zero-custom-code streaming dedup: documents replay as 4 real
     micro-batches and the per-key state survives between them (the
     complement of CorpusState.ingest's anti-join path).  State is one
@@ -2548,8 +2553,10 @@ def dedup_keep_best_survivors(spark, sf_dir):
     # frozen hashed-feature linear model (fastText/CCNet classifier
     # shape): per-occurrence bucket weights from the md5 idiom, exact
     # int64 margin, floor-division via the subtract-nonneg-remainder
-    # idiom (Spark div truncates, DuckDB // floors; exact division
-    # agrees).  Zero-token docs surface with margin 0, NULL score.
+    # idiom (BOTH engines truncate toward zero — the idiom exists to
+    # give consistent floor semantics for negative margins, not to
+    # bridge an engine difference).  Zero-token docs: margin 0, NULL
+    # score.
     r"""WITH t AS (SELECT doc_id AS id,
     list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS w
   FROM documents),
@@ -2772,7 +2779,7 @@ def review_queue_sample(spark, sf_dir):
   FROM documents)
 SELECT lang, CAST(sum(n_words) AS BIGINT) AS n_words,
   CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
-  (sum(n_pieces) * 1000000) // sum(n_words) AS fertility_q
+  CAST((sum(n_pieces) * 1000000) // sum(n_words) AS BIGINT) AS fertility_q
 FROM t WHERE n_words > 0 GROUP BY lang""",
 )
 def tokenizer_fertility_by_lang(spark, sf_dir):

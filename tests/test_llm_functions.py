@@ -2545,3 +2545,92 @@ def test_keep_best_per_component_prefers_quality_over_id(spark):
     kept2 = [r["doc_id"] for r in
              keep_best_per_component(df2, "doc_id", p2, "score").collect()]
     assert kept2 == [5]
+
+
+def test_query_registry_rejects_duplicate_names():
+    """The r9 registry guard: a second registration under an existing
+    name must raise at decoration time (pre-r9, last-import-wins
+    silently shadowed two gated streaming capabilities)."""
+    import pytest as _pytest
+
+    from go_streaming_spark.queries import QUERIES, query
+
+    taken = next(iter(QUERIES))
+    with _pytest.raises(ValueError, match="duplicate query registration"):
+        @query(taken)
+        def _dup(spark, sf_dir):  # pragma: no cover
+            return None
+
+
+def test_hist_cdf_transform_tolerates_bin_and_cum_input_columns(spark):
+    """An input frame that already owns 'bin'/'cum' columns must survive
+    the sketch join un-clobbered (sketch-side columns use reserved
+    __cdf_* names since r9)."""
+    from go_streaming_spark.functions.sketch import hist_cdf_transform
+
+    df = spark.createDataFrame(
+        [(float(i), i * 7, f"c{i}") for i in range(50)],
+        "x double, bin long, cum string",
+    )
+    out = hist_cdf_transform(df, "x", lo=0.0, hi=50.0, n_bins=50)
+    assert set(out.columns) == {"x", "bin", "cum", "cdf_q"}
+    rows = sorted(out.collect(), key=lambda r: r["x"])
+    assert len(rows) == 50
+    # user columns preserved verbatim
+    assert all(r["bin"] == int(r["x"]) * 7 for r in rows)
+    assert all(r["cum"] == f"c{int(r['x'])}" for r in rows)
+    # and the transform itself still behaves: monotone in x
+    cdfs = [r["cdf_q"] for r in rows]
+    assert cdfs == sorted(cdfs)
+
+
+def test_heavy_hitters_from_sketch_accumulates_unmerged_union(spark):
+    """Soundness with an UNMERGED sketch: two per-batch CMS sketches
+    unioned without a groupBy merge must still never prefilter a true
+    heavy hitter (r9 fix: accumulate +=, not last-write-wins)."""
+    from pyspark.sql import functions as F
+
+    from go_streaming_spark.functions import sketch
+
+    rows = [("hot",)] * 30 + [("warm",)] * 12 + [("cold",)] * 2
+    df = spark.createDataFrame(rows, "k string")
+    half_a = spark.createDataFrame(rows[:22], "k string")
+    half_b = spark.createDataFrame(rows[22:], "k string")
+    unmerged = sketch.count_min_build(half_a, "k", depth=4, width=64).unionByName(
+        sketch.count_min_build(half_b, "k", depth=4, width=64)
+    )
+    got = {
+        r["key"]: r["n_occ"]
+        for r in sketch.heavy_hitters_from_sketch(
+            df, unmerged, "k", min_count=10, depth=4, width=64
+        ).collect()
+    }
+    assert got == {"hot": 30, "warm": 12}
+
+
+def test_partition_fingerprint_sum_hash_breaks_xor_dup_cancellation(spark):
+    """Two partitions with equal counts whose row multisets differ only
+    by duplicated rows xor to the same value (pairwise cancellation);
+    the r9 sum_hash fold must distinguish them."""
+    from pyspark.sql import functions as F
+
+    from go_streaming_spark.functions.cdc import partition_fingerprint
+
+    # partition A: rows {r1, r1, r2, r2} → xor = 0; B: {r3, r3, r4, r4}
+    # → xor = 0 as well, same count, different contents
+    a = spark.createDataFrame(
+        [("p", "r1"), ("p", "r1"), ("p", "r2"), ("p", "r2")],
+        "part string, k string",
+    )
+    b = spark.createDataFrame(
+        [("p", "r3"), ("p", "r3"), ("p", "r4"), ("p", "r4")],
+        "part string, k string",
+    )
+    ma = partition_fingerprint(a, ["part"], ["k"]).collect()[0]
+    mb = partition_fingerprint(b, ["part"], ["k"]).collect()[0]
+    assert ma["xor_hash"] == 0 and mb["xor_hash"] == 0  # the degeneracy
+    assert ma["n_rows"] == mb["n_rows"]
+    assert ma["sum_hash"] != mb["sum_hash"]  # the fix
+    # identical multisets keep identical manifests regardless of layout
+    ma2 = partition_fingerprint(a.repartition(5), ["part"], ["k"]).collect()[0]
+    assert (ma["xor_hash"], ma["sum_hash"]) == (ma2["xor_hash"], ma2["sum_hash"])

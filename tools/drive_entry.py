@@ -56,6 +56,11 @@ def _multiset(rows, cols):
 
 queries = entry_mod.queries()
 oracles = entry_mod.oracle_sql()
+# the query() decorator raises on duplicate names at import time; keep a
+# belt-and-braces check here so a registry regression can't silently
+# shadow a gated capability again (pre-r9 defect)
+assert len(queries) == len(set(queries)), "duplicate query names"
+assert set(oracles) <= set(queries), "oracle without a query"
 only = set(sys.argv[1:])
 ok = fail = rows_only = 0
 for name in sorted(queries):

@@ -23,9 +23,34 @@ import go_streaming_spark.queries_llm  # noqa: E402,F401
 import go_streaming_spark.queries_ext  # noqa: E402,F401
 from bench import HEADLINE  # noqa: E402
 
+# Batch analytics registered late in r8/r9 that aren't bench headliners
+# but deserve a standing plan row (VERDICT r8 item 6).  Streaming twins
+# are excluded: a replay_to_memory result audits as a trivial memory
+# scan, not the real micro-batch plan.
+EXTRA_AUDIT = [
+    "activity_heatmap", "top_user_journeys", "user_lifespan_report",
+    "session_conversion_counts", "event_transition_counts",
+    "value_drift_by_type", "value_cdf_quantized", "hourly_burst_flags",
+    "partition_manifest_orders", "recency_weighted_counts",
+    "ols_trend_by_type", "snapshot_diff_orders", "scd2_order_history",
+    "cdc_latest_snapshot", "timeseries_resample_6h",
+    "missing_days_report", "mad_outlier_counts",
+    "weighted_value_percentiles", "weighted_price_percentiles_by_priority",
+    "cms_join_size", "dedup_keep_best_survivors",
+    "profile_orders_columns", "review_queue_sample", "vocab_oov_rates",
+    "lm_bigram_quality", "pii_audit_by_source",
+    "tokenizer_fertility_by_lang", "compression_ratio_stats",
+    "source_health_report", "dedup_source_matrix", "embedding_dim_stats",
+]
+
 
 # red flags that are actually fine, with the reason they're fine
 KNOWN_BENIGN = {
+    "dormant_rich_customers": (
+        "BroadcastNestedLoopJoin is the 1-row broadcast positive-balance"
+        " average scalar (crossJoin with a single-row filtered aggregate,"
+        " queries_ext.py Q22 shape) — O(n·1), not a pair explosion"
+    ),
     "tfidf_top_terms": (
         "BroadcastNestedLoopJoin is the 1-row broadcast corpus-size scalar"
         " (crossJoin with a single-row aggregate) — O(n·1), not a pair explosion"
@@ -49,6 +74,27 @@ KNOWN_BENIGN = {
         "BroadcastNestedLoopJoin is the 1-row broadcast corpus-total"
         " scalar (crossJoin with a single-row aggregate) — O(n·1), the"
         " tfidf_top_terms shape"
+    ),
+    "value_drift_by_type": (
+        "BroadcastNestedLoopJoin is categorical_tv_drift's 1-row broadcast"
+        " corpus-total scalar (stats.py crossJoin(n_all)) — O(n·1)"
+    ),
+    "value_cdf_quantized": (
+        "BroadcastNestedLoopJoin is hist_cdf_transform's 1-row broadcast"
+        " total-count scalar (crossJoin(n)) — O(n·1)"
+    ),
+    "weighted_value_percentiles": (
+        "BroadcastNestedLoopJoin is the histogram quantile's 1-row"
+        " broadcast total-mass scalar (crossJoin(total)) — O(q·1)"
+    ),
+    "weighted_price_percentiles_by_priority": (
+        "BroadcastNestedLoopJoin is the grouped histogram quantile's"
+        " per-group total join against the ≤|groups|-row broadcast totals"
+        " table — bounded by group cardinality, not data size"
+    ),
+    "cms_join_size": (
+        "BroadcastNestedLoopJoin is the 1-row × 1-row crossJoin attaching"
+        " the exact join size to the CMS estimate for comparison — O(1)"
     ),
     "textrank_top_terms": (
         "plan reads 0 exchanges/0 scans because the final rank vector is"
@@ -85,7 +131,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     rows = []
-    for name in HEADLINE:
+    for name in HEADLINE + [n for n in EXTRA_AUDIT if n not in HEADLINE]:
         if name not in QUERIES:
             continue
         try:
