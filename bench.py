@@ -95,6 +95,8 @@ HEADLINE = [
     "cheapest_supplier_per_part",    # argmin via min-struct map-side combine (round 8)
     "token_drift_by_source",         # exact-TV drift: two keyed shuffles + vocab join (round 8)
     "mixed_language_flags",          # dual lang-ID argmax, map-only (round 8)
+    "dedup_components_star",         # edge-contracting large-star/small-star CC (round 9)
+    "hll_user_overlap",              # sketch union+intersection cardinality, one pass (round 9)
 ]
 
 

@@ -434,6 +434,103 @@ def hll_grouped(
     )
 
 
+def hll_overlap(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    group_a,
+    group_b,
+    p: int = 12,
+) -> DataFrame:
+    """Set-operation cardinality estimates between two groups' key sets
+    from ONE pass of mergeable HLL state: a single row
+    (s_a, s_b, s_union, est_a, est_b, est_union, est_intersect).
+
+    Union comes free from the sketch algebra (HLL registers max-merge);
+    intersection is inclusion-exclusion over the three estimates —
+    the standard sketch answer to "how many users do sources A and B
+    share?" at 100 TB, where the exact alternative is a full
+    distinct-key shuffle of both sides.  All register sums are exact
+    int64 (the repo's s_int convention), so every emitted number is a
+    deterministic function of the key sets: the only float ops are the
+    final divisions, identical IEEE sequences in both engines.
+    est_intersect can read slightly negative on near-disjoint sets
+    (standard inclusion-exclusion noise) — it is an estimator, not a
+    count; callers wanting a floor clamp at 0 themselves.
+
+    Scale: one map-side-combined shuffle to ≤ 2·2^p sketch rows,
+    localCheckpointed ONCE because three consumers read it (per-group
+    sums, the max-merge union — the ReuseExchange miss pattern from
+    SCALE.md would otherwise re-scan the source per consumer); the
+    1-row × 1-row crossJoins are benign scalar BNLJs.  Returns empty if
+    either group has no rows (no keys → no overlap question).
+    """
+    sk = hll_grouped_build(
+        df.filter(F.col(group_col).isin([group_a, group_b])),
+        group_col,
+        key_col,
+        p,
+    )
+    return hll_overlap_from_state(sk, group_a, group_b, p)
+
+
+def hll_overlap_from_state(
+    sk: DataFrame, group_a, group_b, p: int = 12
+) -> DataFrame:
+    """:func:`hll_overlap` from a caller-supplied (grp, reg, max_rank)
+    sketch state — the streaming/incremental shape: accumulate state
+    with max-merge per micro-batch (see ``stream_hll_user_cardinality``),
+    then ask the overlap question on demand without touching raw data.
+    Extra groups in the state are ignored."""
+    m = 1 << p
+    c = hll_alpha_mm_scaled(p)
+    scale = hll_scale_exp(p)
+    sk = sk.filter(F.col("grp").isin([group_a, group_b])).localCheckpoint()
+    term = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), (scale - F.col("max_rank")).cast("int")
+    )
+    per = (
+        sk.groupBy("grp")
+        .agg(F.sum(term).alias("_sp"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            "grp",
+            (F.col("_sp") + (F.lit(m) - F.col("_n")) * F.lit(1 << scale)).alias("s"),
+        )
+    )
+    uterm = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), (scale - F.col("_mr")).cast("int")
+    )
+    s_union = (
+        sk.groupBy("reg")
+        .agg(F.max("max_rank").alias("_mr"))
+        .agg(F.sum(uterm).alias("_sp"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            (F.col("_sp") + (F.lit(m) - F.col("_n")) * F.lit(1 << scale)).alias(
+                "s_union"
+            )
+        )
+    )
+    a = per.filter(F.col("grp") == F.lit(group_a)).select(F.col("s").alias("s_a"))
+    b = per.filter(F.col("grp") == F.lit(group_b)).select(F.col("s").alias("s_b"))
+    est = lambda s: f"floor(({c!r}D / CAST({s} AS DOUBLE))*1e6 + 0.5)/1e6"
+    return (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(s_union))
+        .selectExpr(
+            "s_a",
+            "s_b",
+            "s_union",
+            f"{est('s_a')} AS est_a",
+            f"{est('s_b')} AS est_b",
+            f"{est('s_union')} AS est_union",
+            f"floor((({c!r}D / CAST(s_a AS DOUBLE))"
+            f" + ({c!r}D / CAST(s_b AS DOUBLE))"
+            f" - ({c!r}D / CAST(s_union AS DOUBLE)))*1e6 + 0.5)/1e6"
+            " AS est_intersect",
+        )
+    )
+
+
 def bloom_filtered_join(
     fact: DataFrame,
     dim: DataFrame,

@@ -320,6 +320,34 @@ def dedup_clusters(spark, sf_dir):
     return dedup_components(pairs)
 
 
+@query(
+    "dedup_components_star",
+    # SAME transitive closure as dedup_clusters, computed by the
+    # edge-contracting alternating large-star/small-star algorithm
+    # (Kiveris et al. SoCC'14) instead of label propagation — the
+    # 100 TB path when the pair graph's edges dwarf its nodes (per-round
+    # shuffle shrinks as components contract; hub skew decays after one
+    # round).  Component id = min member id on both engines, so the
+    # recursive-CTE oracle is shared verbatim with dedup_clusters.
+    f"""WITH RECURSIVE {_MINHASH_CTES},
+pairs AS (SELECT c.id_a, c.id_b FROM cand c JOIN jac j USING(id_a, id_b) WHERE j.jaccard >= 0.2),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach AS (SELECT u AS node, v AS r FROM edges
+          UNION SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u)
+SELECT node AS doc_id, least(node, min(r)) AS cluster_id FROM reach GROUP BY node""",
+)
+def dedup_components_star(spark, sf_dir):
+    from go_streaming_spark.functions.graph import connected_components_star
+
+    pairs = dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, k=16, rows_per_band=4, threshold=0.2
+    )
+    comps = connected_components_star(pairs, src="id_a", dst="id_b")
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
 _SIMHASH_SQL = """toks AS (SELECT doc_id id, t token, count(*) cnt FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text,'\\s+'), x->x<>'')) t FROM documents) GROUP BY 1,2),
 bits AS (SELECT id, j, sum(cnt * (((CAST(('0x'||substr(md5(token),1,15)) AS BIGINT) >> CAST(j AS INT)) & 1)*2 - 1)) s
          FROM toks, (SELECT unnest(range(60)) j) jj GROUP BY 1,2),
@@ -1795,6 +1823,45 @@ def hll_user_cardinality(spark, sf_dir):
 
 
 @query(
+    "hll_user_overlap",
+    # union + intersection cardinality between two groups' user sets
+    # from ONE pass of mergeable HLL state: union = register max-merge,
+    # intersection = inclusion-exclusion over the three estimates — the
+    # sketch answer to "how many users do click and purchase share?" at
+    # 100 TB.  Register sums are exact int64 so the final divisions
+    # (identical IEEE sequences on both engines) are the only float ops.
+    f"""WITH h AS (SELECT event_type AS grp,
+        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+       FROM events WHERE event_type IN ('click', 'purchase')),
+rw AS (SELECT grp, hv // {1 << (60 - _HLL_P)} AS reg,
+        hv % {1 << (60 - _HLL_P)} AS w FROM h),
+sk AS (SELECT grp, reg, max({_HLL_RANK48}) AS max_rank
+       FROM rw GROUP BY 1, 2),
+per AS (SELECT grp,
+         CAST(sum(1::BIGINT << CAST(50 - max_rank AS INT)) AS BIGINT)
+         + ({1 << _HLL_P} - count(*)) * {1 << 50} AS s
+        FROM sk GROUP BY 1),
+u AS (SELECT reg, max(max_rank) AS mr FROM sk GROUP BY 1),
+su AS (SELECT CAST(sum(1::BIGINT << CAST(50 - mr AS INT)) AS BIGINT)
+        + ({1 << _HLL_P} - count(*)) * {1 << 50} AS s_union FROM u)
+SELECT a.s AS s_a, b.s AS s_b, su.s_union AS s_union,
+  floor(({_HLL_C!r} / CAST(a.s AS DOUBLE))*1e6 + 0.5)/1e6 AS est_a,
+  floor(({_HLL_C!r} / CAST(b.s AS DOUBLE))*1e6 + 0.5)/1e6 AS est_b,
+  floor(({_HLL_C!r} / CAST(su.s_union AS DOUBLE))*1e6 + 0.5)/1e6 AS est_union,
+  floor((({_HLL_C!r} / CAST(a.s AS DOUBLE))
+       + ({_HLL_C!r} / CAST(b.s AS DOUBLE))
+       - ({_HLL_C!r} / CAST(su.s_union AS DOUBLE)))*1e6 + 0.5)/1e6 AS est_intersect
+FROM (SELECT s FROM per WHERE grp = 'click') a,
+     (SELECT s FROM per WHERE grp = 'purchase') b, su""",
+)
+def hll_user_overlap(spark, sf_dir):
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    return _sk.hll_overlap(
+        ev, "event_type", "user_id", "click", "purchase", p=_HLL_P
+    )
+
+
+@query(
     "bloom_join_urgent_revenue",
     # Bloom-prefiltered fact-dim join: urgent orders' keys reduce to a
     # fixed-size bit table and lineitem rows that CANNOT match are dropped
@@ -2044,6 +2111,61 @@ def stream_hll_user_cardinality(spark, sf_dir):
 
 
 ORACLES["stream_hll_user_cardinality"] = ORACLES["hll_user_cardinality"]
+
+
+@query("stream_hll_user_overlap")
+def stream_hll_user_overlap(spark, sf_dir):
+    """The set-operation question asked of STREAMING-accumulated state:
+    the same foreachBatch max-merge ingestion as
+    stream_hll_user_cardinality, then hll_overlap_from_state computes
+    union/intersection estimates from the merged registers WITHOUT
+    touching raw data — the live-dashboard shape ("how many users do
+    click and purchase share, right now?").  Max-merge makes the state
+    idempotent under replay, so the answer equals the batch
+    hll_user_overlap bit-for-bit and gates against the same oracle."""
+    import tempfile
+
+    from go_streaming_spark.functions import sketch
+
+    ev = (
+        Engine(spark, sf_dir=sf_dir)
+        .stream("events")
+        .filter(F.col("event_type").isin(["click", "purchase"]))
+        .select("event_type", "user_id")
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_hll_ov_")
+    ev.repartition(4).write.mode("overwrite").parquet(f"{tmp}/ev")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/ev")
+    )
+    holder = {"sk": None, "batches": 0}
+
+    def ingest(batch_df, _bid):
+        part = sketch.hll_grouped_build(batch_df, "event_type", "user_id", p=_HLL_P)
+        merged = part if holder["sk"] is None else (
+            holder["sk"].unionByName(part)
+            .groupBy("grp", "reg")
+            .agg(F.max("max_rank").alias("max_rank"))
+        )
+        holder["sk"] = merged.localCheckpoint()
+        holder["batches"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    assert holder["batches"] >= 2, "replay must produce real micro-batches"
+    return sketch.hll_overlap_from_state(
+        holder["sk"], "click", "purchase", p=_HLL_P
+    )
+
+
+ORACLES["stream_hll_user_overlap"] = ORACLES["hll_user_overlap"]
 
 @query(
     "stream_dedup_exact_native",

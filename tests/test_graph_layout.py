@@ -502,3 +502,69 @@ def test_lm_bigram_quality_hand_check(spark):
     assert out[2]["avg_cond_q"] == (1 * 1_000_000) // 4
     # doc3 has no bigrams -> no row
     assert 3 not in out
+
+
+def test_star_cc_matches_label_propagation_on_random_graphs(spark):
+    """Large-star/small-star must agree with min-label propagation
+    (component = min member id) on random graphs of varied shape."""
+    import random
+
+    from go_streaming_spark.functions.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(9)
+    for trial in range(4):
+        n = 60 + 30 * trial
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(int(n * (0.6 + 0.4 * trial)))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "src long, dst long")
+        ref = {
+            r["node"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components_star(df).collect()
+        }
+        assert got == ref, f"trial {trial}: star CC diverges"
+
+
+def test_star_cc_path_and_star_shapes(spark):
+    """Worst case for contraction (a long path) and best case (a hub
+    star) both converge to min-labeled components."""
+    from go_streaming_spark.functions.graph import connected_components_star
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 160)], "src long, dst long"
+    )
+    out = {r["node"]: r["component"]
+           for r in connected_components_star(path).collect()}
+    assert set(out) == set(range(100, 161))
+    assert set(out.values()) == {100}
+
+    hub = spark.createDataFrame(
+        [(500, i) for i in range(501, 540)] + [(400, 401), (401, 402)],
+        "src long, dst long",
+    )
+    out = {r["node"]: r["component"]
+           for r in connected_components_star(hub).collect()}
+    assert all(v == 500 for k, v in out.items() if k >= 500)
+    assert all(v == 400 for k, v in out.items() if k < 500)
+
+
+def test_star_cc_empty_and_single_edge(spark):
+    from go_streaming_spark.functions.graph import connected_components_star
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components_star(empty).count() == 0
+    one = spark.createDataFrame([(7, 3)], "src long, dst long")
+    got = {r["node"]: r["component"]
+           for r in connected_components_star(one).collect()}
+    assert got == {7: 3, 3: 3}

@@ -2634,3 +2634,81 @@ def test_partition_fingerprint_sum_hash_breaks_xor_dup_cancellation(spark):
     # identical multisets keep identical manifests regardless of layout
     ma2 = partition_fingerprint(a.repartition(5), ["part"], ["k"]).collect()[0]
     assert (ma["xor_hash"], ma["sum_hash"]) == (ma2["xor_hash"], ma2["sum_hash"])
+
+
+def test_hll_overlap_accuracy_and_identity(spark):
+    """Controlled 50% overlap: estimates land within HLL error of the
+    exact counts, and est_intersect is exactly the inclusion-exclusion
+    of the three reported estimates."""
+    from go_streaming_spark.functions import sketch
+
+    # the raw (uncorrected — see hll_estimate docstring) estimate is
+    # only unbiased for n ≳ 2.5·m, so use sets well above 2.5·4096
+    n = 30_000
+    rows = [("a", i) for i in range(n)] + [
+        ("b", i) for i in range(n // 2, n + n // 2)
+    ]
+    df = spark.createDataFrame(rows, "grp string, k long")
+    out = sketch.hll_overlap(df, "grp", "k", "a", "b", p=12).collect()
+    assert len(out) == 1
+    r = out[0]
+    # p=12 → relative error ~1.6% per set; the differenced intersection
+    # compounds three estimates
+    assert abs(r["est_a"] - n) < 0.05 * n
+    assert abs(r["est_b"] - n) < 0.05 * n
+    assert abs(r["est_union"] - 1.5 * n) < 0.05 * 1.5 * n
+    assert abs(r["est_intersect"] - 0.5 * n) < 0.15 * 0.5 * n
+    ie = r["est_a"] + r["est_b"] - r["est_union"]
+    assert abs(r["est_intersect"] - ie) < 2e-6  # q6 of the same IEEE chain
+
+
+def test_hll_overlap_disjoint_and_identical(spark):
+    from go_streaming_spark.functions import sketch
+
+    n = 20_000
+    rows = [("a", i) for i in range(n)] + [("b", i + 10 * n) for i in range(n)]
+    df = spark.createDataFrame(rows, "grp string, k long")
+    r = sketch.hll_overlap(df, "grp", "k", "a", "b", p=12).collect()[0]
+    # near zero relative to the set sizes (may be slightly negative)
+    assert abs(r["est_intersect"]) < 0.06 * n
+    same = spark.createDataFrame(
+        [("a", i) for i in range(n)] + [("b", i) for i in range(n)],
+        "grp string, k long",
+    )
+    r2 = sketch.hll_overlap(same, "grp", "k", "a", "b", p=12).collect()[0]
+    # identical sets: all three register states coincide exactly
+    assert r2["s_a"] == r2["s_b"] == r2["s_union"]
+    assert r2["est_intersect"] == r2["est_a"]
+
+
+def test_hll_overlap_from_state_ignores_extra_groups_and_merges(spark):
+    """from_state on a max-merged union of per-batch sketches (with a
+    third group present) equals the single-pass batch overlap."""
+    from pyspark.sql import functions as F
+
+    from go_streaming_spark.functions import sketch
+
+    rows = (
+        [("a", i) for i in range(600)]
+        + [("b", i) for i in range(300, 900)]
+        + [("c", i) for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "grp string, k long")
+    direct = sketch.hll_overlap(df, "grp", "k", "a", "b", p=10).collect()[0]
+    half1 = spark.createDataFrame(rows[:700], "grp string, k long")
+    half2 = spark.createDataFrame(rows[700:], "grp string, k long")
+    merged = (
+        sketch.hll_grouped_build(half1, "grp", "k", p=10)
+        .unionByName(sketch.hll_grouped_build(half2, "grp", "k", p=10))
+        .groupBy("grp", "reg")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    via_state = sketch.hll_overlap_from_state(merged, "a", "b", p=10).collect()[0]
+    assert direct.asDict() == via_state.asDict()
+
+
+def test_hll_overlap_empty_group_returns_no_rows(spark):
+    from go_streaming_spark.functions import sketch
+
+    df = spark.createDataFrame([("a", i) for i in range(100)], "grp string, k long")
+    assert sketch.hll_overlap(df, "grp", "k", "a", "missing", p=10).count() == 0
