@@ -656,9 +656,16 @@ def shingle_arrays(
     if n == 1:
         arr = F.array_distinct(words)
     else:
+        # guard: sequence(0, -1) DESCENDS in Spark (it is NOT empty), so a
+        # doc with fewer than n words must short-circuit to an empty
+        # shingle set explicitly (found by fuzz via dedup_components_star:
+        # the descending index made slice(start=0) throw)
+        starts = F.when(
+            F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
+        ).otherwise(F.array().cast("array<int>"))
         arr = F.array_distinct(
             F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(-1))),
+                starts,
                 lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
             )
         )

@@ -882,6 +882,52 @@ def char_shingle_fingerprint(
     return spread(df).select(F.col(id_col).alias("id"), fp.alias("fingerprint"))
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """TRUE winnowing document fingerprints (Schleimer, Wilkerson &
+    Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03 — the MOSS algorithm): the rolling k-gram hash sequence is
+    windowed (width ``w``) and each window contributes its MINIMUM hash;
+    the distinct selected minima are the document's fingerprint set.
+
+    Guarantee (the paper's): any substring match of length ≥ w + k − 1
+    between two documents shares at least one selected fingerprint —
+    unlike a global-min fingerprint (``char_shingle_fingerprint``),
+    matches are LOCAL, so a shared paragraph inside otherwise different
+    documents is still caught.  Density: ~2/(w+1) of positions selected.
+
+    Emits (id, fp) — one row per distinct selected fingerprint.  The
+    whole selection is generated-column arithmetic (substr → md5 → int,
+    per-window array_min) evaluated inside codegen: map-only, no UDF,
+    no shuffle before the caller's join; CPU ∝ document bytes.  The
+    DuckDB oracle reproduces it bit-for-bit with the identical
+    ``'0x' || substr(md5(gram),1,8)`` integer hash.
+    """
+    if k <= 0 or w <= 0:
+        raise ValueError("k and w must be positive")
+    t = F.col(text_col)
+    n_grams = F.greatest(F.length(t) - k + 1, F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.conv(F.substring(F.md5(t.substr(i, F.lit(k))), 1, 8), 16, 10)
+        .cast("long"),
+    )
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(hashes) - w + 1, F.lit(1))),
+            lambda j: F.array_min(F.slice(hashes, j, w)),
+        )
+    )
+    return spread(df).select(
+        F.col(id_col).alias("id"), F.explode(sel).alias("fp")
+    )
+
+
 def chunk_tokens(
     df: DataFrame,
     id_col: str,

@@ -789,6 +789,68 @@ def text_fingerprint(spark, sf_dir):
     )
 
 
+_WINNOW_K, _WINNOW_W = 8, 6
+_WINNOW_SEL = (
+    # per-doc winnowing selection (Schleimer et al. SIGMOD'03), identical
+    # arithmetic to text.winnowing_fingerprints: rolling k-gram int
+    # hashes, per-window-of-w minima, distinct
+    f"""fp AS (SELECT doc_id AS id, unnest(list_distinct(sel)) AS fp FROM (
+  SELECT doc_id, list_transform(
+      range(1, greatest(len(h) - {_WINNOW_W} + 1, 1) + 1),
+      j -> list_min(h[j:j + {_WINNOW_W} - 1])) AS sel
+  FROM (SELECT doc_id, list_transform(
+          range(1, greatest(len(text) - {_WINNOW_K} + 1, 1) + 1),
+          i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INT),"""
+    f""" {_WINNOW_K})), 1, 8)) AS BIGINT)) AS h
+        FROM documents)))"""
+)
+
+
+@query(
+    "winnow_match_pairs",
+    # document pairs sharing >= 3 winnowing-selected fingerprints — the
+    # MOSS plagiarism-detection shape: any shared substring of length
+    # >= w+k-1 guarantees a shared selected fingerprint, so locally
+    # overlapping docs surface even when globally dissimilar.  Hot
+    # fingerprints (df > 10 — template boilerplate) are capped out
+    # before the self-join, the same inverted-index discipline as the
+    # jaccard/containment paths.
+    f"""WITH {_WINNOW_SEL},
+capped AS (SELECT fp FROM fp GROUP BY fp
+           HAVING count(DISTINCT id) <= 10),
+f AS (SELECT id, fp FROM fp WHERE fp IN (SELECT fp FROM capped))
+SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+FROM f a JOIN f b ON a.fp = b.fp AND a.id < b.id
+GROUP BY 1, 2 HAVING count(*) >= 3""",
+)
+def winnow_match_pairs(spark, sf_dir):
+    """Winnowing fingerprint matching at corpus scale: fingerprint sets
+    are map-generated (no UDF), the document-frequency cap (10) bounds
+    the inverted-index join's hottest posting lists (a boilerplate gram
+    can never fan out more than cap² pairs), and the pair aggregation
+    shuffles only (id_a, id_b) — candidates, not the corpus."""
+    docs = _docs(spark, sf_dir)
+    fps = text.winnowing_fingerprints(
+        docs, "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W
+    )
+    capped = (
+        fps.groupBy("fp")
+        .agg(F.countDistinct("id").alias("_df"))
+        .filter(F.col("_df") <= 10)
+        .select("fp")
+    )
+    f = fps.join(capped, "fp")
+    a = f.select(F.col("id").alias("id_a"), "fp")
+    b = f.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------

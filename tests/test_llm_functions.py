@@ -2712,3 +2712,63 @@ def test_hll_overlap_empty_group_returns_no_rows(spark):
 
     df = spark.createDataFrame([("a", i) for i in range(100)], "grp string, k long")
     assert sketch.hll_overlap(df, "grp", "k", "a", "missing", p=10).count() == 0
+
+
+def _winnow_ref(text, k, w):
+    """Pure-Python winnowing reference (Schleimer et al. SIGMOD'03)."""
+    import hashlib
+
+    n = max(len(text) - k + 1, 1)
+    hashes = [
+        int(hashlib.md5(text[i:i + k].encode()).hexdigest()[:8], 16)
+        for i in range(n)
+    ]
+    sel = set()
+    for j in range(max(len(hashes) - w + 1, 1)):
+        sel.add(min(hashes[j:j + w]))
+    return sel
+
+
+def test_winnowing_matches_python_reference(spark):
+    from go_streaming_spark.functions.text import winnowing_fingerprints
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "abcabcabcabcabc"),
+        (3, "xy"),          # shorter than k
+        (4, "aaaaaaaaaaaa"),  # degenerate repeats
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    out = winnowing_fingerprints(df, "doc_id", "text", k=5, w=4).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["id"], set()).add(r["fp"])
+    for doc_id, text in texts:
+        assert got[doc_id] == _winnow_ref(text, 5, 4), doc_id
+
+
+def test_winnowing_local_match_guarantee(spark):
+    """Two documents sharing a substring of length >= w+k-1 MUST share a
+    selected fingerprint (the paper's detection guarantee), even when
+    globally dissimilar."""
+    from go_streaming_spark.functions.text import winnowing_fingerprints
+
+    k, w = 5, 4
+    shared = "zqvjxkwpmynrt"  # length 13 >= w+k-1 = 8, unusual chars
+    df = spark.createDataFrame(
+        [
+            (1, "completely different prefix " + shared + " and a tail"),
+            (2, shared + " wholly other document body follows here"),
+            (3, "no overlap with anything else at all in this one"),
+        ],
+        "doc_id long, text string",
+    )
+    out = winnowing_fingerprints(df, "doc_id", "text", k=k, w=w).collect()
+    sets = {}
+    for r in out:
+        sets.setdefault(r["id"], set()).add(r["fp"])
+    assert sets[1] & sets[2], "guaranteed shared fingerprint missing"
+    # density sanity: a selection exists and is far smaller than the
+    # full gram set (~2/(w+1) of positions)
+    for doc_id in (1, 2):
+        assert 2 <= len(sets[doc_id]) < 40

@@ -86,6 +86,16 @@ FUZZ_QUERIES = [
     # round 8 (cont.): composed scorecard on duplicate texts (n_unique <
     # n_docs) and zero-token margins
     "source_health_report",
+    # round 9: winnowing selection on sub-k docs (whole-text gram),
+    # degenerate repeats (every window picks the same hash), multibyte
+    # chars straddling gram boundaries, and the df-cap/min-shared edges;
+    # star-contraction components on whatever pair graph the tiny corpus
+    # yields (duplicate texts → components; none → empty on both sides).
+    # hll_user_overlap is NOT corpus-fuzzed here: the register math is
+    # already fuzzed via hll_user_cardinality and the fuzz event types
+    # lack 'purchase', which would only exercise the empty-group row.
+    "winnow_match_pairs",
+    "dedup_components_star",
 ]
 
 WORD = st.sampled_from(
