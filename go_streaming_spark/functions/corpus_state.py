@@ -149,6 +149,28 @@ class CorpusState:
         shingles and gram counts, and bucket-merges their word sketch —
         so successive ingests see earlier batches as corpus.
         """
+        clean, new_state, _ = self._ingest_core(
+            batch, id_col, text_col, threshold, materialize_spans=False
+        )
+        return clean, new_state
+
+    def _ingest_core(
+        self,
+        batch: DataFrame,
+        id_col: str,
+        text_col: str,
+        threshold: float,
+        materialize_spans: bool,
+    ) -> tuple[DataFrame, "CorpusState", DataFrame]:
+        """Shared body of :meth:`ingest` / :meth:`ingest_clean`, also
+        returning the span frame so the flag-then-cut path computes the
+        gram digests and the corpus-gram-index join ONCE (pre-r9,
+        ingest_clean re-derived the identical spans a second time for
+        the cut — one full extra pass over the survivors at scale).
+        ``materialize_spans`` localCheckpoints the (small, ∝ duplicated
+        spans) frame when a second consumer will read it — the SCALE.md
+        multi-consumer ReuseExchange pattern; the count-only path keeps
+        it lazy (single consumer, no materialization cost)."""
         from pyspark.sql.window import Window
 
         # (1) exact: unseen digests, unique in batch (lowest id wins)
@@ -175,6 +197,8 @@ class CorpusState:
         spans = dd.duplicated_spans_against_index(
             survivors, self.grams, id_col, text_col, self.gram_k
         )
+        if materialize_spans:
+            spans = spans.localCheckpoint()
         span_tokens = spans.groupBy(F.col("id").alias("__sid")).agg(
             F.sum("span_tokens").alias("dup_span_tokens")
         )
@@ -222,7 +246,7 @@ class CorpusState:
             self.n, self.k, self.rows_per_band, self.gram_k,
             self.cms_depth, self.cms_width,
         )
-        return clean, new_state
+        return clean, new_state, spans
 
     def ingest_clean(
         self,
@@ -244,9 +268,12 @@ class CorpusState:
         re-crawl of the same bytes still dedupes exactly; the cleaned
         text is the emitted training artifact, not the corpus record.
         """
-        clean, new_state = self.ingest(batch, id_col, text_col, threshold)
-        spans = dd.duplicated_spans_against_index(
-            clean, self.grams, id_col, text_col, self.gram_k
+        # one span computation feeds BOTH the dup_span_tokens count and
+        # the cut (pre-r9 this re-derived the identical span set, paying
+        # the gram hashing + corpus-gram-index join twice); the span
+        # frame is localCheckpointed for its two consumers
+        clean, new_state, spans = self._ingest_core(
+            batch, id_col, text_col, threshold, materialize_spans=True
         )
         cleaned = dd.remove_spans(clean, spans, id_col, text_col)
         return cleaned, new_state

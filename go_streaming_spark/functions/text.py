@@ -235,20 +235,25 @@ def lm_bigram_quality(
     join is an equi-join on the bigram (the bigram vocabulary grows with
     the corpus — deliberately NOT broadcast), then one groupBy(id).
     """
-    words = words_expr(F.col(text_col))
+    # BIND the word array before indexing into it: an unbound split
+    # inside the transform lambda re-evaluates per bigram (O(words²)
+    # per doc — see word_shingles)
+    wdf = spread(df).select(
+        F.col(id_col).alias("id"), words_expr(F.col(text_col)).alias("__w")
+    )
+    w = F.col("__w")
     bi = F.when(
-        F.size(words) >= 2,
+        F.size(w) >= 2,
         F.transform(
-            F.sequence(F.lit(0), F.size(words) - 2),
+            F.sequence(F.lit(0), F.size(w) - 2),
             lambda i: F.struct(
-                F.element_at(words, i + 1).alias("w1"),
-                F.element_at(words, i + 2).alias("w2"),
+                F.element_at(w, i + 1).alias("w1"),
+                F.element_at(w, i + 2).alias("w2"),
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     occ = (
-        spread(df)
-        .select(F.col(id_col).alias("id"), F.explode(bi).alias("b"))
+        wdf.select("id", F.explode(bi).alias("b"))
         .select("id", "b.w1", "b.w2")
         # feeds per-doc AND corpus bigram counts — materialize or build
         # the bigram structs twice (see categorical_tv_drift)
@@ -521,20 +526,22 @@ def textrank_terms(
     from go_streaming_spark.functions.graph import pagerank
     from go_streaming_spark.functions.util import spread
 
-    words = words_expr(F.col(text_col))
+    # BIND the word array before indexing into it (unbound split in the
+    # lambda = per-element re-evaluation, O(words²) per doc)
+    wdf = spread(df).select(words_expr(F.col(text_col)).alias("__w"))
+    w = F.col("__w")
     pairs = F.when(
-        F.size(words) >= 2,
+        F.size(w) >= 2,
         F.transform(
-            F.sequence(F.lit(0), F.size(words) - 2),
+            F.sequence(F.lit(0), F.size(w) - 2),
             lambda i: F.struct(
-                F.element_at(words, i + 1).alias("u"),
-                F.element_at(words, i + 2).alias("v"),
+                F.element_at(w, i + 1).alias("u"),
+                F.element_at(w, i + 2).alias("v"),
             ),
         ),
     ).otherwise(F.array().cast("array<struct<u:string,v:string>>"))
     e0 = (
-        spread(df)
-        .select(F.explode(pairs).alias("p"))
+        wdf.select(F.explode(pairs).alias("p"))
         .select("p.u", "p.v")
         .filter(F.col("u") != F.col("v"))
     )
@@ -843,14 +850,18 @@ def decontaminate(
     n-gram.
     """
     words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    # BIND the word array (unbound split in the lambda = per-element
+    # re-evaluation, O(words²) per doc — see word_shingles)
+    wdf = df.select(F.col(id_col), words.alias("__w"))
+    w = F.col("__w")
     # short-doc guard: sequence(0, -1) descends ([0, -1]) and the slice at
     # start 0 throws — docs with fewer than n words contribute no grams
     grams = F.array_distinct(
         F.when(
-            F.size(words) >= n,
+            F.size(w) >= n,
             F.transform(
-                F.sequence(F.lit(0), F.size(words) - n),
-                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+                F.sequence(F.lit(0), F.size(w) - n),
+                lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
             ),
         ).otherwise(F.array().cast("array<string>"))
     )
@@ -858,7 +869,7 @@ def decontaminate(
         banned_ngrams.select(F.lower(F.col(ngram_col)).alias("_banned_ngram")).distinct()
     )
     offender_ids = (
-        df.select(F.col(id_col), F.explode(grams).alias("_g"))
+        wdf.select(F.col(id_col), F.explode(grams).alias("_g"))
         .join(banned, F.col("_g") == F.col("_banned_ngram"), "left_semi")
         .select(id_col)
         .distinct()
@@ -917,15 +928,22 @@ def winnowing_fingerprints(
         lambda i: F.conv(F.substring(F.md5(t.substr(i, F.lit(k))), 1, 8), 16, 10)
         .cast("long"),
     )
+    # BIND the hash array as a real column before windowing: a nested
+    # HOF that references an unmaterialized transform EXPRESSION gets it
+    # inlined per outer element — every window would recompute all L
+    # md5s, turning the doc cost quadratic (measured: 16× per 10× data
+    # before this split; linear after).  Two projections = one
+    # evaluation of each array per row.
+    hashed = spread(df).select(F.col(id_col).alias("id"), hashes.alias("_h"))
     sel = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(hashes) - w + 1, F.lit(1))),
-            lambda j: F.array_min(F.slice(hashes, j, w)),
+            F.sequence(
+                F.lit(1), F.greatest(F.size(F.col("_h")) - w + 1, F.lit(1))
+            ),
+            lambda j: F.array_min(F.slice(F.col("_h"), j, w)),
         )
     )
-    return spread(df).select(
-        F.col(id_col).alias("id"), F.explode(sel).alias("fp")
-    )
+    return hashed.select("id", F.explode(sel).alias("fp"))
 
 
 def chunk_tokens(
@@ -1043,16 +1061,24 @@ def repetition_ratio(text: Column, n: int = 2) -> Column:
     with fewer than n tokens.  Single array expression — map-only,
     and exact: an integer ratio divided once, so engines agree bitwise."""
     words = words_expr(text)
-    # guard BEFORE building the sequence: sequence(0, -1) descends to
-    # [0, -1] in Spark and slice(start=0) then throws — short docs must
-    # short-circuit to an empty gram list
-    grams = F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # index-free gram construction: this is a COLUMN helper (no frame to
+    # bind into), and an index lambda referencing the unmaterialized
+    # split re-evaluates it per element (O(words²) per doc).  Instead,
+    # build grams by iterated zip_with against shifted slices — every
+    # reference to `words` is top-level (evaluated once per row, not per
+    # element), and zip_with's null padding marks the <n-word tail
+    # (F.concat propagates null, unlike concat_ws), which filter drops.
+    # Short docs fall out naturally: zip of a 1-word array with an empty
+    # shift yields one null → empty gram list, no sequence(0,-1) hazard.
+    grams = words
+    for j in range(1, n):
+        shifted = F.slice(
+            words, j + 1, F.greatest(F.size(words) - j, F.lit(0))
+        )
+        grams = F.zip_with(
+            grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    grams = F.filter(grams, lambda g: g.isNotNull())
     total = F.size(grams)
     return F.when(total <= 0, F.lit(0.0)).otherwise(
         F.lit(1.0) - F.size(F.array_distinct(grams)) / total.cast("double")

@@ -87,6 +87,10 @@ QUERIES = [
     "semdedup_survivors",       # cluster-then-dedup, within-cluster pairs (round 8)
     "shipping_priority_topn",   # Q3: pushed filters + TakeOrdered (round 8)
     "dormant_rich_customers",   # Q22: scalar compare + anti-join (round 8)
+    "dedup_components_star",    # edge-contracting star CC (round 9)
+    "hll_user_overlap",         # HLL union+intersection estimates (round 9)
+    "winnow_match_pairs",       # MOSS winnowing fingerprint matching (round 9)
+    "corpus_ingest_clean_tokens",  # span-reuse ingest_clean (r9 rework)
 ]
 
 
