@@ -97,6 +97,8 @@ HEADLINE = [
     "mixed_language_flags",          # dual lang-ID argmax, map-only (round 8)
     "dedup_components_star",         # edge-contracting large-star/small-star CC (round 9)
     "hll_user_overlap",              # sketch union+intersection cardinality, one pass (round 9)
+    "winnow_match_pairs",            # MOSS winnowing fingerprint matching (round 9)
+    "token_budget_sample_counts",    # distributed prefix-sum token-budget sampling (round 9)
 ]
 
 

@@ -447,3 +447,61 @@ def bucketed_negative_samples(
         ring,
         (probes.bucket == ring.r_bucket) & (probes.target_rn == ring.r_rn),
     ).select("id", "slot", "neg_id")
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    seed: str = "budget",
+) -> DataFrame:
+    """Deterministic corpus sampling to a TOKEN budget: rows are ordered
+    by their id hash (a reproducible global shuffle) and the maximal
+    prefix whose cumulative ``tokens_col`` stays ≤ ``budget`` is kept —
+    the "give me exactly ~N tokens of this corpus" op every training-mix
+    assembly ends with, as a pure function of (seed, id).
+
+    Scale — a DISTRIBUTED PREFIX SUM, not a global window: the naive
+    ``sum() OVER (ORDER BY hash)`` plans a single-partition window (one
+    task sorts the corpus).  Instead the hash's first byte buckets rows
+    into 256 hash-ordered ranges; per-bucket token totals (256 rows)
+    compute running offsets in a trivially small window; each row's
+    global cumulative = its bucket offset + its within-bucket cumulative
+    (one shuffle on the bucket key, 256-way parallel sort).  Exact
+    integer arithmetic end-to-end, so the kept set is engine-identical
+    and the DuckDB oracle can verify with the plain global window.
+
+    Rows keep their original columns.  The boundary row that would cross
+    the budget is EXCLUDED (strict prefix): the kept total never exceeds
+    ``budget``.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string")))
+    hashed = df.withColumn("__h", h).withColumn(
+        "__b", F.conv(F.substring("__h", 1, 2), 16, 10).cast("int")
+    )
+    totals = hashed.groupBy("__b").agg(
+        F.sum(F.col(tokens_col).cast("long")).alias("__bt")
+    )
+    # running offset of all PRECEDING buckets — a ≤256-row window
+    off_w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__b", F.coalesce(F.sum("__bt").over(off_w), F.lit(0)).alias("__off")
+    )
+    cum_w = (
+        Window.partitionBy("__b")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    kept = (
+        hashed.join(F.broadcast(offsets), "__b")
+        .withColumn(
+            "__cum",
+            F.col("__off") + F.sum(F.col(tokens_col).cast("long")).over(cum_w),
+        )
+        .filter(F.col("__cum") <= F.lit(int(budget)))
+        .drop("__h", "__b", "__off", "__cum")
+    )
+    return kept

@@ -567,6 +567,39 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
+_TOK_BUDGET = 60_000
+
+
+@query(
+    "token_budget_sample_counts",
+    # sample-to-token-budget: hash-shuffled docs, keep the maximal strict
+    # prefix whose cumulative n_chars stays <= budget.  The engine runs a
+    # 256-bucket DISTRIBUTED prefix sum (no single-partition window); the
+    # oracle verifies with the plain global window — identical exact
+    # integer arithmetic, so the kept SET matches bit-for-bit.
+    f"""WITH h AS (SELECT doc_id, source, n_chars,
+        md5('budget|' || CAST(doc_id AS VARCHAR)) AS hh
+       FROM documents),
+c AS (SELECT source, n_chars,
+        sum(CAST(n_chars AS BIGINT)) OVER (ORDER BY hh, doc_id) AS cum
+      FROM h)
+SELECT source, count(*) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS tok_kept
+FROM c WHERE cum <= {_TOK_BUDGET} GROUP BY source""",
+)
+def token_budget_sample_counts(spark, sf_dir):
+    from go_streaming_spark.functions import sampling
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    kept = sampling.sample_to_token_budget(
+        docs, "doc_id", "n_chars", budget=_TOK_BUDGET, seed="budget"
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("tok_kept"),
+    )
+
+
 _T_TRAIN = int(0.8 * (1 << 32))
 _T_VAL = int(0.9 * (1 << 32))
 

@@ -2772,3 +2772,56 @@ def test_winnowing_local_match_guarantee(spark):
     # full gram set (~2/(w+1) of positions)
     for doc_id in (1, 2):
         assert 2 <= len(sets[doc_id]) < 40
+
+
+def test_token_budget_sample_prefix_and_determinism(spark):
+    """The kept set is the maximal strict hash-prefix within budget: kept
+    total <= budget, adding the first excluded doc would exceed it, and
+    the 256-bucket distributed prefix sum equals the naive global-window
+    answer regardless of partitioning."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from go_streaming_spark.functions.sampling import sample_to_token_budget
+
+    rows = [(i, 10 + (i * 7) % 90) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    budget = 8_000
+    kept = sample_to_token_budget(df, "doc_id", "n_tok", budget).collect()
+    kept_ids = {r["doc_id"] for r in kept}
+    total = sum(r["n_tok"] for r in kept)
+    assert total <= budget
+
+    # python reference: global hash order, strict prefix
+    def h(i):
+        return hashlib.md5(f"budget|{i}".encode()).hexdigest()
+
+    ordered = sorted(rows, key=lambda r: (h(r[0]), r[0]))
+    cum, ref = 0, set()
+    for i, t in ordered:
+        cum += t
+        if cum > budget:
+            break
+        ref.add(i)
+    assert kept_ids == ref
+    # partitioning-independent
+    kept2 = {
+        r["doc_id"]
+        for r in sample_to_token_budget(
+            df.repartition(13), "doc_id", "n_tok", budget
+        ).collect()
+    }
+    assert kept2 == kept_ids
+    # original columns survive
+    assert set(kept[0].asDict()) == {"doc_id", "n_tok"}
+
+
+def test_token_budget_sample_edges(spark):
+    from go_streaming_spark.functions.sampling import sample_to_token_budget
+
+    df = spark.createDataFrame([(1, 100), (2, 100)], "doc_id long, n_tok long")
+    assert sample_to_token_budget(df, "doc_id", "n_tok", 0).count() == 0
+    assert sample_to_token_budget(df, "doc_id", "n_tok", 10**9).count() == 2
+    empty = spark.createDataFrame([], "doc_id long, n_tok long")
+    assert sample_to_token_budget(empty, "doc_id", "n_tok", 100).count() == 0
