@@ -65,7 +65,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # mixed_language_flags, partition_manifest_orders, source_health_report,
 # dedup_source_matrix, embedding_dim_stats, user_lifespan_report,
 # session_conversion_counts, top_user_journeys, activity_heatmap,
-# stream_activity_heatmap, plus any r9 registrations), followed by the
+# stream_activity_heatmap, plus the r9 registrations:
+# dedup_components_star, hll_user_overlap, stream_hll_user_overlap,
+# winnow_match_pairs, token_budget_sample_counts), followed by the
 # stalest r6 greens (three rounds unwatched by then: star_join_agg,
 # pricing_summary, dedup_exact, dedup_minhash_lsh, window_sum_tumbling,
 # ... — re-enumerate from CORRECTNESS history, oldest-green first,

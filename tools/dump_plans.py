@@ -96,6 +96,11 @@ KNOWN_BENIGN = {
         "BroadcastNestedLoopJoin is the 1-row × 1-row crossJoin attaching"
         " the exact join size to the CMS estimate for comparison — O(1)"
     ),
+    "hll_user_overlap": (
+        "BroadcastNestedLoopJoins are the two 1-row × 1-row crossJoins"
+        " assembling (s_a, s_b, s_union) scalars into the single output"
+        " row — O(1), sketch state is ≤2·2^p rows and localCheckpointed"
+    ),
     "textrank_top_terms": (
         "plan reads 0 exchanges/0 scans because the final rank vector is"
         " localCheckpointed (iterative-op lineage truncation); the real"
