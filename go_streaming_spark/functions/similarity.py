@@ -302,6 +302,33 @@ def build_lsh_index(
     return out.cache() if cache else out
 
 
+def save_lsh_index(index: DataFrame, path: str, n_planes: int, seed: int) -> None:
+    """Persist a :func:`build_lsh_index` result as the production ANN
+    artifact: parquet PARTITIONED BY ``_bucket``, so a query's candidate
+    scan prunes to its probe buckets at the FILE level (partition pruning
+    — no full-index read), plus a 1-row params table pinning
+    (n_planes, seed) so a later load can't silently mix bucket spaces.
+
+    At 100 TB this is the difference between "ANN query = read the
+    corpus" and "ANN query = read ~2^-n_planes of it per probe"."""
+    index.write.mode("overwrite").partitionBy("_bucket").parquet(f"{path}/index")
+    index.sparkSession.createDataFrame(
+        [(int(n_planes), int(seed))], "n_planes int, seed int"
+    ).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def load_lsh_index(spark, path: str) -> tuple[DataFrame, int, int]:
+    """Load an index written by :func:`save_lsh_index` →
+    (index, n_planes, seed).  Filters on ``_bucket`` against the loaded
+    frame reach the partition column and prune files."""
+    p = spark.read.parquet(f"{path}/params").head()
+    return (
+        spark.read.parquet(f"{path}/index"),
+        int(p.n_planes),
+        int(p.seed),
+    )
+
+
 def query_probes(
     query_vec: list[float],
     n_planes: int = 12,

@@ -2825,3 +2825,41 @@ def test_token_budget_sample_edges(spark):
     assert sample_to_token_budget(df, "doc_id", "n_tok", 10**9).count() == 2
     empty = spark.createDataFrame([], "doc_id long, n_tok long")
     assert sample_to_token_budget(empty, "doc_id", "n_tok", 100).count() == 0
+
+
+def test_lsh_index_save_load_round_trip(spark, tmp_path):
+    """A saved (bucket-partitioned) LSH index must answer queries
+    identically to the in-memory build, and a probe filter on the loaded
+    frame must prune partitions (reach PartitionFilters, not a full
+    scan)."""
+    from pyspark.sql import functions as F
+
+    from go_streaming_spark.functions import similarity as sim
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qv = rows[5][1]
+    idx = sim.build_lsh_index(df, "embedding", dim=8, n_planes=6, cache=False)
+    direct = sim.lsh_query(idx, "vec_id", "embedding", qv, k=5, n_planes=6).collect()
+
+    path = str(tmp_path / "lshidx")
+    sim.save_lsh_index(idx, path, n_planes=6, seed=42)
+    loaded, n_planes, seed = sim.load_lsh_index(spark, path)
+    assert (n_planes, seed) == (6, 42)
+    via_disk = sim.lsh_query(
+        loaded, "vec_id", "embedding", qv, k=5, n_planes=6
+    ).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, via_disk))
+
+    probes = sim.query_probes(qv, 6, 42)
+    plan = (
+        loaded.filter(F.col("_bucket").isin(probes))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan
+    assert "_bucket" in plan.split("PartitionFilters")[1][:200]

@@ -51,6 +51,9 @@ PAIR_QUERIES = [
     "knn_join_topk",              # quadratic per-query neighbor oracle (round 8)
     "dedup_keep_best_survivors",  # components + margin argmax (round 8)
     "dedup_source_matrix",        # pair labeling join (round 8)
+    "dedup_components_star",      # recursive component CTE, star engine (round 9)
+    "winnow_match_pairs",         # quadratic shared-fingerprint oracle (round 9)
+    "dedup_containment_pairs",    # directed containment pair oracle (round 8)
 ]
 
 TABLES = (
