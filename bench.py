@@ -99,6 +99,7 @@ HEADLINE = [
     "hll_user_overlap",              # sketch union+intersection cardinality, one pass (round 9)
     "winnow_match_pairs",            # MOSS winnowing fingerprint matching (round 9)
     "token_budget_sample_counts",    # distributed prefix-sum token-budget sampling (round 9)
+    "word_graph_triangles",          # degree-ordered triangle census (round 9)
 ]
 
 

@@ -196,6 +196,69 @@ def connected_components_star(
     return children.union(roots)
 
 
+def triangle_count(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Exact triangle count via DEGREE-ORDERED edge orientation (the
+    MapReduce-classic of Suri & Vassilvitskii, WWW'11): one row
+    (n_nodes, n_edges, n_triangles).
+
+    Why orientation matters at 100 TB: the naive wedge join generates
+    Σ deg(v)² candidates — a single celebrity node with 10M neighbors
+    yields 10¹⁴ wedges.  Orienting every edge from its lower-(degree,
+    id) endpoint to its higher one turns the graph into a DAG whose
+    out-degrees are bounded by O(√m), so wedge generation is
+    Σ outdeg(v)² ≤ O(m^1.5) TOTAL — independent of how skewed the
+    original degrees are; each triangle is then counted exactly once at
+    its minimum-rank vertex, closed by one equi-join back against the
+    oriented edge set.
+
+    Three shuffles (degree count, wedge join, closing join); the
+    canonical edge set is localCheckpointed for its three consumers.
+    Ids may be any orderable type (the (degree, id) rank tiebreak makes
+    orientation total and deterministic).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ranked = e.join(
+        deg.select(F.col("n").alias("a"), F.col("d").alias("_da")), "a"
+    ).join(deg.select(F.col("n").alias("b"), F.col("d").alias("_db")), "b")
+    ra = F.struct(F.col("_da").alias("d"), F.col("a").alias("n"))
+    rb = F.struct(F.col("_db").alias("d"), F.col("b").alias("n"))
+    oriented = ranked.select(
+        F.when(ra < rb, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(ra < rb, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(ra < rb, rb).otherwise(ra).alias("rv"),
+    ).localCheckpoint()
+    o1 = oriented.select("u", F.col("v").alias("x"), F.col("rv").alias("rx"))
+    o2 = oriented.select("u", F.col("v").alias("y"), F.col("rv").alias("ry"))
+    wedges = (
+        o1.join(o2, "u").filter(F.col("rx") < F.col("ry")).select("x", "y")
+    )
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closing, ["x", "y"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    ne = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return nn.crossJoin(F.broadcast(ne)).crossJoin(F.broadcast(tri))
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "u",

@@ -2525,6 +2525,56 @@ def textrank_top_terms(spark, sf_dir):
     return text.textrank_terms(_docs(spark, sf_dir), "doc_id", "text")
 
 
+@query(
+    "word_graph_triangles",
+    # exact triangle census of the word co-occurrence graph (the
+    # clustering-coefficient numerator — a corpus-structure signal:
+    # template-heavy corpora close far more word triangles than natural
+    # text).  The engine orients edges by (degree, id) so wedge work is
+    # bounded O(m^1.5) regardless of hub skew; the oracle is the plain
+    # canonical triple join, feasible at gate scale.
+    r"""WITH t AS (SELECT list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '') AS w FROM documents),
+bi AS (SELECT w[i] AS u, w[i+1] AS v
+       FROM (SELECT w, unnest(range(1, len(w))) AS i FROM t WHERE len(w) >= 2)),
+e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      FROM bi WHERE u <> v),
+nodes AS (SELECT a AS n FROM e UNION SELECT b FROM e),
+tri AS (SELECT count(*) AS n FROM e e1
+        JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles""",
+)
+def word_graph_triangles(spark, sf_dir):
+    from go_streaming_spark.functions.graph import triangle_count
+    from go_streaming_spark.functions.text import words_expr
+    from go_streaming_spark.functions.util import spread
+
+    # adjacent-word edges over the BOUND word array (the r9 HOF rule)
+    wdf = spread(_docs(spark, sf_dir)).select(
+        words_expr(F.col("text")).alias("__w")
+    )
+    w = F.col("__w")
+    pairs = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.struct(
+                F.element_at(w, i + 1).alias("u"),
+                F.element_at(w, i + 2).alias("v"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<u:string,v:string>>"))
+    edges = (
+        wdf.select(F.explode(pairs).alias("p"))
+        .select("p.u", "p.v")
+        .filter(F.col("u") != F.col("v"))
+    )
+    return triangle_count(edges, "u", "v")
+
+
 _BM25_QUERIES = [
     (1, "hash"), (1, "join"), (2, "vector"), (2, "stream"),
     (3, "window"), (3, "merge"), (3, "sort"),

@@ -568,3 +568,51 @@ def test_star_cc_empty_and_single_edge(spark):
     got = {r["node"]: r["component"]
            for r in connected_components_star(one).collect()}
     assert got == {7: 3, 3: 3}
+
+
+def test_triangle_count_known_graphs(spark):
+    from go_streaming_spark.functions.graph import triangle_count
+
+    def count(edges):
+        df = spark.createDataFrame(edges, "u long, v long")
+        r = triangle_count(df, "u", "v").collect()[0]
+        return r["n_nodes"], r["n_edges"], r["n_triangles"]
+
+    # K3: one triangle
+    assert count([(1, 2), (2, 3), (1, 3)]) == (3, 3, 1)
+    # K4: 4 triangles (duplicates/reversed/self-loop edges must not count)
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    k4 += [(1, 1), (2, 2)]
+    assert count(k4) == (4, 6, 4)
+    # path and star: zero triangles
+    assert count([(i, i + 1) for i in range(10)]) == (11, 10, 0)
+    assert count([(0, i) for i in range(1, 9)]) == (9, 8, 0)
+    # hub + one closed pair: exactly one triangle, skewed degrees
+    hub = [(0, i) for i in range(1, 40)] + [(1, 2)]
+    assert count(hub) == (40, 40, 1)
+
+
+def test_triangle_count_matches_bruteforce_random(spark):
+    import itertools
+    import random
+
+    from go_streaming_spark.functions.graph import triangle_count
+
+    rng = random.Random(17)
+    for n, m in [(12, 30), (20, 60)]:
+        edges = list({
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+            )
+            if a != b
+        })
+        eset = set(edges)
+        ref = sum(
+            1
+            for x, y, z in itertools.combinations(range(n), 3)
+            if (x, y) in eset and (x, z) in eset and (y, z) in eset
+        )
+        df = spark.createDataFrame(edges, "u long, v long")
+        got = triangle_count(df, "u", "v").collect()[0]["n_triangles"]
+        assert got == ref

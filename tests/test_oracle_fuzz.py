@@ -96,6 +96,14 @@ FUZZ_QUERIES = [
     # lack 'purchase', which would only exercise the empty-group row.
     "winnow_match_pairs",
     "dedup_components_star",
+    # round 9 (cont.): the 256-bucket distributed prefix sum vs the plain
+    # global window on degenerate corpora (zero-char docs, duplicates,
+    # totals far under budget → keep-everything regime)
+    "token_budget_sample_counts",
+    # round 9 (cont.): degree-ordered triangle orientation vs the plain
+    # canonical triple join on whatever word graph the tiny corpus yields
+    # (empty/edgeless graphs must emit (0, 0, 0) on both engines)
+    "word_graph_triangles",
 ]
 
 WORD = st.sampled_from(
