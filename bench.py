@@ -100,6 +100,8 @@ HEADLINE = [
     "winnow_match_pairs",            # MOSS winnowing fingerprint matching (round 9)
     "token_budget_sample_counts",    # distributed prefix-sum token-budget sampling (round 9)
     "word_graph_triangles",          # degree-ordered triangle census (round 9)
+    "stratified_token_budget_counts",# per-stratum prefix-sum budgets (round 9)
+    "ams_f2_user_freq",              # AMS second-moment / self-join-size sketch (round 9)
 ]
 
 

@@ -505,3 +505,56 @@ def sample_to_token_budget(
         .drop("__h", "__b", "__off", "__cum")
     )
     return kept
+
+
+def sample_to_token_budget_per_stratum(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    stratum_col: str,
+    seed: str = "budget",
+) -> DataFrame:
+    """:func:`sample_to_token_budget` applied independently WITHIN each
+    stratum — the multilingual-mix shape ("≤ N tokens per language /
+    source"), still a pure function of (seed, id).
+
+    Same 256-bucket distributed prefix sum, with every window and
+    offset partitioned by the stratum: per-(stratum, bucket) totals,
+    per-stratum running offsets over ≤256 rows each, within-bucket
+    cumulative sums — no single-partition stage anywhere, and strata
+    proceed fully in parallel.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string")))
+    hashed = df.withColumn("__h", h).withColumn(
+        "__b", F.conv(F.substring("__h", 1, 2), 16, 10).cast("int")
+    )
+    totals = hashed.groupBy(stratum_col, "__b").agg(
+        F.sum(F.col(tokens_col).cast("long")).alias("__bt")
+    )
+    off_w = (
+        Window.partitionBy(stratum_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        stratum_col,
+        "__b",
+        F.coalesce(F.sum("__bt").over(off_w), F.lit(0)).alias("__off"),
+    )
+    cum_w = (
+        Window.partitionBy(stratum_col, "__b")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        hashed.join(F.broadcast(offsets), [stratum_col, "__b"])
+        .withColumn(
+            "__cum",
+            F.col("__off") + F.sum(F.col(tokens_col).cast("long")).over(cum_w),
+        )
+        .filter(F.col("__cum") <= F.lit(int(budget)))
+        .drop("__h", "__b", "__off", "__cum")
+    )

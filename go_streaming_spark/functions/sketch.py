@@ -531,6 +531,60 @@ def hll_overlap_from_state(
     )
 
 
+def ams_f2(
+    df: DataFrame, key_col: str, d: int = 63, seed: str = "ams"
+) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon, Matias & Szegedy,
+    STOC'96): one row ``(f2_est,)`` estimating F₂ = Σ_k f_k² of
+    ``key_col`` — the SELF-JOIN SIZE of the column, the repetition-mass
+    statistic (how duplicated is this key, in one number) and the
+    planner's join-size primitive.
+
+    State = ``d`` signed counters: counter j adds sign_j(key) = ±1
+    (md5-derived, deterministic) per row; E[c_j²] = F₂ exactly, and the
+    estimate is the MEDIAN of the d squared counters.  This is the
+    single-level median (no mean-grouping inner stage) — coarser
+    variance than the textbook median-of-means, chosen because d odd
+    makes the median an exact array element: every emitted number is an
+    exact integer function of the data, oracle-reproducible bit-for-bit.
+
+    Scale: one explode(×d) + one map-side-combined groupBy → d rows of
+    state, mergeable by plain addition (signs are functions of the key,
+    so per-batch counters just sum) — the streaming/partitioned shape.
+    Overflow: |c_j| ≤ n rows, c² ≤ n² — exact in int64 to n ≈ 3e9 rows
+    per sketch; shard-and-sum beyond.
+    """
+    if d % 2 == 0 or d <= 0:
+        raise ValueError("d must be odd and positive (exact median)")
+    from go_streaming_spark.functions.dedup import md5_int
+
+    sign = (
+        md5_int(
+            F.concat_ws(
+                "|",
+                F.lit(seed),
+                F.col("__j").cast("string"),
+                F.col(key_col).cast("string"),
+            ),
+            8,
+        )
+        % 2
+    ) * 2 - 1
+    counters = (
+        spread(df)
+        .select(
+            F.col(key_col),
+            F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("__j"),
+        )
+        .select("__j", sign.cast("long").alias("__s"))
+        .groupBy("__j")
+        .agg(F.sum("__s").alias("c"))
+    )
+    return counters.agg(
+        F.expr("CAST(percentile(c * c, 0.5) AS BIGINT)").alias("f2_est")
+    )
+
+
 def bloom_filtered_join(
     fact: DataFrame,
     dim: DataFrame,

@@ -600,6 +600,37 @@ def token_budget_sample_counts(spark, sf_dir):
     )
 
 
+@query(
+    "stratified_token_budget_counts",
+    # per-stratum token budgets (multilingual-mix assembly: "<= 3000
+    # chars per source"): the same hash-prefix rule applied WITHIN each
+    # source.  Engine = per-stratum 256-bucket prefix sums; oracle = the
+    # plain stratum-partitioned window.
+    """WITH h AS (SELECT doc_id, source, n_chars,
+        md5('budget|' || CAST(doc_id AS VARCHAR)) AS hh
+       FROM documents),
+c AS (SELECT source, n_chars,
+        sum(CAST(n_chars AS BIGINT))
+          OVER (PARTITION BY source ORDER BY hh, doc_id) AS cum
+      FROM h)
+SELECT source, count(*) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS tok_kept
+FROM c WHERE cum <= 3000 GROUP BY source""",
+)
+def stratified_token_budget_counts(spark, sf_dir):
+    from go_streaming_spark.functions import sampling
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    kept = sampling.sample_to_token_budget_per_stratum(
+        docs, "doc_id", "n_chars", budget=3000, stratum_col="source",
+        seed="budget",
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("tok_kept"),
+    )
+
+
 _T_TRAIN = int(0.8 * (1 << 32))
 _T_VAL = int(0.9 * (1 << 32))
 
@@ -1915,6 +1946,36 @@ FROM agg""",
 def hll_user_cardinality(spark, sf_dir):
     ev = Engine(spark, sf_dir=sf_dir).stream("events")
     return _sk.hll_grouped(ev, "event_type", "user_id", p=_HLL_P)
+
+
+@query(
+    "ams_f2_user_freq",
+    # AMS F2 sketch vs truth: the user_id column's second frequency
+    # moment (= its self-join size) estimated from 63 signed counters,
+    # alongside the exact value — the planner's join-size primitive as a
+    # fixed-size mergeable sketch.  Every number is an exact integer
+    # function of the data (odd d → the median is an array element), so
+    # the oracle reproduces both columns bit-for-bit.
+    """WITH rw AS (SELECT j,
+        CAST(('0x' || substr(md5('ams|' || CAST(j AS VARCHAR)
+          || '|' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+       FROM events, (SELECT unnest(range(63)) AS j) jj),
+s AS (SELECT j, CAST(sum((hv % 2) * 2 - 1) AS BIGINT) AS c
+      FROM rw GROUP BY j),
+e AS (SELECT CAST(sum(n * n) AS BIGINT) AS f2_exact
+      FROM (SELECT count(*) AS n FROM events GROUP BY user_id))
+SELECT CAST(median(c * c) AS BIGINT) AS f2_est, e.f2_exact
+FROM s CROSS JOIN e GROUP BY e.f2_exact""",
+)
+def ams_f2_user_freq(spark, sf_dir):
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    est = _sk.ams_f2(ev, "user_id", d=63, seed="ams")
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * F.col("n")).cast("long").alias("f2_exact"))
+    )
+    return est.crossJoin(F.broadcast(exact))
 
 
 @query(

@@ -2863,3 +2863,65 @@ def test_lsh_index_save_load_round_trip(spark, tmp_path):
     )
     assert "PartitionFilters: [" in plan
     assert "_bucket" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_ams_f2_accuracy_and_merge(spark):
+    """The AMS estimate lands within estimator error of the exact F2 on
+    a skewed distribution, and per-shard counters SUM to the full-data
+    counters (mergeable state)."""
+    from pyspark.sql import functions as F
+
+    from go_streaming_spark.functions import sketch
+
+    # skewed: key k appears k times, k in 1..40 → F2 = sum k^2 = 22140
+    rows = [(k,) for k in range(1, 41) for _ in range(k)]
+    df = spark.createDataFrame(rows, "k long")
+    exact = sum(k * k for k in range(1, 41))
+    est = sketch.ams_f2(df, "k", d=63).collect()[0]["f2_est"]
+    assert abs(est - exact) < 0.6 * exact  # single-level median: coarse
+    # determinism
+    est2 = sketch.ams_f2(df.repartition(7), "k", d=63).collect()[0]["f2_est"]
+    assert est == est2
+    # d must be odd
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sketch.ams_f2(df, "k", d=8)
+
+
+def test_stratified_token_budget_independent_per_stratum(spark):
+    """Each stratum keeps its own maximal hash prefix within budget; one
+    stratum's content never affects another's kept set."""
+    import hashlib
+
+    from go_streaming_spark.functions.sampling import (
+        sample_to_token_budget_per_stratum,
+    )
+
+    rows = [(i, "a" if i % 2 == 0 else "b", 50 + i % 37) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, n_tok long")
+    budget = 2_000
+    kept = sample_to_token_budget_per_stratum(
+        df, "doc_id", "n_tok", budget, "src"
+    ).collect()
+
+    def ref(stratum):
+        sub = [(i, t) for i, s, t in rows if s == stratum]
+        sub.sort(key=lambda r: (hashlib.md5(f"budget|{r[0]}".encode()).hexdigest(), r[0]))
+        out, cum = set(), 0
+        for i, t in sub:
+            cum += t
+            if cum > budget:
+                break
+            out.add(i)
+        return out
+
+    for stratum in ("a", "b"):
+        got = {r["doc_id"] for r in kept if r["src"] == stratum}
+        assert got == ref(stratum), stratum
+        assert sum(r["n_tok"] for r in kept if r["src"] == stratum) <= budget
+    # dropping stratum b entirely must not change a's kept set
+    only_a = sample_to_token_budget_per_stratum(
+        df.filter("src = 'a'"), "doc_id", "n_tok", budget, "src"
+    ).collect()
+    assert {r["doc_id"] for r in only_a} == ref("a")
