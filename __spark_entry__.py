@@ -67,7 +67,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # session_conversion_counts, top_user_journeys, activity_heatmap,
 # stream_activity_heatmap, plus the r9 registrations:
 # dedup_components_star, hll_user_overlap, stream_hll_user_overlap,
-# winnow_match_pairs, token_budget_sample_counts), followed by the
+# winnow_match_pairs, token_budget_sample_counts, word_graph_triangles,
+# stratified_token_budget_counts, ams_f2_user_freq), followed by the
 # stalest r6 greens (three rounds unwatched by then: star_join_agg,
 # pricing_summary, dedup_exact, dedup_minhash_lsh, window_sum_tumbling,
 # ... — re-enumerate from CORRECTNESS history, oldest-green first,

@@ -101,6 +101,16 @@ KNOWN_BENIGN = {
         " assembling (s_a, s_b, s_union) scalars into the single output"
         " row — O(1), sketch state is ≤2·2^p rows and localCheckpointed"
     ),
+    "word_graph_triangles": (
+        "BroadcastNestedLoopJoins are the two 1-row × 1-row crossJoins"
+        " assembling (n_nodes, n_edges, n_triangles) scalars into the"
+        " single output row — O(1); the oriented edge set itself is"
+        " localCheckpointed and equi-joined"
+    ),
+    "ams_f2_user_freq": (
+        "BroadcastNestedLoopJoin is the 1-row × 1-row crossJoin pairing"
+        " the sketch estimate with the exact-F2 comparison scalar — O(1)"
+    ),
     "textrank_top_terms": (
         "plan reads 0 exchanges/0 scans because the final rank vector is"
         " localCheckpointed (iterative-op lineage truncation); the real"
