@@ -91,6 +91,9 @@ QUERIES = [
     "hll_user_overlap",         # HLL union+intersection estimates (round 9)
     "winnow_match_pairs",       # MOSS winnowing fingerprint matching (round 9)
     "corpus_ingest_clean_tokens",  # span-reuse ingest_clean (r9 rework)
+    "word_graph_triangles",        # degree-ordered triangle census (round 9)
+    "stratified_token_budget_counts",  # per-stratum prefix-sum budgets (round 9)
+    "ams_f2_user_freq",            # AMS F2 self-join-size sketch (round 9)
 ]
 
 
