@@ -39,66 +39,55 @@ def entry(spark: SparkSession) -> DataFrame:
 # registered queries every query earns a hard row at least every 3
 # rounds.
 #
-# Round-9 gate (honoring the r8 pre-commitment): after the r8 close the
-# never-driver-green set is 75 names (all r8 registrations plus the
-# two-round red row plus the two un-shadowed renames) — more than fills
-# the gate, so strict LRU applies: (a) the two-round red row
-# temperature_mixture_counts leads (r9 fix: oracle HUGEINT sum cast to
-# BIGINT + weight emitted as integer micro-units on both sides, so no
-# double and no int128 ever reaches the driver's hasher); (b) the 25
-# early-r8 registrations in the pre-committed enumeration, with
-# stream_dedup_exact_native carrying the slot the shadowed
-# queries_llm stream_dedup_exact registration occupied (renamed in r9 —
-# the duplicate-name guard in queries.py now makes shadowing an import
-# error); (c) the late-r8 batch in registration order up to the 50-slot
-# cut, including BOTH un-shadowed session-window twins.
+# Round-10 gate (honoring the r9 pre-commitment): (a) the two r9 red
+# rows lead — bpe_top_merges / bpe_encode_counts were gated in r9
+# WITHOUT oracles (err: no_oracle); r10 gives both real DuckDB oracles
+# (the double-separator replace encoding of greedy merge-with-skip —
+# see queries_llm._bpe_learn_oracle) so they must now re-prove green;
+# (b) the 26 carried never-green names in registration order, with
+# compression_ratio_stats re-scoped this round to the zlib
+# bounds-invariant output so it too carries an oracle; (c) the 8 r9
+# registrations in registration order; (d) 14 stalest greens — the
+# r6-green set, alphabetical — to fill 50.
 #
-# r10 PRE-COMMITMENT: the 25 never-green names that missed this cut
-# carry to the r10 head in registration order (bpe_encode_counts was
-# gated in r9; then token_drift_by_source, value_drift_by_type,
-# cheapest_supplier_per_part, stream_distinct_users_hourly,
-# mad_outlier_counts, weighted_value_percentiles,
-# weighted_price_percentiles_by_priority, value_cdf_quantized,
-# hourly_burst_flags, cms_join_size, dedup_keep_best_survivors,
-# profile_orders_columns, review_queue_sample, missing_days_report,
-# tokenizer_fertility_by_lang, compression_ratio_stats,
-# mixed_language_flags, partition_manifest_orders, source_health_report,
-# dedup_source_matrix, embedding_dim_stats, user_lifespan_report,
-# session_conversion_counts, top_user_journeys, activity_heatmap,
-# stream_activity_heatmap, plus the r9 registrations:
-# dedup_components_star, hll_user_overlap, stream_hll_user_overlap,
-# winnow_match_pairs, token_budget_sample_counts, word_graph_triangles,
-# stratified_token_budget_counts, ams_f2_user_freq), followed by the
-# stalest r6 greens (three rounds unwatched by then: star_join_agg,
-# pricing_summary, dedup_exact, dedup_minhash_lsh, window_sum_tumbling,
-# ... — re-enumerate from CORRECTNESS history, oldest-green first,
-# alphabetical within a round) to fill 50.
+# r11 PRE-COMMITMENT: the remaining r6 greens that missed this cut
+# (dedup_incremental_indexed, dedup_minhash_lsh, dedup_ngram_jaccard,
+# dedup_simhash, disjunctive_filter_revenue, event_gaps, fan_in_sum,
+# filter_greater, funnel_counts, moving_range_sum,
+# multimodal_content_stats, pandas_udf_normalize, pivot_status_counts,
+# pricing_summary, rank_topn_per_segment, regional_revenue, ... —
+# re-enumerate from CORRECTNESS history, oldest-green first,
+# alphabetical within a round) lead the r11 gate after any
+# never-green names (r10 registrations and any r10 reds being
+# re-proven), which always come first.
 GATE_PRIORITY = [
-    # (a) the two-round red row — fixed in r9, must re-prove green
-    "temperature_mixture_counts",
-    # (b) early-r8 registrations — first hard rows (pre-committed order)
-    "multimodal_mp4_content_stats", "corpus_ingest_clean_tokens",
-    "hist_value_percentiles", "hist_percentiles_by_type",
-    "stream_cms_word_counts", "ann_pq_adc_topk",
-    "stream_hll_user_cardinality", "stream_dedup_exact_native",
-    "pmi_top_bigrams", "kmeans_cluster_stats", "kmeans_lloyd_centroids",
-    "semdedup_survivors", "shipping_priority_topn",
-    "dormant_rich_customers", "scd2_order_history", "cdc_latest_snapshot",
-    "timeseries_resample_6h", "bm25_doc_scores", "dedup_edit_distance",
-    "stream_hist_value_percentiles", "leakage_cross_split_pairs",
-    "textrank_top_terms", "inverted_index_postings",
-    "zorder_locality_stats", "stream_heavy_hitter_words",
-    # (c) late-r8 batch, registration order, to the 50-slot cut
-    "bm25_topk_per_query", "dedup_containment_pairs", "vocab_oov_rates",
-    "bpe_top_merges", "jl_projection_vectors", "lm_bigram_quality",
-    "ann_jl_topk", "snapshot_diff_orders", "ols_trend_by_type",
-    "event_transition_counts", "recency_weighted_counts",
-    "quality_linear_scores", "stream_session_window_count",
-    "stream_session_window_count_envelope", "cust_order_distribution",
-    "nation_market_share", "disjunctive_part_revenue",
-    "leakage_safe_split_counts", "dq_violation_counts",
-    "negative_sample_pairs", "pii_audit_by_source",
-    "stream_dq_violation_counts", "knn_join_topk", "bpe_encode_counts",
+    # (a) the r9 red rows — oracles added in r10, must re-prove green
+    "bpe_top_merges", "bpe_encode_counts",
+    # (b) the 26 carried never-green names (pre-committed order)
+    "token_drift_by_source", "value_drift_by_type",
+    "cheapest_supplier_per_part", "stream_distinct_users_hourly",
+    "mad_outlier_counts", "weighted_value_percentiles",
+    "weighted_price_percentiles_by_priority", "value_cdf_quantized",
+    "hourly_burst_flags", "cms_join_size", "dedup_keep_best_survivors",
+    "profile_orders_columns", "review_queue_sample",
+    "missing_days_report", "tokenizer_fertility_by_lang",
+    "compression_ratio_stats", "mixed_language_flags",
+    "partition_manifest_orders", "source_health_report",
+    "dedup_source_matrix", "embedding_dim_stats", "user_lifespan_report",
+    "session_conversion_counts", "top_user_journeys", "activity_heatmap",
+    "stream_activity_heatmap",
+    # (c) the r9 registrations — first hard rows
+    "dedup_components_star", "hll_user_overlap",
+    "stream_hll_user_overlap", "winnow_match_pairs",
+    "token_budget_sample_counts", "word_graph_triangles",
+    "stratified_token_budget_counts", "ams_f2_user_freq",
+    # (d) stalest greens (last green r6), alphabetical, to the 50 cut
+    "above_avg_balance_by_nation", "approx_distinct_users",
+    "approx_value_percentiles", "asof_forward_next_purchase",
+    "asof_join_signup", "big_order_customers", "burst_follow_counts",
+    "corpus_shuffle_order", "counting_window_tumbling",
+    "custdist_order_counts", "dedup_clusters", "dedup_exact",
+    "dedup_incremental_exact", "dedup_incremental_full",
 ]
 
 

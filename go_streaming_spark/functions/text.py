@@ -1421,3 +1421,40 @@ def compression_ratio(
         "CASE WHEN n_bytes > 0 THEN (c_bytes * 1000000) div n_bytes"
         " ELSE NULL END AS ratio_q",
     )
+
+
+def compression_bounds_audit(
+    df: DataFrame, id_col: str, text_col: str, level: int = 6
+) -> DataFrame:
+    """Gate-checkable twin of :func:`compression_ratio`: runs the same
+    zlib pass but emits the invariants a SQL oracle CAN derive —
+    (id, n_bytes, bounds_ok) where ``bounds_ok`` asserts the compressed
+    length lands inside zlib's published guarantees:
+
+    * lower: ``c_bytes ≥ max(9, n_bytes div 1100)`` — a non-empty zlib
+      stream is ≥ 9 bytes (2-byte header + minimal deflate block +
+      4-byte Adler-32), and deflate's maximum compression ratio is
+      1032:1 (258-byte matches at ~2 bits/symbol), so n/1100 is a
+      strict floor with margin;
+    * upper: ``c_bytes ≤ n_bytes + n_bytes div 1000 + 64`` — a loose
+      cover of ``compressBound`` (stored-block worst case
+      n + 5·⌈n/16383⌉ + 6).
+
+    The oracle emits the literal expected flag (1 for every non-empty
+    doc), so any zlib mis-wiring that lands outside the bounds — wrong
+    column, truncated bytes, double compression — hash-mismatches and
+    reds the gate.  The exact ``c_bytes`` values stay pinned by the
+    direct-zlib parity test (test_compression_ratio_matches_direct_zlib);
+    this is the derived-invariant oracle pattern for ops whose kernel
+    (zlib) the oracle engine does not have.  Empty docs → NULL both
+    sides.
+    """
+    cr = compression_ratio(df, id_col, text_col, level)
+    return cr.selectExpr(
+        "id",
+        "n_bytes",
+        "CASE WHEN n_bytes > 0 THEN CAST(c_bytes BETWEEN"
+        " greatest(9, n_bytes div 1100)"
+        " AND n_bytes + (n_bytes div 1000) + 64 AS INT)"
+        " ELSE NULL END AS bounds_ok",
+    )

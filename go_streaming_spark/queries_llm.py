@@ -2908,27 +2908,97 @@ def quality_linear_scores(spark, sf_dir):
     return text.hashed_linear_score(_docs(spark, sf_dir), "doc_id", "text")
 
 
-@query("bpe_encode_counts")
+# --- BPE oracles -----------------------------------------------------------
+# Greedy left-to-right merge-with-skip IS SQL-expressible after all: encode
+# the symbol list as a string with DOUBLE-space separators and single-space
+# ends (' a  b  c '), and a merge of pair (a,b) is one literal
+# replace(s, ' a  b ', ' ab ') — SQL replace consumes non-overlapping
+# occurrences left-to-right, which is exactly the skip-after-merge scan, and
+# the doubled separators stop adjacent occurrences from sharing a boundary
+# space (' a  a  a  a ' → ' aa  aa ', the case single separators get wrong).
+# Each chained CTE is MATERIALIZED: s{k} has two consumers (p{k+1} and
+# s{k+1}), so un-materialized inlining is 2^k plan blow-up.
+
+_BPE_WORDS = (
+    "SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),"
+    " x -> x <> '')) AS word FROM documents"
+)
+_BPE_SYMS = "' ' || array_to_string(string_split(word, ''), '  ') || ' '"
+
+
+def _bpe_learn_oracle(n_merges: int) -> str:
+    parts = [
+        f"""v0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM ({_BPE_WORDS}) GROUP BY word),
+s0 AS MATERIALIZED (SELECT freq, {_BPE_SYMS} AS s FROM v0)"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f"""p{k} AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
+    SELECT freq, unnest(list_transform(range(1, len(syms)),
+                        i -> syms[i] || ' ' || syms[i+1])) AS pair
+    FROM (SELECT freq, string_split(trim(s), '  ') AS syms FROM s{k-1})
+    WHERE len(syms) >= 2) GROUP BY pair),
+t{k} AS MATERIALIZED (SELECT CAST({k} AS BIGINT) AS rank, pair, n
+    FROM p{k} ORDER BY n DESC, pair LIMIT 1),
+s{k} AS MATERIALIZED (SELECT freq, replace(s,
+    ' ' || split_part((SELECT pair FROM t{k}), ' ', 1) || '  '
+        || split_part((SELECT pair FROM t{k}), ' ', 2) || ' ',
+    ' ' || replace((SELECT pair FROM t{k}), ' ', '') || ' ') AS s
+    FROM s{k-1})"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM t{k}" for k in range(1, n_merges + 1))
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT rank, pair, n AS n_occ FROM ({union})"
+    )
+
+
+def _bpe_encode_oracle(merges: list[tuple[str, str]]) -> str:
+    rep = _BPE_SYMS
+    for a, b in merges:
+        rep = f"replace({rep}, ' {a}  {b} ', ' {a}{b} ')"
+    return f"""WITH wc AS MATERIALIZED (
+  SELECT id, word, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT doc_id AS id, unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+        x -> x <> '')) AS word FROM documents)
+  GROUP BY id, word),
+enc AS (SELECT word, CAST(len(string_split(trim({rep}), '  ')) AS INT) AS pieces
+        FROM (SELECT DISTINCT word FROM wc))
+SELECT id, CAST(sum(n) AS BIGINT) AS n_words,
+       CAST(sum(n * pieces) AS BIGINT) AS n_pieces
+FROM wc JOIN enc USING (word) GROUP BY id"""
+
+
+_BPE_FIXED_MERGES = [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d")]
+
+
+@query("bpe_encode_counts", _bpe_encode_oracle(_BPE_FIXED_MERGES))
 def bpe_encode_counts(spark, sf_dir):
     """Per-doc token statistics after applying a fixed BPE merge list —
     the ENCODE half of the tokenizer story (bpe_top_merges is the
-    trainer).  Rows-only: the greedy rank-ordered merge fold is not
-    SQL-expressible; exactness is pinned by the pure-Python reference
-    parity test (test_bpe_encode_matches_python_reference), the
-    bpe_top_merges pattern."""
-    merges = [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d")]
-    return text.bpe_encode(_docs(spark, sf_dir), "doc_id", "text", merges)
+    trainer).  Oracle: the rank-ordered greedy fold unrolls as one
+    nested literal replace per rule over the double-space symbol
+    encoding (see _bpe_learn_oracle's comment); exactness is ALSO
+    pinned by the pure-Python reference parity test
+    (test_bpe_encode_matches_python_reference)."""
+    return text.bpe_encode(
+        _docs(spark, sf_dir), "doc_id", "text", _BPE_FIXED_MERGES
+    )
 
 
-@query("bpe_top_merges")
+@query("bpe_top_merges", _bpe_learn_oracle(8))
 def bpe_top_merges(spark, sf_dir):
     """First 8 BPE merge rules learned from the documents corpus — the
     canonical greedy tokenizer-training step (Sennrich et al. 2016) in
     its word-count formulation (corpus touched once; iterations run over
-    the weighted vocabulary).  No SQL oracle: greedy skip-after-merge
-    application is inherently sequential per word (rows-only driver
-    check); exactness is pinned by the pure-Python reference parity
-    tests in tests/test_graph_layout.py, the pagerank pattern."""
+    the weighted vocabulary).  Oracle: 8 unrolled merge rounds as
+    chained MATERIALIZED CTEs — pair counts by list_transform over the
+    symbol list, winner by (n DESC, pair) LIMIT 1, application by the
+    double-separator replace trick; ties and counts are exact integers
+    so the chain is deterministic on both engines.  Exactness is ALSO
+    pinned by the pure-Python reference parity tests, the pagerank
+    pattern."""
     return text.bpe_learn_merges(_docs(spark, sf_dir), "doc_id", "text",
                                  n_merges=8)
 
@@ -3130,12 +3200,26 @@ def tokenizer_fertility_by_lang(spark, sf_dir):
     )
 
 
-@query("compression_ratio_stats")
+@query(
+    "compression_ratio_stats",
+    # zlib itself isn't SQL-expressible (DuckDB has no zlib), so the gate
+    # checks the derived invariant: the oracle emits the literal expected
+    # bounds flag (1 per non-empty doc) and the Spark side computes it FROM
+    # the real zlib output — any mis-wiring that lands c_bytes outside
+    # zlib's published [max(9, n/1100), n + n/1000 + 64] guarantees reds
+    # the row.  Exact c_bytes stays pinned by the direct-zlib parity test.
+    """SELECT doc_id AS id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  CASE WHEN octet_length(encode(text)) > 0 THEN 1 ELSE NULL END AS bounds_ok
+FROM documents""",
+)
 def compression_ratio_stats(spark, sf_dir):
-    """Per-doc zlib compression ratio (rows-only: DuckDB has no zlib;
-    exactness pinned by the direct-zlib parity test, the bpe_encode
-    pattern).  The templated-text screen."""
-    return text.compression_ratio(_docs(spark, sf_dir), "doc_id", "text")
+    """zlib compression-bounds audit over the documents corpus — the
+    gate-checkable face of the templated-text compression screen (the
+    full per-doc ratio stays available as text.compression_ratio; see
+    compression_bounds_audit's docstring for the invariant-oracle
+    pattern)."""
+    return text.compression_bounds_audit(_docs(spark, sf_dir), "doc_id", "text")
 
 
 @query(

@@ -104,6 +104,18 @@ FUZZ_QUERIES = [
     # canonical triple join on whatever word graph the tiny corpus yields
     # (empty/edgeless graphs must emit (0, 0, 0) on both engines)
     "word_graph_triangles",
+    # round 10: the double-separator replace encoding of greedy
+    # merge-with-skip vs the Arrow-batched scan — multibyte symbols
+    # (café), punctuation symbols, <8 distinct pairs (early break must
+    # shorten BOTH engines' outputs identically), repeated-symbol runs
+    # (aaaa → aa aa, the boundary-sharing case), and the fixed-rule
+    # encode on words none of the rules touch
+    "bpe_top_merges",
+    "bpe_encode_counts",
+    # round 10: zlib bounds invariant on degenerate docs (empty → NULL
+    # flag, 1-byte, whitespace-only) — the Spark side computes the flag
+    # from real zlib output, the oracle emits the literal expectation
+    "compression_ratio_stats",
 ]
 
 WORD = st.sampled_from(
