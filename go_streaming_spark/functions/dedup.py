@@ -547,31 +547,58 @@ def exact_dedup_stream(
     return out.dropDuplicatesWithinWatermark(["content_hash"])
 
 
+DEFAULT_MAX_SHINGLE_FREQ = 1000
+"""Default hot-shingle cap for the inverted-index pair joins.
+
+The shingle-bucket intersection is O(Σ freq²) per shingle — ONE
+stopword-class n-gram shared by d docs contributes d² candidate pairs
+landing on a single shuffle key, which at 100 TB is a single-key
+explosion no cluster absorbs.  A shingle in >1000 docs carries no
+dedup signal (it is boilerplate by definition), so the cap is on by
+default; pass ``max_shingle_freq=None`` to opt OUT for small corpora
+where the exact uncapped measure is wanted.  The DuckDB oracles mirror
+the same frequency filter (queries_llm._SH_CAPPED).
+"""
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs: (id_a < id_b, jaccard ≥ t).
 
     Inverted-index join: shuffle on the shingle, so each shingle's doc list
     meets in one partition; pair counts then aggregate on (id_a, id_b).
     ``max_shingle_freq`` drops degenerate hot shingles (skew + noise) —
-    at 100 TB this bound is what keeps bucket cross products finite.
+    at 100 TB this bound is what keeps bucket cross products finite, so
+    it is ON by default (:data:`DEFAULT_MAX_SHINGLE_FREQ`); capped
+    shingles leave the universe entirely (the denominator too).
     """
     sh = word_shingles(df, id_col, text_col, n).cache()
     _register_convenience_cache(sh, [sh])
     if max_shingle_freq:
+        # hot is tiny by definition (only >cap shingles) and feeds BOTH
+        # sides of the self-join via the anti-join — materialize it once
+        # or the shingle-frequency aggregation runs per consumer
         hot = (
             sh.groupBy("shingle").count()
             .filter(F.col("count") > max_shingle_freq)
             .select("shingle")
+            .localCheckpoint()
         )
         sh = sh.join(hot, "shingle", "left_anti")
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # sizes feeds TWO joins (sa/sb) — materialize once; the known
+    # multi-consumer ReuseExchange miss would otherwise recompute the
+    # whole shingle aggregation per consumer.  Doc-count-sized.
+    sizes = (
+        sh.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+        .localCheckpoint()
+    )
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, "shingle")
@@ -598,7 +625,7 @@ def containment_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
 ) -> DataFrame:
     """DIRECTED n-gram containment pairs: (id_src, id_dst) with
     ``|sh(src) ∩ sh(dst)| / |sh(src)| ≥ t`` — "src's shingles are mostly
@@ -613,21 +640,35 @@ def containment_pairs(
     rows (each direction has its own denominator).
 
     Same inverted-index join + hot-shingle cap as :func:`jaccard_pairs`
-    (one shingle shuffle, one pair aggregation); the directed fan-out is
-    a map-side projection AFTER the aggregation, so it costs no extra
-    shuffle.  The containment value is a single exact-int division —
-    bit-identical across engines without quantization, like jaccard.
+    (one shingle shuffle, one pair aggregation; the cap is ON by
+    default — :data:`DEFAULT_MAX_SHINGLE_FREQ`).  The directed fan-out
+    is a per-row explode of a 2-element struct array AFTER the
+    aggregation — ONE pass over the joined pairs, not a union of two
+    projections (a union duplicates the whole join subtree in the plan
+    when ReuseExchange misses; the explode shape cannot).  The
+    containment value is a single exact-int division — bit-identical
+    across engines without quantization, like jaccard.
     """
     sh = word_shingles(df, id_col, text_col, n).cache()
     _register_convenience_cache(sh, [sh])
     if max_shingle_freq:
+        # hot is tiny by definition (only >cap shingles) and feeds BOTH
+        # sides of the self-join via the anti-join — materialize it once
+        # or the shingle-frequency aggregation runs per consumer
         hot = (
             sh.groupBy("shingle").count()
             .filter(F.col("count") > max_shingle_freq)
             .select("shingle")
+            .localCheckpoint()
         )
         sh = sh.join(hot, "shingle", "left_anti")
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # sizes feeds TWO joins (sa/sb): materialize once (ReuseExchange
+    # misses multi-consumer aggregates).  Doc-count-sized.
+    sizes = (
+        sh.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+        .localCheckpoint()
+    )
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, "shingle")
@@ -638,19 +679,25 @@ def containment_pairs(
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
     joined = inter.join(sa, "id_a").join(sb, "id_b")
-    fwd = joined.select(
-        F.col("id_a").alias("id_src"),
-        F.col("id_b").alias("id_dst"),
-        "n_common",
-        (F.col("n_common") / F.col("n_a")).alias("containment"),
+    both = joined.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("id_src"),
+                    F.col("id_b").alias("id_dst"),
+                    F.col("n_common"),
+                    (F.col("n_common") / F.col("n_a")).alias("containment"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("id_src"),
+                    F.col("id_a").alias("id_dst"),
+                    F.col("n_common"),
+                    (F.col("n_common") / F.col("n_b")).alias("containment"),
+                ),
+            )
+        ).alias("r")
     )
-    rev = joined.select(
-        F.col("id_b").alias("id_src"),
-        F.col("id_a").alias("id_dst"),
-        "n_common",
-        (F.col("n_common") / F.col("n_b")).alias("containment"),
-    )
-    return fwd.union(rev).filter(F.col("containment") >= threshold)
+    return both.select("r.*").filter(F.col("containment") >= threshold)
 
 
 def shingle_arrays(

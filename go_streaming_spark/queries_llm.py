@@ -37,6 +37,20 @@ inter AS (SELECT a.id id_a, b.id id_b, count(*) n_common FROM sh a JOIN sh b USI
 jac AS (SELECT id_a, id_b, n_common, n_common/(sa.n+sb.n-n_common) AS jaccard
         FROM inter JOIN sizes sa ON id_a=sa.id JOIN sizes sb ON id_b=sb.id)"""
 
+# Capped variant: mirrors the engine's default hot-shingle cap
+# (dedup.DEFAULT_MAX_SHINGLE_FREQ) — shingles shared by >1000 docs leave
+# the universe entirely (sizes too) before the inverted-index join, on
+# BOTH engines.  MinHash keeps the uncapped _SH (a frequency filter
+# would change signatures, and the banding already bounds its buckets).
+_SH_CAPPED = """ws AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\\s+'), x -> x <> '') w FROM documents),
+sh0 AS (SELECT DISTINCT doc_id AS id, unnest(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2],' '))) AS shingle FROM ws WHERE len(w) >= 3),
+sh AS (SELECT id, shingle FROM sh0 WHERE shingle NOT IN
+       (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 1000)),
+sizes AS (SELECT id, count(*) n FROM sh GROUP BY id),
+inter AS (SELECT a.id id_a, b.id id_b, count(*) n_common FROM sh a JOIN sh b USING(shingle) WHERE a.id < b.id GROUP BY 1, 2),
+jac AS (SELECT id_a, id_b, n_common, n_common/(sa.n+sb.n-n_common) AS jaccard
+        FROM inter JOIN sizes sa ON id_a=sa.id JOIN sizes sb ON id_b=sb.id)"""
+
 _COS = (
     lambda x, y: f"list_sum(list_transform(range(1,65), i -> {x}[i]*{y}[i]))"
     f"/(sqrt(list_sum(list_transform(range(1,65), i -> {x}[i]*{x}[i])))"
@@ -141,9 +155,11 @@ def pack_sequences(spark, sf_dir):
 
 @query(
     "dedup_ngram_jaccard",
-    f"WITH {_SH} SELECT id_a, id_b, n_common, jaccard FROM jac WHERE jaccard >= 0.2",
+    f"WITH {_SH_CAPPED} SELECT id_a, id_b, n_common, jaccard FROM jac WHERE jaccard >= 0.2",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
+    # default hot-shingle cap ON (DEFAULT_MAX_SHINGLE_FREQ) — the oracle's
+    # _SH_CAPPED mirrors the same >1000-doc frequency filter
     return dedup.jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", 3, 0.2)
 
 
@@ -3008,8 +3024,9 @@ def bpe_top_merges(spark, sf_dir):
     # DIRECTED containment |sh(src) ∩ sh(dst)|/|sh(src)| — the asymmetric
     # near-dup measure: a short doc quoted inside a long one scores ~1
     # here but ~0 on union-normalized Jaccard.  Single exact-int division,
-    # no quantization needed (the jaccard oracle precedent)
-    f"""WITH {_SH},
+    # no quantization needed (the jaccard oracle precedent).  _SH_CAPPED:
+    # the engine's default hot-shingle cap, mirrored
+    f"""WITH {_SH_CAPPED},
 j AS (SELECT id_a, id_b, n_common, sa.n AS n_a, sb.n AS n_b
       FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id)
 SELECT id_src, id_dst, n_common, containment FROM (

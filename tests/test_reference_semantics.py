@@ -301,6 +301,32 @@ def test_jaccard_hot_shingle_cap(spark):
     assert capped.count() == 0      # the hot shingle is dropped
 
 
+def test_hot_shingle_cap_is_on_by_default(spark):
+    """A stopword-bombed corpus (one 3-gram shared by >1000 docs) must NOT
+    explode the pair count under the DEFAULT arguments — the d²
+    single-key blowup is exactly what DEFAULT_MAX_SHINGLE_FREQ exists to
+    stop at 100 TB.  Opting out (max_shingle_freq=None) restores the
+    exact uncapped measure: every doc pair shares the bomb shingle."""
+    from go_streaming_spark.functions.dedup import (
+        DEFAULT_MAX_SHINGLE_FREQ, containment_pairs, jaccard_pairs,
+    )
+
+    d = DEFAULT_MAX_SHINGLE_FREQ + 100
+    rows = [(i, f"the of and pad{i} pad{i}b") for i in range(d)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # default: the bomb shingle exceeds the cap and leaves the universe;
+    # remaining shingles are unique per doc -> zero candidate pairs
+    assert jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.0).count() == 0
+    assert (
+        containment_pairs(df, "doc_id", "text", n=3, threshold=0.0).count() == 0
+    )
+    # opt-out: all d*(d-1)/2 pairs meet in the bomb shingle's bucket
+    uncapped = jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.0, max_shingle_freq=None
+    )
+    assert uncapped.count() == d * (d - 1) // 2
+
+
 def test_asof_join_forward_direction(spark):
     from go_streaming_spark.operators.joins import as_of_join
 
