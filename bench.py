@@ -127,6 +127,17 @@ def main():
         sf = None
 
     spark = get_session("go_streaming_spark_bench")
+    # SESSION warm-up, distinct from the per-query warm-up: the first
+    # headline query in a fresh JVM otherwise absorbs C2 JIT compilation,
+    # executor-thread spin-up and noop-sink classloading into its TIMED
+    # runs (r9 recorded filter_greater at 0.856s vs a 0.293s isolated
+    # min-of-5 — 3x pure cold-start, zero plan change).  Three throwaway
+    # executions of the cheapest scan retire that one-time cost before
+    # any measurement starts.
+    for _ in range(3):
+        QUERIES["filter_greater"](spark, sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
     timings = {}
     for name in HEADLINE:
         if name not in QUERIES:
