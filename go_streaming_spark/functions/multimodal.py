@@ -898,44 +898,48 @@ def content_stats(
     def run(batches: Iterator) -> Iterator:
         import math
 
+        import numpy as np
         import pandas as pd
 
         # local refs: cloudpickle ships the decoders by value
         sniff, bmp_px, wav_pcm = parse_media_header, bmp_pixel_bytes, wav_pcm_samples
         png_px, gif_px, jpg_px = png_pixel_bytes, gif_pixel_bytes, jpeg_pixel_bytes
         avi_px, mp4_px = avi_frame_bytes, mp4_sample_bytes
+        BYTE_DECODERS = {
+            "bmp": bmp_px, "png": png_px, "gif": gif_px,
+            "jpeg": jpg_px, "avi": avi_px, "mp4": mp4_px,
+        }
 
         def stats_row(b) -> tuple:
             p = bytes(b) if b is not None else b""
             fmt = sniff(p)["format"]
-            units: list[int] | None = None
-            if fmt == "bmp":
-                raw = bmp_px(p)
-                units = list(raw) if raw is not None else None
-            elif fmt == "png":
-                raw = png_px(p)
-                units = list(raw) if raw is not None else None
-            elif fmt == "gif":
-                raw = gif_px(p)
-                units = list(raw) if raw is not None else None
-            elif fmt == "jpeg":
-                raw = jpg_px(p)
-                units = list(raw) if raw is not None else None
-            elif fmt == "avi":
-                raw = avi_px(p)
-                units = list(raw) if raw is not None else None
-            elif fmt == "mp4":
-                raw = mp4_px(p)
-                units = list(raw) if raw is not None else None
+            # the moments run over the RAW byte/sample buffer as numpy
+            # int64 reductions — a Python list() + sum() loop here is a
+            # per-UNIT interpreter walk, the slow tier at real media
+            # sizes.  Sums are exact in int64 (uint8² ≤ 65025, int16² ≤
+            # 2³⁰ per unit), so mean/rms stay the same one-division
+            # floats the scalar loop produced.
+            byte_dec = BYTE_DECODERS.get(fmt)
+            if byte_dec is not None:
+                raw = byte_dec(p)
+                if raw is None:
+                    return (fmt, None, None, None, None, None)
+                arr = np.frombuffer(raw, dtype=np.uint8)
             elif fmt == "wav":
                 units = wav_pcm(p)
-            if not units:
-                return (fmt, 0 if units is not None else None,
-                        None, None, None, None)
-            n = len(units)
-            s = sum(units)
-            sq = sum(v * v for v in units)
-            return (fmt, n, s / n, math.sqrt(sq / n), min(units), max(units))
+                if units is None:
+                    return (fmt, None, None, None, None, None)
+                arr = np.asarray(units, dtype=np.int64)
+            else:
+                return (fmt, None, None, None, None, None)
+            n = int(arr.size)
+            if n == 0:
+                return (fmt, 0, None, None, None, None)
+            a64 = arr.astype(np.int64, copy=False)
+            s = int(a64.sum())
+            sq = int(np.dot(a64, a64))
+            return (fmt, n, s / n, math.sqrt(sq / n),
+                    int(arr.min()), int(arr.max()))
 
         for pdf in batches:
             rows = [stats_row(b) for b in pdf["_media"]]
@@ -1727,10 +1731,15 @@ def jpeg_pixel_bytes(p: bytes) -> bytes | None:
             return None
         if w % 8 or h % 8 or w == 0 or h == 0 or w * h > 1 << 24:
             return None
+        import numpy as np
+
         rd = _BitReader(p[i:])
-        cos = [[math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)] for u in range(8)]
+        cos = np.array(
+            [[math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)]
+             for u in range(8)]
+        )
         c = [1 / math.sqrt(2)] + [1.0] * 7
-        out = bytearray(w * h)
+        img = np.empty((h, w), dtype=np.uint8)
         prev_dc = 0
         for by in range(0, h, 8):
             for bx in range(0, w, 8):
@@ -1756,17 +1765,28 @@ def jpeg_pixel_bytes(p: bytes) -> bytes | None:
                 coef = [0.0] * 64
                 for k in range(64):
                     coef[_JPEG_ZIGZAG[k]] = zz[k] * qt[k]
-                nz = [uv for uv in range(1, 64) if coef[uv]]
                 dc_part = coef[0] / 8.0  # exact: binary shift
-                for y in range(8):
-                    for x in range(8):
-                        s = 0.0
-                        for uv in nz:
-                            u, v = uv >> 3, uv & 7
-                            s += c[u] * c[v] * coef[uv] * cos[u][y] * cos[v][x]
-                        val = int(math.floor(dc_part + 0.25 * s + 128.5))
-                        out[(by + y) * w + bx + x] = min(255, max(0, val))
-        return bytes(out)
+                # IDCT, vectorized per AC coefficient: each nonzero uv
+                # contributes the rank-1 outer product
+                # (f·cos[u]) ⊗ cos[v] with f = c[u]·c[v]·coef[uv].  The
+                # accumulation order over uv and the multiply
+                # association ((f·cos_uy)·cos_vx) are IDENTICAL to the
+                # scalar triple loop this replaces, so the IEEE result —
+                # and every decoded byte — is bit-for-bit unchanged; the
+                # 64 pixel ops per term just run in C instead of the
+                # interpreter (the 100 TB tier cost: real photos carry
+                # dozens of AC terms per block).
+                acc = np.zeros((8, 8))
+                for uv in range(1, 64):
+                    if coef[uv]:
+                        u, v = uv >> 3, uv & 7
+                        f = c[u] * c[v] * coef[uv]
+                        acc += np.multiply.outer(f * cos[u], cos[v])
+                vals = np.floor(dc_part + 0.25 * acc + 128.5)
+                img[by:by + 8, bx:bx + 8] = np.clip(vals, 0, 255).astype(
+                    np.uint8
+                )
+        return img.tobytes()
     except (ValueError, IndexError):
         return None
 
