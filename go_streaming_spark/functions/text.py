@@ -347,6 +347,8 @@ def bpe_learn_merges(
     id_col: str,
     text_col: str,
     n_merges: int = 8,
+    max_batch: int = 16,
+    pass_sizes: list[int] | None = None,
 ) -> DataFrame:
     """Learn the first ``n_merges`` BPE merge rules from a corpus
     (Sennrich et al. 2016) — canonical greedy byte-pair encoding over
@@ -368,21 +370,40 @@ def bpe_learn_merges(
     round — O(1) plan depth in rounds.
 
     Ties break (count desc, pair asc) — deterministic and
-    partition-invariant since counts are exact integers.  Not
-    SQL-oracle-expressible (the greedy fold is inherently sequential per
-    word); correctness is pinned instead by an exact pure-Python
-    reference implementation in the tests, the same pattern as
-    ``pagerank``'s integer reference.
+    partition-invariant since counts are exact integers.  The SQL oracle
+    unrolls the same greedy rounds via the double-separator replace
+    encoding (queries_llm._bpe_learn_oracle); an exact pure-Python
+    reference pins the semantics too, the ``pagerank`` pattern.
 
-    COST — read before training a real tokenizer with this: each merge
-    is ONE Spark job ending in a 1-row ``limit(1).collect()`` — the loop
-    is driver-paced, so a 32k-merge vocabulary is 32k job round-trips
-    (hours of scheduler overhead even though each job is small; this is
-    the canonical distributed-BPE structure, not an accident of this
-    implementation).  Use it for small research vocabularies and merge
-    audits; for production tokenization, learn merges once offline (or
-    with a specialized trainer) and apply them at corpus scale via
-    :func:`bpe_encode`, which is a single embarrassingly-parallel pass.
+    BATCHED PASSES (r10): the loop commits up to ``max_batch`` merges
+    per corpus pass, and the batch is EXACT — it reproduces the
+    one-merge-at-a-time canonical table, not an approximation.  Per
+    pass it computes pair counts AND, from the trigram stream, an upper
+    bound ``ub(p)`` on the count any pair CREATED by merging ``p``
+    could have (a created pair (x,ab)/(ab,y)/(ab,cd) occurrence needs a
+    trigram occurrence adjacent to the merged pair, so
+    ``ub = max trigram count touching p``; greedy skip-after-merge only
+    loses occurrences, never adds).  Candidates are then accepted in
+    exact rank order (count desc, pair asc) while each one
+    (i) shares no symbol with an already-accepted merge (disjointness
+    freezes its count), (ii) neither uses an accepted merge's output
+    string as a symbol nor produces an accepted output string (name
+    collisions could pool counts), and (iii) strictly outranks every
+    accepted merge's ``ub`` (so no created pair can leapfrog it; ties
+    stop the batch — a created pair with an equal count could win the
+    name tie-break).  The first unsafe candidate ends the batch, so the
+    accepted set is a rank prefix and the emitted (rank, pair, n_occ)
+    rows are exactly the sequential ones.  Property-tested batched ==
+    sequential on random corpora (test_bpe_batched_matches_sequential).
+
+    COST — read before training a real tokenizer with this: each PASS
+    is two vocabulary aggregations + one bounded ``limit(T).collect()``
+    (T = 4·max_batch rows), and natural-language corpora accept ~3-8
+    merges per pass, so a 32k-merge vocabulary is ~4-10k driver
+    round-trips instead of 32k single-merge jobs (see SCALE.md §BPE;
+    ``max_batch=1`` restores the classic one-job-per-merge loop).  For
+    production tokenization, learn merges once and apply them at corpus
+    scale via :func:`bpe_encode`, a single embarrassingly-parallel pass.
     """
     import pandas as pd  # noqa: F401  (pandas_udf runtime dep)
     from pyspark.sql.functions import pandas_udf
@@ -398,7 +419,20 @@ def bpe_learn_merges(
         .localCheckpoint()
     )
     merges: list[tuple[int, str, int]] = []
-    for k in range(1, n_merges + 1):
+    max_batch = max(1, int(max_batch))
+    top_t = 4 * max_batch
+    # the live symbol set is tiny (alphabet + one entry per merge) and is
+    # maintained driver-side: if a merge's OUTPUT string already exists
+    # as a symbol, occurrences pool into existing pairs — any pair
+    # touching that symbol can GAIN count, so no later candidate in the
+    # same batch is safe (symbols merged away leave stale entries, which
+    # only makes the check conservative)
+    sym_set = {
+        r["s"]
+        for r in vocab.select(F.explode("syms").alias("s")).distinct().collect()
+    }
+    while len(merges) < n_merges:
+        # one pass: adjacent-pair counts + per-pair created-pair bound
         pairs = F.when(
             F.size("syms") >= 2,
             F.transform(
@@ -415,30 +449,103 @@ def bpe_learn_merges(
             .groupBy("pair")
             .agg(F.sum("freq").alias("n"))
         )
-        top = pc.orderBy(F.col("n").desc(), "pair").limit(1).collect()
+        top = pc.orderBy(F.col("n").desc(), "pair").limit(top_t).collect()
         if not top:
             break
-        a, b = top[0]["pair"].split(" ")
-        n_occ = top[0]["n"]
-        merged = a + b
+        cand = [(r["pair"], int(r["n"])) for r in top]
+        need_ub = len(cand) > 1 and len(merges) + 1 < n_merges
+        ub: dict[str, int] = {}
+        if need_ub:
+            # trigram (x,y,z) touches pair (x,y) at 1-2 and (y,z) at 2-3;
+            # any pair created by merging p needs such an adjacent
+            # trigram occurrence, so max(count) bounds all of them
+            tris = F.when(
+                F.size("syms") >= 3,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("syms") - 3),
+                    lambda i: F.struct(
+                        F.concat_ws(
+                            " ",
+                            F.element_at(F.col("syms"), i + 1),
+                            F.element_at(F.col("syms"), i + 2),
+                        ).alias("pl"),
+                        F.concat_ws(
+                            " ",
+                            F.element_at(F.col("syms"), i + 2),
+                            F.element_at(F.col("syms"), i + 3),
+                        ).alias("pr"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<pl:string,pr:string>>")
+            )
+            cand_pairs = [p for p, _ in cand]
+            tg = vocab.select(F.explode(tris).alias("t"), "freq").select(
+                "t", F.explode(F.array("t.pl", "t.pr")).alias("pair"), "freq"
+            )
+            # every created pair is bounded by ONE specific touching
+            # trigram's count ((x,ab) by (x,a,b), (ab,y) by (a,b,y),
+            # (ab,cd)/(ab,ab) by sub-trigrams of their spawning k-gram),
+            # so the per-pair MAX over distinct touching trigrams is a
+            # valid bound — and unlike a SUM it stays far below the
+            # pair's own count, which is what lets batches form at all
+            tgc = (
+                tg.filter(F.col("pair").isin(cand_pairs))
+                .groupBy("pair", "t")
+                .agg(F.sum("freq").alias("n_t"))
+                .groupBy("pair")
+                .agg(F.max("n_t").alias("ub"))
+            )
+            ub = {r["pair"]: int(r["ub"]) for r in tgc.collect()}
+        batch: list[tuple[str, str, int]] = []  # (a, b, n_occ)
+        used_syms: set[str] = set()
+        out_strs: set[str] = set()
+        max_ub = -1
+        for pair, n_occ in cand:
+            a, b = pair.split(" ")
+            if batch:
+                unsafe = (
+                    a in used_syms or b in used_syms
+                    or a in out_strs or b in out_strs
+                    or (a + b) in out_strs
+                    or n_occ <= max_ub
+                )
+                if unsafe:
+                    break
+            batch.append((a, b, n_occ))
+            used_syms.update((a, b))
+            out_strs.add(a + b)
+            max_ub = max(max_ub, ub.get(pair, 0))
+            if a + b in sym_set:
+                break  # output pools with an existing symbol: stop batch
+            if len(batch) >= max_batch or len(merges) + len(batch) >= n_merges:
+                break
+        rules = [(a, b) for a, b, _ in batch]
 
         @pandas_udf("array<string>")
-        def apply_merge(s, a=a, b=b, merged=merged):
+        def apply_batch(s, rules=rules):
             def one(arr):
-                out, i, n = [], 0, len(arr)
-                while i < n:
-                    if i + 1 < n and arr[i] == a and arr[i + 1] == b:
-                        out.append(merged)
-                        i += 2
-                    else:
-                        out.append(arr[i])
-                        i += 1
-                return out
+                for a, b in rules:
+                    out, i, n = [], 0, len(arr)
+                    merged = a + b
+                    while i < n:
+                        if i + 1 < n and arr[i] == a and arr[i + 1] == b:
+                            out.append(merged)
+                            i += 2
+                        else:
+                            out.append(arr[i])
+                            i += 1
+                    arr = out
+                return arr
 
             return s.map(one)
 
-        vocab = vocab.withColumn("syms", apply_merge("syms")).localCheckpoint()
-        merges.append((k, f"{a} {b}", int(n_occ)))
+        vocab = vocab.withColumn("syms", apply_batch("syms")).localCheckpoint()
+        if pass_sizes is not None:  # instrumentation: merges committed/pass
+            pass_sizes.append(len(batch))
+        for a, b, n_occ in batch:
+            merges.append((len(merges) + 1, f"{a} {b}", n_occ))
+            sym_set.add(a + b)
     return spark.createDataFrame(
         merges, "rank long, pair string, n_occ long"
     )

@@ -428,6 +428,63 @@ def test_bpe_reference_parity_random(spark):
     assert got == _bpe_reference(freqs, 5)
 
 
+def test_bpe_batched_matches_sequential(spark):
+    """The exact-batching claim: max_batch=16 must reproduce the
+    one-merge-at-a-time canonical table on corpora engineered to trip
+    every unsafe case (shared symbols, created pairs that outrank,
+    output strings that pool with existing symbols, tie counts)."""
+    import random
+
+    fixtures = [
+        # created pair 'x ab' outranks the disjoint runner-up 'c d':
+        # the ub guard must end the batch after 'a b'
+        {"xab": 100, "cd": 50},
+        # output 'ab' pools with the pre-existing symbol from word 'ab'
+        {"ab": 3, "xaby": 4, "zab": 5},
+        # tie counts with name tie-breaks
+        {"ab": 2, "cd": 2, "ef": 2},
+    ]
+    rng = random.Random(42)
+    for _ in range(4):
+        freqs = {}
+        for _ in range(14):
+            w = "".join(rng.choice("abcd") for _ in range(rng.randint(1, 7)))
+            freqs[w] = freqs.get(w, 0) + rng.randint(1, 5)
+        fixtures.append(freqs)
+    for freqs in fixtures:
+        doc = " ".join(" ".join([w] * f) for w, f in freqs.items())
+        df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+        ref = _bpe_reference(freqs, 6)
+        sizes: list = []
+        batched = [
+            (r["rank"], r["pair"], r["n_occ"])
+            for r in text.bpe_learn_merges(
+                df, "doc_id", "text", n_merges=6, max_batch=16,
+                pass_sizes=sizes,
+            ).orderBy("rank").collect()
+        ]
+        assert batched == ref, freqs
+        assert sum(sizes) == len(batched)
+
+
+def test_bpe_batching_commits_multiple_merges_per_pass(spark):
+    # natural-text-shaped corpus: disjoint high-count pairs exist, so the
+    # batch must actually amortize passes (the 32k-vocab driver-loop fix)
+    freqs = {"seen": 40, "mould": 38, "wrapt": 36, "fix": 34, "zigzag": 2}
+    doc = " ".join(" ".join([w] * f) for w, f in freqs.items())
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    sizes: list = []
+    got = [
+        (r["rank"], r["pair"], r["n_occ"])
+        for r in text.bpe_learn_merges(
+            df, "doc_id", "text", n_merges=8, max_batch=16, pass_sizes=sizes,
+        ).orderBy("rank").collect()
+    ]
+    assert got == _bpe_reference(freqs, 8)
+    assert len(sizes) < len(got)          # fewer passes than merges
+    assert max(sizes) > 1                 # at least one real batch
+
+
 def test_pagerank_plan_depth_constant_in_rounds(spark):
     """The iterative-lineage trap, regression-guarded for pagerank: the
     rank vector after N rounds must be a constant-depth plan (each round
