@@ -115,10 +115,13 @@ def connected_components_star(
     (v, m(u)) for neighbors v > u; small-star the same over the
     (hi → lo)-oriented remainder.  Edges stay canonically (hi, lo)
     oriented and deduped; ``localCheckpoint`` per round keeps plan depth
-    O(1).  Convergence = (edge count, Σu, Σv) stable — all three are
-    monotone non-increasing under the contraction, so a stable triple
-    means a fixed point, at which the edge set IS the (node → root)
-    star forest.
+    O(1).  Convergence = EXACT edge-set equality between rounds (same
+    count + empty ``exceptAll``, both frames already materialized) — an
+    aggregate signature like (count, Σu, Σv) can collide across distinct
+    edge sets (e.g. {(3,1),(4,2)} vs {(4,1),(3,2)}) and int64 sums can
+    wrap at extreme scales, so equality of the sets themselves is the
+    only sound fixed-point test, at which point the edge set IS the
+    (node → root) star forest.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a") != F.col("b")
@@ -130,7 +133,7 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
-    prev = None
+    prev_df, prev_n = None, -1
     for _ in range(max_iter):
         # LARGE-STAR: over the symmetric adjacency, hook every
         # strictly-greater neighbor of u onto m(u) = min(Γ(u) ∪ {u})
@@ -168,13 +171,18 @@ def connected_components_star(
             .distinct()
         )
         cur = small.localCheckpoint()
-        state = cur.agg(
-            F.count(F.lit(1)), F.sum("u"), F.sum("v")
-        ).head()
-        sig = tuple(state)
-        if sig == prev:
+        # exact set comparison — both frames are checkpointed, so the
+        # count + exceptAll pair costs one small shuffle, cheap next to
+        # a contraction round (sets, so equal counts + empty difference
+        # ⇒ equal sets)
+        n = cur.count()
+        if (
+            prev_df is not None
+            and n == prev_n
+            and cur.exceptAll(prev_df).isEmpty()
+        ):
             break
-        prev = sig
+        prev_df, prev_n = cur, n
     else:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter}"

@@ -551,8 +551,13 @@ def ams_f2(
     Scale: one explode(×d) + one map-side-combined groupBy → d rows of
     state, mergeable by plain addition (signs are functions of the key,
     so per-batch counters just sum) — the streaming/partitioned shape.
-    Overflow: |c_j| ≤ n rows, c² ≤ n² — exact in int64 to n ≈ 3e9 rows
-    per sketch; shard-and-sum beyond.
+    Overflow: |c_j| ≤ n rows and c² ≤ n² must fit int64, so the estimate
+    is exact to n ≈ 3e9 rows per sketch; shard-and-sum beyond.  The
+    median is taken as a TRUE order statistic on the long values
+    (sort_array over the d squared counters + element_at at rank
+    (d+1)/2), never through a double — percentile()/median() return
+    DOUBLE, which silently rounds squared counters above 2^53
+    (|c_j| > ~9.5e7) even though they fit int64.
     """
     if d % 2 == 0 or d <= 0:
         raise ValueError("d must be odd and positive (exact median)")
@@ -581,7 +586,9 @@ def ams_f2(
         .agg(F.sum("__s").alias("c"))
     )
     return counters.agg(
-        F.expr("CAST(percentile(c * c, 0.5) AS BIGINT)").alias("f2_est")
+        F.expr(
+            f"element_at(sort_array(collect_list(c * c)), {(d + 1) // 2})"
+        ).alias("f2_est")
     )
 
 

@@ -1980,7 +1980,7 @@ s AS (SELECT j, CAST(sum((hv % 2) * 2 - 1) AS BIGINT) AS c
       FROM rw GROUP BY j),
 e AS (SELECT CAST(sum(n * n) AS BIGINT) AS f2_exact
       FROM (SELECT count(*) AS n FROM events GROUP BY user_id))
-SELECT CAST(median(c * c) AS BIGINT) AS f2_est, e.f2_exact
+SELECT (list_sort(list(c * c)))[32] AS f2_est, e.f2_exact
 FROM s CROSS JOIN e GROUP BY e.f2_exact""",
 )
 def ams_f2_user_freq(spark, sf_dir):
