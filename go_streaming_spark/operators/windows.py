@@ -257,6 +257,31 @@ def _origin_micros(origin: str) -> int:
     return int(d.timestamp() * 1_000_000)
 
 
+_EMPTY_WINDOW_WARNED = False
+
+
+def _warn_empty_window_divergence() -> None:
+    """One-time loud note on the one intentional semantic divergence:
+    the reference's TemporalWindowPolicy emits EMPTY windows
+    (`pkg/events/selection_policy_test.go:146-201`); a Spark groupBy
+    cannot produce groups with no rows.  Without this, a user porting a
+    reference query gets silently different output until they stumble
+    on the flag."""
+    global _EMPTY_WINDOW_WARNED
+    if not _EMPTY_WINDOW_WARNED:
+        _EMPTY_WINDOW_WARNED = True
+        import warnings
+
+        warnings.warn(
+            "TemporalWindow aggregation: the go-streaming reference emits"
+            " EMPTY windows for gaps in event time; Spark's groupBy omits"
+            " them.  Pass emit_empty=True (or wrap the result in"
+            " with_empty_windows) for reference-parity dense emission;"
+            " pass emit_empty=False to silence this one-time note.",
+            stacklevel=4,
+        )
+
+
 def windowed_agg(
     policy: TemporalWindow,
     aggs: list[Column],
@@ -264,6 +289,8 @@ def windowed_agg(
     time_col: str = "event_start",
     lineage: bool = True,
     merge_meta: bool = False,
+    emit_empty: bool | None = None,
+    empty_fill: "dict[str, Column | int | float] | None" = None,
 ) -> Operator:
     """PipelineOperatorEngine over a temporal policy
     (`pkg/processing/operator_engine.go:122-141`): consume a window batch,
@@ -272,10 +299,32 @@ def windowed_agg(
 
     Works on batch and streaming inputs (append mode, zero-lateness
     watermark — the reference's fire-on-first-late-event trigger).
+
+    ``emit_empty``: the reference emits EMPTY windows for event-time
+    gaps; a groupBy cannot.  ``True`` densifies the batch result over
+    the observed window grid (``with_empty_windows``, ``empty_fill``
+    for gap values) — reference parity without discovering the wrapper
+    by accident; ``None`` (default) keeps sparse output but warns ONCE
+    per process; ``False`` keeps sparse output silently.  Dense
+    emission needs a bounded grid, so streaming and keyed aggregates
+    reject ``True`` (densify the sink table per key instead).
     """
+    if emit_empty and keys:
+        raise ValueError(
+            "emit_empty=True is unkeyed (a global window grid crossed"
+            " with keys is almost never what you want) — densify per"
+            " key with with_empty_windows on the aggregated result"
+        )
+
     def fn(df: DataFrame) -> DataFrame:
         extra = lineage_agg(merge_meta) if lineage else []
         if df.isStreaming:
+            if emit_empty:
+                raise ValueError(
+                    "emit_empty=True needs a bounded grid — replay the"
+                    " stream to a sink table and apply"
+                    " with_empty_windows there"
+                )
             out = streaming_window_col(df, policy, time_col)
             agged = out.groupBy("window", *keys).agg(*aggs, *extra)
             ws = F.col("window.start")
@@ -286,7 +335,12 @@ def windowed_agg(
             )
         out = assign_temporal_windows(df, policy, time_col)
         group = ["window_start", "window_end", *keys]
-        return out.groupBy(*group).agg(*aggs, *extra)
+        agged = out.groupBy(*group).agg(*aggs, *extra)
+        if emit_empty:
+            return with_empty_windows(agged, policy, empty_fill)
+        if emit_empty is None:
+            _warn_empty_window_divergence()
+        return agged
     return Operator("WindowedAgg", fn, {"policy": policy, "keys": keys})
 
 

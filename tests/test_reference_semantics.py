@@ -327,6 +327,53 @@ def test_hot_shingle_cap_is_on_by_default(spark):
     assert uncapped.count() == d * (d - 1) // 2
 
 
+def test_empty_window_divergence_is_loud(spark):
+    """The one intentional semantic divergence (reference emits empty
+    windows, groupBy can't) must not be silent: default use warns ONCE
+    per process, emit_empty=True densifies to reference parity without
+    the user finding with_empty_windows by accident, emit_empty=False
+    opts out silently, and the unsupported shapes reject loudly."""
+    import warnings
+
+    from go_streaming_spark.operators import windows as W
+
+    rows = [(1, "2024-01-01 00:00:05", 1.0), (2, "2024-01-01 00:02:05", 2.0)]
+    df = spark.createDataFrame(rows, "event_id long, ts string, value double")
+    df = df.select(
+        "event_id", F.col("ts").cast("timestamp").alias("event_start"), "value"
+    )
+    policy = W.TemporalWindow("1 minute")
+
+    W._EMPTY_WINDOW_WARNED = False
+    agg = [F.sum("value").alias("v")]
+    with warnings.catch_warnings(record=True) as got:
+        warnings.simplefilter("always")
+        sparse = W.windowed_agg(policy, agg, lineage=False)(df)
+        sparse.collect()
+        W.windowed_agg(policy, agg, lineage=False)(df).collect()
+    texts = [str(w.message) for w in got if "EMPTY windows" in str(w.message)]
+    assert len(texts) == 1  # once per process, not per query
+
+    dense = (
+        W.windowed_agg(
+            policy, agg, lineage=False, emit_empty=True, empty_fill={"v": 0.0}
+        )(df)
+        .orderBy("window_start")
+        .collect()
+    )
+    assert [r["v"] for r in dense] == [1.0, 0.0, 2.0]  # the gap minute emits
+    assert sparse.count() == 2
+
+    with pytest.raises(ValueError, match="unkeyed"):
+        W.windowed_agg(policy, agg, keys=("k",), emit_empty=True)
+
+    with warnings.catch_warnings(record=True) as got2:
+        warnings.simplefilter("always")
+        W._EMPTY_WINDOW_WARNED = False
+        W.windowed_agg(policy, agg, lineage=False, emit_empty=False)(df).collect()
+    assert not [w for w in got2 if "EMPTY windows" in str(w.message)]
+
+
 def test_asof_join_forward_direction(spark):
     from go_streaming_spark.operators.joins import as_of_join
 
