@@ -531,6 +531,138 @@ def hll_overlap_from_state(
     )
 
 
+THETA_FULL = 1 << 60  # hash domain: md5_int(·, 15) is uniform in [0, 2^60)
+
+
+def theta_kmv_overlap(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    group_a,
+    group_b,
+    k: int = 64,
+) -> DataFrame:
+    """Theta/KMV sketch set algebra between two groups' key sets — the
+    sketch that HLL cannot replace: inclusion-exclusion gives HLL a
+    union and (noisily) an intersection, but set DIFFERENCE (users who
+    clicked and never purchased) needs sample intersection semantics,
+    which is exactly what a KMV retained set provides (Beyer et al.,
+    SIGMOD'07 "distinct sampling"; the DataSketches theta design).
+
+    Sketch = the k smallest distinct 60-bit key hashes per group;
+    θ = the k-th smallest (the whole domain when a group has < k
+    distinct keys — then its estimates are EXACT counts).  For set ops
+    both sketches are cut to θ∩ = min(θ_a, θ_b): below θ∩ every key of
+    either set is retained, so membership tests are exact and
+    ``est = n_window · 2⁶⁰/θ∩`` unbiasedly scales the window counts;
+    single-set estimates use the textbook ``(k-1)·2⁶⁰/θ``.  Every
+    retained hash, count and θ is an exact integer — the only float ops
+    are the final estimate divisions, written as identical IEEE
+    sequences in the SQL oracle (the HLL-overlap precedent).
+
+    Emits ONE row: (n_a_ret, n_b_ret, theta_ab, n_int, n_anotb,
+    est_a, est_b, est_union, est_intersect, est_diff).
+
+    Scale: one distinct shuffle on (group, hash), one per-group
+    k-smallest (row_number window — the sort runs over DISTINCT hashes
+    only), then every remaining frame is ≤ 2k rows (localCheckpointed:
+    consumed by θ, union and both membership joins).  State is 2k
+    64-bit hashes — mergeable by keep-k-smallest-of-union, the
+    streaming shape.
+    """
+    from pyspark.sql import Window
+
+    from go_streaming_spark.functions.dedup import md5_int
+
+    h = md5_int(F.col(key_col).cast("string"), 15)
+    d = (
+        spread(df)
+        .filter(F.col(group_col).isin([group_a, group_b]))
+        .select(F.col(group_col).alias("grp"), h.alias("hv"))
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("hv")
+    topk = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("grp", "hv")
+        .localCheckpoint()  # ≤2k rows, 4 consumers
+    )
+    per = topk.groupBy("grp").agg(
+        F.max("hv").alias("mx"), F.count(F.lit(1)).alias("n")
+    )
+    theta = F.when(F.col("n") == k, F.col("mx")).otherwise(F.lit(THETA_FULL))
+    ta = per.filter(F.col("grp") == F.lit(group_a)).select(
+        theta.alias("theta_a"), F.col("n").alias("n_a_ret")
+    )
+    tb = per.filter(F.col("grp") == F.lit(group_b)).select(
+        theta.alias("theta_b"), F.col("n").alias("n_b_ret")
+    )
+    un = topk.select("hv").distinct()
+    uk = (
+        un.withColumn("rn", F.row_number().over(Window.orderBy("hv")))
+        .filter(F.col("rn") <= k)
+        .agg(F.max("hv").alias("umx"), F.count(F.lit(1)).alias("n_u"))
+        .select(
+            F.when(F.col("n_u") == k, F.col("umx"))
+            .otherwise(F.lit(THETA_FULL))
+            .alias("theta_u"),
+            "n_u",
+        )
+    )
+    th = ta.crossJoin(F.broadcast(tb)).withColumn(
+        "theta_ab", F.least("theta_a", "theta_b")
+    )
+    a_set = topk.filter(F.col("grp") == F.lit(group_a)).select("hv")
+    b_set = topk.filter(F.col("grp") == F.lit(group_b)).select("hv")
+    n_int = (
+        a_set.join(b_set, "hv")
+        .crossJoin(F.broadcast(th.select("theta_ab")))
+        .filter(F.col("hv") < F.col("theta_ab"))
+        .agg(F.count(F.lit(1)).alias("n_int"))
+    )
+    n_anotb = (
+        a_set.join(b_set, "hv", "left_anti")
+        .crossJoin(F.broadcast(th.select("theta_ab")))
+        .filter(F.col("hv") < F.col("theta_ab"))
+        .agg(F.count(F.lit(1)).alias("n_anotb"))
+    )
+    full_d = f"CAST({THETA_FULL} AS DOUBLE)"
+    kth = f"CAST({k - 1} AS DOUBLE)"
+
+    def est_kmv(theta_col, n_col):
+        return (
+            f"CASE WHEN {theta_col} = {THETA_FULL} THEN CAST({n_col} AS DOUBLE)"
+            f" ELSE floor(({kth} * ({full_d} / CAST({theta_col} AS DOUBLE)))"
+            " * 1e6 + 0.5) / 1e6 END"
+        )
+
+    def est_window(n_col):
+        return (
+            f"CASE WHEN theta_ab = {THETA_FULL} THEN CAST({n_col} AS DOUBLE)"
+            f" ELSE floor((CAST({n_col} AS DOUBLE)"
+            f" * ({full_d} / CAST(theta_ab AS DOUBLE))) * 1e6 + 0.5) / 1e6 END"
+        )
+
+    return (
+        th.crossJoin(F.broadcast(uk))
+        .crossJoin(F.broadcast(n_int))
+        .crossJoin(F.broadcast(n_anotb))
+        .selectExpr(
+            "n_a_ret",
+            "n_b_ret",
+            "theta_ab",
+            "n_int",
+            "n_anotb",
+            est_kmv("theta_a", "n_a_ret") + " AS est_a",
+            est_kmv("theta_b", "n_b_ret") + " AS est_b",
+            est_kmv("theta_u", "n_u") + " AS est_union",
+            est_window("n_int") + " AS est_intersect",
+            est_window("n_anotb") + " AS est_diff",
+        )
+    )
+
+
 def ams_f2(
     df: DataFrame, key_col: str, d: int = 63, seed: str = "ams"
 ) -> DataFrame:

@@ -2033,6 +2033,66 @@ def hll_user_overlap(spark, sf_dir):
     )
 
 
+_THETA_FULL = 1 << 60
+_THETA_EST_KMV = (
+    "CASE WHEN {t} = %d THEN CAST({n} AS DOUBLE)"
+    " ELSE floor((CAST(63 AS DOUBLE) * (CAST(%d AS DOUBLE)"
+    " / CAST({t} AS DOUBLE))) * 1e6 + 0.5) / 1e6 END"
+) % (_THETA_FULL, _THETA_FULL)
+_THETA_EST_WIN = (
+    "CASE WHEN theta_ab = %d THEN CAST({n} AS DOUBLE)"
+    " ELSE floor((CAST({n} AS DOUBLE) * (CAST(%d AS DOUBLE)"
+    " / CAST(theta_ab AS DOUBLE))) * 1e6 + 0.5) / 1e6 END"
+) % (_THETA_FULL, _THETA_FULL)
+
+
+@query(
+    "theta_users_diff",
+    # Theta/KMV set algebra between click and purchase user sets — the
+    # sketch HLL can't replace: retained-sample semantics give an
+    # unbiased set DIFFERENCE (clicked-never-purchased) alongside
+    # union/intersection.  Retained hashes, thetas and window counts are
+    # exact int64; the estimate divisions are the identical IEEE
+    # sequences on both engines (the hll_user_overlap precedent).
+    f"""WITH h AS (SELECT DISTINCT event_type AS grp,
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+  FROM events WHERE event_type IN ('click', 'purchase')),
+tk AS (SELECT grp, hv FROM (
+    SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+    FROM h) WHERE rn <= 64),
+per AS (SELECT grp,
+        CASE WHEN count(*) = 64 THEN max(hv) ELSE {_THETA_FULL} END AS theta,
+        count(*) AS n FROM tk GROUP BY grp),
+ta AS (SELECT theta AS theta_a, n AS n_a_ret FROM per WHERE grp = 'click'),
+tb AS (SELECT theta AS theta_b, n AS n_b_ret FROM per WHERE grp = 'purchase'),
+uk AS (SELECT CASE WHEN count(*) = 64 THEN max(hv) ELSE {_THETA_FULL} END AS theta_u,
+        count(*) AS n_u FROM (
+          SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+                          FROM (SELECT DISTINCT hv FROM tk)) WHERE rn <= 64)),
+th AS (SELECT ta.*, tb.*, least(theta_a, theta_b) AS theta_ab FROM ta, tb),
+ni AS (SELECT count(*) AS n_int
+       FROM (SELECT hv FROM tk WHERE grp = 'click') a
+       JOIN (SELECT hv FROM tk WHERE grp = 'purchase') b USING (hv), th
+       WHERE hv < th.theta_ab),
+na AS (SELECT count(*) AS n_anotb
+       FROM (SELECT hv FROM tk WHERE grp = 'click') a, th
+       WHERE hv < th.theta_ab
+         AND hv NOT IN (SELECT hv FROM tk WHERE grp = 'purchase'))
+SELECT n_a_ret, n_b_ret, theta_ab, n_int, n_anotb,
+  {_THETA_EST_KMV.format(t='theta_a', n='n_a_ret')} AS est_a,
+  {_THETA_EST_KMV.format(t='theta_b', n='n_b_ret')} AS est_b,
+  {_THETA_EST_KMV.format(t='theta_u', n='n_u')} AS est_union,
+  {_THETA_EST_WIN.format(n='n_int')} AS est_intersect,
+  {_THETA_EST_WIN.format(n='n_anotb')} AS est_diff
+FROM th, uk, ni, na""",
+)
+def theta_users_diff(spark, sf_dir):
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    return _sk.theta_kmv_overlap(
+        ev, "event_type", "user_id", "click", "purchase", k=64
+    )
+
+
 @query(
     "bloom_join_urgent_revenue",
     # Bloom-prefiltered fact-dim join: urgent orders' keys reduce to a

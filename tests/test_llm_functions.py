@@ -2681,6 +2681,48 @@ def test_hll_overlap_disjoint_and_identical(spark):
     assert r2["est_intersect"] == r2["est_a"]
 
 
+def test_theta_kmv_exact_below_k(spark):
+    """Groups with < k distinct keys: theta stays at the full domain and
+    every estimate is the EXACT count — including the set difference,
+    the op HLL inclusion-exclusion cannot deliver."""
+    from go_streaming_spark.functions import sketch
+
+    rows = [("a", i) for i in range(30)] + [("b", i) for i in range(20, 45)]
+    df = spark.createDataFrame(rows, "grp string, k long")
+    r = sketch.theta_kmv_overlap(df, "grp", "k", "a", "b", k=64).collect()[0]
+    assert r["theta_ab"] == sketch.THETA_FULL
+    assert (r["est_a"], r["est_b"]) == (30.0, 25.0)
+    assert r["est_union"] == 45.0
+    assert r["est_intersect"] == 10.0  # {20..29}
+    assert r["est_diff"] == 20.0       # {0..19}
+    assert r["n_int"] == 10 and r["n_anotb"] == 20
+
+
+def test_theta_kmv_sketched_accuracy_and_consistency(spark):
+    """Above k: estimates land within KMV error (~1/sqrt(k)), the
+    window identities hold exactly (n_int + n_anotb = retained-a below
+    theta), and est_intersect + est_diff = est of A's window — the
+    retained-sample consistency HLL differencing lacks."""
+    from go_streaming_spark.functions import sketch
+
+    n = 4000
+    rows = [("a", i) for i in range(n)] + [
+        ("b", i) for i in range(n // 2, n + n // 2)
+    ]
+    df = spark.createDataFrame(rows, "grp string, k long")
+    k = 256
+    r = sketch.theta_kmv_overlap(df, "grp", "k", "a", "b", k=k).collect()[0]
+    tol = 4 / (k ** 0.5)  # ~4 sigma
+    assert abs(r["est_a"] - n) < tol * n
+    assert abs(r["est_b"] - n) < tol * n
+    assert abs(r["est_union"] - 1.5 * n) < tol * 1.5 * n
+    assert abs(r["est_intersect"] - 0.5 * n) < 2 * tol * n
+    assert abs(r["est_diff"] - 0.5 * n) < 2 * tol * n
+    # every hash in A's window is either shared or not: counts partition
+    assert r["n_int"] + r["n_anotb"] <= k
+    assert r["n_int"] > 0 and r["n_anotb"] > 0
+
+
 def test_hll_overlap_from_state_ignores_extra_groups_and_merges(spark):
     """from_state on a max-merged union of per-batch sketches (with a
     third group present) equals the single-pass batch overlap."""
