@@ -570,6 +570,23 @@ def theta_kmv_overlap(
     64-bit hashes — mergeable by keep-k-smallest-of-union, the
     streaming shape.
     """
+    topk = theta_kmv_build(
+        df, group_col, key_col, [group_a, group_b], k
+    ).localCheckpoint()  # ≤2k rows, 4 consumers
+    return theta_kmv_overlap_from_state(topk, group_a, group_b, k)
+
+
+def theta_kmv_build(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    groups: list,
+    k: int = 64,
+) -> DataFrame:
+    """Theta/KMV sketch state: the k smallest distinct 60-bit key hashes
+    per group as plain (grp, hv) rows — ≤ k·|groups| rows of mergeable
+    state (:func:`theta_kmv_merge` keeps the k smallest of a union, so
+    per-batch states accumulate idempotently, the streaming shape)."""
     from pyspark.sql import Window
 
     from go_streaming_spark.functions.dedup import md5_int
@@ -577,17 +594,43 @@ def theta_kmv_overlap(
     h = md5_int(F.col(key_col).cast("string"), 15)
     d = (
         spread(df)
-        .filter(F.col(group_col).isin([group_a, group_b]))
+        .filter(F.col(group_col).isin(list(groups)))
         .select(F.col(group_col).alias("grp"), h.alias("hv"))
         .distinct()
     )
     w = Window.partitionBy("grp").orderBy("hv")
-    topk = (
+    return (
         d.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("grp", "hv")
-        .localCheckpoint()  # ≤2k rows, 4 consumers
     )
+
+
+def theta_kmv_merge(state: DataFrame, k: int = 64) -> DataFrame:
+    """Merge unioned (grp, hv) sketch states: keep the k smallest
+    distinct hashes per group.  Exactly idempotent — the merge of any
+    batching equals the single-pass build, so streaming accumulation
+    gates against the batch oracle bit-for-bit."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy("hv")
+    return (
+        state.distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("grp", "hv")
+    )
+
+
+def theta_kmv_overlap_from_state(
+    topk: DataFrame, group_a, group_b, k: int = 64
+) -> DataFrame:
+    """:func:`theta_kmv_overlap` from caller-supplied retained-hash state
+    (the streaming/incremental shape; extra groups are ignored).  The
+    state frame should be materialized — it feeds four consumers."""
+    from pyspark.sql import Window
+
+    topk = topk.filter(F.col("grp").isin([group_a, group_b]))
     per = topk.groupBy("grp").agg(
         F.max("hv").alias("mx"), F.count(F.lit(1)).alias("n")
     )

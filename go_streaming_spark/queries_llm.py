@@ -2093,6 +2093,56 @@ def theta_users_diff(spark, sf_dir):
     )
 
 
+@query("stream_theta_users_diff")
+def stream_theta_users_diff(spark, sf_dir):
+    """Theta/KMV set algebra over STREAMING-accumulated state: each
+    micro-batch builds its own (grp, hv) retained set and merges into
+    the held state by keep-k-smallest-of-union — exactly idempotent, so
+    the answer equals the batch theta_users_diff bit-for-bit and gates
+    against the same oracle (the stream_hll_user_overlap shape)."""
+    import tempfile
+
+    ev = (
+        Engine(spark, sf_dir=sf_dir)
+        .stream("events")
+        .filter(F.col("event_type").isin(["click", "purchase"]))
+        .select("event_type", "user_id")
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_theta_")
+    ev.repartition(4).write.mode("overwrite").parquet(f"{tmp}/ev")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/ev")
+    )
+    holder = {"sk": None, "batches": 0}
+
+    def ingest(batch_df, _bid):
+        part = _sk.theta_kmv_build(
+            batch_df, "event_type", "user_id", ["click", "purchase"], k=64
+        )
+        merged = part if holder["sk"] is None else _sk.theta_kmv_merge(
+            holder["sk"].unionByName(part), k=64
+        )
+        holder["sk"] = merged.localCheckpoint()
+        holder["batches"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    assert holder["batches"] >= 2, "replay must produce real micro-batches"
+    return _sk.theta_kmv_overlap_from_state(
+        holder["sk"], "click", "purchase", k=64
+    )
+
+
+ORACLES["stream_theta_users_diff"] = ORACLES["theta_users_diff"]
+
+
 @query(
     "bloom_join_urgent_revenue",
     # Bloom-prefiltered fact-dim join: urgent orders' keys reduce to a
