@@ -2870,3 +2870,326 @@ def stream_activity_heatmap(spark, sf_dir):
     a = replay_to_memory(n, spark, output_mode="complete")
     b = replay_to_memory(users, spark, output_mode="complete")
     return a.join(b, ["dow", "hod"]).select("dow", "hod", "n", "n_users")
+
+
+# ---------------------------------------------------------------------------
+# Round 10: the remaining classic TPC-H shapes, on the available columns
+# (no partsupp table and no commit/receipt/shipmode columns in the driver
+# data, so Q4/Q9/Q12/Q16/Q17/Q20 are faithful SHAPES — same join/agg/
+# predicate structure, proxy columns where the original's are absent;
+# the Q22/Q8 "shape on available columns" precedent).
+# ---------------------------------------------------------------------------
+
+@query(
+    "forecast_revenue_change",
+    # TPC-H Q6 shape: what-if revenue from dropping a discount band for a
+    # ship year — ONE pushed-filter scan, no joins, decimal-exact sum of
+    # price*discount.  The simplest possible plan: every predicate
+    # reaches the parquet scan, one partial+final agg pair, zero wide
+    # shuffles
+    """SELECT CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+      * CAST(l_discount AS DECIMAL(18,4))), 4) AS DECIMAL(38,4)) AS DOUBLE)
+      AS revenue,
+  count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24""",
+)
+def forecast_revenue_change(spark, sf_dir):
+    li = Engine(spark, sf_dir=sf_dir).stream("lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC)),
+            4,
+        )
+        .cast("decimal(38,4)")
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "priority_late_ship_counts",
+    # TPC-H Q4 shape: order-priority health for one quarter — orders with
+    # AT LEAST ONE late line (shipped >30 days after order date; the
+    # commit/receipt-date predicate re-expressed on available columns).
+    # EXISTS == left-semi join: the fact side never fans out
+    """SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority""",
+)
+def priority_late_ship_counts(spark, sf_dir):
+    eng = Engine(spark, sf_dir=sf_dir)
+    orders, li = eng.stream("orders"), eng.stream("lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@query(
+    "local_supplier_volume",
+    # TPC-H Q5 shape: revenue where the customer and the line's supplier
+    # share a nation, per nation, one order year — the classic
+    # multi-dimension equi-join star with a cross-dimension predicate
+    f"""SELECT n_name, {_DISC_REV_SQL} AS revenue, count(*) AS n_items
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name""",
+)
+def local_supplier_volume(spark, sf_dir):
+    eng = Engine(spark, sf_dir=sf_dir)
+    cust, orders, li, supp, nation = (
+        eng.stream(t)
+        for t in ("customer", "orders", "lineitem", "supplier", "nation")
+    )
+    j = (
+        cust.join(
+            orders.filter(
+                (F.col("o_orderdate") >= "1997-01-01")
+                & (F.col("o_orderdate") < "1998-01-01")
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return j.groupBy("n_name").agg(
+        _disc_rev_col().alias("revenue"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
+@query(
+    "product_profit_by_nation_year",
+    # TPC-H Q9 shape: per (supplier nation, order year) profit on a part
+    # family — amount = price*(1-disc) - retail*qty cost proxy (no
+    # partsupp table), summed in one consistent scale-8 decimal chain
+    """SELECT n_name, CAST(date_part('year', o_orderdate) AS INT) AS o_year,
+  CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        * (1 - CAST(l_discount AS DECIMAL(18,4)))
+      - CAST(p_retailprice AS DECIMAL(18,4))
+        * CAST(l_quantity AS DECIMAL(18,4))), 4) AS DECIMAL(38,4)) AS DOUBLE)
+    AS profit,
+  count(*) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, o_year""",
+)
+def product_profit_by_nation_year(spark, sf_dir):
+    eng = Engine(spark, sf_dir=sf_dir)
+    li, part, supp, nation, orders = (
+        eng.stream(t)
+        for t in ("lineitem", "part", "supplier", "nation", "orders")
+    )
+    amount = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1) - F.col("l_discount").cast(DEC)
+    ) - F.col("p_retailprice").cast(DEC) * F.col("l_quantity").cast(DEC)
+    j = (
+        li.join(
+            part.filter(F.col("p_name").like("%red%")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    return j.groupBy(
+        "n_name", F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
+        F.round(F.sum(amount), 4)
+        .cast("decimal(38,4)")
+        .cast("double")
+        .alias("profit"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "late_ship_priority_counts",
+    # TPC-H Q12 shape: critical- vs low-priority order counts per
+    # lateness bucket (shipped >60 days after order date; the
+    # shipmode/receipt-date structure on available columns) — one fact
+    # join, map-side CASE counting, one narrow groupBy
+    """SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+         THEN 1 ELSE 0 END AS late,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY late""",
+)
+def late_ship_priority_counts(spark, sf_dir):
+    eng = Engine(spark, sf_dir=sf_dir)
+    li, orders = eng.stream("lineitem"), eng.stream("orders")
+    j = li.filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    hi = F.col("o_orderpriority").isin(["1-URGENT", "2-HIGH"])
+    return j.groupBy(late.alias("late")).agg(
+        F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+        F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
+    )
+
+
+@query(
+    "supplier_count_by_part_attrs",
+    # TPC-H Q16 shape: distinct suppliers per part attribute bucket,
+    # with lineitem standing in for partsupp as the part-supplier
+    # relation, one excluded brand, and the negative-balance NOT IN
+    # (the complaints predicate on available columns)
+    """SELECT p_brand, p_type, p_size,
+  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size""",
+)
+def supplier_count_by_part_attrs(spark, sf_dir):
+    eng = Engine(spark, sf_dir=sf_dir)
+    li, part, supp = (
+        eng.stream(t) for t in ("lineitem", "part", "supplier")
+    )
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    bad = supp.filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    j = (
+        ps.join(bad, "l_suppkey", "left_anti")
+        .join(
+            part.filter(
+                (F.col("p_brand") != "Brand#1")
+                & F.col("p_size").isin([1, 4, 7, 10, 13, 16, 19, 22])
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+    )
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+@query(
+    "small_qty_order_revenue",
+    # TPC-H Q17 shape: revenue from lines far below their part's average
+    # quantity for one brand.  The 0.2·avg comparison is cross-multiplied
+    # (qty·5·cnt < sum_qty) so no division ever happens — quantities are
+    # small integers, every product is exact in both engines
+    """WITH pq AS (SELECT l_partkey AS pk, sum(l_quantity) AS sq,
+        count(*) AS cnt
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#3' GROUP BY l_partkey)
+SELECT CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4)
+        AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+  count(*) AS n_lines
+FROM lineitem JOIN pq ON l_partkey = pk
+WHERE l_quantity * 5 * cnt < sq""",
+)
+def small_qty_order_revenue(spark, sf_dir):
+    eng = Engine(spark, sf_dir=sf_dir)
+    li, part = eng.stream("lineitem"), eng.stream("part")
+    brand_lines = li.join(
+        part.filter(F.col("p_brand") == "Brand#3"),
+        F.col("p_partkey") == F.col("l_partkey"),
+        "left_semi",
+    )
+    pq = brand_lines.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("l_quantity").alias("sq"), F.count(F.lit(1)).alias("cnt")
+    )
+    small = li.join(pq, F.col("l_partkey") == F.col("pk")).filter(
+        F.col("l_quantity") * 5 * F.col("cnt") < F.col("sq")
+    )
+    return small.agg(
+        F.round(F.sum(F.col("l_extendedprice").cast(DEC)), 4)
+        .cast("decimal(38,4)")
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "excess_part_suppliers",
+    # TPC-H Q20 shape: suppliers who moved an outsized volume of a part
+    # family in one ship year — the semi-join chain ending in a HAVING
+    # threshold; quantities are integral doubles, so the sum casts to
+    # BIGINT exactly on both engines
+    """SELECT s_name, n_name, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE 'small%'
+  AND l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY s_name, n_name
+HAVING sum(l_quantity) > 100""",
+)
+def excess_part_suppliers(spark, sf_dir):
+    eng = Engine(spark, sf_dir=sf_dir)
+    li, part, supp, nation = (
+        eng.stream(t) for t in ("lineitem", "part", "supplier", "nation")
+    )
+    j = (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(
+            part.filter(F.col("p_name").like("small%")),
+            F.col("p_partkey") == F.col("l_partkey"),
+            "left_semi",
+        )
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+    )
+    return (
+        j.groupBy("s_name", "n_name")
+        .agg(F.sum("l_quantity").alias("_tq"))
+        .filter(F.col("_tq") > 100)
+        .select("s_name", "n_name", F.col("_tq").cast("long").alias("total_qty"))
+    )
