@@ -102,6 +102,10 @@ HEADLINE = [
     "word_graph_triangles",          # degree-ordered triangle census (round 9)
     "stratified_token_budget_counts",# per-stratum prefix-sum budgets (round 9)
     "ams_f2_user_freq",              # AMS second-moment / self-join-size sketch (round 9)
+    "theta_users_diff",              # theta/KMV set algebra incl. difference (round 10)
+    "local_supplier_volume",         # Q5: cross-dimension local-volume star (round 10)
+    "product_profit_by_nation_year", # Q9: part-family profit rollup (round 10)
+    "supplier_count_by_part_attrs",  # Q16: distinct-count + anti-join (round 10)
 ]
 
 

@@ -366,6 +366,10 @@ LINEITEM_QUERIES = [
     # r8: struct-min argmin vs window oracle on duplicate unit prices
     # (tie-break by suppkey) and zero-quantity guard
     "cheapest_supplier_per_part",
+    # r10: Q6's empty-filter regime (no 1997 rows in the generated span:
+    # one NULL-revenue row on both engines) and the discount-band
+    # boundary on double literals
+    "forecast_revenue_change",
 ]
 
 
@@ -464,6 +468,12 @@ JOIN_QUERIES = [
     # round 8 (cont.): sketch inner product on duplicate orderkeys
     # (ca·cb products > 1) and dangling keys (disjoint mass)
     "cms_join_size",
+    # round 10: Q4's EXISTS over dangling orderkeys + empty date windows,
+    # Q12's lateness CASE buckets over dangling/duplicate keys, Q17's
+    # cross-multiplied 0.2·avg boundary over duplicate partkeys
+    "priority_late_ship_counts",
+    "late_ship_priority_counts",
+    "small_qty_order_revenue",
 ]
 
 

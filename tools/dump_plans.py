@@ -41,6 +41,10 @@ EXTRA_AUDIT = [
     "lm_bigram_quality", "pii_audit_by_source",
     "tokenizer_fertility_by_lang", "compression_ratio_stats",
     "source_health_report", "dedup_source_matrix", "embedding_dim_stats",
+    # round 10 relational + sketch additions
+    "forecast_revenue_change", "priority_late_ship_counts",
+    "late_ship_priority_counts", "small_qty_order_revenue",
+    "excess_part_suppliers",
 ]
 
 

@@ -94,6 +94,12 @@ QUERIES = [
     "word_graph_triangles",        # degree-ordered triangle census (round 9)
     "stratified_token_budget_counts",  # per-stratum prefix-sum budgets (round 9)
     "ams_f2_user_freq",            # AMS F2 self-join-size sketch (round 9)
+    "theta_users_diff",            # theta/KMV set algebra (round 10)
+    # dedup_ngram_jaccard already above — r10 re-sweep covers the default cap
+    "dedup_containment_pairs",     # r10: explode fan-out + checkpointed aggs
+    "bpe_top_merges",              # r10: exact batched merge passes
+    "local_supplier_volume",       # Q5 star (round 10)
+    "product_profit_by_nation_year",  # Q9 rollup (round 10)
 ]
 
 
