@@ -5,9 +5,11 @@ path), each designed for the 100 TB case:
 
 - **exact**: hash-groupBy on content digest — one shuffle on the digest.
 - **n-gram Jaccard**: shingle → inverted-index self-join → pair agg.  The
-  shuffle key is the shingle; hot (stopword-like) shingles are skew — cap
-  them with ``max_shingle_freq`` (a shingle shared by >N docs contributes
-  candidate pairs quadratically while carrying almost no signal).
+  shuffle key is the shingle; hot (stopword-like) shingles are skew — the
+  ``max_shingle_freq`` cap (a shingle shared by >N docs contributes
+  candidate pairs quadratically while carrying almost no signal) is ON
+  by default since r10 (:data:`DEFAULT_MAX_SHINGLE_FREQ`; pass ``None``
+  to opt out on small corpora).
 - **MinHash + LSH**: k deterministic universal hashes over 32-bit shingle
   digests, banded; candidate pairs only where a band bucket collides —
   turns the quadratic pair space into per-bucket mini cross products.

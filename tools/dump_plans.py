@@ -105,6 +105,12 @@ KNOWN_BENIGN = {
         " assembling (s_a, s_b, s_union) scalars into the single output"
         " row — O(1), sketch state is ≤2·2^p rows and localCheckpointed"
     ),
+    "theta_users_diff": (
+        "BroadcastNestedLoopJoins are the 1-row x 1-row crossJoins"
+        " assembling (theta, union, n_int, n_anotb) scalars into the"
+        " single output row - O(1); the retained-hash state is <=2k rows"
+        " and localCheckpointed"
+    ),
     "word_graph_triangles": (
         "BroadcastNestedLoopJoins are the two 1-row × 1-row crossJoins"
         " assembling (n_nodes, n_edges, n_triangles) scalars into the"
@@ -126,7 +132,9 @@ KNOWN_BENIGN = {
 
 def audit(df) -> dict:
     plan = df._jdf.queryExecution().executedPlan().toString()
-    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    # stop at end-of-line: toString truncates long schemas with "..." and
+    # no closing ">", which would swallow the next plan line into the match
+    scans = re.findall(r"ReadSchema: struct<([^>\n]*)", plan)
     return {
         "exchanges": plan.count("Exchange hashpartitioning")
         + plan.count("Exchange rangepartitioning"),
