@@ -628,8 +628,6 @@ def theta_kmv_overlap_from_state(
     """:func:`theta_kmv_overlap` from caller-supplied retained-hash state
     (the streaming/incremental shape; extra groups are ignored).  The
     state frame should be materialized — it feeds four consumers."""
-    from pyspark.sql import Window
-
     topk = topk.filter(F.col("grp").isin([group_a, group_b]))
     per = topk.groupBy("grp").agg(
         F.max("hv").alias("mx"), F.count(F.lit(1)).alias("n")
@@ -641,17 +639,18 @@ def theta_kmv_overlap_from_state(
     tb = per.filter(F.col("grp") == F.lit(group_b)).select(
         theta.alias("theta_b"), F.col("n").alias("n_b_ret")
     )
+    # union θ without a global window: the union candidate set is ≤ 2k
+    # retained hashes, so one sorted collect_list aggregate takes the
+    # k-th smallest directly (no single-partition WindowExec, one less
+    # shuffle)
     un = topk.select("hv").distinct()
-    uk = (
-        un.withColumn("rn", F.row_number().over(Window.orderBy("hv")))
-        .filter(F.col("rn") <= k)
-        .agg(F.max("hv").alias("umx"), F.count(F.lit(1)).alias("n_u"))
-        .select(
-            F.when(F.col("n_u") == k, F.col("umx"))
-            .otherwise(F.lit(THETA_FULL))
-            .alias("theta_u"),
-            "n_u",
+    uk = un.agg(F.sort_array(F.collect_list("hv")).alias("hs")).select(
+        F.when(
+            F.size("hs") >= k, F.element_at("hs", k)
         )
+        .otherwise(F.lit(THETA_FULL))
+        .alias("theta_u"),
+        F.least(F.size("hs"), F.lit(k)).cast("long").alias("n_u"),
     )
     th = ta.crossJoin(F.broadcast(tb)).withColumn(
         "theta_ab", F.least("theta_a", "theta_b")
