@@ -119,3 +119,85 @@ def categorical_tv_drift(
         "(s_abs + (n_all - ck_present) * n_g) * 1000000"
         " div (2 * n_g * n_all) AS tv_q6",
     )
+
+
+def classifier_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """EXACT ROC-AUC of an integer score against a binary label — the
+    Mann-Whitney rank statistic, the one-number eval every
+    quality-classifier pass ends with ("does this scorer actually rank
+    good docs above bad ones?").  Ties get the textbook average-rank
+    treatment, so the result matches sklearn's ``roc_auc_score`` on the
+    same data.
+
+    All-integer formulation: with tie groups g (count c_g, positives
+    p_g) in score order and cumulative count cum_g, twice the positive
+    rank-sum is ``Σ p_g·(2·cum_g − c_g + 1)`` (an integer), and
+
+        auc_q6 = (2·ΣR⁺ − n⁺(n⁺+1)) · 10⁶ div (2·n⁺·n⁻)
+
+    is one exact int64 floor division — bit-identical across engines,
+    no float ever.  Emits ONE row (n, n_pos, n_neg, auc_q6); degenerate
+    single-class inputs yield NULL auc_q6.
+
+    Scale — a DISTRIBUTED PREFIX SUM, not a global window: tie groups
+    bucket into ``n_buckets`` score-ordered ranges computed from the
+    integer (min, max); per-bucket totals (≤``n_buckets`` rows) compute
+    running offsets in a trivially small window; each group's global
+    cumulative = bucket offset + within-bucket cumulative (one shuffle
+    on the group key, bucket-parallel sorts) — the
+    ``sample_to_token_budget`` pattern.  Int64 bound: 2·ΣR⁺·10⁶ ≤
+    2n²·10⁶ needs n ≲ 2·10⁶ rows per AUC; shard and average (or
+    pre-aggregate scores, which this already does — n here is DISTINCT
+    scores after the first groupBy) beyond.
+    """
+    from pyspark.sql.window import Window
+
+    s = df.select(
+        F.col(score_col).cast("long").alias("__s"),
+        F.col(label_col).cast("long").alias("__y"),
+    )
+    g = s.groupBy("__s").agg(
+        F.count(F.lit(1)).alias("__c"), F.sum("__y").alias("__p")
+    )
+    mm = g.agg(
+        F.min("__s").alias("lo"), F.max("__s").alias("hi")
+    ).localCheckpoint()  # 1 row, consumed by every group row
+    bucketed = g.crossJoin(F.broadcast(mm)).withColumn(
+        "__b",
+        F.expr(f"((__s - lo) * {int(n_buckets)}) div (hi - lo + 1)"),
+    )
+    totals = bucketed.groupBy("__b").agg(F.sum("__c").alias("__bt"))
+    off_w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__b", F.coalesce(F.sum("__bt").over(off_w), F.lit(0)).alias("__off")
+    )
+    cum_w = (
+        Window.partitionBy("__b")
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = (
+        bucketed.join(F.broadcast(offsets), "__b")
+        .withColumn("__cum", F.col("__off") + F.sum("__c").over(cum_w))
+        .withColumn(
+            "__r2", F.col("__p") * (2 * F.col("__cum") - F.col("__c") + 1)
+        )
+    )
+    agg = ranked.agg(
+        F.sum("__c").alias("n"),
+        F.sum("__p").alias("n_pos"),
+        F.sum("__r2").alias("__s2"),
+    )
+    return agg.selectExpr(
+        "n",
+        "n_pos",
+        "n - n_pos AS n_neg",
+        "CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN"
+        " (__s2 - n_pos * (n_pos + 1)) * 1000000"
+        " div (2 * n_pos * (n - n_pos)) ELSE NULL END AS auc_q6",
+    )

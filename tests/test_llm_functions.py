@@ -675,6 +675,45 @@ def test_minhash_index_save_load_roundtrip(spark, tmp_path):
     )
 
 
+def test_classifier_auc_matches_rank_reference(spark):
+    """Exact AUC vs a pure-Python Mann-Whitney reference with average
+    ranks for ties — the sklearn roc_auc_score semantics — plus the
+    closed-form corners (perfect = 1e6, reversed = 0, coin-flip ties,
+    single-class NULL)."""
+    import random
+
+    from go_streaming_spark.functions.stats import classifier_auc
+
+    def ref_auc_q6(pairs):
+        pos = [s for s, y in pairs if y]
+        neg = [s for s, y in pairs if not y]
+        if not pos or not neg:
+            return None
+        wins = 0  # 2x (wins + ties/2), integer
+        for p in pos:
+            for q in neg:
+                wins += 2 if p > q else (1 if p == q else 0)
+        return (wins * 1_000_000) // (2 * len(pos) * len(neg))
+
+    rng = random.Random(11)
+    cases = [
+        [(i, 1 if i >= 5 else 0) for i in range(10)],        # perfect
+        [(i, 1 if i < 5 else 0) for i in range(10)],         # reversed
+        [(7, 1)] * 4 + [(7, 0)] * 4,                          # all tied
+        [(rng.randint(-5, 5), rng.randint(0, 1)) for _ in range(60)],
+        [(rng.randint(0, 2), rng.randint(0, 1)) for _ in range(40)],
+        [(3, 1), (4, 1)],                                     # single class
+    ]
+    for pairs in cases:
+        df = spark.createDataFrame(pairs, "s long, y long")
+        r = classifier_auc(df, "s", "y", n_buckets=4).collect()[0]
+        assert r["n"] == len(pairs)
+        assert r["auc_q6"] == ref_auc_q6(pairs), pairs
+    assert ref_auc_q6(cases[0]) == 1_000_000
+    assert ref_auc_q6(cases[1]) == 0
+    assert ref_auc_q6(cases[2]) == 500_000
+
+
 def test_winsorized_approx_matches_exact(spark):
     """The percentile_approx bounds path (100 TB form) reproduces the exact
     winsorized mean within the tail mass it can misplace: with accuracy

@@ -116,6 +116,10 @@ FUZZ_QUERIES = [
     # flag, 1-byte, whitespace-only) — the Spark side computes the flag
     # from real zlib output, the oracle emits the literal expectation
     "compression_ratio_stats",
+    # round 10: the fuzz corpus is single-class (lang='en' everywhere),
+    # so this pins the degenerate NULL-AUC regime + the margin tie
+    # grouping on tiny score domains
+    "quality_score_auc",
 ]
 
 WORD = st.sampled_from(
