@@ -126,6 +126,7 @@ def classifier_auc(
     score_col: str,
     label_col: str,
     n_buckets: int = 256,
+    group_col: str | None = None,
 ) -> DataFrame:
     """EXACT ROC-AUC of an integer score against a binary label — the
     Mann-Whitney rank statistic, the one-number eval every
@@ -141,63 +142,78 @@ def classifier_auc(
         auc_q6 = (2·ΣR⁺ − n⁺(n⁺+1)) · 10⁶ div (2·n⁺·n⁻)
 
     is one exact int64 floor division — bit-identical across engines,
-    no float ever.  Emits ONE row (n, n_pos, n_neg, auc_q6); degenerate
-    single-class inputs yield NULL auc_q6.
+    no float ever.  Emits (n, n_pos, n_neg, auc_q6) — one global row,
+    or one row per ``group_col`` value (the per-source scorer-health
+    report); degenerate single-class inputs yield NULL auc_q6.
 
     Scale — a DISTRIBUTED PREFIX SUM, not a global window: tie groups
     bucket into ``n_buckets`` score-ordered ranges computed from the
-    integer (min, max); per-bucket totals (≤``n_buckets`` rows) compute
-    running offsets in a trivially small window; each group's global
-    cumulative = bucket offset + within-bucket cumulative (one shuffle
-    on the group key, bucket-parallel sorts) — the
-    ``sample_to_token_budget`` pattern.  Int64 bound: 2·ΣR⁺·10⁶ ≤
-    2n²·10⁶ needs n ≲ 2·10⁶ rows per AUC; shard and average (or
-    pre-aggregate scores, which this already does — n here is DISTINCT
-    scores after the first groupBy) beyond.
+    per-group integer (min, max); per-bucket totals (≤``n_buckets``
+    rows per group) compute running offsets in a trivially small
+    window; each tie group's cumulative = bucket offset + within-bucket
+    cumulative (one shuffle on the bucket key, bucket-parallel sorts) —
+    the ``sample_to_token_budget`` pattern, group-partitioned
+    throughout when grouped.  (The one single-partition WindowExec the
+    ungrouped plan shows is the OFFSETS frame — ≤ ``n_buckets`` rows by
+    construction, never data-sized.)  Int64 bound: 2·ΣR⁺·10⁶ ≤ 2n²·10⁶
+    needs n ≲ 2·10⁶ rows per AUC; shard and average beyond.
     """
     from pyspark.sql.window import Window
 
+    gcol = (
+        F.col(group_col) if group_col is not None else F.lit("")
+    ).alias("__g")
     s = df.select(
+        gcol,
         F.col(score_col).cast("long").alias("__s"),
         F.col(label_col).cast("long").alias("__y"),
     )
-    g = s.groupBy("__s").agg(
+    g = s.groupBy("__g", "__s").agg(
         F.count(F.lit(1)).alias("__c"), F.sum("__y").alias("__p")
     )
-    mm = g.agg(
-        F.min("__s").alias("lo"), F.max("__s").alias("hi")
-    ).localCheckpoint()  # 1 row, consumed by every group row
-    bucketed = g.crossJoin(F.broadcast(mm)).withColumn(
+    # per-group score range: |groups| rows (1 when ungrouped)
+    mm = (
+        g.groupBy("__g")
+        .agg(F.min("__s").alias("lo"), F.max("__s").alias("hi"))
+        .localCheckpoint()  # consumed by every tie-group row
+    )
+    bucketed = g.join(F.broadcast(mm), "__g").withColumn(
         "__b",
         F.expr(f"((__s - lo) * {int(n_buckets)}) div (hi - lo + 1)"),
     )
-    totals = bucketed.groupBy("__b").agg(F.sum("__c").alias("__bt"))
-    off_w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    totals = bucketed.groupBy("__g", "__b").agg(F.sum("__c").alias("__bt"))
+    off_w = (
+        Window.partitionBy("__g")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = totals.select(
-        "__b", F.coalesce(F.sum("__bt").over(off_w), F.lit(0)).alias("__off")
+        "__g", "__b",
+        F.coalesce(F.sum("__bt").over(off_w), F.lit(0)).alias("__off"),
     )
     cum_w = (
-        Window.partitionBy("__b")
+        Window.partitionBy("__g", "__b")
         .orderBy("__s")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     ranked = (
-        bucketed.join(F.broadcast(offsets), "__b")
+        bucketed.join(F.broadcast(offsets), ["__g", "__b"])
         .withColumn("__cum", F.col("__off") + F.sum("__c").over(cum_w))
         .withColumn(
             "__r2", F.col("__p") * (2 * F.col("__cum") - F.col("__c") + 1)
         )
     )
-    agg = ranked.agg(
+    agg = ranked.groupBy("__g").agg(
         F.sum("__c").alias("n"),
         F.sum("__p").alias("n_pos"),
         F.sum("__r2").alias("__s2"),
     )
-    return agg.selectExpr(
+    out_cols = ([f"__g AS {group_col}"] if group_col is not None else []) + [
         "n",
         "n_pos",
         "n - n_pos AS n_neg",
         "CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN"
         " (__s2 - n_pos * (n_pos + 1)) * 1000000"
         " div (2 * n_pos * (n - n_pos)) ELSE NULL END AS auc_q6",
-    )
+    ]
+    return agg.selectExpr(*out_cols)

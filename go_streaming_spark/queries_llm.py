@@ -3078,6 +3078,55 @@ def quality_score_auc(spark, sf_dir):
     return classifier_auc(scored.join(lab, "id"), "margin", "y")
 
 
+@query(
+    "quality_auc_by_source",
+    # the per-SOURCE scorer-health report: same exact rank statistic,
+    # every window group-partitioned (strata fully parallel); the oracle
+    # is the plain per-group window
+    r"""WITH t AS (SELECT doc_id AS id, lang, source,
+    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents),
+tok AS (SELECT id, unnest(w) AS tok FROM t),
+wt AS (SELECT id,
+    (CAST('0x' || substr(md5('w|qmodel|' ||
+        CAST(CAST('0x' || substr(md5('qmodel|' || tok), 1, 8) AS BIGINT)
+             % 4096 AS VARCHAR)), 1, 8) AS BIGINT) % 2001) - 1000 AS wv
+  FROM tok),
+agg AS (SELECT id, CAST(sum(wv) AS BIGINT) AS margin FROM wt GROUP BY id),
+sc AS (SELECT t.source, CAST(COALESCE(agg.margin, 0) AS BIGINT) AS s,
+        CASE WHEN t.lang = 'en' THEN 1 ELSE 0 END AS y
+     FROM t LEFT JOIN agg ON t.id = agg.id),
+g AS (SELECT source, s, count(*) AS c, CAST(sum(y) AS BIGINT) AS p
+      FROM sc GROUP BY source, s),
+o AS (SELECT source, c, p,
+       CAST(sum(c) OVER (PARTITION BY source ORDER BY s) AS BIGINT) AS cum
+      FROM g),
+a AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+       CAST(sum(p) AS BIGINT) AS n_pos,
+       CAST(sum(p * (2 * cum - c + 1)) AS BIGINT) AS s2
+      FROM o GROUP BY source)
+SELECT source, n, n_pos, n - n_pos AS n_neg,
+  CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN
+    CAST((s2 - n_pos * (n_pos + 1)) * 1000000
+         // (2 * n_pos * (n - n_pos)) AS BIGINT)
+  ELSE NULL END AS auc_q6
+FROM a""",
+)
+def quality_auc_by_source(spark, sf_dir):
+    from go_streaming_spark.functions.stats import classifier_auc
+
+    docs = _docs(spark, sf_dir)
+    scored = text.hashed_linear_score(docs, "doc_id", "text")
+    lab = docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("source"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    return classifier_auc(
+        scored.join(lab, "id"), "margin", "y", group_col="source"
+    )
+
+
 # --- BPE oracles -----------------------------------------------------------
 # Greedy left-to-right merge-with-skip IS SQL-expressible after all: encode
 # the symbol list as a string with DOUBLE-space separators and single-space
