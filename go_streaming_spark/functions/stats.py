@@ -217,3 +217,44 @@ def classifier_auc(
         " div (2 * n_pos * (n - n_pos)) ELSE NULL END AS auc_q6",
     ]
     return agg.selectExpr(*out_cols)
+
+
+def score_calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram counts for an integer score against a binary
+    label — AUC's companion eval (AUC says the scorer RANKS well;
+    calibration says whether score bands mean what they claim).  Bins
+    are fixed-width over the observed integer [min, max] (rank-free, so
+    no tie semantics to bridge), and every number is exact:
+    ``rate_q6 = n_pos·10⁶ div n`` per bin.  Emits one row per NON-EMPTY
+    bin: (bin, lo_s, n, n_pos, rate_q6).
+
+    One scan + one 1-row range aggregate + one groupBy(bin) — map-side
+    combined, no windows at all.
+    """
+    s = df.select(
+        F.col(score_col).cast("long").alias("__s"),
+        F.col(label_col).cast("long").alias("__y"),
+    )
+    mm = s.agg(
+        F.min("__s").alias("lo"), F.max("__s").alias("hi")
+    ).localCheckpoint()  # 1 row
+    binned = s.crossJoin(F.broadcast(mm)).withColumn(
+        "bin", F.expr(f"((__s - lo) * {int(n_bins)}) div (hi - lo + 1)")
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.min("__s").alias("lo_s"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__y").alias("n_pos"),
+        )
+        .selectExpr(
+            "bin", "lo_s", "n", "n_pos",
+            "(n_pos * 1000000) div n AS rate_q6",
+        )
+    )

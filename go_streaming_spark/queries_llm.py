@@ -3127,6 +3127,45 @@ def quality_auc_by_source(spark, sf_dir):
     )
 
 
+@query(
+    "quality_calibration_bins",
+    # AUC's companion: reliability counts per fixed-width margin bin
+    # (rank-free, so no tie semantics to bridge) — does a score band
+    # mean what it claims?  rate_q6 is one exact int division per bin
+    r"""WITH t AS (SELECT doc_id AS id, lang,
+    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents),
+tok AS (SELECT id, unnest(w) AS tok FROM t),
+wt AS (SELECT id,
+    (CAST('0x' || substr(md5('w|qmodel|' ||
+        CAST(CAST('0x' || substr(md5('qmodel|' || tok), 1, 8) AS BIGINT)
+             % 4096 AS VARCHAR)), 1, 8) AS BIGINT) % 2001) - 1000 AS wv
+  FROM tok),
+agg AS (SELECT id, CAST(sum(wv) AS BIGINT) AS margin FROM wt GROUP BY id),
+sc AS (SELECT CAST(COALESCE(agg.margin, 0) AS BIGINT) AS s,
+        CASE WHEN t.lang = 'en' THEN 1 ELSE 0 END AS y
+     FROM t LEFT JOIN agg ON t.id = agg.id),
+mm AS (SELECT min(s) AS lo, max(s) AS hi FROM sc),
+b AS (SELECT ((s - lo) * 10) // (hi - lo + 1) AS bin, s, y FROM sc, mm)
+SELECT CAST(bin AS BIGINT) AS bin, min(s) AS lo_s,
+  count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+  CAST((sum(y) * 1000000) // count(*) AS BIGINT) AS rate_q6
+FROM b GROUP BY bin""",
+)
+def quality_calibration_bins(spark, sf_dir):
+    from go_streaming_spark.functions.stats import score_calibration_bins
+
+    docs = _docs(spark, sf_dir)
+    scored = text.hashed_linear_score(docs, "doc_id", "text")
+    lab = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    return score_calibration_bins(
+        scored.join(lab, "id"), "margin", "y", n_bins=10
+    )
+
+
 # --- BPE oracles -----------------------------------------------------------
 # Greedy left-to-right merge-with-skip IS SQL-expressible after all: encode
 # the symbol list as a string with DOUBLE-space separators and single-space

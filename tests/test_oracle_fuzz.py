@@ -117,9 +117,12 @@ FUZZ_QUERIES = [
     # from real zlib output, the oracle emits the literal expectation
     "compression_ratio_stats",
     # round 10: the fuzz corpus is single-class (lang='en' everywhere),
-    # so this pins the degenerate NULL-AUC regime + the margin tie
-    # grouping on tiny score domains
+    # so these pin the degenerate NULL-AUC regime + the margin tie
+    # grouping on tiny score domains, per-source partitioning included,
+    # and the rank-free calibration bins on 1-2 distinct margins
     "quality_score_auc",
+    "quality_auc_by_source",
+    "quality_calibration_bins",
 ]
 
 WORD = st.sampled_from(
