@@ -158,8 +158,6 @@ def classifier_auc(
     construction, never data-sized.)  Int64 bound: 2·ΣR⁺·10⁶ ≤ 2n²·10⁶
     needs n ≲ 2·10⁶ rows per AUC; shard and average beyond.
     """
-    from pyspark.sql.window import Window
-
     gcol = (
         F.col(group_col) if group_col is not None else F.lit("")
     ).alias("__g")
@@ -171,6 +169,22 @@ def classifier_auc(
     g = s.groupBy("__g", "__s").agg(
         F.count(F.lit(1)).alias("__c"), F.sum("__y").alias("__p")
     )
+    return classifier_auc_from_tie_groups(g, n_buckets, group_col)
+
+
+def classifier_auc_from_tie_groups(
+    g: DataFrame,
+    n_buckets: int = 256,
+    group_col: str | None = None,
+) -> DataFrame:
+    """:func:`classifier_auc` from caller-supplied tie-group state
+    (__g, __s, __c, __p) — (group, score, count, positives).  Tie groups
+    are MERGEABLE BY ADDITION (union per-batch states, groupBy(__g,__s)
+    sum the counts), so streaming accumulation in ``foreachBatch``
+    yields the exact batch AUC — the sketch-state shape without being a
+    sketch."""
+    from pyspark.sql.window import Window
+
     # per-group score range: |groups| rows (1 when ungrouped)
     mm = (
         g.groupBy("__g")

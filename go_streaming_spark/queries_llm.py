@@ -3166,6 +3166,66 @@ def quality_calibration_bins(spark, sf_dir):
     )
 
 
+@query("stream_quality_score_auc")
+def stream_quality_score_auc(spark, sf_dir):
+    """The scorer-health AUC from STREAMING-accumulated state: each
+    micro-batch reduces to (score, count, positives) tie groups, which
+    merge across batches BY ADDITION — exact, not a sketch — and the
+    final rank statistic asks the question of the held state.  Equals
+    the batch quality_score_auc bit-for-bit, so it gates against the
+    same oracle (the stream_theta/stream_hll shape)."""
+    import tempfile
+
+    from go_streaming_spark.functions.stats import (
+        classifier_auc_from_tie_groups,
+    )
+
+    docs = _docs(spark, sf_dir)
+    scored = text.hashed_linear_score(docs, "doc_id", "text")
+    lab = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    sy = scored.join(lab, "id").select(
+        F.col("margin").cast("long").alias("__s"), F.col("y").alias("__y")
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_auc_")
+    sy.repartition(4).write.mode("overwrite").parquet(f"{tmp}/sy")
+    stream = (
+        spark.readStream.schema(sy.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/sy")
+    )
+    holder = {"g": None, "batches": 0}
+
+    def ingest(batch_df, _bid):
+        part = (
+            batch_df.withColumn("__g", F.lit(""))
+            .groupBy("__g", "__s")
+            .agg(F.count(F.lit(1)).alias("__c"), F.sum("__y").alias("__p"))
+        )
+        merged = part if holder["g"] is None else (
+            holder["g"].unionByName(part)
+            .groupBy("__g", "__s")
+            .agg(F.sum("__c").alias("__c"), F.sum("__p").alias("__p"))
+        )
+        holder["g"] = merged.localCheckpoint()
+        holder["batches"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    assert holder["batches"] >= 2, "replay must produce real micro-batches"
+    return classifier_auc_from_tie_groups(holder["g"])
+
+
+ORACLES["stream_quality_score_auc"] = ORACLES["quality_score_auc"]
+
+
 # --- BPE oracles -----------------------------------------------------------
 # Greedy left-to-right merge-with-skip IS SQL-expressible after all: encode
 # the symbol list as a string with DOUBLE-space separators and single-space
