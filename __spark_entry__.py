@@ -50,16 +50,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # registrations in registration order; (d) 14 stalest greens — the
 # r6-green set, alphabetical — to fill 50.
 #
-# r11 PRE-COMMITMENT: the remaining r6 greens that missed this cut
-# (dedup_incremental_indexed, dedup_minhash_lsh, dedup_ngram_jaccard,
-# dedup_simhash, disjunctive_filter_revenue, event_gaps, fan_in_sum,
-# filter_greater, funnel_counts, moving_range_sum,
-# multimodal_content_stats, pandas_udf_normalize, pivot_status_counts,
-# pricing_summary, rank_topn_per_segment, regional_revenue, ... —
-# re-enumerate from CORRECTNESS history, oldest-green first,
-# alphabetical within a round) lead the r11 gate after any
-# never-green names (r10 registrations and any r10 reds being
-# re-proven), which always come first.
+# r11 PRE-COMMITMENT: never-green names lead, i.e. the 14 r10
+# registrations in registration order (theta_users_diff,
+# stream_theta_users_diff, forecast_revenue_change,
+# priority_late_ship_counts, local_supplier_volume,
+# product_profit_by_nation_year, late_ship_priority_counts,
+# supplier_count_by_part_attrs, small_qty_order_revenue,
+# excess_part_suppliers, quality_score_auc, quality_auc_by_source,
+# quality_calibration_bins, stream_quality_score_auc — all locally
+# driver-mimic green at sf0.01 AND sf0.1 in r10) plus any r10 reds
+# being re-proven; then the remaining r6 greens that missed the r10
+# cut (dedup_incremental_indexed, dedup_minhash_lsh,
+# dedup_ngram_jaccard, dedup_simhash, disjunctive_filter_revenue,
+# event_gaps, fan_in_sum, filter_greater, funnel_counts,
+# moving_range_sum, multimodal_content_stats, pandas_udf_normalize,
+# pivot_status_counts, pricing_summary, rank_topn_per_segment,
+# regional_revenue, ... — re-enumerate from CORRECTNESS history,
+# oldest-green first, alphabetical within a round) to fill 50.
 GATE_PRIORITY = [
     # (a) the r9 red rows — oracles added in r10, must re-prove green
     "bpe_top_merges", "bpe_encode_counts",
