@@ -45,6 +45,9 @@ EXTRA_AUDIT = [
     "forecast_revenue_change", "priority_late_ship_counts",
     "late_ship_priority_counts", "small_qty_order_revenue",
     "excess_part_suppliers",
+    # round 10 scorer-eval family (the 256-bucket prefix-sum AUC plans)
+    "quality_score_auc", "quality_auc_by_source",
+    "quality_calibration_bins",
 ]
 
 
@@ -104,6 +107,17 @@ KNOWN_BENIGN = {
         "BroadcastNestedLoopJoins are the two 1-row × 1-row crossJoins"
         " assembling (s_a, s_b, s_union) scalars into the single output"
         " row — O(1), sketch state is ≤2·2^p rows and localCheckpointed"
+    ),
+    "quality_score_auc": (
+        "BroadcastNestedLoopJoin is the 1-row score-range scalar"
+        " (crossJoin with the checkpointed min/max aggregate) - O(n*1);"
+        " the single-partition WindowExec is the OFFSETS frame of the"
+        " distributed prefix sum - <=256 rows by construction, never"
+        " data-sized (tie-group cumulatives are bucket-partitioned)"
+    ),
+    "quality_calibration_bins": (
+        "BroadcastNestedLoopJoin is the same 1-row score-range scalar"
+        " crossJoin - O(n*1), not a pair explosion"
     ),
     "theta_users_diff": (
         "BroadcastNestedLoopJoins are the 1-row x 1-row crossJoins"
