@@ -2735,6 +2735,12 @@ def test_theta_kmv_exact_below_k(spark):
     assert r["est_intersect"] == 10.0  # {20..29}
     assert r["est_diff"] == 20.0       # {0..19}
     assert r["n_int"] == 10 and r["n_anotb"] == 20
+    # a group with no rows at all: no sketch to compare -> empty result,
+    # not a fabricated zero row
+    only_a = spark.createDataFrame(
+        [("a", i) for i in range(5)], "grp string, k long"
+    )
+    assert sketch.theta_kmv_overlap(only_a, "grp", "k", "a", "b").count() == 0
 
 
 def test_theta_kmv_sketched_accuracy_and_consistency(spark):

@@ -299,6 +299,10 @@ EVENT_QUERIES = [
                                    # top-10 cut ties on path strings
     "activity_heatmap",            # r8: engine-agnostic dow/hod integer
                                    # arithmetic on boundary timestamps
+    "theta_users_diff",            # r10: the fuzz events lack 'purchase',
+                                   # so this pins the empty-side regime
+                                   # (one group absent -> 0 rows on BOTH
+                                   # engines, no fabricated zero row)
 ]
 
 
