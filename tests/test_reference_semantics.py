@@ -476,3 +476,59 @@ def test_udtf_registry_over_topics(spark):
     assert [(r.pos, r.piece) for r in sorted(out, key=lambda r: r.pos)] == list(
         enumerate(words)
     )
+
+
+def test_hot_shingle_cap_boundary_matches_oracle(spark, tmp_path):
+    """The default cap never TRIGGERS on gate/fuzz corpora (no shingle
+    reaches 1000 docs there), so the engine's `count > cap` filter and
+    the oracle's _SH_CAPPED `HAVING count(*) > 1000` are never
+    differentially exercised — an off-by-one (>= vs >) would be
+    invisible.  This pins the boundary: one shingle in EXACTLY 1000
+    docs (kept) and one in 1001 (dropped), engine vs the capped DuckDB
+    CTE, full result compare."""
+    import duckdb
+
+    from go_streaming_spark.functions.dedup import jaccard_pairs
+
+    # docs 0..1000: "keep me now padX padXb" -> shingle "keep me now" in
+    # 1001 docs (> cap, dropped).  docs 0..999 also carry "stay with us"
+    # (exactly 1000 docs, == cap, kept).
+    rows = []
+    for i in range(1001):
+        extra = " stay with us" if i < 1000 else ""
+        rows.append((i, f"keep me now{extra} pad{i} pad{i}b"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pq = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(pq)
+
+    got = sorted(
+        (r.id_a, r.id_b, r.n_common, round(r.jaccard, 9))
+        for r in jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.0,
+                               max_shingle_freq=1000).collect()
+    )
+
+    duck = duckdb.connect()
+    duck.execute(f"CREATE VIEW documents AS SELECT * FROM '{pq}/*.parquet'")
+    oracle = """WITH ws AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(text,'\\s+'), x -> x <> '') w
+  FROM documents),
+sh0 AS (SELECT DISTINCT doc_id AS id,
+    unnest(list_transform(range(1, len(w)-1),
+           i -> array_to_string(w[i:i+2],' '))) AS shingle
+  FROM ws WHERE len(w) >= 3),
+sh AS (SELECT id, shingle FROM sh0 WHERE shingle NOT IN
+       (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 1000)),
+sizes AS (SELECT id, count(*) n FROM sh GROUP BY id),
+inter AS (SELECT a.id id_a, b.id id_b, count(*) n_common
+          FROM sh a JOIN sh b USING(shingle) WHERE a.id < b.id GROUP BY 1,2)
+SELECT id_a, id_b, n_common,
+       n_common/(sa.n+sb.n-n_common) AS jaccard
+FROM inter JOIN sizes sa ON id_a=sa.id JOIN sizes sb ON id_b=sb.id"""
+    want = sorted(
+        (a, b, n, round(j, 9)) for a, b, n, j in duck.execute(oracle).fetchall()
+    )
+    duck.close()
+    assert got == want
+    # the ==cap shingles ("stay with us" family) survive: the 1000 docs
+    # that share them pair up; the >cap shingle family contributes none
+    assert len(got) == 1000 * 999 // 2
