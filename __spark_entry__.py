@@ -39,62 +39,46 @@ def entry(spark: SparkSession) -> DataFrame:
 # registered queries every query earns a hard row at least every 3
 # rounds.
 #
-# Round-10 gate (honoring the r9 pre-commitment): (a) the two r9 red
-# rows lead — bpe_top_merges / bpe_encode_counts were gated in r9
-# WITHOUT oracles (err: no_oracle); r10 gives both real DuckDB oracles
-# (the double-separator replace encoding of greedy merge-with-skip —
-# see queries_llm._bpe_learn_oracle) so they must now re-prove green;
-# (b) the 26 carried never-green names in registration order, with
-# compression_ratio_stats re-scoped this round to the zlib
-# bounds-invariant output so it too carries an oracle; (c) the 8 r9
-# registrations in registration order; (d) 14 stalest greens — the
-# r6-green set, alphabetical — to fill 50.
+# Round-11 gate (honoring the r10 pre-commitment): (a) the 14 r10
+# registrations — never driver-gated — in registration order (all were
+# locally driver-mimic green at sf0.01 AND sf0.1 in r10); (b) any NEW
+# r11 registrations (never-gated ⇒ infinitely stale); (c) the 33
+# remaining r6-last-green names, alphabetical; (d) r7 greens,
+# alphabetical, to the 50 cut.  There were no r10 reds to re-prove
+# (CORRECTNESS_r10: 50/50 green).
 #
-# r11 PRE-COMMITMENT: never-green names lead, i.e. the 14 r10
-# registrations in registration order (theta_users_diff,
-# stream_theta_users_diff, forecast_revenue_change,
-# priority_late_ship_counts, local_supplier_volume,
-# product_profit_by_nation_year, late_ship_priority_counts,
-# supplier_count_by_part_attrs, small_qty_order_revenue,
-# excess_part_suppliers, quality_score_auc, quality_auc_by_source,
-# quality_calibration_bins, stream_quality_score_auc — all locally
-# driver-mimic green at sf0.01 AND sf0.1 in r10) plus any r10 reds
-# being re-proven; then the remaining r6 greens that missed the r10
-# cut (dedup_incremental_indexed, dedup_minhash_lsh,
-# dedup_ngram_jaccard, dedup_simhash, disjunctive_filter_revenue,
-# event_gaps, fan_in_sum, filter_greater, funnel_counts,
-# moving_range_sum, multimodal_content_stats, pandas_udf_normalize,
-# pivot_status_counts, pricing_summary, rank_topn_per_segment,
-# regional_revenue, ... — re-enumerate from CORRECTNESS history,
-# oldest-green first, alphabetical within a round) to fill 50.
+# r12 PRE-COMMITMENT: never-green names lead (any r11 registrations
+# that miss this round's 50 cut plus any r11 reds being re-proven);
+# then the stalest greens — the r7-last-green set (ann_* onward,
+# alphabetical), then r8 — re-enumerated from CORRECTNESS history,
+# oldest-green first, alphabetical within a round, to fill 50.
 GATE_PRIORITY = [
-    # (a) the r9 red rows — oracles added in r10, must re-prove green
-    "bpe_top_merges", "bpe_encode_counts",
-    # (b) the 26 carried never-green names (pre-committed order)
-    "token_drift_by_source", "value_drift_by_type",
-    "cheapest_supplier_per_part", "stream_distinct_users_hourly",
-    "mad_outlier_counts", "weighted_value_percentiles",
-    "weighted_price_percentiles_by_priority", "value_cdf_quantized",
-    "hourly_burst_flags", "cms_join_size", "dedup_keep_best_survivors",
-    "profile_orders_columns", "review_queue_sample",
-    "missing_days_report", "tokenizer_fertility_by_lang",
-    "compression_ratio_stats", "mixed_language_flags",
-    "partition_manifest_orders", "source_health_report",
-    "dedup_source_matrix", "embedding_dim_stats", "user_lifespan_report",
-    "session_conversion_counts", "top_user_journeys", "activity_heatmap",
-    "stream_activity_heatmap",
-    # (c) the r9 registrations — first hard rows
-    "dedup_components_star", "hll_user_overlap",
-    "stream_hll_user_overlap", "winnow_match_pairs",
-    "token_budget_sample_counts", "word_graph_triangles",
-    "stratified_token_budget_counts", "ams_f2_user_freq",
-    # (d) stalest greens (last green r6), alphabetical, to the 50 cut
-    "above_avg_balance_by_nation", "approx_distinct_users",
-    "approx_value_percentiles", "asof_forward_next_purchase",
-    "asof_join_signup", "big_order_customers", "burst_follow_counts",
-    "corpus_shuffle_order", "counting_window_tumbling",
-    "custdist_order_counts", "dedup_clusters", "dedup_exact",
-    "dedup_incremental_exact", "dedup_incremental_full",
+    # (a) the 14 r10 registrations — first hard rows
+    "theta_users_diff", "stream_theta_users_diff",
+    "quality_score_auc", "quality_auc_by_source",
+    "quality_calibration_bins", "stream_quality_score_auc",
+    "forecast_revenue_change", "priority_late_ship_counts",
+    "local_supplier_volume", "product_profit_by_nation_year",
+    "late_ship_priority_counts", "supplier_count_by_part_attrs",
+    "small_qty_order_revenue", "excess_part_suppliers",
+    # (b) r11 registrations — never-gated, first hard rows
+    "ordered_delivery_replay",
+    # (c) stalest greens (last green r6), alphabetical
+    "dedup_incremental_indexed", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_simhash",
+    "disjunctive_filter_revenue", "event_gaps", "fan_in_sum",
+    "filter_greater", "funnel_counts", "moving_range_sum",
+    "multimodal_content_stats", "pandas_udf_normalize",
+    "pivot_status_counts", "pricing_summary", "rank_topn_per_segment",
+    "regional_revenue", "revenue_by_dow", "rollup_revenue",
+    "running_totals", "session_window_count", "set_intersect_users",
+    "small_qty_revenue", "sole_return_suppliers", "star_join_agg",
+    "stream_dedup_exact", "stream_window_join_inner",
+    "stream_window_sum_tumbling", "window_count_dense_errors",
+    "window_count_sliding", "window_join_inner", "window_lineage",
+    "window_sum_per_user", "window_sum_tumbling",
+    # (d) r7 greens, alphabetical, to the 50 cut
+    "ann_cosine_topk", "ann_ivf_quantized_topk",
 ]
 
 

@@ -563,6 +563,81 @@ the same frequency filter (queries_llm._SH_CAPPED).
 """
 
 
+_WARNED_SHINGLE_CAP = False
+
+
+def _drop_hot_shingles(sh: DataFrame, cap: int) -> DataFrame:
+    """Anti-join out shingles appearing in more than ``cap`` docs.
+
+    ``hot`` is tiny by definition (only >cap shingles) and feeds BOTH
+    sides of the self-join via the anti-join — materialize it once or
+    the shingle-frequency aggregation runs per consumer.  Logs ONCE per
+    process when the cap actually drops shingles, so small-corpus users
+    notice the default changed semantics (r10) and that
+    ``max_shingle_freq=None`` opts out.
+    """
+    hot = (
+        sh.groupBy("shingle").count()
+        .filter(F.col("count") > cap)
+        .select("shingle")
+        .localCheckpoint()
+    )
+    global _WARNED_SHINGLE_CAP
+    if not _WARNED_SHINGLE_CAP and not hot.isEmpty():
+        _WARNED_SHINGLE_CAP = True
+        import warnings
+
+        warnings.warn(
+            f"hot-shingle cap (max_shingle_freq={cap}, default since"
+            " r10) is dropping shingles from this corpus — pairs"
+            " sharing only capped shingles disappear and Jaccard/"
+            "containment denominators shrink; pass"
+            " max_shingle_freq=None for the exact uncapped measure"
+            " (safe only on small corpora).",
+            stacklevel=3,
+        )
+    return sh.join(hot, "shingle", "left_anti")
+
+
+DEFAULT_MAX_CANDIDATE_PAIRS = 10_000_000_000
+"""Default candidate-pair budget for the EXACT n-gram pair joins.
+
+The exact inverted-index self-join emits Σ_shingle C(freq, 2) candidate
+rows before the pair aggregation — inherently superlinear in corpus
+size (measured 5.7× work at 10× data, SCALE.md), which is fine at
+document-collection scale and catastrophic at 100 TB.  The guard
+estimates that mass with one cheap aggregation over the (already
+cached, already capped) shingle index and refuses to launch the join
+above the budget, pointing at :func:`minhash_lsh_pairs` — the
+subquadratic scale path — instead.  Pass ``max_candidate_pairs=None``
+to opt out (you are promising the quadratic cost is intended).
+"""
+
+
+def _guard_candidate_pairs(sh: DataFrame, budget: int, op: str) -> None:
+    """Refuse the exact pair join when Σ C(freq,2) exceeds ``budget``.
+
+    One shingle-count-sized aggregation over the cached index — cheap
+    relative to the self-join it gates, and the cache it forces is
+    needed by that join anyway.
+    """
+    est = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .agg(F.sum(F.col("f").cast("double") * (F.col("f") - 1) / 2).alias("p"))
+        .first()["p"]
+    )
+    if est and est > budget:
+        raise ValueError(
+            f"{op}: exact n-gram pair join would emit ~{est:.3g} candidate"
+            f" pairs (> max_candidate_pairs={budget:,}) — this exact"
+            " all-pairs measure is inherently superlinear and this corpus"
+            " is past the budget.  Use minhash_lsh_pairs (banded LSH, the"
+            " subquadratic scale path), tighten max_shingle_freq, or pass"
+            " max_candidate_pairs=None to accept the quadratic cost."
+        )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -570,6 +645,7 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
+    max_candidate_pairs: int | None = DEFAULT_MAX_CANDIDATE_PAIRS,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs: (id_a < id_b, jaccard ≥ t).
 
@@ -579,20 +655,20 @@ def jaccard_pairs(
     at 100 TB this bound is what keeps bucket cross products finite, so
     it is ON by default (:data:`DEFAULT_MAX_SHINGLE_FREQ`); capped
     shingles leave the universe entirely (the denominator too).
+
+    SCALE WARNING: even capped, the exact measure is superlinear —
+    candidate-pair mass is Σ C(freq, 2), measured 5.7× work at 10× data
+    (SCALE.md).  ``max_candidate_pairs``
+    (:data:`DEFAULT_MAX_CANDIDATE_PAIRS`) estimates that mass up front
+    and raises rather than launch a join no cluster absorbs; the scale
+    path for 100 TB corpora is :func:`minhash_lsh_pairs`.
     """
     sh = word_shingles(df, id_col, text_col, n).cache()
     _register_convenience_cache(sh, [sh])
     if max_shingle_freq:
-        # hot is tiny by definition (only >cap shingles) and feeds BOTH
-        # sides of the self-join via the anti-join — materialize it once
-        # or the shingle-frequency aggregation runs per consumer
-        hot = (
-            sh.groupBy("shingle").count()
-            .filter(F.col("count") > max_shingle_freq)
-            .select("shingle")
-            .localCheckpoint()
-        )
-        sh = sh.join(hot, "shingle", "left_anti")
+        sh = _drop_hot_shingles(sh, max_shingle_freq)
+    if max_candidate_pairs is not None:
+        _guard_candidate_pairs(sh, max_candidate_pairs, "jaccard_pairs")
     # sizes feeds TWO joins (sa/sb) — materialize once; the known
     # multi-consumer ReuseExchange miss would otherwise recompute the
     # whole shingle aggregation per consumer.  Doc-count-sized.
@@ -628,6 +704,7 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
+    max_candidate_pairs: int | None = DEFAULT_MAX_CANDIDATE_PAIRS,
 ) -> DataFrame:
     """DIRECTED n-gram containment pairs: (id_src, id_dst) with
     ``|sh(src) ∩ sh(dst)| / |sh(src)| ≥ t`` — "src's shingles are mostly
@@ -654,16 +731,9 @@ def containment_pairs(
     sh = word_shingles(df, id_col, text_col, n).cache()
     _register_convenience_cache(sh, [sh])
     if max_shingle_freq:
-        # hot is tiny by definition (only >cap shingles) and feeds BOTH
-        # sides of the self-join via the anti-join — materialize it once
-        # or the shingle-frequency aggregation runs per consumer
-        hot = (
-            sh.groupBy("shingle").count()
-            .filter(F.col("count") > max_shingle_freq)
-            .select("shingle")
-            .localCheckpoint()
-        )
-        sh = sh.join(hot, "shingle", "left_anti")
+        sh = _drop_hot_shingles(sh, max_shingle_freq)
+    if max_candidate_pairs is not None:
+        _guard_candidate_pairs(sh, max_candidate_pairs, "containment_pairs")
     # sizes feeds TWO joins (sa/sb): materialize once (ReuseExchange
     # misses multi-consumer aggregates).  Doc-count-sized.
     sizes = (

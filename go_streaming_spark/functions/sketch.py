@@ -759,9 +759,15 @@ def ams_f2(
         .groupBy("__j")
         .agg(F.sum("__s").alias("c"))
     )
+    # Empty input ⇒ empty collect_list; element_at(arr, rank) on a
+    # too-short array raises under Spark 4's default ANSI mode, so guard
+    # the rank lookup and degrade to NULL (the old percentile() behavior).
+    rank = (d + 1) // 2
     return counters.agg(
         F.expr(
-            f"element_at(sort_array(collect_list(c * c)), {(d + 1) // 2})"
+            "CASE WHEN size(sort_array(collect_list(c * c)))"
+            f" >= {rank} THEN"
+            f" element_at(sort_array(collect_list(c * c)), {rank}) END"
         ).alias("f2_est")
     )
 

@@ -453,7 +453,10 @@ def bpe_learn_merges(
         if not top:
             break
         cand = [(r["pair"], int(r["n"])) for r in top]
-        need_ub = len(cand) > 1 and len(merges) + 1 < n_merges
+        # the trigram upper bound is only consulted when a SECOND merge
+        # could be accepted in this pass — with max_batch=1 (the classic
+        # one-job-per-merge loop) it would be pure overhead
+        need_ub = max_batch > 1 and len(cand) > 1 and len(merges) + 1 < n_merges
         ub: dict[str, int] = {}
         if need_ub:
             # trigram (x,y,z) touches pair (x,y) at 1-2 and (y,z) at 2-3;

@@ -325,6 +325,10 @@ def windowed_agg(
                     " stream to a sink table and apply"
                     " with_empty_windows there"
                 )
+            if emit_empty is None:
+                # same silent reference divergence as the batch path:
+                # streaming groupBy emits sparse windows too
+                _warn_empty_window_divergence()
             out = streaming_window_col(df, policy, time_col)
             agged = out.groupBy("window", *keys).agg(*aggs, *extra)
             ws = F.col("window.start")

@@ -3193,3 +3193,61 @@ def excess_part_suppliers(spark, sf_dir):
         .filter(F.col("_tq") > 100)
         .select("s_name", "n_name", F.col("_tq").cast("long").alias("total_qty"))
     )
+
+
+@query(
+    "ordered_delivery_replay",
+    # the heap's delivery sequence must equal a plain ORDER BY — the
+    # oracle's row_number IS the reference's sorted delivery order
+    """SELECT CAST(row_number() OVER (ORDER BY event_id) AS BIGINT)
+         AS delivery_pos,
+       event_id AS seq, user_id, event_type
+FROM events WHERE user_id % 97 = 11""",
+)
+def ordered_delivery_replay(spark, sf_dir):
+    # The reference's SORTED delivery (`pkg/pubsub/stream.go:297-319`,
+    # sorted buffer `pkg/events/buffer.go:391-397`): subscribers see
+    # events in global key order regardless of arrival order.  Here a
+    # bounded event slice is scattered across 8 parquet files by id hash
+    # (micro-batches are random slices of the seq space), replayed one
+    # file per trigger, and delivered through the global_order reorder
+    # heap.  The result RECORDS the driver-side delivery sequence
+    # (delivery_pos = arrival index at the callback), so the oracle's
+    # row_number checks the heap's ordering, not a Spark sort.  Driver
+    # traffic is the slice (~1% of events) — the subscribe() sink is the
+    # reference's single-consumer convergence point by design; bulk
+    # sinks use subscribe_batch.
+    import tempfile
+
+    eng = Engine(spark, sf_dir=sf_dir)
+    sl = (
+        eng.stream("events")
+        .filter(F.col("user_id") % 97 == 11)
+        .select("event_id", "user_id", "event_type")
+    )
+    tmp = tempfile.mkdtemp(prefix="ordered_replay_")
+    sl.repartition(8, "event_id").write.mode("overwrite").parquet(tmp)
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp)
+    )
+    cq = eng.builder().from_df(stream).build()
+    delivered: list[tuple] = []
+    cq.subscribe(
+        lambda row: delivered.append(
+            (len(delivered) + 1, row.event_id, row.user_id, row.event_type)
+        ),
+        ordered_by=["event_id"],
+        global_order=True,
+    )
+    cq.await_done()
+    # the replay is complete and `delivered` is plain local data — the
+    # scratch files have no further readers
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        delivered,
+        "delivery_pos long, seq long, user_id long, event_type string",
+    )

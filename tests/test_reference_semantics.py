@@ -532,3 +532,119 @@ FROM inter JOIN sizes sa ON id_a=sa.id JOIN sizes sb ON id_b=sb.id"""
     # the ==cap shingles ("stay with us" family) survive: the 1000 docs
     # that share them pair up; the >cap shingle family contributes none
     assert len(got) == 1000 * 999 // 2
+
+
+def test_ams_f2_empty_input_degrades_to_null(spark):
+    """ANSI-mode regression guard: on an EMPTY input the counters frame
+    is empty, collect_list yields [], and an unguarded element_at(…, rank)
+    raises under Spark 4's default ANSI mode — the guarded rank lookup
+    must instead degrade to NULL like the old percentile() path."""
+    from go_streaming_spark.functions import sketch
+
+    df = spark.createDataFrame([], "k long")
+    rows = sketch.ams_f2(df, "k", d=63).collect()
+    assert len(rows) == 1 and rows[0]["f2_est"] is None
+
+
+def test_exact_pair_join_candidate_budget_guard(spark):
+    """The exact n-gram pair join is inherently superlinear (SCALE.md:
+    5.7x work at 10x data); a 100 TB user must not reach that regime by
+    accident.  Above the candidate-pair budget the join refuses with a
+    pointer at the LSH scale path; None opts out; the default budget is
+    far above any test corpus."""
+    import pytest
+
+    from go_streaming_spark.functions.dedup import (
+        containment_pairs, jaccard_pairs,
+    )
+
+    # 40 docs sharing one shingle -> C(40,2) = 780 candidate pairs
+    rows = [(i, f"common phrase here tail{i} tail{i}x") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.0,
+            max_shingle_freq=None, max_candidate_pairs=100,
+        )
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        containment_pairs(
+            df, "doc_id", "text", n=3, threshold=0.0,
+            max_shingle_freq=None, max_candidate_pairs=100,
+        )
+    # opt-out and the default budget both let the small corpus through
+    n_optout = jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.0,
+        max_shingle_freq=None, max_candidate_pairs=None,
+    ).count()
+    n_default = jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.0, max_shingle_freq=None
+    ).count()
+    assert n_optout == n_default == 40 * 39 // 2
+
+
+def test_shingle_cap_drop_is_logged_once(spark):
+    """When the default hot-shingle cap actually drops shingles, callers
+    get ONE process-wide signal that the r10 default changed semantics
+    and that max_shingle_freq=None opts out; corpora with no hot
+    shingles stay silent."""
+    import warnings
+
+    from go_streaming_spark.functions import dedup
+
+    hot_rows = [(i, f"the of and pad{i} pad{i}b") for i in range(20)]
+    hot_df = spark.createDataFrame(hot_rows, "doc_id long, text string")
+    dedup._WARNED_SHINGLE_CAP = False
+    with warnings.catch_warnings(record=True) as got:
+        warnings.simplefilter("always")
+        dedup.jaccard_pairs(
+            hot_df, "doc_id", "text", n=3, threshold=0.0, max_shingle_freq=5
+        ).count()
+        dedup.jaccard_pairs(
+            hot_df, "doc_id", "text", n=3, threshold=0.0, max_shingle_freq=5
+        ).count()
+    texts = [str(w.message) for w in got if "hot-shingle cap" in str(w.message)]
+    assert len(texts) == 1 and "max_shingle_freq=None" in texts[0]
+
+    # no hot shingles -> no warning even with the flag reset
+    cold_rows = [(i, f"u{i} v{i} w{i} x{i} y{i}") for i in range(10)]
+    cold_df = spark.createDataFrame(cold_rows, "doc_id long, text string")
+    dedup._WARNED_SHINGLE_CAP = False
+    with warnings.catch_warnings(record=True) as got:
+        warnings.simplefilter("always")
+        dedup.jaccard_pairs(
+            cold_df, "doc_id", "text", n=3, threshold=0.0, max_shingle_freq=5
+        ).count()
+    assert not [w for w in got if "hot-shingle cap" in str(w.message)]
+
+
+def test_empty_window_divergence_warns_on_streaming_branch(spark):
+    """The one-time empty-window divergence note must fire on the
+    STREAMING branch too (plan-build time, no query start needed) —
+    sparse streaming windows are the same silent reference divergence
+    as sparse batch windows."""
+    import warnings
+
+    from go_streaming_spark.operators import windows as W
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(F.col("timestamp").alias("event_start"),
+                F.col("value").cast("double").alias("value"))
+    )
+    policy = W.TemporalWindow("1 minute")
+    agg = [F.sum("value").alias("v")]
+
+    W._EMPTY_WINDOW_WARNED = False
+    with warnings.catch_warnings(record=True) as got:
+        warnings.simplefilter("always")
+        out = W.windowed_agg(policy, agg, lineage=False)(stream)
+    assert out.isStreaming
+    texts = [str(w.message) for w in got if "EMPTY windows" in str(w.message)]
+    assert len(texts) == 1
+
+    # emit_empty=False opts out silently on the streaming branch too
+    W._EMPTY_WINDOW_WARNED = False
+    with warnings.catch_warnings(record=True) as got:
+        warnings.simplefilter("always")
+        W.windowed_agg(policy, agg, lineage=False, emit_empty=False)(stream)
+    assert not [w for w in got if "EMPTY windows" in str(w.message)]
