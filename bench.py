@@ -106,6 +106,10 @@ HEADLINE = [
     "local_supplier_volume",         # Q5: cross-dimension local-volume star (round 10)
     "product_profit_by_nation_year", # Q9: part-family profit rollup (round 10)
     "supplier_count_by_part_attrs",  # Q16: distinct-count + anti-join (round 10)
+    "forecast_revenue_change",       # Q4 shape: exists semi-join + priority counts (round 11)
+    "excess_part_suppliers",         # Q20 shape: semi-join chain + HAVING (round 11)
+    "quality_score_auc",             # exact Mann-Whitney AUC, 256-bucket prefix sum (round 11)
+    "quality_calibration_bins",      # rank-free calibration binning (round 11)
 ]
 
 
@@ -119,6 +123,57 @@ def _time_query(spark, name, sf_dir, runs):
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         samples.append(time.perf_counter() - t0)
     return statistics.median(samples)
+
+
+def _anchored_ratios(timings: dict, sf) -> dict:
+    """Per-query ratios vs the committed BASELINE.json anchors.
+
+    Embedding the computed median/max/over-2x IN the bench record makes
+    every "zero queries over 2x" style claim machine-checkable against
+    the committed run — BASELINE.md's round-10 claim was found not to
+    reproduce from its own archived runs, which this closes off.  Ratios
+    are only meaningful at the anchor scale factor; other SFs skip.
+    """
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BASELINE.json")
+        ) as fh:
+            base = json.load(fh)
+        anchors = base.get("anchors_sec") or {}
+        anchor_sf = base.get("anchor_sf")
+    except (OSError, ValueError):
+        return {}
+    if not anchors or sf != anchor_sf:
+        return {}
+    ratios = {
+        n: round(t / anchors[n], 3)
+        for n, t in timings.items()
+        if t > 0 and anchors.get(n)
+    }
+    if not ratios:
+        return {}
+    ordered = sorted(ratios.values())
+    max_q = max(ratios, key=ratios.get)
+    return {
+        "anchored": {
+            "n": len(ratios),
+            "anchor_sum": round(sum(anchors[n] for n in ratios), 3),
+            "run_sum": round(sum(timings[n] for n in ratios), 3),
+            "ratio_of_sums": round(
+                sum(timings[n] for n in ratios)
+                / sum(anchors[n] for n in ratios),
+                3,
+            ),
+            "median_ratio": round(statistics.median(ordered), 3),
+            "max_ratio": ratios[max_q],
+            "max_query": max_q,
+            "over_2x": {n: r for n, r in ratios.items() if r > 2.0},
+            "unanchored": sorted(
+                n for n, t in timings.items() if t > 0 and not anchors.get(n)
+            ),
+        }
+    }
 
 
 def main():
@@ -160,6 +215,7 @@ def main():
         "queries": timings,
         "sf": sf,
     }
+    record.update(_anchored_ratios(timings, sf))
     # The driver records only a bounded TAIL of our stdout; the r8 run
     # truncated the leading queries out of the captured JSON.  Persist
     # the full record to a repo file the driver can't truncate, then
