@@ -566,22 +566,66 @@ the same frequency filter (queries_llm._SH_CAPPED).
 _WARNED_SHINGLE_CAP = False
 
 
-def _drop_hot_shingles(sh: DataFrame, cap: int) -> DataFrame:
-    """Anti-join out shingles appearing in more than ``cap`` docs.
+DEFAULT_MAX_CANDIDATE_PAIRS = 10_000_000_000
+"""Default candidate-pair budget for the EXACT n-gram pair joins.
 
-    ``hot`` is tiny by definition (only >cap shingles) and feeds BOTH
-    sides of the self-join via the anti-join — materialize it once or
-    the shingle-frequency aggregation runs per consumer.  Logs ONCE per
-    process when the cap actually drops shingles, so small-corpus users
-    notice the default changed semantics (r10) and that
-    ``max_shingle_freq=None`` opts out.
+The exact inverted-index self-join emits Σ_shingle C(freq, 2) candidate
+rows before the pair aggregation — inherently superlinear in corpus
+size (measured 5.7× work at 10× data, SCALE.md), which is fine at
+document-collection scale and catastrophic at 100 TB.  The guard
+estimates that mass from the shingle-frequency table (computed once for
+the hot-shingle cap anyway) and refuses to launch the join above the
+budget, pointing at :func:`minhash_lsh_pairs` — the subquadratic scale
+path — instead.  Pass ``max_candidate_pairs=None`` to opt out (you are
+promising the quadratic cost is intended).
+"""
+
+
+def _cap_and_guard(
+    sh: DataFrame, cap: int | None, budget: int | None, op: str
+) -> DataFrame:
+    """Apply the hot-shingle cap and the candidate-pair budget from ONE
+    shingle-frequency aggregation.
+
+    ``freq`` (distinct shingles + counts — strictly smaller than the
+    cached doc×shingle index feeding it) is localCheckpointed once;
+    the hot set, its emptiness probe, and the Σ C(freq,2) guard are all
+    cheap scans of that materialization, so the guard costs no second
+    full aggregation on the hot path.  The hot anti-join appears on
+    BOTH sides of the downstream self-join — deriving it from the
+    checkpoint keeps that duplication scan-cheap too.
+
+    Warns ONCE per process when the cap actually drops shingles, so
+    small-corpus users notice the r10 default changed semantics and
+    that ``max_shingle_freq=None`` opts out.
     """
-    hot = (
-        sh.groupBy("shingle").count()
-        .filter(F.col("count") > cap)
-        .select("shingle")
+    if cap is None and budget is None:
+        return sh
+    freq = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__f"))
         .localCheckpoint()
     )
+    if budget is not None:
+        kept = freq.filter(F.col("__f") <= cap) if cap else freq
+        est = kept.agg(
+            F.sum(
+                F.col("__f").cast("double") * (F.col("__f") - 1) / 2
+            ).alias("p")
+        ).first()["p"]
+        if est and est > budget:
+            raise ValueError(
+                f"{op}: exact n-gram pair join would emit ~{est:.3g}"
+                f" candidate pairs (> max_candidate_pairs={budget:,}) —"
+                " this exact all-pairs measure is inherently superlinear"
+                " and this corpus is past the budget.  Use"
+                " minhash_lsh_pairs (banded LSH, the subquadratic scale"
+                " path), tighten max_shingle_freq, or pass"
+                " max_candidate_pairs=None to accept the quadratic cost."
+            )
+    if not cap:
+        return sh
+    hot = freq.filter(F.col("__f") > cap).select("shingle")
     global _WARNED_SHINGLE_CAP
     if not _WARNED_SHINGLE_CAP and not hot.isEmpty():
         _WARNED_SHINGLE_CAP = True
@@ -597,45 +641,6 @@ def _drop_hot_shingles(sh: DataFrame, cap: int) -> DataFrame:
             stacklevel=3,
         )
     return sh.join(hot, "shingle", "left_anti")
-
-
-DEFAULT_MAX_CANDIDATE_PAIRS = 10_000_000_000
-"""Default candidate-pair budget for the EXACT n-gram pair joins.
-
-The exact inverted-index self-join emits Σ_shingle C(freq, 2) candidate
-rows before the pair aggregation — inherently superlinear in corpus
-size (measured 5.7× work at 10× data, SCALE.md), which is fine at
-document-collection scale and catastrophic at 100 TB.  The guard
-estimates that mass with one cheap aggregation over the (already
-cached, already capped) shingle index and refuses to launch the join
-above the budget, pointing at :func:`minhash_lsh_pairs` — the
-subquadratic scale path — instead.  Pass ``max_candidate_pairs=None``
-to opt out (you are promising the quadratic cost is intended).
-"""
-
-
-def _guard_candidate_pairs(sh: DataFrame, budget: int, op: str) -> None:
-    """Refuse the exact pair join when Σ C(freq,2) exceeds ``budget``.
-
-    One shingle-count-sized aggregation over the cached index — cheap
-    relative to the self-join it gates, and the cache it forces is
-    needed by that join anyway.
-    """
-    est = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("f"))
-        .agg(F.sum(F.col("f").cast("double") * (F.col("f") - 1) / 2).alias("p"))
-        .first()["p"]
-    )
-    if est and est > budget:
-        raise ValueError(
-            f"{op}: exact n-gram pair join would emit ~{est:.3g} candidate"
-            f" pairs (> max_candidate_pairs={budget:,}) — this exact"
-            " all-pairs measure is inherently superlinear and this corpus"
-            " is past the budget.  Use minhash_lsh_pairs (banded LSH, the"
-            " subquadratic scale path), tighten max_shingle_freq, or pass"
-            " max_candidate_pairs=None to accept the quadratic cost."
-        )
 
 
 def jaccard_pairs(
@@ -665,10 +670,7 @@ def jaccard_pairs(
     """
     sh = word_shingles(df, id_col, text_col, n).cache()
     _register_convenience_cache(sh, [sh])
-    if max_shingle_freq:
-        sh = _drop_hot_shingles(sh, max_shingle_freq)
-    if max_candidate_pairs is not None:
-        _guard_candidate_pairs(sh, max_candidate_pairs, "jaccard_pairs")
+    sh = _cap_and_guard(sh, max_shingle_freq, max_candidate_pairs, "jaccard_pairs")
     # sizes feeds TWO joins (sa/sb) — materialize once; the known
     # multi-consumer ReuseExchange miss would otherwise recompute the
     # whole shingle aggregation per consumer.  Doc-count-sized.
@@ -730,10 +732,9 @@ def containment_pairs(
     """
     sh = word_shingles(df, id_col, text_col, n).cache()
     _register_convenience_cache(sh, [sh])
-    if max_shingle_freq:
-        sh = _drop_hot_shingles(sh, max_shingle_freq)
-    if max_candidate_pairs is not None:
-        _guard_candidate_pairs(sh, max_candidate_pairs, "containment_pairs")
+    sh = _cap_and_guard(
+        sh, max_shingle_freq, max_candidate_pairs, "containment_pairs"
+    )
     # sizes feeds TWO joins (sa/sb): materialize once (ReuseExchange
     # misses multi-consumer aggregates).  Doc-count-sized.
     sizes = (

@@ -63,6 +63,7 @@ assert len(queries) == len(set(queries)), "duplicate query names"
 assert set(oracles) <= set(queries), "oracle without a query"
 only = set(sys.argv[1:])
 ok = fail = rows_only = 0
+results = {}
 for name in sorted(queries):
     if only and name not in only:
         continue
@@ -73,31 +74,56 @@ for name in sorted(queries):
         sql = oracles.get(name)
         if sql is None:
             print(f"ROWS-ONLY {name}: rows={len(srows)}")
+            results[name] = {"status": "rows_only", "spark_rows": len(srows)}
             rows_only += 1
             continue
         ores = duck.execute(sql)
         ocols = [d[0] for d in ores.description]
         orows = ores.fetchall()
+        results[name] = {"spark_rows": len(srows), "oracle_rows": len(orows)}
         if sorted(scols) != sorted(ocols):
             print(f"FAIL {name}: schema spark={sorted(scols)} oracle={sorted(ocols)}")
+            results[name]["status"] = "fail_schema"
             fail += 1
             continue
         if len(srows) != len(orows):
             print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}")
+            results[name]["status"] = "fail_rows"
             fail += 1
             continue
         sm, om = _multiset(srows, scols), _multiset(orows, ocols)
         if sm != om:
             diff = [(a, b) for a, b in zip(sm, om) if a != b][:3]
             print(f"FAIL {name}: value mismatch, first diffs {diff}")
+            results[name]["status"] = "fail_values"
             fail += 1
             continue
         print(f"OK   {name}: rows={len(srows)}")
+        results[name]["status"] = "ok"
         ok += 1
     except Exception:
         print(f"FAIL {name}: exception")
         traceback.print_exc(limit=3)
+        results[name] = {"status": "fail_exception"}
         fail += 1
 
 print(f"\nTOTAL ok={ok} fail={fail} rows_only={rows_only}")
+# Optional machine-readable artifact (DRIVE_JSON_OUT=path): the committed
+# CORRECTNESS_LOCAL_r{N}.json full-sweep record — gives every registered
+# query auditable recent evidence between its (rotating) hard gate rows.
+out_path = os.environ.get("DRIVE_JSON_OUT")
+if out_path:
+    import json
+
+    with open(out_path, "w") as fh:
+        json.dump(
+            {
+                "sf_dir": SF_DIR,
+                "total": {"ok": ok, "fail": fail, "rows_only": rows_only},
+                "queries": results,
+            },
+            fh,
+            indent=1,
+        )
+        fh.write("\n")
 sys.exit(1 if fail else 0)
