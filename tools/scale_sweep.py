@@ -100,6 +100,10 @@ QUERIES = [
     "bpe_top_merges",              # r10: exact batched merge passes
     "local_supplier_volume",       # Q5 star (round 10)
     "product_profit_by_nation_year",  # Q9 rollup (round 10)
+    "quality_score_auc",           # 256-bucket prefix-sum AUC (round 11)
+    "quality_calibration_bins",    # rank-free reliability bins (round 11)
+    "forecast_revenue_change",     # Q4 semi-join shape (round 11)
+    "excess_part_suppliers",       # Q20 semi-join chain (round 11)
 ]
 
 
