@@ -588,12 +588,14 @@ def _cap_and_guard(
     shingle-frequency aggregation.
 
     ``freq`` (distinct shingles + counts — strictly smaller than the
-    cached doc×shingle index feeding it) is localCheckpointed once;
-    the hot set, its emptiness probe, and the Σ C(freq,2) guard are all
-    cheap scans of that materialization, so the guard costs no second
-    full aggregation on the hot path.  The hot anti-join appears on
-    BOTH sides of the downstream self-join — deriving it from the
-    checkpoint keeps that duplication scan-cheap too.
+    cached doc×shingle index feeding it) is persisted only long enough
+    to derive the Σ C(freq,2) budget estimate and the hot set, then
+    unpersisted — the full corpus-width frequency table never outlives
+    this call (a leaked materialization per pair-join call is exactly
+    the kind of state growth the guard exists to prevent).  Only the
+    HOT set (shingles above the cap — boilerplate, a tiny set by
+    construction) is localCheckpointed, because it feeds the anti-join
+    on BOTH sides of the downstream self-join and its emptiness probe.
 
     Warns ONCE per process when the cap actually drops shingles, so
     small-corpus users notice the r10 default changed semantics and
@@ -601,31 +603,33 @@ def _cap_and_guard(
     """
     if cap is None and budget is None:
         return sh
-    freq = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("__f"))
-        .localCheckpoint()
-    )
-    if budget is not None:
-        kept = freq.filter(F.col("__f") <= cap) if cap else freq
-        est = kept.agg(
-            F.sum(
-                F.col("__f").cast("double") * (F.col("__f") - 1) / 2
-            ).alias("p")
-        ).first()["p"]
-        if est and est > budget:
-            raise ValueError(
-                f"{op}: exact n-gram pair join would emit ~{est:.3g}"
-                f" candidate pairs (> max_candidate_pairs={budget:,}) —"
-                " this exact all-pairs measure is inherently superlinear"
-                " and this corpus is past the budget.  Use"
-                " minhash_lsh_pairs (banded LSH, the subquadratic scale"
-                " path), tighten max_shingle_freq, or pass"
-                " max_candidate_pairs=None to accept the quadratic cost."
-            )
-    if not cap:
-        return sh
-    hot = freq.filter(F.col("__f") > cap).select("shingle")
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__f")).persist()
+    try:
+        if budget is not None:
+            kept = freq.filter(F.col("__f") <= cap) if cap else freq
+            est = kept.agg(
+                F.sum(
+                    F.col("__f").cast("double") * (F.col("__f") - 1) / 2
+                ).alias("p")
+            ).first()["p"]
+            if est and est > budget:
+                raise ValueError(
+                    f"{op}: exact n-gram pair join would emit ~{est:.3g}"
+                    f" candidate pairs (> max_candidate_pairs={budget:,}) —"
+                    " this exact all-pairs measure is inherently superlinear"
+                    " and this corpus is past the budget.  Use"
+                    " minhash_lsh_pairs (banded LSH, the subquadratic scale"
+                    " path), tighten max_shingle_freq, or pass"
+                    " max_candidate_pairs=None to accept the quadratic cost."
+                )
+        if not cap:
+            return sh
+        # eager localCheckpoint: materializes the small hot set NOW (while
+        # freq is still persisted) and cuts its lineage, so the unpersist
+        # below can never force a recompute of the full frequency table
+        hot = freq.filter(F.col("__f") > cap).select("shingle").localCheckpoint()
+    finally:
+        freq.unpersist()
     global _WARNED_SHINGLE_CAP
     if not _WARNED_SHINGLE_CAP and not hot.isEmpty():
         _WARNED_SHINGLE_CAP = True

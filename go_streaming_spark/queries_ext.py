@@ -3217,6 +3217,7 @@ def ordered_delivery_replay(spark, sf_dir):
     # traffic is the slice (~1% of events) — the subscribe() sink is the
     # reference's single-consumer convergence point by design; bulk
     # sinks use subscribe_batch.
+    import shutil
     import tempfile
 
     eng = Engine(spark, sf_dir=sf_dir)
@@ -3226,27 +3227,30 @@ def ordered_delivery_replay(spark, sf_dir):
         .select("event_id", "user_id", "event_type")
     )
     tmp = tempfile.mkdtemp(prefix="ordered_replay_")
-    sl.repartition(8, "event_id").write.mode("overwrite").parquet(tmp)
-    stream = (
-        spark.readStream.schema("event_id long, user_id long, event_type string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(tmp)
-    )
-    cq = eng.builder().from_df(stream).build()
     delivered: list[tuple] = []
-    cq.subscribe(
-        lambda row: delivered.append(
-            (len(delivered) + 1, row.event_id, row.user_id, row.event_type)
-        ),
-        ordered_by=["event_id"],
-        global_order=True,
-    )
-    cq.await_done()
-    # the replay is complete and `delivered` is plain local data — the
-    # scratch files have no further readers
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        sl.repartition(8, "event_id").write.mode("overwrite").parquet(tmp)
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+        )
+        cq = eng.builder().from_df(stream).build()
+        cq.subscribe(
+            lambda row: delivered.append(
+                (len(delivered) + 1, row.event_id, row.user_id, row.event_type)
+            ),
+            ordered_by=["event_id"],
+            global_order=True,
+        )
+        cq.await_done()
+    finally:
+        # `delivered` is plain local data once the replay completes (and on
+        # a failed replay the scratch files have no readers either way) —
+        # never leak the dir across oracle re-runs of this rotating gate row
+        shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(
         delivered,
         "delivery_pos long, seq long, user_id long, event_type string",

@@ -359,3 +359,30 @@ def test_dormant_customers_anti_join_no_division(spark):
     assert "LeftAnti" in plan
     opt = _optimized(df)
     assert "divide" not in opt.lower()
+
+
+def test_anchored_ratios_against_committed_record():
+    """The committed bench record's embedded ratio block must reproduce
+    from its own timings + the committed BASELINE.json anchors — the
+    machine-checkable-claims contract (COVERAGE.md r11/r12): prose like
+    "zero queries over 2x" is only trustworthy if the block that backs
+    it is a pure function of the committed artifacts."""
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "BENCH_LOCAL_LATEST.json")) as fh:
+        record = json.load(fh)
+    if "anchored" not in record:
+        import pytest
+
+        pytest.skip("committed record predates the ratio block")
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(root, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    recomputed = bench._anchored_ratios(record["queries"], record["sf"])
+    assert recomputed["anchored"] == record["anchored"]
