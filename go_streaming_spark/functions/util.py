@@ -22,6 +22,76 @@ def q6(c: Column) -> Column:
     return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
 
+def _size_conf_bytes(spark, key: str, default: int) -> int:
+    """Parse a Spark byte-size conf value ("134217728b", "128MB", "4m")."""
+    try:
+        raw = str(spark.conf.get(key, str(default))).strip().lower()
+    except Exception:
+        return default
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    mult, num = 1, raw
+    if raw.endswith("b"):
+        num = raw[:-1]
+    if num and num[-1] in units:
+        mult, num = units[num[-1]], num[:-1]
+    try:
+        return int(float(num) * mult)
+    except ValueError:
+        return default
+
+
+def _estimated_input_splits(df: DataFrame) -> int:
+    """Estimate the scan's partition count WITHOUT touching ``df.rdd``
+    (which forces a full plan→RDD conversion per call) — mirrors
+    ``FilePartition.maxSplitBytes`` + greedy bin packing over the input
+    files: maxSplit = min(maxPartitionBytes, max(openCost,
+    totalBytes/defaultParallelism)), files split into maxSplit chunks and
+    packed (size + openCost per file) into maxSplit-capacity bins.
+
+    File sizes come from ``os.stat`` on ``file:`` URIs (the local-mode
+    and test path).  On a remote FS (no cheap stat from the driver) the
+    estimate degrades to one split per file — for :func:`spread`'s
+    purpose a *lower* bound only errs toward one extra narrow-row
+    round-robin shuffle, never toward losing parallelism.  In-memory
+    frames (no input files) report 0 — always below target, and a
+    repartition of local rows is cheap.
+    """
+    import os
+    from urllib.parse import unquote, urlparse
+
+    files = df.inputFiles()
+    if not files:
+        return 0
+    spark = df.sparkSession
+    max_pb = _size_conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    open_cost = _size_conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+    sizes = []
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("file", ""):
+            return len(files)
+        try:
+            sizes.append(os.stat(unquote(parsed.path)).st_size)
+        except OSError:
+            return len(files)
+    total = sum(sizes) + open_cost * len(sizes)
+    par = max(1, spark.sparkContext.defaultParallelism)
+    max_split = min(max_pb, max(open_cost, total // par))
+    chunks = []
+    for s in sizes:
+        while s > max_split:
+            chunks.append(max_split)
+            s -= max_split
+        chunks.append(s)
+    chunks.sort(reverse=True)
+    bins, cur = 0, None
+    for c in chunks:
+        if cur is None or cur + c > max_split:
+            bins, cur = bins + 1, 0
+        cur += c + open_cost
+    return bins
+
+
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Ensure at least ``min_partitions`` (default: cluster parallelism)
     partitions before a compute-heavy per-row stage.
@@ -31,14 +101,15 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     one core no matter how large the cluster.  The round-robin shuffle of the
     *narrow* input rows is far cheaper than running the exploded/hashed
     stage single-threaded.  Inputs that already have enough splits (the
-    100 TB case) pass through untouched — no extra shuffle.
+    100 TB case) pass through untouched — no extra shuffle.  The split
+    count is a plan-level estimate (:func:`_estimated_input_splits`) —
+    no ``df.rdd`` conversion at query-build time.
     """
     if df.isStreaming:
-        # micro-batch partitioning is the source's concern; .rdd is
-        # unsupported on streaming frames
+        # micro-batch partitioning is the source's concern; input files
+        # are unknowable before triggers fire
         return df
-    sc = df.sparkSession.sparkContext
-    target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if _estimated_input_splits(df) < target:
         return df.repartition(target)
     return df

@@ -386,3 +386,37 @@ def test_anchored_ratios_against_committed_record():
     spec.loader.exec_module(bench)
     recomputed = bench._anchored_ratios(record["queries"], record["sf"])
     assert recomputed["anchored"] == record["anchored"]
+
+
+def test_estimated_splits_match_rdd_partitions(spark):
+    """`spread()`'s plan-level split estimate must reproduce Spark's real
+    FilePartition packing (the thing `df.rdd.getNumPartitions()` reported
+    before r12 retired the per-call plan→RDD conversion), including the
+    multi-split large-file case and derived frames."""
+    from go_streaming_spark.functions.util import _estimated_input_splits
+
+    cases = [
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+        spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet"),  # 3 splits
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .filter(F.col("value") > 0)
+        .select("event_id"),
+    ]
+    for df in cases:
+        assert _estimated_input_splits(df) == df.rdd.getNumPartitions()
+    # in-memory frames have no input files: estimate 0 (always repartitions)
+    assert _estimated_input_splits(spark.createDataFrame([(1,)], "a int")) == 0
+
+
+def test_spread_repartitions_small_input_passes_large(spark):
+    """spread() must widen a one-split scan to cluster parallelism and
+    return large-enough inputs UNTOUCHED (no round-robin Exchange — at
+    100 TB an unconditional repartition would be a full-data shuffle)."""
+    from go_streaming_spark.functions.util import spread
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    widened = spread(docs, min_partitions=4)
+    assert "RoundRobinPartitioning" in _plan(widened)
+    assert widened.rdd.getNumPartitions() == 4
+    untouched = spread(docs, min_partitions=1)
+    assert untouched is docs
