@@ -349,6 +349,65 @@ class MinHashIndex(NamedTuple):
             int(p.n), int(p.k), int(p.rows_per_band),
         )
 
+    def save_bucketed(
+        self,
+        table_prefix: str,
+        n_buckets: int | None = None,
+        path: str | None = None,
+    ) -> None:
+        """Persist the index as BUCKETED catalog tables —
+        ``{prefix}_bands`` bucketed AND sorted by ``(band, band_key)``,
+        ``{prefix}_shingles`` bucketed by ``(id)``, ``{prefix}_params``
+        plain — so every later ingest batch's candidate join
+        (:func:`dedup_against_index` joins on ``(band, band_key)``)
+        plans with **no corpus-side Exchange**: the batch side alone
+        shuffles to ``n_buckets``, while the corpus-scale band index is
+        read in place, pre-sorted for the merge.  At corpus ≫ batch —
+        the recurring-crawl steady state — re-shuffling the index every
+        batch is THE dominant ingest cost the plain-parquet :meth:`save`
+        pays and this layout retires (plan-asserted in
+        test_plans.py::test_bucketed_index_ingest_join_no_index_exchange).
+
+        ``n_buckets`` defaults to the session's shuffle partitions; pick
+        it like a shuffle-partition count for the CORPUS size (buckets
+        are the join's parallelism ceiling).  ``path`` makes the tables
+        external (snapshot artifact on shared storage).  Load with
+        :meth:`load_bucketed` — a path-level parquet read would drop the
+        bucket spec and silently reintroduce the exchange.
+        """
+        from go_streaming_spark.sources.formats import write_bucketed
+
+        spark = self.bands.sparkSession
+        nb = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        write_bucketed(
+            self.bands, f"{table_prefix}_bands", ["band", "band_key"], nb,
+            sort_cols=["band", "band_key"],
+            path=f"{path}/bands" if path else None,
+        )
+        write_bucketed(
+            self.shingles, f"{table_prefix}_shingles", ["id"], nb,
+            sort_cols=["id"],
+            path=f"{path}/shingles" if path else None,
+        )
+        w = spark.createDataFrame(
+            [(self.n, self.k, self.rows_per_band)],
+            "n int, k int, rows_per_band int",
+        ).write.mode("overwrite")
+        if path:
+            w = w.option("path", f"{path}/params")
+        w.saveAsTable(f"{table_prefix}_params")
+
+    @staticmethod
+    def load_bucketed(spark, table_prefix: str) -> "MinHashIndex":
+        """Load an index written by :meth:`save_bucketed` (catalog reads —
+        the bucket spec lives in the table definitions)."""
+        p = spark.table(f"{table_prefix}_params").head()
+        return MinHashIndex(
+            spark.table(f"{table_prefix}_bands"),
+            spark.table(f"{table_prefix}_shingles"),
+            int(p.n), int(p.k), int(p.rows_per_band),
+        )
+
 
 def build_minhash_index(
     corpus_df: DataFrame,

@@ -95,6 +95,7 @@ def write_bucketed(
     sort_cols: list[str] | None = None,
     fmt: str = "parquet",
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Bucketed catalog table: rows hash-partitioned into ``n_buckets``
     files by ``bucket_cols`` at write time.
@@ -105,13 +106,19 @@ def write_bucketed(
     paid once at write, then every downstream join/aggregation on the
     bucket key is shuffle-free (asserted in
     test_plans.py::test_bucketed_join_no_exchange).  Catalog-backed
-    (``saveAsTable``): bucket metadata lives in the table definition.
+    (``saveAsTable``): bucket metadata lives in the table definition;
+    ``path`` makes it an EXTERNAL table at that location (the data
+    outlives ``DROP TABLE`` — the snapshot-artifact shape), but reads
+    must still go through ``spark.table(name)``: a path read loses the
+    bucket spec and with it the no-exchange plan.
     """
     writer = (
         df.write.format(fmt).mode(mode).bucketBy(n_buckets, *bucket_cols)
     )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

@@ -420,3 +420,63 @@ def test_spread_repartitions_small_input_passes_large(spark):
     assert widened.rdd.getNumPartitions() == 4
     untouched = spread(docs, min_partitions=1)
     assert untouched is docs
+
+
+def test_bucketed_index_ingest_join_no_index_exchange(spark):
+    """A MinHashIndex persisted via save_bucketed must let the per-batch
+    ingest candidate join read the corpus-scale band index IN PLACE: same
+    result as the plain-parquet index, with exactly one fewer
+    hash-Exchange (the index side's) — at corpus >> batch that re-shuffle
+    is the dominant ingest cost, paid every batch."""
+    import shutil
+
+    from go_streaming_spark.functions import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = dedup.build_minhash_index(corpus, "doc_id", "text")
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # small-side broadcast would mask the fact-fact (100 TB) shape
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        idx.save_bucketed("mh_idx_t", n_buckets=8)
+        loaded = dedup.MinHashIndex.load_bucketed(spark, "mh_idx_t")
+        assert (loaded.n, loaded.k, loaded.rows_per_band) == (
+            idx.n, idx.k, idx.rows_per_band
+        )
+        bucketed = dedup.dedup_against_index(batch, loaded, "doc_id", "text", 0.5)
+        plain = dedup.dedup_against_index(batch, idx, "doc_id", "text", 0.5)
+        assert (
+            {r.doc_id for r in bucketed.collect()}
+            == {r.doc_id for r in plain.collect()}
+        )
+        plan_b, plan_p = _plan(bucketed), _plan(plain)
+        assert "Bucketed: true" in plan_b
+        # bucketed bands AND shingles scans both shed their exchanges
+        assert (
+            plan_b.count("Exchange hashpartitioning")
+            < plan_p.count("Exchange hashpartitioning")
+        ), (plan_b, plan_p)
+        # the candidate join in isolation: batch side shuffles, the
+        # corpus-scale index side reads in place — exactly ONE exchange
+        from go_streaming_spark.functions.dedup import (
+            band_keys,
+            minhash_signatures_wide,
+        )
+
+        bands_new = band_keys(
+            minhash_signatures_wide(batch, "doc_id", "text", 3, 16), 16, 4
+        )
+        cand = bands_new.join(loaded.bands, ["band", "band_key"])
+        cand_plan = _plan(cand)
+        assert cand_plan.count("Exchange hashpartitioning") == 1, cand_plan
+        assert "Bucketed: true" in cand_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+        spark.sql("DROP TABLE IF EXISTS mh_idx_t_bands")
+        spark.sql("DROP TABLE IF EXISTS mh_idx_t_shingles")
+        spark.sql("DROP TABLE IF EXISTS mh_idx_t_params")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)
