@@ -39,46 +39,47 @@ def entry(spark: SparkSession) -> DataFrame:
 # registered queries every query earns a hard row at least every 3
 # rounds.
 #
-# Round-11 gate (honoring the r10 pre-commitment): (a) the 14 r10
-# registrations — never driver-gated — in registration order (all were
-# locally driver-mimic green at sf0.01 AND sf0.1 in r10); (b) any NEW
-# r11 registrations (never-gated ⇒ infinitely stale); (c) the 33
-# remaining r6-last-green names, alphabetical; (d) r7 greens,
-# alphabetical, to the 50 cut.  There were no r10 reds to re-prove
-# (CORRECTNESS_r10: 50/50 green).
+# Round-12 gate (honoring the r11 pre-commitment): (a) NEW r12
+# registrations — never driver-gated ⇒ infinitely stale — in
+# registration order (there were no r11 reds to re-prove:
+# CORRECTNESS_r11 was 50/50 green, and no r11 registration missed the
+# cut); (b) the full r7-last-green set re-enumerated from the
+# CORRECTNESS_r01..r11 union (47 names — ann_cosine_topk and
+# ann_ivf_quantized_topk moved to r11-green via the r11 gate tail),
+# alphabetical; (c) r8 greens, alphabetical, to the 50 cut.
 #
-# r12 PRE-COMMITMENT: never-green names lead (any r11 registrations
-# that miss this round's 50 cut plus any r11 reds being re-proven);
-# then the stalest greens — the r7-last-green set (ann_* onward,
-# alphabetical), then r8 — re-enumerated from CORRECTNESS history,
-# oldest-green first, alphabetical within a round, to fill 50.
+# r13 PRE-COMMITMENT: never-green names lead (any r12 registrations
+# that miss this round's 50 cut plus any r12 reds being re-proven);
+# then the stalest greens — the r8-last-green set (alphabetical, from
+# where the r12 cut stopped: bloom_join_urgent_revenue onward), then
+# r9 — re-enumerated from CORRECTNESS history, oldest-green first,
+# alphabetical within a round, to fill 50.
 GATE_PRIORITY = [
-    # (a) the 14 r10 registrations — first hard rows
-    "theta_users_diff", "stream_theta_users_diff",
-    "quality_score_auc", "quality_auc_by_source",
-    "quality_calibration_bins", "stream_quality_score_auc",
-    "forecast_revenue_change", "priority_late_ship_counts",
-    "local_supplier_volume", "product_profit_by_nation_year",
-    "late_ship_priority_counts", "supplier_count_by_part_attrs",
-    "small_qty_order_revenue", "excess_part_suppliers",
-    # (b) r11 registrations — never-gated, first hard rows
-    "ordered_delivery_replay",
-    # (c) stalest greens (last green r6), alphabetical
-    "dedup_incremental_indexed", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_simhash",
-    "disjunctive_filter_revenue", "event_gaps", "fan_in_sum",
-    "filter_greater", "funnel_counts", "moving_range_sum",
-    "multimodal_content_stats", "pandas_udf_normalize",
-    "pivot_status_counts", "pricing_summary", "rank_topn_per_segment",
-    "regional_revenue", "revenue_by_dow", "rollup_revenue",
-    "running_totals", "session_window_count", "set_intersect_users",
-    "small_qty_revenue", "sole_return_suppliers", "star_join_agg",
-    "stream_dedup_exact", "stream_window_join_inner",
-    "stream_window_sum_tumbling", "window_count_dense_errors",
-    "window_count_sliding", "window_join_inner", "window_lineage",
-    "window_sum_per_user", "window_sum_tumbling",
-    # (d) r7 greens, alphabetical, to the 50 cut
-    "ann_cosine_topk", "ann_ivf_quantized_topk",
+    # (a) r12 registrations — never-gated, first hard rows
+    "stream_window_count_dense", "ordered_bulk_delivery_replay",
+    # (b) the 47 r7-last-green names, alphabetical
+    "ann_ivf_topk", "ann_lsh_topk", "ann_quantized_topk",
+    "cms_word_counts", "contamination_rates", "corpus_ingest_survivors",
+    "counting_window_per_type", "counting_window_skip",
+    "counting_window_sliding", "dedup_embedding_cosine",
+    "dedup_embedding_cosine_blocked", "dedup_incremental_minhash",
+    "dedup_normalized_exact", "dedup_spans_incremental",
+    "dedup_spans_keep_first", "dedup_substring_spans",
+    "fan_in_per_source", "gopher_quality_flags", "heavy_hitter_words",
+    "join_key_skew_stats", "json_struct_extract", "knn_label_vote",
+    "multimodal_avi_content_stats", "multimodal_binary_meta",
+    "multimodal_features", "multimodal_frame_plan",
+    "multimodal_gif_content_stats", "multimodal_jpeg_content_stats",
+    "multimodal_png_content_stats", "multimodal_transform_chain",
+    "pack_sequences", "pipeline_clean_corpus", "set_except_user_days",
+    "stat_aggregates", "stratified_fixed_counts",
+    "stream_window_sum_per_user", "text_fingerprint", "text_lang_id",
+    "text_quality", "text_token_counts", "tfidf_top_terms",
+    "timeseries_znorm_search", "vocab_top_bigrams",
+    "weighted_sample_ids", "window_join_left", "window_join_sliding",
+    "window_sampling",
+    # (c) r8 greens, alphabetical, to the 50 cut
+    "anti_join_no_urgent_customers",
 ]
 
 

@@ -92,16 +92,109 @@ class ContinuousQuery:
     def collect(self):
         return self.df.collect()
 
-    def subscribe_batch(self, sink_fn, output_mode: str = "append"):
+    def subscribe_batch(
+        self,
+        sink_fn,
+        output_mode: str = "append",
+        ordered_by=None,
+        global_order: bool = False,
+        max_out_of_order=None,
+        chunk_rows: int = 65_536,
+    ):
         """Streaming subscribe via foreachBatch (≈ ``Subscribe``,
-        `continuous_query.go:103-116`)."""
-        self._sq = (
-            self.df.writeStream.outputMode(output_mode)
-            .foreachBatch(sink_fn)
-            .trigger(availableNow=True)
-            .start()
-        )
-        return self._sq
+        `continuous_query.go:103-116`).
+
+        Default (``ordered_by=None``): ``sink_fn(batch_df, batch_id)``
+        receives each micro-batch as a DISTRIBUTED DataFrame — the bulk
+        sink path; write it wherever, no driver materialization.
+
+        ``ordered_by=[cols]``: the sorted-delivery semantics of
+        :meth:`subscribe` at BULK granularity — ``sink_fn(chunk)`` is
+        called with consecutive ``chunk_rows``-sized pandas DataFrames in
+        key order (Arrow transfer, one distributed sort per micro-batch)
+        instead of one driver callback per row.  ``global_order=True``
+        extends the order ACROSS micro-batches exactly like
+        :meth:`subscribe`: rows park in a driver-side buffer; with
+        ``max_out_of_order=d`` every batch drains the buffer up to
+        ``max_seen - d`` (bounded memory ∝ disorder), otherwise the drain
+        happens at :meth:`flush` / :meth:`await_done`.  Ties preserve
+        arrival order (stable merge).  Driver memory holds at most the
+        undrained buffer + one micro-batch — size the watermark (or the
+        micro-batch, via ``maxFilesPerTrigger``) accordingly; the per-row
+        :meth:`subscribe` remains the zero-materialization option.
+        """
+        if ordered_by is None:
+            if not self.streaming:
+                sink_fn(self.df, None)
+                return None
+            self._sq = (
+                self.df.writeStream.outputMode(output_mode)
+                .foreachBatch(sink_fn)
+                .trigger(availableNow=True)
+                .start()
+            )
+            return self._sq
+
+        cols = list(ordered_by)
+
+        def emit(pdf) -> None:
+            for i in range(0, len(pdf), chunk_rows):
+                sink_fn(pdf.iloc[i : i + chunk_rows].reset_index(drop=True))
+
+        if not global_order:
+            def dispatch(batch_df, batch_id=None):
+                emit(batch_df.orderBy(*cols).toPandas())
+
+            if not self.streaming:
+                dispatch(self.df)
+                return None
+            return self.subscribe_batch(dispatch, output_mode=output_mode)
+
+        import pandas as pd
+
+        buf: dict = {"pdf": None, "max_seen": None}
+
+        def dispatch(batch_df, batch_id=None):
+            new = batch_df.orderBy(*cols).toPandas()
+            if len(new) == 0:
+                return
+            held = buf["pdf"]
+            merged = (
+                new if held is None or len(held) == 0
+                else pd.concat([held, new], ignore_index=True)
+            )
+            # both inputs are key-sorted; a STABLE sort of the concat is
+            # the merge step, and keeps FIFO order among equal keys
+            buf["pdf"] = merged.sort_values(
+                cols, kind="mergesort", ignore_index=True
+            )
+            if max_out_of_order is not None:
+                # track the frontier explicitly (a fully-drained buffer —
+                # max_out_of_order=0 — must not let a later low-keyed
+                # batch regress the watermark; same contract as the
+                # per-row heap's max_seen)
+                new_max = new[cols[0]].max()
+                if buf["max_seen"] is None or new_max > buf["max_seen"]:
+                    buf["max_seen"] = new_max
+                wm = buf["max_seen"] - max_out_of_order
+                ready = buf["pdf"][buf["pdf"][cols[0]] <= wm]
+                buf["pdf"] = buf["pdf"][buf["pdf"][cols[0]] > wm].reset_index(
+                    drop=True
+                )
+                if len(ready):
+                    emit(ready.reset_index(drop=True))
+
+        def drain() -> None:
+            held, buf["pdf"] = buf["pdf"], None
+            if held is not None and len(held):
+                emit(held)
+
+        if not self.streaming:
+            dispatch(self.df)
+            drain()
+            return None
+        self._flush = drain
+        return self.subscribe_batch(dispatch, output_mode=output_mode)
 
     def subscribe(
         self,

@@ -3255,3 +3255,111 @@ def ordered_delivery_replay(spark, sf_dir):
         delivered,
         "delivery_pos long, seq long, user_id long, event_type string",
     )
+
+
+@query(
+    "stream_window_count_dense",
+    # hourly error counts FROM A STREAM with EMPTY windows emitted — the
+    # reference's TemporalWindowPolicy emits empty windows as time passes
+    # (selection_policy_test.go:146-201); here the append-mode replay
+    # emits only FIRED windows (end <= final watermark = max event time,
+    # zero lateness), and the dense grid is applied over exactly that
+    # fired range, so the trailing open window is excluded on BOTH sides
+    "WITH e AS (SELECT date_trunc('hour', ts) AS h FROM events"
+    "  WHERE event_type = 'error'),"
+    " mx AS (SELECT max(ts) AS mt FROM events WHERE event_type = 'error'),"
+    " agg AS (SELECT h, count(*) AS n FROM e GROUP BY 1),"
+    " fired AS (SELECT h, n FROM agg, mx WHERE h + INTERVAL 1 HOUR <= mt),"
+    " grid AS (SELECT unnest(generate_series((SELECT min(h) FROM fired),"
+    "  (SELECT max(h) FROM fired), INTERVAL 1 HOUR)) AS h)"
+    " SELECT CAST(epoch(grid.h) AS BIGINT) AS ws, coalesce(n, 0) AS n_events"
+    " FROM grid LEFT JOIN fired USING (h)",
+)
+def stream_window_count_dense(spark, sf_dir):
+    # the streaming twin of window_count_dense_errors: availableNow replay
+    # through the native streaming window aggregation (zero-lateness
+    # watermark, APPEND mode — only windows the watermark has closed emit,
+    # the reference's fire-on-time-passing trigger), then the memory-sink
+    # result is densified with with_empty_windows over the fired range.
+    # Dense grid size = span/shift rows regardless of input volume; the
+    # streaming agg itself is one stateful shuffle keyed by window.
+    from go_streaming_spark.events import to_events
+    from go_streaming_spark.operators.windows import (
+        TemporalWindow,
+        windowed_agg,
+        with_empty_windows,
+    )
+    from go_streaming_spark.sources.catalog import load_stream
+    from go_streaming_spark.streaming.runner import replay_to_memory
+
+    env = to_events(
+        load_stream(spark, sf_dir, "events").filter(
+            F.col("event_type") == "error"
+        ),
+        value="value", event_time="ts", seq="event_id",
+    )
+    policy = TemporalWindow("1 hour")
+    agg = windowed_agg(
+        policy,
+        [F.count(F.lit(1)).alias("n_events")],
+        lineage=False,
+        emit_empty=False,  # sparse from the stream; densified on the sink
+    )(env)
+    fired = replay_to_memory(agg, spark, output_mode="append")
+    dense = with_empty_windows(fired, policy, fill={"n_events": 0})
+    return dense.select(
+        F.unix_timestamp("window_start").alias("ws"), "n_events"
+    )
+
+
+@query(
+    "ordered_bulk_delivery_replay",
+    # the chunk stream's arrival order must equal a plain ORDER BY —
+    # this checks the bulk reorder buffer (subscribe_batch ordered_by +
+    # global_order), not a Spark sort
+    """SELECT CAST(row_number() OVER (ORDER BY event_id) AS BIGINT)
+         AS delivery_pos,
+       event_id AS seq
+FROM events WHERE user_id % 97 = 23""",
+)
+def ordered_bulk_delivery_replay(spark, sf_dir):
+    # Bulk twin of ordered_delivery_replay (reference sorted delivery,
+    # `pkg/pubsub/stream.go:297-319`): a bounded event slice scattered
+    # across 8 id-hashed parquet files, replayed one file per trigger
+    # through subscribe_batch(ordered_by, global_order=True) — each
+    # micro-batch is one distributed sort + Arrow transfer, the
+    # driver-side merge buffer restores GLOBAL key order, and the
+    # callback sees pandas chunks instead of per-row calls (the bulk
+    # sorted sink).  The result records chunk arrival order flattened
+    # to per-event delivery positions.
+    import shutil
+    import tempfile
+
+    eng = Engine(spark, sf_dir=sf_dir)
+    sl = (
+        eng.stream("events")
+        .filter(F.col("user_id") % 97 == 23)
+        .select("event_id")
+    )
+    tmp = tempfile.mkdtemp(prefix="ordered_bulk_replay_")
+    delivered: list[int] = []
+    try:
+        sl.repartition(8, "event_id").write.mode("overwrite").parquet(tmp)
+        stream = (
+            spark.readStream.schema("event_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+        )
+        cq = eng.builder().from_df(stream).build()
+        cq.subscribe_batch(
+            lambda pdf: delivered.extend(pdf["event_id"].tolist()),
+            ordered_by=["event_id"],
+            global_order=True,
+        )
+        cq.await_done()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(delivered)],
+        "delivery_pos long, seq long",
+    )

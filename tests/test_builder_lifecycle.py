@@ -339,3 +339,95 @@ def test_engine_config_round_trip(spark):
         rebuilt.register_stream(
             "people", spark.createDataFrame([(1.0,)], "id double")
         )
+
+
+def _ordered_topic(tmp_path, batches, pin_mtime=False):
+    import json as _json
+    import os as _os
+
+    src = tmp_path / "topic"
+    src.mkdir()
+    for fidx, seqs in enumerate(batches):
+        path = src / f"part-{fidx}.json"
+        with open(path, "w") as f:
+            for s in seqs:
+                f.write(_json.dumps({"seq": s, "value": s * 10}) + "\n")
+        if pin_mtime:
+            t = 1_700_000_000 + fidx * 10
+            _os.utime(path, (t, t))
+    return str(src)
+
+
+def test_subscribe_batch_ordered_chunks_within_batch(spark, tmp_path):
+    """subscribe_batch(ordered_by=...) delivers each micro-batch as
+    key-sorted pandas CHUNKS of at most chunk_rows — the bulk sorted sink
+    (one distributed sort + Arrow transfer per batch, no per-row driver
+    callback)."""
+    eng = Engine(spark)
+    src = _ordered_topic(tmp_path, [[2, 0, 1], [102, 100, 101]])
+    stream = (
+        spark.readStream.schema("seq long, value long")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    cq = eng.builder().from_df(stream).build()
+    chunks: list[list[int]] = []
+    cq.subscribe_batch(
+        lambda pdf: chunks.append(pdf["seq"].tolist()),
+        ordered_by=["seq"], chunk_rows=2,
+    )
+    cq.await_done()
+    assert all(len(c) <= 2 for c in chunks)
+    assert sorted(x for c in chunks for x in c) == [0, 1, 2, 100, 101, 102]
+    # each micro-batch's chunk sequence is ascending end-to-end
+    flat_by_batch = {}
+    for c in chunks:
+        flat_by_batch.setdefault(c[0] // 100, []).extend(c)
+    assert all(v == sorted(v) for v in flat_by_batch.values()), chunks
+
+
+def test_subscribe_batch_global_order_across_batches(spark, tmp_path):
+    """global_order=True merges micro-batches in the driver-side buffer:
+    the concatenated chunk stream is in strict global key order after the
+    await_done flush — the bulk twin of subscribe's reorder heap."""
+    eng = Engine(spark)
+    src = _ordered_topic(tmp_path, [[5, 2, 8], [0, 7, 3], [6, 1, 4]])
+    stream = (
+        spark.readStream.schema("seq long, value long")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    cq = eng.builder().from_df(stream).build()
+    out: list[int] = []
+    cq.subscribe_batch(
+        lambda pdf: out.extend(pdf["seq"].tolist()),
+        ordered_by=["seq"], global_order=True,
+    )
+    cq.await_done()
+    assert out == list(range(9))
+
+
+def test_subscribe_batch_global_order_watermark_incremental(spark, tmp_path):
+    """max_out_of_order=d drains the bulk buffer incrementally behind the
+    key high-watermark (bounded driver memory), and never regresses the
+    frontier; the final chunk stream is still globally ascending."""
+    eng = Engine(spark)
+    src = _ordered_topic(
+        tmp_path, [[2, 0, 1], [3, 5, 4], [8, 6, 7]], pin_mtime=True
+    )
+    stream = (
+        spark.readStream.schema("seq long, value long")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    cq = eng.builder().from_df(stream).build()
+    out: list[int] = []
+    cq.subscribe_batch(
+        lambda pdf: out.extend(pdf["seq"].tolist()),
+        ordered_by=["seq"], global_order=True, max_out_of_order=3,
+    )
+    cq._sq.awaitTermination()
+    # watermark 8-3=5 already released the early seqs pre-flush
+    assert out[:3] == [0, 1, 2] and len(out) >= 6, out
+    cq.flush()
+    assert out == list(range(9))
