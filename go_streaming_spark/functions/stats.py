@@ -185,11 +185,18 @@ def classifier_auc_from_tie_groups(
     sketch."""
     from pyspark.sql.window import Window
 
+    # materialize the tie groups ONCE (narrow rows, ≤ distinct (group,
+    # score) pairs — never data-sized): every downstream job (range,
+    # bucket totals, offsets broadcast, final rollup) replays this
+    # checkpoint instead of re-running the scan+score+shuffle that
+    # produced it — the pre-r12 version paid that lineage twice, once
+    # for the range materialization and once for the main job (same
+    # 6.1 s wall at sf≈1 on 32 local cores, where the duplicate scan
+    # hid in idle slack, but twice the cluster work at real scale)
+    g = g.localCheckpoint()
     # per-group score range: |groups| rows (1 when ungrouped)
-    mm = (
-        g.groupBy("__g")
-        .agg(F.min("__s").alias("lo"), F.max("__s").alias("hi"))
-        .localCheckpoint()  # consumed by every tie-group row
+    mm = g.groupBy("__g").agg(
+        F.min("__s").alias("lo"), F.max("__s").alias("hi")
     )
     bucketed = g.join(F.broadcast(mm), "__g").withColumn(
         "__b",
@@ -247,25 +254,34 @@ def score_calibration_bins(
     ``rate_q6 = n_pos·10⁶ div n`` per bin.  Emits one row per NON-EMPTY
     bin: (bin, lo_s, n, n_pos, rate_q6).
 
-    One scan + one 1-row range aggregate + one groupBy(bin) — map-side
-    combined, no windows at all.
+    ONE scan of the input: rows reduce map-side to (score, n, n_pos)
+    tie groups — the same mergeable state shape the streaming AUC
+    accumulates — which are localCheckpointed (narrow rows, ≤ distinct
+    scores, never data-sized); the 1-row [min, max] range aggregate,
+    its broadcast back for the bin assignment, and the bin rollup are
+    all cheap jobs over that materialization.  The pre-r12 version
+    aggregated the range directly off the input and paid the full
+    scan+score TWICE (the broadcast subplan re-executes unmaterialized
+    lineage — the r8 ReuseExchange lesson); measured 11.2 s → 3.0 s at
+    sf≈1 on the hashed-margin corpus (1.8× wall at 10× data).
     """
     s = df.select(
         F.col(score_col).cast("long").alias("__s"),
         F.col(label_col).cast("long").alias("__y"),
     )
-    mm = s.agg(
-        F.min("__s").alias("lo"), F.max("__s").alias("hi")
-    ).localCheckpoint()  # 1 row
-    binned = s.crossJoin(F.broadcast(mm)).withColumn(
+    tg = s.groupBy("__s").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__y").alias("__p")
+    ).localCheckpoint()
+    mm = tg.agg(F.min("__s").alias("lo"), F.max("__s").alias("hi"))  # 1 row
+    binned = tg.crossJoin(F.broadcast(mm)).withColumn(
         "bin", F.expr(f"((__s - lo) * {int(n_bins)}) div (hi - lo + 1)")
     )
     return (
         binned.groupBy("bin")
         .agg(
             F.min("__s").alias("lo_s"),
-            F.count(F.lit(1)).alias("n"),
-            F.sum("__y").alias("n_pos"),
+            F.sum("__n").alias("n"),
+            F.sum("__p").alias("n_pos"),
         )
         .selectExpr(
             "bin", "lo_s", "n", "n_pos",
