@@ -125,6 +125,74 @@ class CorpusState:
             p.n, p.k, p.rows_per_band, p.gram_k, p.cms_depth, p.cms_width,
         )
 
+    def save_bucketed(
+        self,
+        table_prefix: str,
+        n_buckets: int | None = None,
+        path: str | None = None,
+    ) -> None:
+        """Persist the snapshot as BUCKETED catalog tables, each laid out
+        on ITS ingest join key — digests on ``content_hash`` (the exact-
+        dedup anti-join), bands on ``(band, band_key)`` / shingles on
+        ``id`` (the near-dup candidate + verification joins, via
+        :meth:`MinHashIndex.save_bucketed`), grams on ``gh`` (the span
+        lookup) — so EVERY corpus-side join of :meth:`ingest` plans with
+        no corpus exchange: per batch, only batch-sized data shuffles.
+        The CMS is fixed-size (depth×width rows) and stays plain.
+
+        This is the 100 TB steady-state shape: the anti-join and the
+        gram lookup otherwise re-shuffle corpus-scale frames on every
+        crawl batch; bucketing pays that shuffle once at snapshot-write
+        time.  Load with :meth:`load_bucketed` (catalog reads keep the
+        bucket spec; a path read would silently reintroduce the
+        exchanges).  Mid-loop, :meth:`checkpoint` remains the
+        lineage-truncation tool; this is the durable snapshot between
+        pipeline runs.
+        """
+        from go_streaming_spark.sources.formats import write_bucketed
+
+        spark = self.digests.sparkSession
+        nb = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        write_bucketed(
+            self.digests, f"{table_prefix}_digests", ["content_hash"], nb,
+            sort_cols=["content_hash"],
+            path=f"{path}/digests" if path else None,
+        )
+        self.minhash.save_bucketed(
+            f"{table_prefix}_minhash", nb,
+            path=f"{path}/minhash" if path else None,
+        )
+        write_bucketed(
+            self.grams, f"{table_prefix}_grams", ["gh"], nb,
+            sort_cols=["gh"],
+            path=f"{path}/grams" if path else None,
+        )
+        for name, df in (
+            ("cms", self.cms),
+            ("params", spark.createDataFrame(
+                [(self.n, self.k, self.rows_per_band, self.gram_k,
+                  self.cms_depth, self.cms_width)],
+                "n int, k int, rows_per_band int, gram_k int,"
+                " cms_depth int, cms_width int",
+            )),
+        ):
+            w = df.write.mode("overwrite")
+            if path:
+                w = w.option("path", f"{path}/{name}")
+            w.saveAsTable(f"{table_prefix}_{name}")
+
+    @staticmethod
+    def load_bucketed(spark: SparkSession, table_prefix: str) -> "CorpusState":
+        """Load a snapshot written by :meth:`save_bucketed`."""
+        p = spark.table(f"{table_prefix}_params").head()
+        return CorpusState(
+            spark.table(f"{table_prefix}_digests"),
+            dd.MinHashIndex.load_bucketed(spark, f"{table_prefix}_minhash"),
+            spark.table(f"{table_prefix}_grams"),
+            spark.table(f"{table_prefix}_cms"),
+            p.n, p.k, p.rows_per_band, p.gram_k, p.cms_depth, p.cms_width,
+        )
+
     # -- ingestion --------------------------------------------------------
     def ingest(
         self,
@@ -211,9 +279,14 @@ class CorpusState:
             .drop("__sid")
         )
         # -- state update: append the survivors' contributions ------------
+        # plain union, NO distinct: survivors' digests passed the corpus
+        # anti-join (disjoint from self.digests) and the in-batch
+        # row_number()==1 filter (unique among themselves) — the set is
+        # duplicate-free by construction, and a distinct here would
+        # re-shuffle the ENTIRE corpus digest set on every ingest
         new_digests = self.digests.unionByName(
             survivors.select(F.md5(F.col(text_col)).alias("content_hash"))
-        ).distinct()
+        )
         add_idx = dd.build_minhash_index(
             survivors, id_col, text_col, self.n, self.k, self.rows_per_band
         )

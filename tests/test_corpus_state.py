@@ -191,3 +191,66 @@ def test_ingest_clean_cuts_flagged_spans(spark):
     recrawl = _df(spark, [(30, f"prefix tokens {BOILER} suffix tokens")])
     again, _ = st2.ingest_clean(recrawl, "doc_id", "text", threshold=0.5)
     assert again.count() == 0
+
+
+def test_bucketed_snapshot_roundtrip_and_ingest_plan(spark):
+    """save_bucketed/load_bucketed: identical ingest results to the plain
+    snapshot, and the per-batch corpus-side joins read the bucketed
+    tables IN PLACE — the digest anti-join and the gram lookup plan
+    without re-shuffling corpus-scale state (only batch-sized data
+    moves per crawl batch at 100 TB)."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    st = CorpusState.build(_df(spark, CORPUS), "doc_id", "text", gram_k=8)
+    batch = _df(spark, [
+        (10, CORPUS[1][1]),                         # exact dup
+        (11, "genuinely new text that matches nothing else at all"),
+        (14, f"prefix tokens {BOILER} suffix tokens"),  # span overlap
+    ])
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        st.save_bucketed("cs_t", n_buckets=8)
+        st2 = CorpusState.load_bucketed(spark, "cs_t")
+        assert (st2.n, st2.k, st2.rows_per_band, st2.gram_k) == (3, 16, 4, 8)
+        mem, _ = st.ingest(batch, "doc_id", "text")
+        disk, new_state = st2.ingest(batch, "doc_id", "text")
+        assert sorted(map(str, mem.collect())) == sorted(map(str, disk.collect()))
+
+        # digest anti-join: bucketed corpus side sheds its exchange
+        def anti(state):
+            return (
+                batch.withColumn("__h", F.md5(F.col("text")))
+                .join(
+                    state.digests.select(F.col("content_hash").alias("__h")),
+                    "__h", "left_anti",
+                )
+            )
+
+        plan_b = anti(st2)._jdf.queryExecution().executedPlan().toString()
+        plan_p = anti(st)._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan_b
+        assert (
+            plan_b.count("Exchange hashpartitioning")
+            < plan_p.count("Exchange hashpartitioning")
+        ), plan_b
+
+        # gram lookup: bucketed grams side sheds its exchange too
+        probe = spark.createDataFrame([("x",)], "gh string")
+        g_b = probe.join(st2.grams, "gh", "left")
+        assert "Bucketed: true" in (
+            g_b._jdf.queryExecution().executedPlan().toString()
+        )
+
+        # successive ingest off the bucketed-loaded state still dedups
+        batch2 = _df(spark, [(20, "genuinely new text that matches nothing else at all")])
+        clean2, _ = new_state.ingest(batch2, "doc_id", "text")
+        assert clean2.count() == 0  # dup of survivor 11
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+        for t in ("digests", "grams", "cms", "params",
+                  "minhash_bands", "minhash_shingles", "minhash_params"):
+            spark.sql(f"DROP TABLE IF EXISTS cs_t_{t}")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)
