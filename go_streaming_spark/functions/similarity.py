@@ -450,6 +450,63 @@ def ivf_topk(
     return cosine_topk(cand, id_col, vec_col, query_vec, k)
 
 
+def save_ivf_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    centroids: DataFrame,
+    path: str,
+) -> None:
+    """Persist an IVF index: vectors written ``partitionBy(cluster)``
+    (one directory per inverted list) + the small (cluster, vec)
+    centroid table — the production layout that makes :func:`ivf_topk`'s
+    "at scale the corpus is written partitioned by cluster" claim
+    executable: a probe becomes a PARTITION-PRUNED scan of ``nprobe``
+    inverted lists (``PartitionFilters`` in the plan), the untouched
+    clusters' files are never listed, opened, or read.  Build once per
+    corpus snapshot; append new vectors by writing additional files into
+    their cluster partitions."""
+    df.select(
+        F.col(id_col), F.col(vec_col), F.col(cluster_col)
+    ).write.mode("overwrite").partitionBy(cluster_col).parquet(
+        f"{path}/vectors"
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_pruned_topk(
+    spark,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """ANN top-k against a :func:`save_ivf_index` layout — result ≡
+    :func:`ivf_topk` on the same corpus/centroids; only the PHYSICAL
+    path differs: the ``nprobe`` nearest centroids are picked from the
+    tiny centroid table (driver-side, |clusters| rows), and the
+    candidate scan reads ONLY those clusters' partitions (partition
+    pruning — plan-asserted in
+    test_plans.py::test_ivf_pruned_index_scan).  Per query the cluster
+    touches ~``nprobe/|clusters|`` of the corpus, independent of total
+    corpus size."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    probes = [
+        r["id"]
+        for r in cosine_topk(cents, cluster_col, "vec", query_vec, nprobe)
+        .select("id")
+        .collect()
+    ]
+    cand = spark.read.parquet(f"{path}/vectors").filter(
+        F.col(cluster_col).isin(probes)
+    )
+    return cosine_topk(cand, id_col, vec_col, query_vec, k)
+
+
 def ivf_quantized_topk(
     df: DataFrame,
     id_col: str,

@@ -545,6 +545,37 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+@query("ann_ivf_pruned_topk", ORACLES["ann_ivf_topk"])
+def ann_ivf_pruned_topk(spark, sf_dir):
+    # the PERSISTED-index twin of ann_ivf_topk (same oracle — identical
+    # semantics, different physical path): vectors written
+    # partitionBy(cluster) once per snapshot (similarity.save_ivf_index),
+    # each query probes the tiny centroid table driver-side and scans
+    # ONLY the nprobe matching partitions (PartitionFilters prune the
+    # rest before any file is opened) — per-query cost ∝ nprobe inverted
+    # lists, independent of corpus size
+    import shutil
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    cent = similarity.label_centroids(corpus, "label", "embedding", dim=64)
+    tmp = tempfile.mkdtemp(prefix="ivf_index_")
+    try:
+        similarity.save_ivf_index(
+            corpus, "vec_id", "embedding", "label", cent, tmp
+        )
+        out = similarity.ivf_pruned_topk(
+            spark, tmp, "vec_id", "embedding", "label", qv, k=10, nprobe=2
+        )
+        # materialize before the scratch index disappears
+        rows = out.collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def _lsh_oracle(n_planes: int = 6, seed: int = 42, dim: int = 64) -> str:
     """DuckDB oracle for the LSH ANN path: the plane matrix is deterministic
     metadata (seed → md5 → double), so it embeds as SQL literals with

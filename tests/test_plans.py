@@ -480,3 +480,30 @@ def test_bucketed_index_ingest_join_no_index_exchange(spark):
         spark.sql("DROP TABLE IF EXISTS mh_idx_t_shingles")
         spark.sql("DROP TABLE IF EXISTS mh_idx_t_params")
         shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_ivf_pruned_index_scan(spark, tmp_path):
+    """ivf_pruned_topk over a save_ivf_index layout must (a) plan the
+    candidate scan with PartitionFilters on the cluster column — the
+    non-probed inverted lists are pruned before any file is opened —
+    and (b) return exactly the in-memory ivf_topk result."""
+    from go_streaming_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    cent = similarity.label_centroids(corpus, "label", "embedding", dim=64)
+    path = str(tmp_path / "ivf")
+    similarity.save_ivf_index(corpus, "vec_id", "embedding", "label", cent, path)
+    out = similarity.ivf_pruned_topk(
+        spark, path, "vec_id", "embedding", "label", qv, k=10, nprobe=2
+    )
+    plan = _plan(out)
+    part = plan.split("PartitionFilters: [", 1)
+    assert len(part) == 2, plan
+    assert part[1].lstrip().startswith("label#") and " IN (" in part[1][:200], plan
+    mem = similarity.ivf_topk(
+        corpus, "vec_id", "embedding", "label", cent, qv, k=10, nprobe=2
+    )
+    assert [tuple(r) for r in out.collect()] == [tuple(r) for r in mem.collect()]
