@@ -51,12 +51,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # r13 PRE-COMMITMENT: never-green names lead (any r12 registrations
 # that miss this round's 50 cut plus any r12 reds being re-proven);
 # then the stalest greens — the r8-last-green set (alphabetical, from
-# where the r12 cut stopped: bloom_join_urgent_revenue onward), then
-# r9 — re-enumerated from CORRECTNESS history, oldest-green first,
-# alphabetical within a round, to fill 50.
+# where the r12 cut stopped: anti_join_no_urgent_customers onward),
+# then r9 — re-enumerated from CORRECTNESS history, oldest-green
+# first, alphabetical within a round, to fill 50.
 GATE_PRIORITY = [
     # (a) r12 registrations — never-gated, first hard rows
     "stream_window_count_dense", "ordered_bulk_delivery_replay",
+    "ann_ivf_pruned_topk",
     # (b) the 47 r7-last-green names, alphabetical
     "ann_ivf_topk", "ann_lsh_topk", "ann_quantized_topk",
     "cms_word_counts", "contamination_rates", "corpus_ingest_survivors",
@@ -78,8 +79,9 @@ GATE_PRIORITY = [
     "timeseries_znorm_search", "vocab_top_bigrams",
     "weighted_sample_ids", "window_join_left", "window_join_sliding",
     "window_sampling",
-    # (c) r8 greens, alphabetical, to the 50 cut
-    "anti_join_no_urgent_customers",
+    # (the 3 never-gated r12 registrations + the 47 r7 names fill the
+    # 50 cut exactly; the r8 tail starts next round per the
+    # pre-commitment: anti_join_no_urgent_customers onward)
 ]
 
 
