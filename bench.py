@@ -110,6 +110,7 @@ HEADLINE = [
     "excess_part_suppliers",         # Q20 shape: semi-join chain + HAVING (round 11)
     "quality_score_auc",             # exact Mann-Whitney AUC, 256-bucket prefix sum (round 11)
     "quality_calibration_bins",      # rank-free calibration binning (round 11)
+    "ann_ivf_pruned_topk",           # persisted partition-pruned IVF (write+probe) (round 12)
 ]
 
 

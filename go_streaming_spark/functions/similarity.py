@@ -475,6 +475,27 @@ def save_ivf_index(
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def append_ivf_vectors(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    path: str,
+) -> None:
+    """Append a batch of vectors to a :func:`save_ivf_index` layout —
+    the ingest side of the production ANN loop: each new vector's file
+    lands INSIDE its cluster partition directory (``mode("append")`` +
+    ``partitionBy``), so queries keep pruning to their probed lists and
+    the centroids stay untouched (IVF assigns new vectors to existing
+    cells; re-train centroids per snapshot rebuild, not per batch).
+    Batch cost ∝ batch size — the corpus is never rewritten."""
+    df.select(
+        F.col(id_col), F.col(vec_col), F.col(cluster_col)
+    ).write.mode("append").partitionBy(cluster_col).parquet(
+        f"{path}/vectors"
+    )
+
+
 def ivf_pruned_topk(
     spark,
     path: str,

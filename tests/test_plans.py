@@ -507,3 +507,30 @@ def test_ivf_pruned_index_scan(spark, tmp_path):
         corpus, "vec_id", "embedding", "label", cent, qv, k=10, nprobe=2
     )
     assert [tuple(r) for r in out.collect()] == [tuple(r) for r in mem.collect()]
+
+
+def test_ivf_append_matches_rebuild(spark, tmp_path):
+    """append_ivf_vectors lands new vectors inside their cluster
+    partitions: a pruned query over (seed + appended) equals ivf_topk
+    over the unioned corpus with the same centroids — and the probe
+    scan still partition-prunes."""
+    from go_streaming_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    seed = corpus.filter(F.col("vec_id") % 2 == 0)
+    batch = corpus.filter(F.col("vec_id") % 2 == 1)
+    cent = similarity.label_centroids(corpus, "label", "embedding", dim=64)
+    path = str(tmp_path / "ivf")
+    similarity.save_ivf_index(seed, "vec_id", "embedding", "label", cent, path)
+    similarity.append_ivf_vectors(batch, "vec_id", "embedding", "label", path)
+    out = similarity.ivf_pruned_topk(
+        spark, path, "vec_id", "embedding", "label", qv, k=10, nprobe=2
+    )
+    assert "PartitionFilters: [" in _plan(out)
+    mem = similarity.ivf_topk(
+        corpus, "vec_id", "embedding", "label", cent, qv, k=10, nprobe=2
+    )
+    assert [tuple(r) for r in out.collect()] == [tuple(r) for r in mem.collect()]

@@ -48,6 +48,10 @@ EXTRA_AUDIT = [
     # round 10 scorer-eval family (the 256-bucket prefix-sum AUC plans)
     "quality_score_auc", "quality_auc_by_source",
     "quality_calibration_bins",
+    # (ann_ivf_pruned_topk is NOT audited here: the gate wrapper collects
+    # inside a scratch-index lifecycle, so its returned frame is a
+    # LocalTableScan — the real probe-scan PartitionFilters assertion
+    # lives in test_plans.py::test_ivf_pruned_index_scan)
 ]
 
 
