@@ -3263,8 +3263,10 @@ def ordered_delivery_replay(spark, sf_dir):
     # reference's TemporalWindowPolicy emits empty windows as time passes
     # (selection_policy_test.go:146-201); here the append-mode replay
     # emits only FIRED windows (end <= final watermark = max event time,
-    # zero lateness), and the dense grid is applied over exactly that
-    # fired range, so the trailing open window is excluded on BOTH sides
+    # zero lateness — fuzz-pinned INCLUSIVE: a max ts landing EXACTLY on
+    # a window end DOES fire that window), and the dense grid is applied
+    # over exactly that fired range, so the trailing open window is
+    # excluded on BOTH sides
     "WITH e AS (SELECT date_trunc('hour', ts) AS h FROM events"
     "  WHERE event_type = 'error'),"
     " mx AS (SELECT max(ts) AS mt FROM events WHERE event_type = 'error'),"

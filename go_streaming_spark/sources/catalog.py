@@ -76,14 +76,26 @@ def load_stream(
     (`pkg/events/buffer.go:515-561`) onto source rate limiting.
     """
     configure_session(spark)
-    schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
-    # the file stream source wants a directory; glob-filter to this table
-    reader = spark.readStream.schema(schema).option(
-        "pathGlobFilter", f"{name}.parquet"
-    )
+    import os
+
+    table_path = f"{sf_dir}/{name}.parquet"
+    schema = spark.read.parquet(table_path).schema
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(sf_dir)
+    local = table_path[7:] if table_path.startswith("file://") else table_path
+    if os.path.isdir(local):
+        # table written as a parquet DIRECTORY (part files inside — the
+        # layout every real writer produces): stream the directory
+        # itself.  A pathGlobFilter on the directory NAME matches no
+        # part file and the stream silently reads EMPTY (fuzz-caught
+        # r12 — the driver's single-file testdata masked it).
+        df = reader.parquet(table_path)
+    else:
+        # single-file table (the driver's testdata layout): the file
+        # stream source wants a directory, so point it at the parent
+        # and glob-filter to this table's file
+        df = reader.option("pathGlobFilter", f"{name}.parquet").parquet(sf_dir)
     return _fix_timestamps(df, name)
 
 

@@ -209,6 +209,10 @@ EMB_QUERIES = [
                                   # ties), zero-norm probes, corpus < k
     "embedding_dim_stats",        # r8: µ-quantization of zero/tiny/
                                   # negative components, exact sums
+    "ann_ivf_pruned_topk",        # r12: the persisted partition-pruned
+                                  # path on zero/dup vectors — per-example
+                                  # scratch index write + probe must equal
+                                  # the in-memory oracle result exactly
 ]
 
 
@@ -303,6 +307,16 @@ EVENT_QUERIES = [
                                    # so this pins the empty-side regime
                                    # (one group absent -> 0 rows on BOTH
                                    # engines, no fabricated zero row)
+    "stream_window_count_dense",   # r12: the ONE stream query worth its
+                                   # replay cost per example — pins the
+                                   # fired-watermark cut at regimes the
+                                   # gate corpus can't reach: max error ts
+                                   # EXACTLY on a window boundary (does
+                                   # end <= watermark fire?), all errors
+                                   # inside one hour (zero fired windows
+                                   # -> empty on BOTH engines), and
+                                   # gap-hours zero-filled only between
+                                   # fired windows
 ]
 
 

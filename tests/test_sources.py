@@ -196,3 +196,38 @@ def test_write_training_shards_order_and_manifest(spark, tmp_path):
     for fpath in _glob.glob(f"{out}/part-*"):
         keys = [r["order_key"] for r in spark.read.parquet(fpath).collect()]
         assert keys == sorted(keys)
+
+
+def test_load_stream_reads_both_table_layouts(spark, tmp_path):
+    """load_stream must replay a table whether `{name}.parquet` is a
+    single FILE (the driver's testdata layout) or a DIRECTORY of part
+    files (what every real parquet writer produces).  The directory
+    case used to glob-filter on the directory NAME, match no part file,
+    and stream silently EMPTY — fuzz-caught in round 12."""
+    import shutil
+
+    from go_streaming_spark.sources.catalog import load_stream
+    from go_streaming_spark.streaming.runner import replay_to_memory
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(100)
+
+    # directory layout (writer output)
+    d_dir = str(tmp_path / "dirlay")
+    src.write.mode("overwrite").parquet(f"{d_dir}/events.parquet")
+    got = replay_to_memory(
+        load_stream(spark, d_dir, "events"), spark, output_mode="append"
+    )
+    assert got.count() == 100
+
+    # single-file layout (driver testdata): copy one part file up
+    d_file = str(tmp_path / "filelay")
+    import glob as _glob
+    import os
+
+    os.makedirs(d_file, exist_ok=True)
+    part = _glob.glob(f"{d_dir}/events.parquet/part-*.parquet")[0]
+    shutil.copy(part, f"{d_file}/events.parquet")
+    got2 = replay_to_memory(
+        load_stream(spark, d_file, "events"), spark, output_mode="append"
+    )
+    assert got2.count() == 100
