@@ -40,7 +40,7 @@ def _size_conf_bytes(spark, key: str, default: int) -> int:
         return default
 
 
-def _estimated_input_splits(df: DataFrame) -> int:
+def _estimated_input_splits(df: DataFrame) -> int | None:
     """Estimate the scan's partition count WITHOUT touching ``df.rdd``
     (which forces a full plan→RDD conversion per call) — mirrors
     ``FilePartition.maxSplitBytes`` + greedy bin packing over the input
@@ -50,18 +50,23 @@ def _estimated_input_splits(df: DataFrame) -> int:
 
     File sizes come from ``os.stat`` on ``file:`` URIs (the local-mode
     and test path).  On a remote FS (no cheap stat from the driver) the
-    estimate degrades to one split per file — for :func:`spread`'s
-    purpose a *lower* bound only errs toward one extra narrow-row
-    round-robin shuffle, never toward losing parallelism.  In-memory
-    frames (no input files) report 0 — always below target, and a
-    repartition of local rows is cheap.
+    estimate degrades to the openCost-only packing bound
+    ``ceil(n_files·openCost / maxPartitionBytes)`` — a LOWER bound on
+    the real packing (real bins also carry the bytes), so the only
+    error mode is one extra narrow-row round-robin shuffle, never lost
+    parallelism (a naive one-split-per-file count would OVERestimate
+    many-small-files scans and skip a needed widening).
+
+    Returns ``None`` for frames with no input files (checkpointed,
+    in-memory, or otherwise not scan-rooted) — the estimate only speaks
+    for scans.
     """
     import os
     from urllib.parse import unquote, urlparse
 
     files = df.inputFiles()
     if not files:
-        return 0
+        return None
     spark = df.sparkSession
     max_pb = _size_conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
     open_cost = _size_conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 << 20)
@@ -69,11 +74,11 @@ def _estimated_input_splits(df: DataFrame) -> int:
     for uri in files:
         parsed = urlparse(uri)
         if parsed.scheme not in ("file", ""):
-            return len(files)
+            return max(1, -(-len(files) * open_cost // max_pb))
         try:
             sizes.append(os.stat(unquote(parsed.path)).st_size)
         except OSError:
-            return len(files)
+            return max(1, -(-len(files) * open_cost // max_pb))
     total = sum(sizes) + open_cost * len(sizes)
     par = max(1, spark.sparkContext.defaultParallelism)
     max_split = min(max_pb, max(open_cost, total // par))
@@ -104,12 +109,23 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     100 TB case) pass through untouched — no extra shuffle.  The split
     count is a plan-level estimate (:func:`_estimated_input_splits`) —
     no ``df.rdd`` conversion at query-build time.
+
+    Frames that are NOT scan-rooted (checkpointed, in-memory,
+    post-shuffle — no input files) pass through untouched: their
+    partitioning was set by a shuffle / checkpoint / parallelize that
+    already reflects cluster parallelism, and re-shuffling a
+    localCheckpointed frame (e.g. ingest survivors feeding an index
+    build) would add a full extra pass for nothing.  The one case this
+    forgoes vs the old ``df.rdd`` probe is a deliberately coalesced
+    narrow frame — callers doing ``coalesce(1)`` before a heavy stage
+    asked for that layout.
     """
     if df.isStreaming:
         # micro-batch partitioning is the source's concern; input files
         # are unknowable before triggers fire
         return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if _estimated_input_splits(df) < target:
+    est = _estimated_input_splits(df)
+    if est is not None and est < target:
         return df.repartition(target)
     return df

@@ -124,6 +124,12 @@ class ContinuousQuery:
         :meth:`subscribe` remains the zero-materialization option.
         """
         if ordered_by is None:
+            if global_order or max_out_of_order is not None:
+                # same contract as subscribe(): ordering knobs without a
+                # key would otherwise silently deliver UNORDERED batches
+                raise ValueError(
+                    "global_order/max_out_of_order require ordered_by"
+                )
             if not self.streaming:
                 sink_fn(self.df, None)
                 return None
@@ -158,6 +164,18 @@ class ContinuousQuery:
             new = batch_df.orderBy(*cols).toPandas()
             if len(new) == 0:
                 return
+            # NULL ordered_by keys are unorderable: pandas coerces the
+            # column to float64 with NaN, and NaN fails BOTH watermark
+            # masks below — the row would vanish from the buffer without
+            # ever being delivered.  Fail loudly instead (the per-row
+            # subscribe() heap fails on None comparison the same way).
+            if new[cols].isna().any().any():
+                raise ValueError(
+                    "subscribe_batch(global_order=True): NULL values in"
+                    f" ordered_by columns {cols} — an unorderable key"
+                    " cannot pass the reorder watermark; filter NULLs"
+                    " upstream or order by a non-nullable key"
+                )
             held = buf["pdf"]
             merged = (
                 new if held is None or len(held) == 0

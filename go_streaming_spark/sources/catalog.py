@@ -76,15 +76,19 @@ def load_stream(
     (`pkg/events/buffer.go:515-561`) onto source rate limiting.
     """
     configure_session(spark)
-    import os
-
     table_path = f"{sf_dir}/{name}.parquet"
-    schema = spark.read.parquet(table_path).schema
+    batch = spark.read.parquet(table_path)
+    schema = batch.schema
+    # layout detection via the BATCH read's resolved file list — works on
+    # ANY filesystem (s3a/hdfs/file:/ single-slash included), unlike an
+    # os.path.isdir probe which is silently False for every remote URI:
+    # a directory-layout table resolves to part files INSIDE
+    # .../{name}.parquet/, a single-file table to the path itself
+    is_dir_layout = any(f"/{name}.parquet/" in f for f in batch.inputFiles())
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    local = table_path[7:] if table_path.startswith("file://") else table_path
-    if os.path.isdir(local):
+    if is_dir_layout:
         # table written as a parquet DIRECTORY (part files inside — the
         # layout every real writer produces): stream the directory
         # itself.  A pathGlobFilter on the directory NAME matches no

@@ -431,3 +431,31 @@ def test_subscribe_batch_global_order_watermark_incremental(spark, tmp_path):
     assert out[:3] == [0, 1, 2] and len(out) >= 6, out
     cq.flush()
     assert out == list(range(9))
+
+
+def test_subscribe_batch_ordering_knobs_require_key(spark):
+    """global_order / max_out_of_order without ordered_by must raise —
+    silently delivering unordered batches is the failure mode."""
+    eng = Engine(spark)
+    df = spark.createDataFrame([(1, 1)], "seq long, value long")
+    cq = eng.builder().from_df(df).build()
+    with pytest.raises(ValueError, match="require ordered_by"):
+        cq.subscribe_batch(lambda pdf: None, global_order=True)
+    with pytest.raises(ValueError, match="require ordered_by"):
+        cq.subscribe_batch(lambda pdf: None, max_out_of_order=3)
+
+
+def test_subscribe_batch_global_order_null_key_raises(spark):
+    """A NULL ordered_by key is unorderable: NaN would fail both
+    watermark masks and the row would silently vanish from the reorder
+    buffer — the bulk path must fail as loudly as the per-row heap."""
+    eng = Engine(spark)
+    df = spark.createDataFrame(
+        [(1, 1), (None, 2)], "seq long, value long"
+    )
+    cq = eng.builder().from_df(df).build()
+    with pytest.raises(ValueError, match="NULL values in ordered_by"):
+        cq.subscribe_batch(
+            lambda pdf: None, ordered_by=["seq"], global_order=True,
+            max_out_of_order=1,
+        )

@@ -404,8 +404,12 @@ def test_estimated_splits_match_rdd_partitions(spark):
     ]
     for df in cases:
         assert _estimated_input_splits(df) == df.rdd.getNumPartitions()
-    # in-memory frames have no input files: estimate 0 (always repartitions)
-    assert _estimated_input_splits(spark.createDataFrame([(1,)], "a int")) == 0
+    # non-scan-rooted frames (in-memory, checkpointed): no estimate —
+    # spread() passes them through with their materialized partitioning
+    mem = spark.createDataFrame([(1,)], "a int")
+    assert _estimated_input_splits(mem) is None
+    ck = spark.read.parquet(f"{SF_DIR}/region.parquet").localCheckpoint()
+    assert _estimated_input_splits(ck) is None
 
 
 def test_spread_repartitions_small_input_passes_large(spark):
@@ -534,3 +538,17 @@ def test_ivf_append_matches_rebuild(spark, tmp_path):
         corpus, "vec_id", "embedding", "label", cent, qv, k=10, nprobe=2
     )
     assert [tuple(r) for r in out.collect()] == [tuple(r) for r in mem.collect()]
+
+
+def test_spread_passes_checkpointed_frames_untouched(spark):
+    """A localCheckpointed frame keeps its materialized partitioning —
+    spread() must not add a round-robin shuffle on top (the ingest
+    survivors path would otherwise pay a full extra pass per batch)."""
+    from go_streaming_spark.functions.util import spread
+
+    ck = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .repartition(2)
+        .localCheckpoint()
+    )
+    assert spread(ck, min_partitions=8) is ck
