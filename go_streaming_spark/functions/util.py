@@ -110,15 +110,16 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     count is a plan-level estimate (:func:`_estimated_input_splits`) —
     no ``df.rdd`` conversion at query-build time.
 
-    Frames that are NOT scan-rooted (checkpointed, in-memory,
-    post-shuffle — no input files) pass through untouched: their
-    partitioning was set by a shuffle / checkpoint / parallelize that
-    already reflects cluster parallelism, and re-shuffling a
-    localCheckpointed frame (e.g. ingest survivors feeding an index
-    build) would add a full extra pass for nothing.  The one case this
-    forgoes vs the old ``df.rdd`` probe is a deliberately coalesced
-    narrow frame — callers doing ``coalesce(1)`` before a heavy stage
-    asked for that layout.
+    Frames that are NOT scan-rooted (checkpointed, in-memory — no input
+    files) fall back to the REAL partition count via ``df.rdd``: for a
+    localCheckpointed frame the plan is already a materialized RDD scan,
+    so the conversion is trivial — and the count genuinely matters
+    there, because AQE coalesces small shuffles and a checkpoint can
+    materialize at ONE partition (measured: the ingest-survivors frame
+    does exactly that), which would serialize the downstream
+    shingle/index build on one core at any corpus size.  Only the
+    scan-rooted common path — where the plan→RDD conversion is the
+    expensive one — avoids ``.rdd`` entirely.
     """
     if df.isStreaming:
         # micro-batch partitioning is the source's concern; input files
@@ -126,6 +127,8 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     est = _estimated_input_splits(df)
-    if est is not None and est < target:
+    if est is None:
+        est = df.rdd.getNumPartitions()
+    if est < target:
         return df.repartition(target)
     return df

@@ -540,15 +540,16 @@ def test_ivf_append_matches_rebuild(spark, tmp_path):
     assert [tuple(r) for r in out.collect()] == [tuple(r) for r in mem.collect()]
 
 
-def test_spread_passes_checkpointed_frames_untouched(spark):
-    """A localCheckpointed frame keeps its materialized partitioning —
-    spread() must not add a round-robin shuffle on top (the ingest
-    survivors path would otherwise pay a full extra pass per batch)."""
+def test_spread_widens_narrow_checkpointed_frames(spark):
+    """Checkpointed frames use their REAL partition count: AQE can
+    coalesce a shuffle to ONE partition before a localCheckpoint
+    (measured on the ingest-survivors frame), and spread() must widen
+    that before a heavy stage — while a checkpoint that is already wide
+    passes through untouched."""
     from go_streaming_spark.functions.util import spread
 
-    ck = (
-        spark.read.parquet(f"{SF_DIR}/documents.parquet")
-        .repartition(2)
-        .localCheckpoint()
-    )
-    assert spread(ck, min_partitions=8) is ck
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    narrow = docs.repartition(2).localCheckpoint()
+    assert spread(narrow, min_partitions=8).rdd.getNumPartitions() == 8
+    wide = docs.repartition(8).localCheckpoint()
+    assert spread(wide, min_partitions=8) is wide
