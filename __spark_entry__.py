@@ -50,14 +50,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # r13 PRE-COMMITMENT: never-green names lead (any r12 registrations
 # that miss this round's 50 cut plus any r12 reds being re-proven);
-# then the stalest greens — the r8-last-green set (alphabetical, from
-# where the r12 cut stopped: anti_join_no_urgent_customers onward),
-# then r9 — re-enumerated from CORRECTNESS history, oldest-green
-# first, alphabetical within a round, to fill 50.
+# then the stalest greens — the r7 alphabetical tail the r12 cut
+# displaced (window_sampling), then the r8-last-green set
+# (anti_join_no_urgent_customers onward, alphabetical), then r9 —
+# re-enumerated from CORRECTNESS history, oldest-green first,
+# alphabetical within a round, to fill 50.
 GATE_PRIORITY = [
     # (a) r12 registrations — never-gated, first hard rows
     "stream_window_count_dense", "ordered_bulk_delivery_replay",
-    "ann_ivf_pruned_topk",
+    "ann_ivf_pruned_topk", "quality_probe_gram",
     # (b) the 47 r7-last-green names, alphabetical
     "ann_ivf_topk", "ann_lsh_topk", "ann_quantized_topk",
     "cms_word_counts", "contamination_rates", "corpus_ingest_survivors",
@@ -78,10 +79,10 @@ GATE_PRIORITY = [
     "text_quality", "text_token_counts", "tfidf_top_terms",
     "timeseries_znorm_search", "vocab_top_bigrams",
     "weighted_sample_ids", "window_join_left", "window_join_sliding",
-    "window_sampling",
-    # (the 3 never-gated r12 registrations + the 47 r7 names fill the
-    # 50 cut exactly; the r8 tail starts next round per the
-    # pre-commitment: anti_join_no_urgent_customers onward)
+    # (the 4 never-gated r12 registrations + the first 46 r7 names fill
+    # the 50 cut exactly; window_sampling (the r7 alphabetical tail) and
+    # the r8 set (anti_join_no_urgent_customers onward) lead the stale
+    # greens next round per the pre-commitment)
 ]
 
 

@@ -288,3 +288,59 @@ def score_calibration_bins(
             "(n_pos * 1000000) div n AS rate_q6",
         )
     )
+
+
+def gram_matrix_long(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str | None = None,
+) -> DataFrame:
+    """Augmented Gram matrix of integer feature columns as long-form
+    rows (i, j, v) with i <= j — the ONE-PASS sufficient statistic of
+    linear least squares: with ``label_col`` appended as the last
+    column, the output carries X'X (feature block), X'y (the
+    label-column entries) and y'y, after which :func:`ridge_fit_from_gram`
+    solves for the weights on the driver in O(k³) — training cost at
+    100 TB is ONE map-side-combined aggregation over the data, state is
+    the fixed (k+1)(k+2)/2 cells regardless of row count, and the
+    statistic merges BY ADDITION across partitions, batches, or whole
+    corpora (the sketch-state shape, exactly like the tie groups).
+
+    All-integer: products and sums stay int64 — exact, engine-portable.
+    Bound: Σ x_i·x_j < 2^63 (≈ rows·(tokens/k)² here; shard and add
+    beyond).
+    """
+    cols = list(feature_cols) + ([label_col] if label_col else [])
+    pairs = [(i, j) for i in range(len(cols)) for j in range(i, len(cols))]
+    aggs = [
+        F.sum(F.col(cols[i]) * F.col(cols[j])).alias(f"v_{i}_{j}")
+        for i, j in pairs
+    ]
+    row = df.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({i} AS BIGINT), CAST({j} AS BIGINT), v_{i}_{j}"
+        for i, j in pairs
+    )
+    return row.selectExpr(
+        f"stack({len(pairs)}, {stack}) AS (i, j, v)"
+    )
+
+
+def ridge_fit_from_gram(rows, k: int, lam: float = 1.0):
+    """Solve ridge weights from :func:`gram_matrix_long` output rows
+    (collected — (k+1)(k+2)/2 cells, driver-trivial at any data size):
+    w = (X'X + λI)⁻¹ X'y, where index ``k`` is the label column.
+    Returns a length-k numpy vector.  Deterministic: the inputs are
+    exact integers, so identical gram rows give bit-identical weights
+    wherever they were accumulated."""
+    import numpy as np
+
+    xtx = np.zeros((k, k), dtype=np.float64)
+    xty = np.zeros(k, dtype=np.float64)
+    for r in rows:
+        i, j, v = int(r["i"]), int(r["j"]), float(r["v"])
+        if i < k and j < k:
+            xtx[i, j] = xtx[j, i] = v
+        elif i < k and j == k:
+            xty[i] = v
+    return np.linalg.solve(xtx + lam * np.eye(k), xty)

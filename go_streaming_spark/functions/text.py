@@ -1568,3 +1568,45 @@ def compression_bounds_audit(
         " AND n_bytes + (n_bytes div 1000) + 64 AS INT)"
         " ELSE NULL END AS bounds_ok",
     )
+
+
+def hashed_bucket_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    seed: str = "probe",
+) -> DataFrame:
+    """Per-document hashed bag-of-words feature vector: every token
+    OCCURRENCE hashes into one of ``k`` buckets (the hashing trick,
+    Weinberger et al. 2009) and the features are the exact int64 bucket
+    counts — the INPUT side of linear-probe training, pairing with
+    :func:`hashed_linear_score` (the serving side).
+
+    Emits (id, f0..f{k-1}, n_tokens).  Pure projection: the token array
+    and its bucket array bind to real columns FIRST (the repo's
+    nested-HOF rule — an unbound array re-evaluates per element), then
+    each feature is one ``size(filter(...))`` over the bound bucket
+    array — zero shuffles, zero joins, whole-stage codegen end to end,
+    CPU ∝ tokens·1 (the md5 is computed once per token, not once per
+    bucket).
+    """
+    from go_streaming_spark.functions.dedup import md5_int
+
+    bound = df.select(
+        F.col(id_col).alias("id"),
+        words_expr(F.lower(F.col(text_col))).alias("__toks"),
+    ).withColumn(
+        "__b",
+        F.transform(
+            F.col("__toks"),
+            lambda t: md5_int(F.concat_ws("|", F.lit(seed), t), 8) % k,
+        ),
+    )
+    feats = [
+        F.size(F.filter(F.col("__b"), lambda b: b == i)).cast("long").alias(f"f{i}")
+        for i in range(k)
+    ]
+    return bound.select(
+        "id", *feats, F.size("__toks").cast("long").alias("n_tokens")
+    )

@@ -3680,3 +3680,52 @@ def embedding_dim_stats(spark, sf_dir):
     return similarity.embedding_dim_stats(
         _emb(spark, sf_dir), "vec_id", "embedding", dim=64
     )
+
+
+def _probe_gram_oracle(k: int = 8, seed: str = "probe") -> str:
+    """Oracle for the one-pass linear-probe training statistic: per-doc
+    hashed bucket counts (same md5 idiom as the engine), then every
+    (i<=j) cell of the AUGMENTED gram matrix [X|y]'[X|y] as exact int64
+    sums — one UNION ALL arm per cell, all over one tiny feature CTE."""
+    feats = ", ".join(
+        f"coalesce(sum(CASE WHEN bk={i} THEN 1 END), 0) AS f{i}"
+        for i in range(k)
+    )
+    cols = [f"f{i}" for i in range(k)] + ["y"]
+    arms = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS i, CAST({j} AS BIGINT) AS j,"
+        f" CAST(sum({cols[i]}*{cols[j]}) AS BIGINT) AS v FROM f"
+        for i in range(k + 1)
+        for j in range(i, k + 1)
+    )
+    return rf"""WITH t AS (SELECT doc_id AS id, lang,
+    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents),
+tok AS (SELECT id, unnest(w) AS tok FROM t),
+b AS (SELECT id, CAST('0x' || substr(md5('{seed}|' || tok), 1, 8) AS BIGINT)
+        % {k} AS bk FROM tok),
+f AS (SELECT t.id, {feats},
+        CASE WHEN t.lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM t LEFT JOIN b ON t.id = b.id GROUP BY t.id, t.lang)
+{arms}"""
+
+
+@query("quality_probe_gram", _probe_gram_oracle())
+def quality_probe_gram(spark, sf_dir):
+    # the TRAINING side of the quality-probe story (hashed_linear_score
+    # is the serving side): one map-side-combined pass accumulates the
+    # augmented gram matrix [X|y]'[X|y] over hashed bag-of-words
+    # features — the sufficient statistic of ridge regression.  State is
+    # the fixed (k+1)(k+2)/2 int64 cells at ANY corpus size, merges by
+    # addition across partitions/batches/corpora, and
+    # stats.ridge_fit_from_gram solves the k x k system on the driver.
+    # All-integer: exact and engine-portable (oracle = the same 45 sums).
+    from go_streaming_spark.functions.stats import gram_matrix_long
+
+    docs = _docs(spark, sf_dir)
+    feats = text.hashed_bucket_features(docs, "doc_id", "text", k=8, seed="probe")
+    lab = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("y"),
+    )
+    return gram_matrix_long(feats.join(lab, "id"), [f"f{i}" for i in range(8)], "y")

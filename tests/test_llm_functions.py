@@ -3012,3 +3012,44 @@ def test_stratified_token_budget_independent_per_stratum(spark):
         df.filter("src = 'a'"), "doc_id", "n_tok", budget, "src"
     ).collect()
     assert {r["doc_id"] for r in only_a} == ref("a")
+
+
+def test_ridge_fit_from_distributed_gram_matches_local(spark):
+    """The one-pass augmented gram statistic must reproduce the local
+    normal-equations solve exactly (all entries are exact int64, so the
+    driver solve sees bit-identical inputs), and the statistic must
+    merge BY ADDITION across disjoint corpus halves."""
+    import numpy as np
+
+    from go_streaming_spark.functions.stats import (
+        gram_matrix_long,
+        ridge_fit_from_gram,
+    )
+    from go_streaming_spark.functions.text import hashed_bucket_features
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    feats = hashed_bucket_features(docs, "doc_id", "text", k=8)
+    lab = docs.selectExpr(
+        "doc_id AS id", "CAST(lang = 'en' AS LONG) AS y"
+    )
+    j = feats.join(lab, "id")
+    cols = [f"f{i}" for i in range(8)]
+
+    gram = gram_matrix_long(j, cols, "y").collect()
+    w = ridge_fit_from_gram(gram, 8, lam=1.0)
+
+    pdf = j.toPandas()
+    X = pdf[cols].to_numpy(dtype=np.float64)
+    y = pdf["y"].to_numpy(dtype=np.float64)
+    w_ref = np.linalg.solve(X.T @ X + np.eye(8), X.T @ y)
+    # integer entries < 2^53: both accumulations are exact -> identical
+    assert np.array_equal(w, w_ref)
+
+    # mergeability: gram(half A) + gram(half B) == gram(all), cell-exact
+    a = gram_matrix_long(j.filter("id % 2 = 0"), cols, "y").collect()
+    b = gram_matrix_long(j.filter("id % 2 = 1"), cols, "y").collect()
+    merged = {}
+    for rows in (a, b):
+        for r in rows:
+            merged[(r["i"], r["j"])] = merged.get((r["i"], r["j"]), 0) + r["v"]
+    assert merged == {(r["i"], r["j"]): r["v"] for r in gram}
