@@ -111,6 +111,7 @@ HEADLINE = [
     "quality_score_auc",             # exact Mann-Whitney AUC, 256-bucket prefix sum (round 11)
     "quality_calibration_bins",      # rank-free calibration binning (round 11)
     "ann_ivf_pruned_topk",           # persisted partition-pruned IVF (write+probe) (round 12)
+    "quality_probe_gram",            # one-pass gram-matrix training statistic (round 12)
 ]
 
 
