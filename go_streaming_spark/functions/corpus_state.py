@@ -151,8 +151,10 @@ class CorpusState:
         """
         from go_streaming_spark.sources.formats import write_bucketed
 
+        from go_streaming_spark.functions.util import default_buckets
+
         spark = self.digests.sparkSession
-        nb = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        nb = n_buckets or default_buckets(spark)
         write_bucketed(
             self.digests, f"{table_prefix}_digests", ["content_hash"], nb,
             sort_cols=["content_hash"],

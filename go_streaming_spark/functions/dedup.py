@@ -375,10 +375,11 @@ class MinHashIndex(NamedTuple):
         :meth:`load_bucketed` — a path-level parquet read would drop the
         bucket spec and silently reintroduce the exchange.
         """
+        from go_streaming_spark.functions.util import default_buckets
         from go_streaming_spark.sources.formats import write_bucketed
 
         spark = self.bands.sparkSession
-        nb = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        nb = n_buckets or default_buckets(spark)
         write_bucketed(
             self.bands, f"{table_prefix}_bands", ["band", "band_key"], nb,
             sort_cols=["band", "band_key"],

@@ -309,6 +309,14 @@ def gram_matrix_long(
     All-integer: products and sums stay int64 — exact, engine-portable.
     Bound: Σ x_i·x_j < 2^63 (≈ rows·(tokens/k)² here; shard and add
     beyond).
+
+    WIDTH bound: this literal form plans ONE aggregate expression per
+    (i,j) cell — (k+1)(k+2)/2 columns in a single agg.  Fine at probe
+    widths (k=8 → 45 cells); at k≈1024 hashed features that is ~526k
+    aggregate expressions and janino/codegen will not survive.  For
+    large k use :func:`gram_matrix_exploded` (sparse long form — one
+    explode + one map-side-combined groupBy, parity-tested against this
+    form), fed by ``hashed_bucket_entries``.
     """
     cols = list(feature_cols) + ([label_col] if label_col else [])
     pairs = [(i, j) for i in range(len(cols)) for j in range(i, len(cols))]
@@ -326,18 +334,110 @@ def gram_matrix_long(
     )
 
 
+def gram_matrix_exploded(
+    df: DataFrame,
+    entries_col: str,
+    k: int,
+    label_col: str | None = None,
+    dense: bool = False,
+) -> DataFrame:
+    """:func:`gram_matrix_long` for REALISTIC probe widths: the same
+    augmented gram statistic (i, j, v with i <= j, all int64-exact,
+    merges by addition) computed from SPARSE per-row feature entries
+    instead of k wide columns — the literal form's single agg plans
+    (k+1)(k+2)/2 expressions and blows codegen around k≈10³; this form
+    is one explode + one map-side-combined ``groupBy(i, j)`` whatever k
+    is, and its work is Σ nnz(row)² instead of rows·k².
+
+    ``entries_col``: ``array<struct<i: long, x: long>>`` of the row's
+    NONZERO features (``hashed_bucket_entries`` emits exactly this).
+    ``label_col`` appends the label as feature index ``k`` — the output
+    then carries X'X, X'y and y'y like the literal form.  Zero entries
+    contribute zero products, so cells whose features never co-occur are
+    ABSENT from the sparse output (:func:`ridge_fit_from_gram` reads
+    missing as 0); ``dense=True`` left-joins the full (i<=j) grid and
+    emits explicit zeros — cell-for-cell identical to the literal form.
+
+    Pair generation is pure whole-stage-codegen expression work: the
+    sorted entry array binds to a real column first (the repo's
+    nested-HOF rule), then ``flatten(transform(es, (e1, ix) ->
+    transform(slice(es, ix+1, ...), ...)))`` builds the row's upper
+    triangle in place — no self-join, no shuffle before the one
+    aggregation.
+    """
+    m = k + (1 if label_col else 0)
+    es = F.col(entries_col)
+    if label_col:
+        lab_entry = F.when(
+            F.col(label_col).cast("long") != 0,
+            F.array(
+                F.struct(
+                    F.lit(k).cast("long").alias("i"),
+                    F.col(label_col).cast("long").alias("x"),
+                )
+            ),
+        ).otherwise(F.array().cast("array<struct<i: long, x: long>>"))
+        es = F.concat(es, lab_entry)
+    bound = df.select(F.sort_array(es).alias("__es"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("__es"),
+            lambda e1, ix: F.transform(
+                F.slice(F.col("__es"), ix + 1, F.size(F.col("__es"))),
+                lambda e2: F.struct(
+                    e1["i"].alias("i"),
+                    e2["i"].alias("j"),
+                    (e1["x"] * e2["x"]).alias("v"),
+                ),
+            ),
+        )
+    )
+    sparse = (
+        bound.select(F.explode(pairs).alias("p"))
+        .select("p.i", "p.j", "p.v")
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+    )
+    if not dense:
+        return sparse
+    spark = df.sparkSession
+    grid = (
+        spark.range(m)
+        .select(F.col("id").alias("i"))
+        .crossJoin(spark.range(m).select(F.col("id").alias("j")))
+        .where("i <= j")
+    )
+    return (
+        grid.join(sparse, ["i", "j"], "left")
+        .select("i", "j", F.coalesce("v", F.lit(0).cast("long")).alias("v"))
+    )
+
+
 def ridge_fit_from_gram(rows, k: int, lam: float = 1.0):
     """Solve ridge weights from :func:`gram_matrix_long` output rows
     (collected — (k+1)(k+2)/2 cells, driver-trivial at any data size):
     w = (X'X + λI)⁻¹ X'y, where index ``k`` is the label column.
     Returns a length-k numpy vector.  Deterministic: the inputs are
     exact integers, so identical gram rows give bit-identical weights
-    wherever they were accumulated."""
+    wherever they were accumulated.  Accepts the sparse
+    :func:`gram_matrix_exploded` output too — absent cells read as 0."""
     import numpy as np
 
+    if not rows:
+        raise ValueError(
+            "ridge_fit_from_gram: no gram cells — the training frame"
+            " was empty"
+        )
     xtx = np.zeros((k, k), dtype=np.float64)
     xty = np.zeros(k, dtype=np.float64)
     for r in rows:
+        if r["v"] is None:
+            # gram_matrix_long over ZERO rows sums to NULL in every cell;
+            # fail with the real cause, not a float(None) TypeError
+            raise ValueError(
+                "ridge_fit_from_gram: NULL gram cell "
+                f"(i={r['i']}, j={r['j']}) — the training frame was empty"
+            )
         i, j, v = int(r["i"]), int(r["j"]), float(r["v"])
         if i < k and j < k:
             xtx[i, j] = xtx[j, i] = v

@@ -1610,3 +1610,50 @@ def hashed_bucket_features(
     return bound.select(
         "id", *feats, F.size("__toks").cast("long").alias("n_tokens")
     )
+
+
+def hashed_bucket_entries(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 1024,
+    seed: str = "probe",
+) -> DataFrame:
+    """Sparse twin of :func:`hashed_bucket_features` for REALISTIC probe
+    widths: the same hashing-trick bucket counts (same md5 idiom, same
+    seed → identical features), emitted as the row's NONZERO entries
+    ``array<struct<i: long, x: long>>`` sorted by ``i`` instead of k
+    wide columns — the input shape ``stats.gram_matrix_exploded``
+    consumes.  At k≈1024 the wide form plans k count expressions per
+    row (O(tokens·k) CPU) and the downstream literal gram agg blows
+    codegen; this form is O(tokens·distinct_buckets) per row, still
+    pure whole-stage-codegen projection — zero shuffles, zero joins.
+
+    Emits (id, entries, n_tokens).
+    """
+    from go_streaming_spark.functions.dedup import md5_int
+
+    bound = df.select(
+        F.col(id_col).alias("id"),
+        words_expr(F.lower(F.col(text_col))).alias("__toks"),
+    ).withColumn(
+        "__b",
+        F.transform(
+            F.col("__toks"),
+            lambda t: md5_int(F.concat_ws("|", F.lit(seed), t), 8) % k,
+        ),
+    )
+    entries = F.transform(
+        F.array_distinct(F.col("__b")),
+        lambda b: F.struct(
+            b.cast("long").alias("i"),
+            F.size(F.filter(F.col("__b"), lambda x: x == b))
+            .cast("long")
+            .alias("x"),
+        ),
+    )
+    return bound.select(
+        "id",
+        F.sort_array(entries).alias("entries"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+    )

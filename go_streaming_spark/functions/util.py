@@ -40,6 +40,47 @@ def _size_conf_bytes(spark, key: str, default: int) -> int:
         return default
 
 
+# Logical-plan nodes that PRESERVE the scan's partitioning (narrow, no
+# Exchange): only when every node in the optimized plan is one of these
+# does the file-split estimate speak for the frame's real partition
+# count.  Anything else (Aggregate, Join, Repartition, Sort, Window,
+# Deduplicate, limits, set ops...) roots the frame in a shuffle — its
+# partition count is set by AQE/shuffle config, NOT the scan, and the
+# estimate would silently skip a needed widening (AQE can coalesce a
+# heavy aggregate to ONE partition over a many-file scan) or add a
+# spurious round-robin shuffle.
+_SCAN_SAFE_NODES = frozenset(
+    {"Project", "Filter", "Generate", "SubqueryAlias", "View",
+     "Relation", "RelationV2", "LogicalRelation"}
+)
+
+
+def _is_scan_rooted(df: DataFrame) -> bool:
+    """True iff the optimized logical plan is a pure narrow chain over a
+    file scan (no Exchange-introducing node), so the scan's split count
+    IS the frame's partition count."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return False
+    for line in plan.splitlines():
+        node = line.lstrip(" :+-").split(" ", 1)[0].split("[", 1)[0]
+        if node and node not in _SCAN_SAFE_NODES:
+            return False
+    return True
+
+
+def default_buckets(spark) -> int:
+    """Default bucket count for bucketed-table writers: the session's
+    shuffle partitions when that conf is numeric, else the cluster
+    parallelism — ``spark.sql.shuffle.partitions`` is legally ``"auto"``
+    on AQE-auto platforms, where ``int(...)`` would raise."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return max(1, spark.sparkContext.defaultParallelism)
+
+
 def _estimated_input_splits(df: DataFrame) -> int | None:
     """Estimate the scan's partition count WITHOUT touching ``df.rdd``
     (which forces a full plan→RDD conversion per call) — mirrors
@@ -58,14 +99,18 @@ def _estimated_input_splits(df: DataFrame) -> int | None:
     many-small-files scans and skip a needed widening).
 
     Returns ``None`` for frames with no input files (checkpointed,
-    in-memory, or otherwise not scan-rooted) — the estimate only speaks
-    for scans.
+    in-memory) AND for frames whose plan is not a pure narrow chain
+    over the scan (:func:`_is_scan_rooted`) — ``inputFiles()`` is
+    non-empty for a join/aggregate over a scan too, but there the
+    partitioning is the SHUFFLE's, not the scan's, and the estimate
+    would be wrong in both directions.  The estimate only speaks for
+    scans.
     """
     import os
     from urllib.parse import unquote, urlparse
 
     files = df.inputFiles()
-    if not files:
+    if not files or not _is_scan_rooted(df):
         return None
     spark = df.sparkSession
     max_pb = _size_conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
@@ -81,7 +126,9 @@ def _estimated_input_splits(df: DataFrame) -> int | None:
             return max(1, -(-len(files) * open_cost // max_pb))
     total = sum(sizes) + open_cost * len(sizes)
     par = max(1, spark.sparkContext.defaultParallelism)
-    max_split = min(max_pb, max(open_cost, total // par))
+    # clamp to >= 1: openCostInBytes=0 is a legal conf, and a 0 split
+    # size would loop forever on any non-empty file below
+    max_split = max(1, min(max_pb, max(open_cost, total // par)))
     chunks = []
     for s in sizes:
         while s > max_split:
@@ -110,8 +157,10 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     count is a plan-level estimate (:func:`_estimated_input_splits`) —
     no ``df.rdd`` conversion at query-build time.
 
-    Frames that are NOT scan-rooted (checkpointed, in-memory — no input
-    files) fall back to the REAL partition count via ``df.rdd``: for a
+    Frames that are NOT scan-rooted (checkpointed / in-memory — no input
+    files — or shuffle-rooted: an aggregate/join/repartition over a scan
+    still reports the scan's ``inputFiles()`` but its partitioning is the
+    shuffle's) fall back to the REAL partition count via ``df.rdd``: for a
     localCheckpointed frame the plan is already a materialized RDD scan,
     so the conversion is trivial — and the count genuinely matters
     there, because AQE coalesces small shuffles and a checkpoint can

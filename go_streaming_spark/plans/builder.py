@@ -116,8 +116,10 @@ class ContinuousQuery:
         extends the order ACROSS micro-batches exactly like
         :meth:`subscribe`: rows park in a driver-side buffer; with
         ``max_out_of_order=d`` every batch drains the buffer up to
-        ``max_seen - d`` (bounded memory ∝ disorder), otherwise the drain
-        happens at :meth:`flush` / :meth:`await_done`.  Ties preserve
+        ``max_seen - d`` (bounded memory ∝ disorder; single-column
+        ``ordered_by`` only — the watermark is scalar, composite keys
+        raise), otherwise the drain happens at :meth:`flush` /
+        :meth:`await_done` (exact for any key, composite included).  Ties preserve
         arrival order (stable merge).  Driver memory holds at most the
         undrained buffer + one micro-batch — size the watermark (or the
         micro-batch, via ``maxFilesPerTrigger``) accordingly; the per-row
@@ -142,6 +144,20 @@ class ContinuousQuery:
             return self._sq
 
         cols = list(ordered_by)
+        if max_out_of_order is not None and len(cols) > 1:
+            # the incremental watermark is a scalar bound on the FIRST
+            # key only (max_seen - d); with a composite key, rows tying
+            # on the primary can drain in one batch while equal-primary
+            # rows arrive later — secondary order across batches is NOT
+            # guaranteed.  Exact mode (max_out_of_order=None + flush())
+            # supports composite keys; incremental mode refuses them.
+            raise ValueError(
+                "max_out_of_order watermarks the FIRST ordered_by column"
+                f" only — composite key {cols} would silently break"
+                " secondary-key order across batches; use a single"
+                " ordered_by column (e.g. a seq) or exact mode"
+                " (max_out_of_order=None + flush())"
+            )
 
         def emit(pdf) -> None:
             for i in range(0, len(pdf), chunk_rows):
@@ -243,7 +259,8 @@ class ContinuousQuery:
         sorted buffer `pkg/events/buffer.go:391-397`) is global, not
         per-batch.  Rows park in a driver-side reorder heap keyed by
         ``ordered_by``; with ``max_out_of_order=d`` (the caller's disorder
-        bound on the FIRST ordered-by column, e.g. a seq delta) every batch
+        bound on the — necessarily single — ordered-by column, e.g. a seq
+        delta; composite keys raise, exact mode takes them) every batch
         drains the heap up to ``max_seen - d`` — the seq high-watermark —
         so delivery stays incremental with bounded memory (heap size ∝
         disorder, not stream length).  With ``max_out_of_order=None`` the
@@ -266,6 +283,17 @@ class ContinuousQuery:
 
         if not cols:
             raise ValueError("global_order=True requires ordered_by")
+        if max_out_of_order is not None and len(cols) > 1:
+            # same single-key watermark contract as subscribe_batch: the
+            # heap's drain bound (max_seen[0] - d, *rest) is scalar on
+            # the primary key; composite keys are exact-mode only
+            raise ValueError(
+                "max_out_of_order watermarks the FIRST ordered_by column"
+                f" only — composite key {cols} would silently break"
+                " secondary-key order across batches; use a single"
+                " ordered_by column (e.g. a seq) or exact mode"
+                " (max_out_of_order=None + flush())"
+            )
         import heapq
         import itertools
 

@@ -445,6 +445,40 @@ def test_subscribe_batch_ordering_knobs_require_key(spark):
         cq.subscribe_batch(lambda pdf: None, max_out_of_order=3)
 
 
+def test_global_order_composite_key_incremental_raises(spark):
+    """The incremental watermark (max_out_of_order) is scalar on the
+    FIRST ordered_by column; a composite key would silently break
+    secondary-key order for rows tying on the primary across batches —
+    both delivery paths must refuse loudly.  Exact mode (no watermark)
+    keeps taking composite keys and orders them fully."""
+    eng = Engine(spark)
+    df = spark.createDataFrame([(1, 1, 1)], "a long, b long, value long")
+    cq = eng.builder().from_df(df).build()
+    with pytest.raises(ValueError, match="FIRST ordered_by column"):
+        cq.subscribe_batch(
+            lambda pdf: None, ordered_by=["a", "b"],
+            global_order=True, max_out_of_order=1,
+        )
+    with pytest.raises(ValueError, match="FIRST ordered_by column"):
+        cq.subscribe(
+            lambda row: None, ordered_by=["a", "b"],
+            global_order=True, max_out_of_order=1,
+        )
+    # exact mode: composite keys fully ordered (primary, then secondary)
+    out: list[int] = []
+    cq2 = eng.builder().from_df(
+        spark.createDataFrame(
+            [(1, 2, 10), (1, 1, 20), (0, 5, 30)],
+            "a long, b long, value long",
+        )
+    ).build()
+    cq2.subscribe_batch(
+        lambda pdf: out.extend(pdf["value"].tolist()),
+        ordered_by=["a", "b"], global_order=True,
+    )
+    assert out == [30, 20, 10]
+
+
 def test_subscribe_batch_global_order_null_key_raises(spark):
     """A NULL ordered_by key is unorderable: NaN would fail both
     watermark masks and the row would silently vanish from the reorder

@@ -3053,3 +3053,130 @@ def test_ridge_fit_from_distributed_gram_matches_local(spark):
         for r in rows:
             merged[(r["i"], r["j"])] = merged.get((r["i"], r["j"]), 0) + r["v"]
     assert merged == {(r["i"], r["j"]): r["v"] for r in gram}
+
+
+def test_gram_matrix_exploded_parity_with_literal(spark):
+    """The sparse long form must reproduce the literal wide-agg gram
+    cell-for-cell at probe width (k=8 + label): dense=True emits the
+    identical full grid; sparse omits only zero cells and ridge reads
+    them as 0 — the fitted weights are bit-identical."""
+    import numpy as np
+
+    from go_streaming_spark.functions.stats import (
+        gram_matrix_exploded,
+        gram_matrix_long,
+        ridge_fit_from_gram,
+    )
+    from go_streaming_spark.functions.text import (
+        hashed_bucket_entries,
+        hashed_bucket_features,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lab = docs.selectExpr("doc_id AS id", "CAST(lang = 'en' AS LONG) AS y")
+
+    wide = hashed_bucket_features(docs, "doc_id", "text", k=8).join(lab, "id")
+    lit_cells = {
+        (r["i"], r["j"]): r["v"]
+        for r in gram_matrix_long(
+            wide, [f"f{i}" for i in range(8)], "y"
+        ).collect()
+    }
+
+    sparse_in = hashed_bucket_entries(docs, "doc_id", "text", k=8).join(
+        lab, "id"
+    )
+    dense_cells = {
+        (r["i"], r["j"]): r["v"]
+        for r in gram_matrix_exploded(
+            sparse_in, "entries", 8, "y", dense=True
+        ).collect()
+    }
+    assert dense_cells == lit_cells
+
+    sparse_rows = gram_matrix_exploded(sparse_in, "entries", 8, "y").collect()
+    sparse_cells = {(r["i"], r["j"]): r["v"] for r in sparse_rows}
+    assert all(
+        sparse_cells.get(c, 0) == v for c, v in lit_cells.items()
+    ) and set(sparse_cells) <= set(lit_cells)
+    w_sparse = ridge_fit_from_gram(sparse_rows, 8, lam=1.0)
+    w_lit = ridge_fit_from_gram(
+        gram_matrix_long(wide, [f"f{i}" for i in range(8)], "y").collect(),
+        8,
+        lam=1.0,
+    )
+    assert np.array_equal(w_sparse, w_lit)
+
+
+def test_gram_matrix_exploded_wide_k_matches_numpy(spark):
+    """Smoke the sparse form at k=256 — a width where the literal agg
+    would plan ~33k expressions — against an exact int64 numpy
+    accumulation of the same hashed features."""
+    import numpy as np
+
+    from go_streaming_spark.functions.stats import gram_matrix_exploded
+    from go_streaming_spark.functions.text import hashed_bucket_entries
+
+    k = 256
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(200)
+    ent = hashed_bucket_entries(docs, "doc_id", "text", k=k)
+    cells = {
+        (r["i"], r["j"]): r["v"]
+        for r in gram_matrix_exploded(ent, "entries", k).collect()
+    }
+
+    X = np.zeros((200, k), dtype=np.int64)
+    for rix, row in enumerate(ent.collect()):
+        for e in row["entries"]:
+            X[rix, e["i"]] = e["x"]
+    G = X.T @ X
+    ref = {
+        (i, j): int(G[i, j])
+        for i in range(k)
+        for j in range(i, k)
+        if G[i, j] != 0
+    }
+    assert cells == ref
+
+
+def test_hashed_bucket_entries_match_wide_features(spark):
+    """The sparse entries are the SAME features as the wide columns —
+    same seed, same md5 bucket hash — just without the zeros."""
+    from go_streaming_spark.functions.text import (
+        hashed_bucket_entries,
+        hashed_bucket_features,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(50)
+    wide = {
+        r["id"]: [r[f"f{i}"] for i in range(8)]
+        for r in hashed_bucket_features(docs, "doc_id", "text", k=8).collect()
+    }
+    for r in hashed_bucket_entries(docs, "doc_id", "text", k=8).collect():
+        dense = [0] * 8
+        for e in r["entries"]:
+            dense[e["i"]] = e["x"]
+        assert dense == wide[r["id"]], r["id"]
+
+
+def test_ridge_fit_empty_input_raises_descriptive(spark):
+    """gram_matrix_long over zero rows sums to NULL cells; the solver
+    must name the real cause (empty training frame), not die on
+    float(None)."""
+    import pytest as _pytest
+
+    from go_streaming_spark.functions.stats import (
+        gram_matrix_long,
+        ridge_fit_from_gram,
+    )
+
+    empty = spark.createDataFrame([], "f0 long, f1 long, y long")
+    rows = gram_matrix_long(empty, ["f0", "f1"], "y").collect()
+    with _pytest.raises(ValueError, match="empty"):
+        ridge_fit_from_gram(rows, 2)
+    with _pytest.raises(ValueError, match="empty"):
+        ridge_fit_from_gram([], 2)

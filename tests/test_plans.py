@@ -553,3 +553,64 @@ def test_spread_widens_narrow_checkpointed_frames(spark):
     assert spread(narrow, min_partitions=8).rdd.getNumPartitions() == 8
     wide = docs.repartition(8).localCheckpoint()
     assert spread(wide, min_partitions=8) is wide
+
+
+def test_spread_widens_shuffle_rooted_frames(spark):
+    """An aggregate over a scan still reports the scan's inputFiles(),
+    but its partitioning is the SHUFFLE's (AQE can coalesce it to one
+    partition); the file-split estimate must decline to speak (None) so
+    spread() falls back to the real count and widens — while pure
+    narrow chains keep the .rdd-free estimate."""
+    from go_streaming_spark.functions.util import (
+        _estimated_input_splits,
+        spread,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    agg = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    assert agg.inputFiles()  # the trap: files visible, partitioning not the scan's
+    assert _estimated_input_splits(agg) is None
+    assert spread(agg, min_partitions=8).rdd.getNumPartitions() == 8
+    narrow_chain = docs.select("doc_id", "lang").filter("n_chars >= 0")
+    assert _estimated_input_splits(narrow_chain) is not None
+
+
+def test_split_estimate_zero_open_cost_terminates(spark, tmp_path):
+    """spark.sql.files.openCostInBytes=0 is a legal conf; with total
+    bytes < defaultParallelism the split size computed to 0 and the
+    chunking loop never terminated — it must clamp to >= 1."""
+    from go_streaming_spark.functions.util import _estimated_input_splits
+
+    p = tmp_path / "tiny.txt"
+    p.write_text("x\n")
+    old = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try:
+        est = _estimated_input_splits(spark.read.text(str(tmp_path)))
+        assert est is not None and est >= 1  # terminated, sane
+    finally:
+        spark.conf.set("spark.sql.files.openCostInBytes", old)
+
+
+def test_default_buckets_falls_back_on_non_numeric_conf(spark):
+    """spark.sql.shuffle.partitions is legally "auto" on AQE-auto
+    platforms; the bucketed-writer default must fall back to cluster
+    parallelism instead of raising ValueError."""
+    from go_streaming_spark.functions.util import default_buckets
+
+    assert default_buckets(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+
+    class _Conf:
+        def get(self, k):
+            return "auto"
+
+    class _SC:
+        defaultParallelism = 7
+
+    class _Fake:
+        conf = _Conf()
+        sparkContext = _SC()
+
+    assert default_buckets(_Fake()) == 7
