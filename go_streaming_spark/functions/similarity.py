@@ -496,6 +496,71 @@ def append_ivf_vectors(
     )
 
 
+# Rebuild threshold for ivf_needs_rebuild: a cell holding >4× the mean
+# means a probe that lands there scans ~4× its share of the corpus —
+# pruning still works, but the tail-latency guarantee (per-query cost ∝
+# nprobe/|clusters|) has degraded enough to re-train centroids at the
+# next snapshot.  Tune per workload; 4 is the conventional "one cell
+# owns a whole reducer's worth" skew bar (cf. operators.skew).
+DEFAULT_IVF_REBUILD_RATIO = 4.0
+
+
+def ivf_cell_stats(spark, path: str, cluster_col: str = "label") -> DataFrame:
+    """Inverted-list health audit for a :func:`save_ivf_index` layout —
+    the ``key_skew_stats`` pattern over the index's partition column:
+    one row per cluster with its row count, corpus share, and ratio to
+    the mean cell size.  :func:`append_ivf_vectors` NEVER re-clusters
+    (new vectors land in existing cells), so a drifting ingest stream
+    concentrates into few cells and probe cost quietly grows; run this
+    per ingest cadence and rebuild (re-train centroids + rewrite) when
+    :func:`ivf_needs_rebuild` flips.
+
+    Cost: one map-side-combined count over the cluster column only —
+    the scan projects zero vector bytes (the cluster value comes from
+    the partition directory name; per-file row counts come from parquet
+    footers), so the audit is metadata-cheap even at corpus scale.
+    """
+    from go_streaming_spark.functions.util import q6
+
+    counts = (
+        spark.read.parquet(f"{path}/vectors")
+        .groupBy(F.col(cluster_col).alias("cluster"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    tot = counts.agg(
+        F.sum("n_rows").alias("__t"), F.count(F.lit(1)).alias("__c")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "cluster",
+            "n_rows",
+            q6(F.col("n_rows").cast("double") / F.col("__t")).alias("share"),
+            q6(
+                (F.col("n_rows") * F.col("__c")).cast("double") / F.col("__t")
+            ).alias("ratio_to_mean"),
+        )
+    )
+
+
+def ivf_needs_rebuild(
+    spark,
+    path: str,
+    cluster_col: str = "label",
+    max_ratio: float = DEFAULT_IVF_REBUILD_RATIO,
+) -> bool:
+    """True when any inverted list holds more than ``max_ratio``× the
+    mean cell size — the documented signal for the ingest loop to
+    re-train centroids and rewrite the index at the next snapshot
+    (until then queries stay correct, just less pruned)."""
+    worst = (
+        ivf_cell_stats(spark, path, cluster_col)
+        .agg(F.max("ratio_to_mean").alias("r"))
+        .head()
+    )
+    return worst is not None and worst["r"] is not None and worst["r"] > max_ratio
+
+
 def ivf_pruned_topk(
     spark,
     path: str,

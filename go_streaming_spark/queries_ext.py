@@ -3365,3 +3365,105 @@ def ordered_bulk_delivery_replay(spark, sf_dir):
         [(i + 1, s) for i, s in enumerate(delivered)],
         "delivery_pos long, seq long",
     )
+
+
+@query("corpus_ingest_bucketed_survivors", ORACLES["corpus_ingest_survivors"])
+def corpus_ingest_bucketed_survivors(spark, sf_dir):
+    # the BUCKETED-SNAPSHOT twin of corpus_ingest_survivors (same
+    # oracle — identical semantics, different physical path, the
+    # ann_ivf_pruned_topk pattern): the corpus state round-trips
+    # through save_bucketed/load_bucketed CATALOG tables laid out on
+    # the ingest join keys, so every corpus-side join of ingest() reads
+    # corpus-scale state IN PLACE — at 100 TB the per-batch corpus
+    # re-shuffle is THE dominant ingest cost, and this path retires it.
+    # The one-Exchange contract is asserted INSIDE the gate: the
+    # candidate join against the bucketed band index must shuffle ONLY
+    # the batch side (broadcast disabled so the fact-fact shape shows).
+    import shutil
+    import tempfile
+    import uuid
+
+    from go_streaming_spark.functions import dedup
+    from go_streaming_spark.functions.corpus_state import CorpusState
+    from go_streaming_spark.queries_llm import _docs
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 == 0)
+    batch = docs.filter(F.col("doc_id") % 10 != 0)
+    state = CorpusState.build(
+        corpus, "doc_id", "text", n=3, k=16, rows_per_band=4, gram_k=8
+    )
+    prefix = f"ingest_snap_{uuid.uuid4().hex[:8]}"
+    tmp = tempfile.mkdtemp(prefix="corpus_snap_")
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        state.save_bucketed(prefix, path=tmp)
+        loaded = CorpusState.load_bucketed(spark, prefix)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bands_new = dedup.band_keys(
+            dedup.minhash_signatures_wide(batch, "doc_id", "text", 3, 16),
+            16, 4,
+        )
+        cand_plan = (
+            bands_new.join(loaded.minhash.bands, ["band", "band_key"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        n_ex = cand_plan.count("Exchange hashpartitioning")
+        if n_ex != 1 or "Bucketed: true" not in cand_plan:
+            raise AssertionError(
+                "bucketed ingest candidate join must shuffle exactly the"
+                f" batch side (got {n_ex} exchanges):\n{cand_plan}"
+            )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+        clean, _ = loaded.ingest(batch, "doc_id", "text", threshold=0.2)
+        out = clean.select("doc_id", "dup_span_tokens")
+        # materialize before the scratch snapshot disappears
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+        for t in ("digests", "minhash_bands", "minhash_shingles",
+                  "minhash_params", "grams", "cms", "params"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "ann_ivf_cell_stats",
+    # inverted-list health audit over the persisted IVF layout: exact
+    # per-cluster counts + share + ratio-to-mean (the rebuild signal for
+    # the append-only ingest loop — append_ivf_vectors never
+    # re-clusters, so imbalance is the one thing that silently degrades
+    # partition pruning).  Oracle recomputes the same integer counts and
+    # double divisions from the source table; sums CAST to BIGINT (the
+    # DuckDB HUGEINT gotcha).
+    """WITH c AS (SELECT label AS cluster, count(*) AS n_rows
+                  FROM embeddings WHERE vec_id <> 0 GROUP BY 1),
+t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS s, count(*) AS nc FROM c)
+SELECT cluster, n_rows,
+       floor((CAST(n_rows AS DOUBLE)/s)*1e6 + 0.5)/1e6 AS share,
+       floor((CAST(n_rows*nc AS DOUBLE)/s)*1e6 + 0.5)/1e6 AS ratio_to_mean
+FROM c, t""",
+)
+def ann_ivf_cell_stats(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from go_streaming_spark.functions import similarity
+    from go_streaming_spark.queries_llm import _emb
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    cent = similarity.label_centroids(corpus, "label", "embedding", dim=64)
+    tmp = tempfile.mkdtemp(prefix="ivf_audit_")
+    try:
+        similarity.save_ivf_index(
+            corpus, "vec_id", "embedding", "label", cent, tmp
+        )
+        out = similarity.ivf_cell_stats(spark, tmp, "label")
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

@@ -540,6 +540,55 @@ def test_ivf_append_matches_rebuild(spark, tmp_path):
     assert [tuple(r) for r in out.collect()] == [tuple(r) for r in mem.collect()]
 
 
+def test_ivf_cell_stats_flags_skewed_appends(spark, tmp_path):
+    """append_ivf_vectors never re-clusters, so a drifting ingest stream
+    concentrates into few cells and probe cost quietly grows: the cell
+    audit must report exact per-list counts/ratios, stay healthy on the
+    balanced seed, and flip ivf_needs_rebuild after a skewed append
+    sequence piles everything into one cell."""
+    from go_streaming_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    cent = similarity.label_centroids(corpus, "label", "embedding", dim=64)
+    path = str(tmp_path / "ivf")
+    similarity.save_ivf_index(corpus, "vec_id", "embedding", "label", cent, path)
+
+    stats = {
+        r["cluster"]: r
+        for r in similarity.ivf_cell_stats(spark, path, "label").collect()
+    }
+    truth = {
+        r["label"]: r["n"]
+        for r in corpus.groupBy("label").agg(F.count("*").alias("n")).collect()
+    }
+    assert {c: s["n_rows"] for c, s in stats.items()} == truth
+    assert abs(sum(s["share"] for s in stats.values()) - 1.0) < 1e-4
+    assert not similarity.ivf_needs_rebuild(spark, path, "label")
+
+    # skewed append sequence: every batch lands in cluster 0
+    hot = corpus.limit(200).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "embedding",
+        F.lit(sorted(truth)[0]).alias("label"),
+    )
+    for i in range(3):
+        similarity.append_ivf_vectors(
+            hot.withColumn("vec_id", F.col("vec_id") + i * 10_000),
+            "vec_id", "embedding", "label", path,
+        )
+    after = {
+        r["cluster"]: r
+        for r in similarity.ivf_cell_stats(spark, path, "label").collect()
+    }
+    hot_label = sorted(truth)[0]
+    assert after[hot_label]["n_rows"] == truth[hot_label] + 600
+    assert (
+        after[hot_label]["ratio_to_mean"] > stats[hot_label]["ratio_to_mean"]
+    )
+    assert similarity.ivf_needs_rebuild(spark, path, "label", max_ratio=2.0)
+
+
 def test_spread_widens_narrow_checkpointed_frames(spark):
     """Checkpointed frames use their REAL partition count: AQE can
     coalesce a shuffle to ONE partition before a localCheckpoint
