@@ -39,50 +39,51 @@ def entry(spark: SparkSession) -> DataFrame:
 # registered queries every query earns a hard row at least every 3
 # rounds.
 #
-# Round-12 gate (honoring the r11 pre-commitment): (a) NEW r12
+# Round-13 gate (honoring the r12 pre-commitment): (a) NEW r13
 # registrations — never driver-gated ⇒ infinitely stale — in
-# registration order (there were no r11 reds to re-prove:
-# CORRECTNESS_r11 was 50/50 green, and no r11 registration missed the
-# cut); (b) the full r7-last-green set re-enumerated from the
-# CORRECTNESS_r01..r11 union (47 names — ann_cosine_topk and
-# ann_ivf_quantized_topk moved to r11-green via the r11 gate tail),
-# alphabetical; (c) r8 greens, alphabetical, to the 50 cut.
+# registration order (there were no r12 reds to re-prove:
+# CORRECTNESS_r12 was 50/50 green, and no r12 registration missed the
+# cut); (b) the r7 alphabetical tail the r12 cut displaced
+# (window_sampling — the last r7-last-green name); (c) the
+# r8-last-green set re-enumerated from the CORRECTNESS_r01..r12 union
+# (49 names), alphabetical, to the 50 cut.
 #
-# r13 PRE-COMMITMENT: never-green names lead (any r12 registrations
-# that miss this round's 50 cut plus any r12 reds being re-proven);
-# then the stalest greens — the r7 alphabetical tail the r12 cut
-# displaced (window_sampling), then the r8-last-green set
-# (anti_join_no_urgent_customers onward, alphabetical), then r9 —
+# r14 PRE-COMMITMENT: never-green names lead (any r13 registrations
+# that miss this round's 50 cut plus any r13 reds being re-proven);
+# then the stalest greens — the r8 alphabetical tail the r13 cut
+# displaced (topk_orders, value_percentiles, winsorized_stats), then
+# the r9-last-green set (ann_jl_topk onward, alphabetical), then r10 —
 # re-enumerated from CORRECTNESS history, oldest-green first,
 # alphabetical within a round, to fill 50.
 GATE_PRIORITY = [
-    # (a) r12 registrations — never-gated, first hard rows
-    "stream_window_count_dense", "ordered_bulk_delivery_replay",
-    "ann_ivf_pruned_topk", "quality_probe_gram",
-    # (b) the 47 r7-last-green names, alphabetical
-    "ann_ivf_topk", "ann_lsh_topk", "ann_quantized_topk",
-    "cms_word_counts", "contamination_rates", "corpus_ingest_survivors",
-    "counting_window_per_type", "counting_window_skip",
-    "counting_window_sliding", "dedup_embedding_cosine",
-    "dedup_embedding_cosine_blocked", "dedup_incremental_minhash",
-    "dedup_normalized_exact", "dedup_spans_incremental",
-    "dedup_spans_keep_first", "dedup_substring_spans",
-    "fan_in_per_source", "gopher_quality_flags", "heavy_hitter_words",
-    "join_key_skew_stats", "json_struct_extract", "knn_label_vote",
-    "multimodal_avi_content_stats", "multimodal_binary_meta",
-    "multimodal_features", "multimodal_frame_plan",
-    "multimodal_gif_content_stats", "multimodal_jpeg_content_stats",
-    "multimodal_png_content_stats", "multimodal_transform_chain",
-    "pack_sequences", "pipeline_clean_corpus", "set_except_user_days",
-    "stat_aggregates", "stratified_fixed_counts",
-    "stream_window_sum_per_user", "text_fingerprint", "text_lang_id",
-    "text_quality", "text_token_counts", "tfidf_top_terms",
-    "timeseries_znorm_search", "vocab_top_bigrams",
-    "weighted_sample_ids", "window_join_left", "window_join_sliding",
-    # (the 4 never-gated r12 registrations + the first 46 r7 names fill
-    # the 50 cut exactly; window_sampling (the r7 alphabetical tail) and
-    # the r8 set (anti_join_no_urgent_customers onward) lead the stale
-    # greens next round per the pre-commitment)
+    # (a) r13 registrations — never-gated, first hard rows
+    "ann_ivf_cell_stats", "corpus_ingest_bucketed_survivors",
+    "quality_probe_gram_sparse",
+    # (b) the r7 tail
+    "window_sampling",
+    # (c) the first 46 of the 49 r8-last-green names, alphabetical
+    "anti_join_no_urgent_customers", "bloom_join_urgent_revenue",
+    "chunk_documents", "cohort_retention_counts", "convert_long",
+    "cube_revenue", "decontaminate_counts", "dedup_incremental_bloom",
+    "dedup_prefix_jaccard", "dedup_spans_removed_counts",
+    "distinct_users_per_type", "doc_repetition_scores",
+    "filter_contains", "filter_even", "filter_odd", "filter_smaller",
+    "flatmap_chars", "grouping_sets_revenue", "hash_split_counts",
+    "hll_user_cardinality", "incremental_cube_update", "limit_first",
+    "mad_by_type", "map_affine", "mixture_sample_counts",
+    "multimodal_bmp_thumbnail_stats", "multimodal_wav_downsample_stats",
+    "nation_pair_volume", "observe_passthrough", "part_type_stats",
+    "promo_revenue_pct", "rank_distributions", "redact_pii",
+    "returned_item_customers", "salted_agg_status_totals",
+    "salted_join_type_revenue", "select_from_map",
+    "semi_join_urgent_customers", "stratified_sample_counts",
+    "stream_counting_window_sum", "stream_fan_in_sum",
+    "stream_static_enrich", "stream_window_join_left",
+    "table_fingerprint", "tokenize_wordcount", "top_supplier_revenue",
+    # (3 never-gated r13 registrations + window_sampling + the first 46
+    # r8 names fill the 50 cut exactly; the r8 tail (topk_orders,
+    # value_percentiles, winsorized_stats) and the r9 set (ann_jl_topk
+    # onward) lead the stale greens next round per the pre-commitment)
 ]
 
 

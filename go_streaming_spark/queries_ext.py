@@ -3467,3 +3467,27 @@ def ann_ivf_cell_stats(spark, sf_dir):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@query("quality_probe_gram_sparse", ORACLES["quality_probe_gram"])
+def quality_probe_gram_sparse(spark, sf_dir):
+    # the SPARSE-long-form twin of quality_probe_gram (same oracle — the
+    # same 45 integer sums, different physical path): per-row nonzero
+    # feature entries (hashed_bucket_entries) -> in-expression upper
+    # triangle -> one map-side-combined groupBy(i, j), dense=True
+    # re-emitting explicit zero cells for cell-for-cell oracle parity.
+    # This is the path that survives realistic probe widths (k ~ 1024),
+    # where the literal wide agg would plan ~526k expressions and blow
+    # codegen; gated here at k=8 so the two forms verify against the
+    # identical ground truth.
+    from go_streaming_spark.functions.stats import gram_matrix_exploded
+    from go_streaming_spark.functions.text import hashed_bucket_entries
+    from go_streaming_spark.queries_llm import _docs
+
+    docs = _docs(spark, sf_dir)
+    ent = hashed_bucket_entries(docs, "doc_id", "text", k=8, seed="probe")
+    lab = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("y"),
+    )
+    return gram_matrix_exploded(ent.join(lab, "id"), "entries", 8, "y", dense=True)
