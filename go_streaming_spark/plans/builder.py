@@ -88,6 +88,12 @@ class ContinuousQuery:
     streaming: bool = False
     _sq: "object" = None  # pyspark StreamingQuery when running
     _flush: Callable[[], None] | None = None  # global-order reorder drain
+    # observability: high-water mark of the global-order merge buffer
+    # (rows parked on the driver awaiting the watermark), updated after
+    # every micro-batch — the number to alert on when sizing
+    # max_out_of_order: bounded ∝ disorder + one batch, NOT stream
+    # length, whenever the incremental watermark drains
+    buffer_peak_rows: int = 0
 
     def collect(self):
         return self.df.collect()
@@ -217,6 +223,8 @@ class ContinuousQuery:
                 )
                 if len(ready):
                     emit(ready.reset_index(drop=True))
+            if len(buf["pdf"]) > self.buffer_peak_rows:
+                self.buffer_peak_rows = len(buf["pdf"])
 
         def drain() -> None:
             held, buf["pdf"] = buf["pdf"], None
@@ -316,6 +324,8 @@ class ContinuousQuery:
                 wm = (state["max_seen"][0] - max_out_of_order,
                       *state["max_seen"][1:])
                 drain(wm)
+            if len(heap) > self.buffer_peak_rows:
+                self.buffer_peak_rows = len(heap)
 
         if not self.streaming:
             dispatch(self.df)

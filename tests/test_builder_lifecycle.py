@@ -445,7 +445,36 @@ def test_subscribe_batch_ordering_knobs_require_key(spark):
         cq.subscribe_batch(lambda pdf: None, max_out_of_order=3)
 
 
-def test_global_order_composite_key_incremental_raises(spark):
+def test_global_order_buffer_peak_bounded_by_watermark(spark, tmp_path):
+    """buffer_peak_rows reports the merge buffer's high-water mark: with
+    max_out_of_order=d the peak is ∝ disorder (rows above the watermark),
+    NOT stream length; exact mode (no watermark) holds everything until
+    flush — the observable difference the metric exists to expose."""
+    eng = Engine(spark)
+
+    def run(max_ooo):
+        base = tmp_path / f"t_{max_ooo}"
+        base.mkdir()
+        src = _ordered_topic(
+            base, [[2, 0, 1], [3, 5, 4], [8, 6, 7]], pin_mtime=True
+        )
+        stream = (
+            spark.readStream.schema("seq long, value long")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        cq = eng.builder().from_df(stream).build()
+        out: list[int] = []
+        cq.subscribe_batch(
+            lambda pdf: out.extend(pdf["seq"].tolist()),
+            ordered_by=["seq"], global_order=True, max_out_of_order=max_ooo,
+        )
+        cq.await_done()
+        assert out == list(range(9))
+        return cq.buffer_peak_rows
+
+    assert run(3) <= 4          # held rows track the disorder bound
+    assert run(None) == 9       # exact mode buffers the whole stream
     """The incremental watermark (max_out_of_order) is scalar on the
     FIRST ordered_by column; a composite key would silently break
     secondary-key order for rows tying on the primary across batches —
