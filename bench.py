@@ -112,6 +112,9 @@ HEADLINE = [
     "quality_calibration_bins",      # rank-free calibration binning (round 11)
     "ann_ivf_pruned_topk",           # persisted partition-pruned IVF (write+probe) (round 12)
     "quality_probe_gram",            # one-pass gram-matrix training statistic (round 12)
+    "corpus_ingest_bucketed_survivors",  # ingest via bucketed catalog snapshot (round 13)
+    "quality_probe_gram_sparse",     # exploded long-form gram, wide-k path (round 13)
+    "ann_ivf_cell_stats",            # IVF inverted-list health audit (round 13)
 ]
 
 
