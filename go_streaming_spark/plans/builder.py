@@ -121,11 +121,13 @@ class ContinuousQuery:
         instead of one driver callback per row.  ``global_order=True``
         extends the order ACROSS micro-batches exactly like
         :meth:`subscribe`: rows park in a driver-side buffer; with
-        ``max_out_of_order=d`` every batch drains the buffer up to
-        ``max_seen - d`` (bounded memory ∝ disorder; single-column
-        ``ordered_by`` only — the watermark is scalar, composite keys
-        raise), otherwise the drain happens at :meth:`flush` /
-        :meth:`await_done` (exact for any key, composite included).  Ties preserve
+        ``max_out_of_order=d`` every batch drains the buffer up to the
+        PRIMARY-key watermark ``max_seen - d`` (bounded memory ∝
+        disorder; with a composite key the drain is STRICT at the
+        boundary — equal-primary rows can still arrive with any
+        secondary, so boundary rows hold one extra drain cycle),
+        otherwise the drain happens at :meth:`flush` /
+        :meth:`await_done` (exact for any key).  Ties preserve
         arrival order (stable merge).  Driver memory holds at most the
         undrained buffer + one micro-batch — size the watermark (or the
         micro-batch, via ``maxFilesPerTrigger``) accordingly; the per-row
@@ -150,20 +152,6 @@ class ContinuousQuery:
             return self._sq
 
         cols = list(ordered_by)
-        if max_out_of_order is not None and len(cols) > 1:
-            # the incremental watermark is a scalar bound on the FIRST
-            # key only (max_seen - d); with a composite key, rows tying
-            # on the primary can drain in one batch while equal-primary
-            # rows arrive later — secondary order across batches is NOT
-            # guaranteed.  Exact mode (max_out_of_order=None + flush())
-            # supports composite keys; incremental mode refuses them.
-            raise ValueError(
-                "max_out_of_order watermarks the FIRST ordered_by column"
-                f" only — composite key {cols} would silently break"
-                " secondary-key order across batches; use a single"
-                " ordered_by column (e.g. a seq) or exact mode"
-                " (max_out_of_order=None + flush())"
-            )
 
         def emit(pdf) -> None:
             for i in range(0, len(pdf), chunk_rows):
@@ -217,10 +205,20 @@ class ContinuousQuery:
                 if buf["max_seen"] is None or new_max > buf["max_seen"]:
                     buf["max_seen"] = new_max
                 wm = buf["max_seen"] - max_out_of_order
-                ready = buf["pdf"][buf["pdf"][cols[0]] <= wm]
-                buf["pdf"] = buf["pdf"][buf["pdf"][cols[0]] > wm].reset_index(
-                    drop=True
+                # single key: everything at-or-below the watermark is
+                # safe (a future row equal to the bound only TIES, and
+                # ties are arrival-ordered).  Composite key: the bound
+                # is scalar on the PRIMARY, so a future row can tie the
+                # primary at the bound with ANY secondary — rows ON the
+                # boundary must hold (strict <), or secondary order
+                # across batches breaks.
+                mask = (
+                    buf["pdf"][cols[0]] <= wm
+                    if len(cols) == 1
+                    else buf["pdf"][cols[0]] < wm
                 )
+                ready = buf["pdf"][mask]
+                buf["pdf"] = buf["pdf"][~mask].reset_index(drop=True)
                 if len(ready):
                     emit(ready.reset_index(drop=True))
             if len(buf["pdf"]) > self.buffer_peak_rows:
@@ -267,9 +265,10 @@ class ContinuousQuery:
         sorted buffer `pkg/events/buffer.go:391-397`) is global, not
         per-batch.  Rows park in a driver-side reorder heap keyed by
         ``ordered_by``; with ``max_out_of_order=d`` (the caller's disorder
-        bound on the — necessarily single — ordered-by column, e.g. a seq
-        delta; composite keys raise, exact mode takes them) every batch
-        drains the heap up to ``max_seen - d`` — the seq high-watermark —
+        bound on the FIRST ordered-by column, e.g. a seq delta) every batch
+        drains the heap up to the primary-key watermark ``max_seen - d``
+        (strict at the boundary for composite keys — see
+        :meth:`subscribe_batch`) —
         so delivery stays incremental with bounded memory (heap size ∝
         disorder, not stream length).  With ``max_out_of_order=None`` the
         heap drains only at :meth:`flush` / :meth:`await_done` — exact for
@@ -291,17 +290,6 @@ class ContinuousQuery:
 
         if not cols:
             raise ValueError("global_order=True requires ordered_by")
-        if max_out_of_order is not None and len(cols) > 1:
-            # same single-key watermark contract as subscribe_batch: the
-            # heap's drain bound (max_seen[0] - d, *rest) is scalar on
-            # the primary key; composite keys are exact-mode only
-            raise ValueError(
-                "max_out_of_order watermarks the FIRST ordered_by column"
-                f" only — composite key {cols} would silently break"
-                " secondary-key order across batches; use a single"
-                " ordered_by column (e.g. a seq) or exact mode"
-                " (max_out_of_order=None + flush())"
-            )
         import heapq
         import itertools
 
@@ -309,8 +297,16 @@ class ContinuousQuery:
         tie = itertools.count()  # FIFO among equal keys; rows never compared
         state: dict = {"max_seen": None}
 
-        def drain(up_to=None) -> None:
-            while heap and (up_to is None or heap[0][0] <= up_to):
+        def drain(wm0=None) -> None:
+            # wm0 is the scalar primary-key watermark.  Single key: pop
+            # at-or-below (a future arrival equal to the bound only ties,
+            # and ties are arrival-ordered).  Composite key: a future row
+            # can tie the primary at the bound with ANY secondary, so
+            # boundary-primary rows hold — pop strictly below.
+            def ready(k):
+                return k[0] <= wm0 if len(cols) == 1 else k[0] < wm0
+
+            while heap and (wm0 is None or ready(heap[0][0])):
                 _, _, row = heapq.heappop(heap)
                 callback(row)
 
@@ -321,9 +317,7 @@ class ContinuousQuery:
                 if state["max_seen"] is None or k > state["max_seen"]:
                     state["max_seen"] = k
             if max_out_of_order is not None and state["max_seen"] is not None:
-                wm = (state["max_seen"][0] - max_out_of_order,
-                      *state["max_seen"][1:])
-                drain(wm)
+                drain(state["max_seen"][0] - max_out_of_order)
             if len(heap) > self.buffer_peak_rows:
                 self.buffer_peak_rows = len(heap)
 

@@ -475,37 +475,78 @@ def test_global_order_buffer_peak_bounded_by_watermark(spark, tmp_path):
 
     assert run(3) <= 4          # held rows track the disorder bound
     assert run(None) == 9       # exact mode buffers the whole stream
-    """The incremental watermark (max_out_of_order) is scalar on the
-    FIRST ordered_by column; a composite key would silently break
-    secondary-key order for rows tying on the primary across batches —
-    both delivery paths must refuse loudly.  Exact mode (no watermark)
-    keeps taking composite keys and orders them fully."""
+
+
+def test_global_order_composite_key_tie_across_batches(spark, tmp_path):
+    """Composite ordered_by + max_out_of_order: the incremental
+    watermark is scalar on the PRIMARY key, so rows ON the watermark
+    boundary must HOLD (strict drain) — an equal-primary row with a
+    smaller secondary can still arrive in a later batch.  A ≤-drain
+    (the bug this regression pins) would deliver (1,2) before (1,1)
+    arrived.  Exact mode keeps ordering composite keys fully."""
+    import json as _json
+    import os as _os
+
     eng = Engine(spark)
-    df = spark.createDataFrame([(1, 1, 1)], "a long, b long, value long")
-    cq = eng.builder().from_df(df).build()
-    with pytest.raises(ValueError, match="FIRST ordered_by column"):
-        cq.subscribe_batch(
-            lambda pdf: None, ordered_by=["a", "b"],
-            global_order=True, max_out_of_order=1,
-        )
-    with pytest.raises(ValueError, match="FIRST ordered_by column"):
-        cq.subscribe(
-            lambda row: None, ordered_by=["a", "b"],
-            global_order=True, max_out_of_order=1,
-        )
+
+    def topic(name, batches):
+        src = tmp_path / name
+        src.mkdir()
+        for fidx, rows_ in enumerate(batches):
+            path = src / f"part-{fidx}.json"
+            with open(path, "w") as f:
+                for a, b in rows_:
+                    f.write(_json.dumps({"a": a, "b": b}) + "\n")
+            t = 1_700_000_000 + fidx * 10
+            _os.utime(path, (t, t))
+        return str(src)
+
+    # batch 1 carries (1,2); (1,1) — same primary, SMALLER secondary —
+    # arrives only in batch 2.  With d=0 the watermark after batch 1
+    # sits exactly on primary 1.
+    batches = [[(1, 2), (0, 1)], [(1, 1), (2, 5)]]
+    stream = (
+        spark.readStream.schema("a long, b long")
+        .option("maxFilesPerTrigger", 1)
+        .json(topic("t_bulk", batches))
+    )
+    cq = eng.builder().from_df(stream).build()
+    out: list[tuple] = []
+    cq.subscribe_batch(
+        lambda pdf: out.extend(map(tuple, pdf[["a", "b"]].to_numpy())),
+        ordered_by=["a", "b"], global_order=True, max_out_of_order=0,
+    )
+    cq.await_done()
+    assert out == [(0, 1), (1, 1), (1, 2), (2, 5)], out
+
+    # per-row heap path, same shape
+    stream2 = (
+        spark.readStream.schema("a long, b long")
+        .option("maxFilesPerTrigger", 1)
+        .json(topic("t_row", batches))
+    )
+    cq2 = eng.builder().from_df(stream2).build()
+    rows: list[tuple] = []
+    cq2.subscribe(
+        lambda r: rows.append((r.a, r.b)), ordered_by=["a", "b"],
+        global_order=True, max_out_of_order=0,
+    )
+    cq2.await_done()
+    assert rows == [(0, 1), (1, 1), (1, 2), (2, 5)], rows
+
     # exact mode: composite keys fully ordered (primary, then secondary)
-    out: list[int] = []
-    cq2 = eng.builder().from_df(
+    out2: list[int] = []
+    cq3 = eng.builder().from_df(
         spark.createDataFrame(
             [(1, 2, 10), (1, 1, 20), (0, 5, 30)],
             "a long, b long, value long",
         )
     ).build()
-    cq2.subscribe_batch(
-        lambda pdf: out.extend(pdf["value"].tolist()),
+    cq3.subscribe_batch(
+        lambda pdf: out2.extend(pdf["value"].tolist()),
         ordered_by=["a", "b"], global_order=True,
     )
-    assert out == [30, 20, 10]
+    assert out2 == [30, 20, 10]
 
 
 def test_subscribe_batch_global_order_null_key_raises(spark):
