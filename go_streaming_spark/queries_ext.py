@@ -3491,3 +3491,182 @@ def quality_probe_gram_sparse(spark, sf_dir):
         F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("y"),
     )
     return gram_matrix_exploded(ent.join(lab, "id"), "entries", 8, "y", dense=True)
+
+
+def _two_batch_ingest_oracle() -> str:
+    """Oracle for SEQUENTIAL CorpusState.ingest — the state-evolution
+    semantics the one-batch gate cannot see: batch 2 is deduplicated
+    against corpus ∪ batch-1 SURVIVORS (digests, MinHash index, gram
+    index all appended), so a batch-2 doc that near-dups a batch-1
+    survivor must be dropped, and batch-2 span tokens count grams the
+    batch-1 survivors contributed.  The CTE chain is the green
+    one-batch `_INGEST_CTES` machinery applied twice, with batch 2's
+    corpus predicate widened to include `surv1`."""
+    from go_streaming_spark.queries_llm import _MINHASH_BANDS
+
+    def stage(i, batch_pred, corpus_pred):
+        # MATERIALIZED on every multiply-referenced node: DuckDB inlines
+        # plain CTEs per reference, and stage 2's corpus predicate
+        # mentions surv1 in four places — without the hints the whole
+        # stage-1 chain (including the all-pairs jac join) re-evaluates
+        # per mention and the oracle runs for minutes instead of seconds
+        return f"""
+ex{i} AS (SELECT doc_id, md5(text) AS h FROM documents WHERE {batch_pred("doc_id")}),
+corpus_h{i} AS MATERIALIZED (SELECT DISTINCT md5(text) AS h FROM documents WHERE {corpus_pred("doc_id")}),
+uniq{i} AS MATERIALIZED (SELECT min(doc_id) AS id FROM ex{i}
+            WHERE h NOT IN (SELECT h FROM corpus_h{i}) GROUP BY h),
+ci{i} AS (SELECT DISTINCT a.id AS bid, least(a.id, b.id) AS id_a,
+        greatest(a.id, b.id) AS id_b
+       FROM bandsm a JOIN bandsm b USING(band, band_key)
+       WHERE a.id IN (SELECT id FROM uniq{i}) AND {corpus_pred("b.id")}),
+flagged{i} AS MATERIALIZED (SELECT DISTINCT ci{i}.bid FROM ci{i}
+            JOIN jacm j USING(id_a, id_b) WHERE j.jaccard >= 0.2),
+s{i}a AS MATERIALIZED (SELECT id FROM uniq{i} WHERE id NOT IN (SELECT bid FROM flagged{i})),
+scand{i} AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bandsm a JOIN bandsm b USING(band, band_key)
+          WHERE a.id < b.id
+            AND a.id IN (SELECT id FROM s{i}a)
+            AND b.id IN (SELECT id FROM s{i}a)),
+spairs{i} AS (SELECT s.id_a, s.id_b FROM scand{i} s
+           JOIN jacm j USING(id_a, id_b) WHERE j.jaccard >= 0.2),
+edges{i} AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM spairs{i}
+          UNION SELECT id_b, id_a FROM spairs{i}),
+reach{i} AS (SELECT u AS node, v AS r FROM edges{i}
+          UNION SELECT reach{i}.node, e.v FROM reach{i} JOIN edges{i} e ON reach{i}.r = e.u),
+comp{i} AS MATERIALIZED (SELECT node, least(node, min(r)) AS cluster_id FROM reach{i} GROUP BY node),
+surv{i} AS MATERIALIZED (SELECT id FROM s{i}a
+         WHERE id NOT IN (SELECT node FROM comp{i} WHERE node <> cluster_id)),
+g{i} AS MATERIALIZED (SELECT id, pos, gh FROM g0m
+      WHERE {corpus_pred("id")} OR id IN (SELECT id FROM surv{i})),
+dup{i} AS MATERIALIZED (SELECT gh FROM g{i} GROUP BY gh HAVING count(*) >= 2),
+fpos{i} AS (SELECT id, pos FROM g{i} WHERE id IN (SELECT id FROM surv{i})
+         AND gh IN (SELECT gh FROM dup{i})),
+mk{i} AS (SELECT id, pos,
+        CASE WHEN pos > coalesce(max(pos + 8) OVER (PARTITION BY id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS new_span
+      FROM fpos{i}),
+sp{i} AS (SELECT id, pos, sum(new_span) OVER (PARTITION BY id ORDER BY pos) AS span_id FROM mk{i}),
+spans{i} AS (SELECT id, max(pos) + 8 - min(pos) AS span_tokens
+          FROM sp{i} GROUP BY id, span_id),
+st{i} AS MATERIALIZED (SELECT id, sum(span_tokens) AS tok FROM spans{i} GROUP BY id)"""
+
+    b1 = lambda c: f"{c} % 10 IN (1, 2, 3, 4)"
+    b2 = lambda c: f"{c} % 10 IN (5, 6, 7, 8, 9)"
+    c1 = lambda c: f"{c} % 10 = 0"
+    c2 = lambda c: f"({c} % 10 = 0 OR {c} IN (SELECT id FROM surv1))"
+    return f"""WITH RECURSIVE {_MINHASH_BANDS},
+bandsm AS MATERIALIZED (SELECT * FROM bands),
+jacm AS MATERIALIZED (SELECT * FROM jac),
+g0 AS (SELECT doc_id AS id, unnest(list_transform(range(0, len(w)-8+1),
+          i -> {{'pos': i, 'gh': md5(array_to_string(w[i+1:i+8], ' '))}})) AS u
+       FROM ws WHERE len(w) >= 8),
+g0m AS MATERIALIZED (SELECT id, u.pos::bigint AS pos, u.gh AS gh FROM g0),{stage(1, b1, c1)},{stage(2, b2, c2)}
+SELECT 1 AS batch_no, s.id AS doc_id,
+       CAST(coalesce(st1.tok, 0) AS BIGINT) AS dup_span_tokens
+FROM surv1 s LEFT JOIN st1 ON s.id = st1.id
+UNION ALL
+SELECT 2 AS batch_no, s.id AS doc_id,
+       CAST(coalesce(st2.tok, 0) AS BIGINT) AS dup_span_tokens
+FROM surv2 s LEFT JOIN st2 ON s.id = st2.id"""
+
+
+@query("corpus_ingest_two_batch_survivors", _two_batch_ingest_oracle())
+def corpus_ingest_two_batch_survivors(spark, sf_dir):
+    # SEQUENTIAL ingest — the recurring-crawl loop the one-batch gates
+    # only approximate: batch 1 (doc_id%10 in 1-4) ingests against the
+    # corpus snapshot, the returned state (survivor digests/bands/
+    # shingles/grams APPENDED) is checkpointed per the documented
+    # cadence, and batch 2 (doc_id%10 in 5-9) ingests against that
+    # evolved state.  The oracle stages the same two rounds in SQL, so
+    # every state-append path (exact anti-join set, MinHash index
+    # growth, gram-index counts feeding batch-2 spans) is hash-checked,
+    # not just exercised.
+    from go_streaming_spark.functions.corpus_state import CorpusState
+    from go_streaming_spark.queries_llm import _docs
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 == 0)
+    b1 = docs.filter((F.col("doc_id") % 10).isin(1, 2, 3, 4))
+    b2 = docs.filter((F.col("doc_id") % 10).isin(5, 6, 7, 8, 9))
+    state = CorpusState.build(
+        corpus, "doc_id", "text", n=3, k=16, rows_per_band=4, gram_k=8
+    )
+    clean1, state1 = state.ingest(b1, "doc_id", "text", threshold=0.2)
+    clean2, _ = state1.checkpoint().ingest(b2, "doc_id", "text", threshold=0.2)
+    pick = lambda df, i: df.select(
+        F.lit(i).alias("batch_no"), "doc_id", "dup_span_tokens"
+    )
+    return pick(clean1, 1).unionByName(pick(clean2, 2))
+
+
+@query(
+    "stream_corpus_ingest_survivors",
+    ORACLES["corpus_ingest_two_batch_survivors"],
+)
+def stream_corpus_ingest_survivors(spark, sf_dir):
+    # the PRODUCTION ingest loop as a STREAM (same oracle as the batch
+    # twin — identical semantics, the delivery engine differs): two
+    # crawl batches replayed one file per trigger through foreachBatch;
+    # each micro-batch runs CorpusState.ingest against the state the
+    # PREVIOUS batch returned (checkpointed per the documented cadence),
+    # so batch 2 is deduplicated against corpus ∪ batch-1 survivors and
+    # its span counts see the survivors' grams.  This is the
+    # readStream → ingest → state-append shape a recurring crawl runs
+    # at 100 TB, hash-checked end-to-end.
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    from go_streaming_spark.functions.corpus_state import CorpusState
+    from go_streaming_spark.queries_llm import _docs
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 == 0)
+    tmp = tempfile.mkdtemp(prefix="stream_ingest_")
+    out_rows: list[tuple] = []
+    try:
+        for i, mods in enumerate([(1, 2, 3, 4), (5, 6, 7, 8, 9)]):
+            b = docs.filter((F.col("doc_id") % 10).isin(*mods))
+            scratch = f"{tmp}/_w{i}"
+            b.coalesce(1).write.mode("overwrite").parquet(scratch)
+            part = _glob.glob(f"{scratch}/part-*.parquet")[0]
+            dst = f"{tmp}/batch-{i}.parquet"
+            _os.replace(part, dst)
+            shutil.rmtree(scratch, ignore_errors=True)
+            t = 1_700_000_000 + i * 10  # pin trigger order
+            _os.utime(dst, (t, t))
+
+        holder = {
+            "state": CorpusState.build(
+                corpus, "doc_id", "text", n=3, k=16, rows_per_band=4, gram_k=8
+            ),
+            "n": 0,
+        }
+
+        def do_batch(bdf, batch_id=None):
+            if bdf.isEmpty():
+                return
+            holder["n"] += 1
+            n = holder["n"]
+            clean, new_state = holder["state"].ingest(
+                bdf, "doc_id", "text", threshold=0.2
+            )
+            for r in clean.select("doc_id", "dup_span_tokens").collect():
+                out_rows.append((n, r["doc_id"], r["dup_span_tokens"]))
+            holder["state"] = new_state.checkpoint()
+
+        sq = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+            .writeStream.foreachBatch(do_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        out_rows, "batch_no int, doc_id long, dup_span_tokens long"
+    )
