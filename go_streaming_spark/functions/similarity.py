@@ -561,6 +561,56 @@ def ivf_needs_rebuild(
     return worst is not None and worst["r"] is not None and worst["r"] > max_ratio
 
 
+def rebuild_ivf_index(
+    spark,
+    path: str,
+    out_path: str,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str = "label",
+    k: int = 8,
+    iters: int = 3,
+    anchor_mod: int = 17,
+    anchor_rem: int = 3,
+) -> None:
+    """The rebuild step :func:`ivf_needs_rebuild` signals: re-train
+    centroids over the index's CURRENT contents (deterministic quantized
+    Lloyd iterations, ``clustering.kmeans_fit``), re-assign every vector
+    to its nearest new centroid, and write a fresh
+    :func:`save_ivf_index` layout at ``out_path`` — restoring the
+    balanced inverted lists that keep per-query cost ∝
+    nprobe/|clusters| after append-only ingest has skewed the cells.
+
+    Write-to-new-path by design: the live index keeps serving until the
+    snapshot flips (and Spark cannot overwrite a path it is lazily
+    reading).  Cost = the k-means passes + one full rewrite — the
+    per-snapshot price, amortized over every query until the next
+    rebuild.  The new centroid table stores the integer Lloyd centroids
+    as doubles; per-vector quantization preserves direction, so the
+    probe's cosine ranking is unaffected.
+    """
+    from go_streaming_spark.functions import clustering
+
+    vecs = spark.read.parquet(f"{path}/vectors")
+    init = clustering.anchor_centroids_q(
+        vecs, id_col, vec_col, k, anchor_mod, anchor_rem
+    )
+    cents = clustering.kmeans_fit(vecs, id_col, vec_col, init, iters)
+    asg = clustering.kmeans_assign_q(vecs, id_col, vec_col, cents).select(
+        F.col("id").alias("__rid"), F.col("cluster").alias("__rcl")
+    )
+    reassigned = vecs.join(asg, vecs[id_col] == F.col("__rid")).select(
+        vecs[id_col], vecs[vec_col], F.col("__rcl").alias(cluster_col)
+    )
+    cents_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        f"{cluster_col} int, vec array<double>",
+    )
+    save_ivf_index(
+        reassigned, id_col, vec_col, cluster_col, cents_df, out_path
+    )
+
+
 def ivf_pruned_topk(
     spark,
     path: str,

@@ -3670,3 +3670,45 @@ def stream_corpus_ingest_survivors(spark, sf_dir):
     return spark.createDataFrame(
         out_rows, "batch_no int, doc_id long, dup_span_tokens long"
     )
+
+
+@query("ann_ivf_rebuilt_topk", ORACLES["ann_cosine_topk"])
+def ann_ivf_rebuilt_topk(spark, sf_dir):
+    # the REBUILD half of the IVF lifecycle, oracle-gated: persist the
+    # corpus as an IVF layout, rebuild it (deterministic anchor-init
+    # quantized Lloyd re-train + full re-assign + rewrite,
+    # similarity.rebuild_ivf_index), then answer a FULL probe
+    # (nprobe = k) over the rebuilt layout — which must equal
+    # brute-force cosine top-k over the corpus exactly (the
+    # ann_cosine_topk oracle): the rewrite may lose, duplicate, or
+    # mis-assign nothing.  Partition pruning under partial probes is
+    # covered by ann_ivf_pruned_topk; this gate pins the rebuild.
+    import shutil
+    import tempfile
+
+    from go_streaming_spark.functions import similarity
+    from go_streaming_spark.queries_llm import _emb
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    cent = similarity.label_centroids(corpus, "label", "embedding", dim=64)
+    tmp = tempfile.mkdtemp(prefix="ivf_rebuild_")
+    try:
+        similarity.save_ivf_index(
+            corpus, "vec_id", "embedding", "label", cent, f"{tmp}/a"
+        )
+        similarity.rebuild_ivf_index(
+            spark, f"{tmp}/a", f"{tmp}/b", "vec_id", "embedding", "label",
+            k=10, iters=3,
+        )
+        out = similarity.ivf_pruned_topk(
+            spark, f"{tmp}/b", "vec_id", "embedding", "label", qv,
+            k=10, nprobe=10,
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

@@ -589,6 +589,60 @@ def test_ivf_cell_stats_flags_skewed_appends(spark, tmp_path):
     assert similarity.ivf_needs_rebuild(spark, path, "label", max_ratio=2.0)
 
 
+def test_ivf_rebuild_restores_balance_and_recall(spark, tmp_path):
+    """Closing the audit loop: after skewed appends flip
+    ivf_needs_rebuild, rebuild_ivf_index re-trains centroids and
+    rewrites the layout — the rebuilt index must (a) answer a full
+    probe (nprobe=k) EXACTLY like brute-force cosine over the same
+    vectors (no vector lost or duplicated in the rewrite), and (b) cut
+    the worst cell ratio the skew created."""
+    from go_streaming_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    cent = similarity.label_centroids(corpus, "label", "embedding", dim=64)
+    path = str(tmp_path / "ivf")
+    similarity.save_ivf_index(corpus, "vec_id", "embedding", "label", cent, path)
+    hot = corpus.limit(150).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "embedding",
+        F.lit(0).alias("label"),
+    )
+    for i in range(2):
+        similarity.append_ivf_vectors(
+            hot.withColumn("vec_id", F.col("vec_id") + i * 10_000),
+            "vec_id", "embedding", "label", path,
+        )
+    assert similarity.ivf_needs_rebuild(spark, path, "label", max_ratio=2.0)
+    worst_before = (
+        similarity.ivf_cell_stats(spark, path, "label")
+        .agg(F.max("ratio_to_mean")).head()[0]
+    )
+
+    out = str(tmp_path / "ivf2")
+    similarity.rebuild_ivf_index(
+        spark, path, out, "vec_id", "embedding", "label", k=10, iters=3
+    )
+    worst_after = (
+        similarity.ivf_cell_stats(spark, out, "label")
+        .agg(F.max("ratio_to_mean")).head()[0]
+    )
+    assert worst_after < worst_before
+
+    # full probe over the rebuilt layout == brute force over its vectors
+    allv = spark.read.parquet(f"{path}/vectors")
+    brute = similarity.cosine_topk(allv, "vec_id", "embedding", qv, 10)
+    pruned = similarity.ivf_pruned_topk(
+        spark, out, "vec_id", "embedding", "label", qv, k=10, nprobe=10
+    )
+    assert (
+        [tuple(r) for r in pruned.collect()]
+        == [tuple(r) for r in brute.collect()]
+    )
+
+
 def test_spread_widens_narrow_checkpointed_frames(spark):
     """Checkpointed frames use their REAL partition count: AQE can
     coalesce a shuffle to ONE partition before a localCheckpoint
