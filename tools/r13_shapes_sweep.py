@@ -213,5 +213,88 @@ def bulk() -> None:
                           "modes": results}), flush=True)
 
 
+
+
+def gram_sparse() -> None:
+    """quality_probe_gram_sparse: explode + one map-side-combined
+    groupBy.  The claim: ~linear map CPU, fixed output (45 cells)."""
+    from go_streaming_spark.queries import QUERIES
+    import go_streaming_spark.queries_ext  # noqa: F401
+    import go_streaming_spark.queries_llm  # noqa: F401
+
+    spark = _session("r13-gram-sparse")
+    for sf, sf_dir in SCALES:
+        fn = QUERIES["quality_probe_gram_sparse"]
+        sec = _min_of(3, lambda: fn(spark, sf_dir).collect())
+        print(json.dumps({"probe": "gram_sparse", "sf": sf,
+                          "min3_sec": sec}), flush=True)
+
+
+def rebuild() -> None:
+    """rebuild_ivf_index: k-means passes + one full rewrite — the
+    per-snapshot price.  The claim: ~linear in corpus (bounded k×(dim+1)
+    driver state per Lloyd round), and the post-rebuild PROBE stays flat
+    (pruning restored regardless of corpus size)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from go_streaming_spark.functions import similarity
+
+    spark = _session("r13-rebuild")
+    for sf, sf_dir in SCALES:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+        corpus = emb.filter(F.col("vec_id") != 0)
+        cent = similarity.label_centroids(corpus, "label", "embedding", dim=64)
+        tmp = tempfile.mkdtemp(prefix="r13_rebuild_")
+        try:
+            similarity.save_ivf_index(
+                corpus, "vec_id", "embedding", "label", cent, f"{tmp}/a"
+            )
+            t0 = time.time()
+            similarity.rebuild_ivf_index(
+                spark, f"{tmp}/a", f"{tmp}/b", "vec_id", "embedding",
+                "label", k=10, iters=3,
+            )
+            rebuild_s = round(time.time() - t0, 3)
+
+            def probe():
+                similarity.ivf_pruned_topk(
+                    spark, f"{tmp}/b", "vec_id", "embedding", "label", qv,
+                    k=10, nprobe=2,
+                ).collect()
+
+            probe_s = _min_of(5, probe)
+            n = corpus.count()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        print(json.dumps({"probe": "rebuild", "sf": sf, "corpus_rows": n,
+                          "rebuild_sec": rebuild_s,
+                          "probe_min5_sec": probe_s}), flush=True)
+
+
+def ingest2() -> None:
+    """corpus_ingest_two_batch_survivors: the sequential ingest loop.
+    The claim: per-batch cost tracks BATCH size (corpus-side state reads
+    stay index-shaped), so the two-batch composition scales ~linearly in
+    data like the one-shot ingest."""
+    from go_streaming_spark.queries import QUERIES
+    import go_streaming_spark.queries_ext  # noqa: F401
+    import go_streaming_spark.queries_llm  # noqa: F401
+
+    spark = _session("r13-ingest2")
+    for sf, sf_dir in SCALES:
+        fn = QUERIES["corpus_ingest_two_batch_survivors"]
+        t0 = time.time()
+        n = len(fn(spark, sf_dir).collect())
+        sec = round(time.time() - t0, 3)
+        print(json.dumps({"probe": "ingest2", "sf": sf, "sec": sec,
+                          "survivors": n}), flush=True)
+
+
 if __name__ == "__main__":
-    {"ivf": ivf, "gram": gram, "dense": dense, "bulk": bulk}[sys.argv[1]]()
+    {"ivf": ivf, "gram": gram, "dense": dense, "bulk": bulk,
+     "gram_sparse": gram_sparse, "rebuild": rebuild, "ingest2": ingest2}[sys.argv[1]]()
