@@ -1750,3 +1750,57 @@ def keep_best_per_component(
         winners, df[id_col] == F.col("__kb_keep"), "left_semi"
     )
     return losers_removed.unionByName(kept_members)
+
+
+def lsh_recall_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Measured RECALL of the banded MinHash index against exact
+    n-gram-Jaccard ground truth — the parameter-tuning audit for
+    (k, rows_per_band) at a given threshold: one row
+    (n_true_pairs, n_lsh_pairs, recall).
+
+    LSH is the 100 TB dedup path precisely because it never enumerates
+    the quadratic pair space — which also means its misses are silent.
+    Run this on a BOUNDED sample (hash-select the input first, e.g.
+    ``df.filter(col(id) % 997 == 0)``: the exact side is the inverted-
+    index pair join, affordable only at sample scale) per corpus
+    snapshot; a recall drop means the banding no longer matches the
+    corpus' similarity profile (e.g. shorter documents → noisier
+    signatures) and (k, rows_per_band) need re-tuning before the next
+    crawl epoch, not after it has silently shipped duplicates.
+
+    Both sides run UNCAPPED (``max_shingle_freq=None``): the exact side
+    must be ground truth, not the production-capped approximation, and
+    LSH verification already uses uncapped shingle sets.  Verified LSH
+    pairs are a subset of the true pairs by construction, so
+    ``recall = n_lsh / n_true`` needs no pair-level join; NULL when the
+    sample has no true pairs.
+    """
+    from go_streaming_spark.functions.util import q6
+
+    true_n = (
+        jaccard_pairs(
+            df, id_col, text_col, n, threshold,
+            max_shingle_freq=None, max_candidate_pairs=None,
+        )
+        .agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    )
+    lsh_n = (
+        minhash_lsh_pairs(df, id_col, text_col, n, k, rows_per_band, threshold)
+        .agg(F.count(F.lit(1)).alias("n_lsh_pairs"))
+    )
+    return true_n.crossJoin(F.broadcast(lsh_n)).select(
+        "n_true_pairs",
+        "n_lsh_pairs",
+        F.when(
+            F.col("n_true_pairs") > 0,
+            q6(F.col("n_lsh_pairs").cast("double") / F.col("n_true_pairs")),
+        ).alias("recall"),
+    )

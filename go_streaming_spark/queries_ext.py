@@ -3712,3 +3712,44 @@ def ann_ivf_rebuilt_topk(spark, sf_dir):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+def _lsh_recall_oracle() -> str:
+    """Oracle for the LSH recall audit on the doc_id%3=0 sample: the
+    uncapped shingle/jaccard/band machinery (`_SH`/`_MINHASH_BANDS`)
+    with the document source restricted to the sample — both the
+    exact-pair ground truth and the banded candidates derive from the
+    same restricted `ws`, mirroring the engine running both sides over
+    the filtered frame."""
+    from go_streaming_spark.queries_llm import _MINHASH_BANDS
+
+    sampled = _MINHASH_BANDS.replace(
+        "FROM documents", "FROM documents WHERE doc_id % 3 = 0", 1
+    )
+    return f"""WITH {sampled},
+cand AS (SELECT DISTINCT a.id id_a, b.id id_b
+         FROM bands a JOIN bands b USING(band, band_key) WHERE a.id < b.id),
+t AS (SELECT count(*) AS n_true_pairs FROM jac WHERE jaccard >= 0.2),
+l AS (SELECT count(*) AS n_lsh_pairs FROM cand
+      JOIN jac USING(id_a, id_b) WHERE jaccard >= 0.2)
+SELECT n_true_pairs, n_lsh_pairs,
+       CASE WHEN n_true_pairs > 0 THEN
+         floor((CAST(n_lsh_pairs AS DOUBLE)/n_true_pairs)*1e6 + 0.5)/1e6
+       END AS recall
+FROM t, l"""
+
+
+@query("dedup_lsh_recall", _lsh_recall_oracle())
+def dedup_lsh_recall(spark, sf_dir):
+    # the LSH parameter audit on the standing doc_id%3=0 verification
+    # sample (the exact side enumerates true pairs — affordable only at
+    # sample scale, which is exactly how the audit is meant to run per
+    # corpus snapshot): measured recall of the banded (k=16, r=4) index
+    # vs exact bigram-shingle Jaccard at threshold 0.2.
+    from go_streaming_spark.functions import dedup as _dd2
+    from go_streaming_spark.queries_llm import _docs
+
+    sample = _docs(spark, sf_dir).filter(F.col("doc_id") % 3 == 0)
+    return _dd2.lsh_recall_stats(
+        sample, "doc_id", "text", n=3, k=16, rows_per_band=4, threshold=0.2
+    )

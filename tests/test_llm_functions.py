@@ -3180,3 +3180,47 @@ def test_ridge_fit_empty_input_raises_descriptive(spark):
         ridge_fit_from_gram(rows, 2)
     with _pytest.raises(ValueError, match="empty"):
         ridge_fit_from_gram([], 2)
+
+
+def test_lsh_recall_stats_counts_and_bounds(spark):
+    """The recall audit: verified-LSH pairs are a subset of the exact
+    pairs, recall = n_lsh/n_true (q6), NULL when the sample has no true
+    pairs — and an identical-text pair is ALWAYS found by LSH (equal
+    signatures collide in every band), so recall > 0 whenever an exact
+    dup exists."""
+    from go_streaming_spark.functions.dedup import (
+        jaccard_pairs,
+        lsh_recall_stats,
+        minhash_lsh_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact dup of 1 — LSH must find it
+            (3, base + " extra words tail one two"),
+            (4, "totally different content with no shared shingles xy"),
+        ],
+        "doc_id long, text string",
+    )
+    out = lsh_recall_stats(docs, "doc_id", "text", threshold=0.2).head()
+    n_true = jaccard_pairs(
+        docs, "doc_id", "text", 3, 0.2,
+        max_shingle_freq=None, max_candidate_pairs=None,
+    ).count()
+    n_lsh = minhash_lsh_pairs(docs, "doc_id", "text", 3, 16, 4, 0.2).count()
+    assert (out["n_true_pairs"], out["n_lsh_pairs"]) == (n_true, n_lsh)
+    assert n_lsh <= n_true and n_lsh >= 1  # subset; exact dup found
+    assert out["recall"] == round(n_lsh / n_true, 6) or abs(
+        out["recall"] - n_lsh / n_true
+    ) < 1e-6
+    assert 0 < out["recall"] <= 1.0
+
+    empty = lsh_recall_stats(
+        spark.createDataFrame(
+            [(1, "one lonely document here")], "doc_id long, text string"
+        ),
+        "doc_id", "text", threshold=0.2,
+    ).head()
+    assert empty["n_true_pairs"] == 0 and empty["recall"] is None
