@@ -3753,3 +3753,75 @@ def dedup_lsh_recall(spark, sf_dir):
     return _dd2.lsh_recall_stats(
         sample, "doc_id", "text", n=3, k=16, rows_per_band=4, threshold=0.2
     )
+
+
+@query("stream_ann_ivf_append", ORACLES["ann_cosine_topk"])
+def stream_ann_ivf_append(spark, sf_dir):
+    # the ANN ingest loop as a STREAM: seed the persisted IVF layout
+    # from a third of the corpus, replay the rest as two micro-batch
+    # files through foreachBatch → append_ivf_vectors (each batch's
+    # files land INSIDE their cluster partitions; the corpus is never
+    # rewritten), then answer a FULL probe (nprobe = |clusters|) over
+    # the final layout — which must equal brute-force cosine top-k over
+    # the whole corpus (the ann_cosine_topk oracle): the streaming
+    # append path may lose, duplicate, or mis-place nothing.  Partial-
+    # probe pruning is ann_ivf_pruned_topk's gate; this one pins the
+    # streaming ingest.
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    from go_streaming_spark.functions import similarity
+    from go_streaming_spark.queries_llm import _emb
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    cent = similarity.label_centroids(corpus, "label", "embedding", dim=64)
+    nclusters = cent.count()
+    tmp = tempfile.mkdtemp(prefix="stream_ivf_")
+    idx = f"{tmp}/index"
+    feed = f"{tmp}/feed"
+    _os.makedirs(feed)
+    try:
+        similarity.save_ivf_index(
+            corpus.filter(F.col("vec_id") % 3 == 0),
+            "vec_id", "embedding", "label", cent, idx,
+        )
+        for i, rem in enumerate((1, 2)):
+            b = corpus.filter(F.col("vec_id") % 3 == rem)
+            scratch = f"{tmp}/_w{i}"
+            b.coalesce(1).write.mode("overwrite").parquet(scratch)
+            part = _glob.glob(f"{scratch}/part-*.parquet")[0]
+            dst = f"{feed}/batch-{i}.parquet"
+            _os.replace(part, dst)
+            shutil.rmtree(scratch, ignore_errors=True)
+            t = 1_700_000_000 + i * 10
+            _os.utime(dst, (t, t))
+
+        def do_batch(bdf, batch_id=None):
+            if not bdf.isEmpty():
+                similarity.append_ivf_vectors(
+                    bdf, "vec_id", "embedding", "label", idx
+                )
+
+        sq = (
+            spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+            .writeStream.foreachBatch(do_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+        out = similarity.ivf_pruned_topk(
+            spark, idx, "vec_id", "embedding", "label", qv,
+            k=10, nprobe=nclusters,
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
