@@ -51,21 +51,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # r14 PRE-COMMITMENT: never-green names lead (any r13 registrations
 # that miss this round's 50 cut plus any r13 reds being re-proven);
 # then the stalest greens — the r8 alphabetical tail the r13 cut
-# displaced (table_fingerprint, tokenize_wordcount,
-# top_supplier_revenue, topk_orders, value_percentiles,
-# winsorized_stats), then the r9-last-green set (ann_jl_topk onward,
-# alphabetical), then r10 — re-enumerated from CORRECTNESS history,
-# oldest-green first, alphabetical within a round, to fill 50.
+# displaced (stream_static_enrich, stream_window_join_left,
+# table_fingerprint, tokenize_wordcount, top_supplier_revenue,
+# topk_orders, value_percentiles, winsorized_stats), then the
+# r9-last-green set (ann_jl_topk onward, alphabetical), then r10 —
+# re-enumerated from CORRECTNESS history, oldest-green first,
+# alphabetical within a round, to fill 50.
 GATE_PRIORITY = [
-    # (a) ALL six r13 registrations — never-gated, first hard rows
-    # (the three late-r13 additions displace three r8 names per the
-    # standing never-green-leads rule)
-    "ann_ivf_cell_stats", "corpus_ingest_bucketed_survivors",
-    "quality_probe_gram_sparse", "corpus_ingest_two_batch_survivors",
-    "stream_corpus_ingest_survivors", "ann_ivf_rebuilt_topk",
+    # (a) ALL EIGHT r13 registrations — never-gated, first hard rows
+    # (each late-r13 addition displaces an r8 name per the standing
+    # never-green-leads rule), alphabetical
+    "ann_ivf_cell_stats", "ann_ivf_rebuilt_topk",
+    "corpus_ingest_bucketed_survivors",
+    "corpus_ingest_two_batch_survivors", "dedup_lsh_recall",
+    "quality_probe_gram_sparse", "stream_ann_ivf_append",
+    "stream_corpus_ingest_survivors",
     # (b) the r7 tail
     "window_sampling",
-    # (c) the first 43 of the 49 r8-last-green names, alphabetical
+    # (c) the first 41 of the 49 r8-last-green names, alphabetical
     "anti_join_no_urgent_customers", "bloom_join_urgent_revenue",
     "chunk_documents", "cohort_retention_counts", "convert_long",
     "cube_revenue", "decontaminate_counts", "dedup_incremental_bloom",
@@ -82,11 +85,10 @@ GATE_PRIORITY = [
     "salted_join_type_revenue", "select_from_map",
     "semi_join_urgent_customers", "stratified_sample_counts",
     "stream_counting_window_sum", "stream_fan_in_sum",
-    "stream_static_enrich", "stream_window_join_left",
-    # (6 never-gated r13 registrations + window_sampling + the first 43
-    # r8 names fill the 50 cut exactly; the r8 tail (table_fingerprint
-    # onward) and the r9 set (ann_jl_topk onward) lead the stale greens
-    # next round per the pre-commitment)
+    # (8 never-gated r13 registrations + window_sampling + the first 41
+    # r8 names fill the 50 cut exactly; the r8 tail
+    # (stream_static_enrich onward) and the r9 set (ann_jl_topk onward)
+    # lead the stale greens next round per the pre-commitment)
 ]
 
 

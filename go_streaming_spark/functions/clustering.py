@@ -75,15 +75,23 @@ def kmeans_assign_q(
     vec_col: str,
     centroids: list[list[int]],
     keep_q: bool = False,
+    payload_cols: tuple = (),
 ) -> DataFrame:
     """Nearest-centroid assignment in quantized space → (id, cluster
-    [, _qb]).  Squared-L2 distances are exact int64 folds over literal
-    centroid arrays; ties break to the lowest cluster index
+    [, _qb][, payload...]).  Squared-L2 distances are exact int64 folds
+    over literal centroid arrays; ties break to the lowest cluster index
     (``array_position`` first-match).  Map-only — one codegen'd
-    projection, no shuffle."""
-    base = quantize_embeddings(spread(df), id_col, vec_col, out_col="_q")
+    projection, no shuffle; ``payload_cols`` carry extra input columns
+    through (so callers that need (vec, cluster) together — the IVF
+    rewrite — never pay a join back on id, which would also duplicate
+    rows quadratically if ids repeat in the input)."""
+    base = quantize_embeddings(
+        spread(df), id_col, vec_col, out_col="_q", payload_cols=payload_cols
+    )
     qb = base.select(
-        "id", F.expr("transform(_q, x -> CAST(x AS BIGINT))").alias("_qb")
+        "id",
+        F.expr("transform(_q, x -> CAST(x AS BIGINT))").alias("_qb"),
+        *[F.col(c) for c in payload_cols],
     )
     dist = (
         f"transform({_cent_lit(centroids)}, c -> aggregate("
@@ -92,6 +100,7 @@ def kmeans_assign_q(
     cols = ["id", F.expr(f"array_position({dist}, array_min({dist})) - 1").alias("cluster")]
     if keep_q:
         cols.append(F.col("_qb"))
+    cols.extend(F.col(c) for c in payload_cols)
     return qb.select(*cols)
 
 

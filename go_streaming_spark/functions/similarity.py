@@ -520,27 +520,12 @@ def ivf_cell_stats(spark, path: str, cluster_col: str = "label") -> DataFrame:
     the partition directory name; per-file row counts come from parquet
     footers), so the audit is metadata-cheap even at corpus scale.
     """
-    from go_streaming_spark.functions.util import q6
+    from go_streaming_spark.operators.skew import key_skew_stats
 
-    counts = (
-        spark.read.parquet(f"{path}/vectors")
-        .groupBy(F.col(cluster_col).alias("cluster"))
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-    )
-    tot = counts.agg(
-        F.sum("n_rows").alias("__t"), F.count(F.lit(1)).alias("__c")
-    )
-    return (
-        counts.crossJoin(F.broadcast(tot))
-        .select(
-            "cluster",
-            "n_rows",
-            q6(F.col("n_rows").cast("double") / F.col("__t")).alias("share"),
-            q6(
-                (F.col("n_rows") * F.col("__c")).cast("double") / F.col("__t")
-            ).alias("ratio_to_mean"),
-        )
-    )
+    return key_skew_stats(
+        spark.read.parquet(f"{path}/vectors"), cluster_col,
+        top=None, with_ratio=True,
+    ).withColumnRenamed("key", "cluster")
 
 
 def ivf_needs_rebuild(
@@ -596,11 +581,17 @@ def rebuild_ivf_index(
         vecs, id_col, vec_col, k, anchor_mod, anchor_rem
     )
     cents = clustering.kmeans_fit(vecs, id_col, vec_col, init, iters)
-    asg = clustering.kmeans_assign_q(vecs, id_col, vec_col, cents).select(
-        F.col("id").alias("__rid"), F.col("cluster").alias("__rcl")
-    )
-    reassigned = vecs.join(asg, vecs[id_col] == F.col("__rid")).select(
-        vecs[id_col], vecs[vec_col], F.col("__rcl").alias(cluster_col)
+    # map-only assignment carrying the vector through (payload_cols):
+    # a join back on id would shuffle the corpus AND duplicate rows
+    # quadratically if an id ever repeats in the layout (append takes
+    # no uniqueness responsibility) — this path is row-count-preserving
+    # by construction
+    reassigned = clustering.kmeans_assign_q(
+        vecs, id_col, vec_col, cents, payload_cols=(vec_col,)
+    ).select(
+        F.col("id").alias(id_col),
+        F.col(vec_col),
+        F.col("cluster").alias(cluster_col),
     )
     cents_df = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
@@ -692,6 +683,7 @@ def quantize_embeddings(
     vec_col: str,
     out_col: str = "qvec",
     scale_col: str = "qscale",
+    payload_cols: tuple = (),
 ) -> DataFrame:
     """Symmetric per-vector int8 quantization: ``scale = max|v|/127``,
     ``q_i = floor(v_i/scale + 1/2)`` ∈ [-127, 127] (the floor(+0.5) form
@@ -717,6 +709,7 @@ def quantize_embeddings(
         F.col(id_col).alias("id"),
         q.alias(out_col),
         (amax / 127.0).alias(scale_col),
+        *[F.col(c) for c in payload_cols],
     )
 
 

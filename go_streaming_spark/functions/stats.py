@@ -366,7 +366,14 @@ def gram_matrix_exploded(
     aggregation.
     """
     m = k + (1 if label_col else 0)
-    es = F.col(entries_col)
+    # NULL-entry rows (e.g. NULL text → NULL token array upstream) must
+    # behave like all-zero feature rows, not vanish: concat(NULL, lab)
+    # is NULL and explode(NULL) emits nothing — silently dropping the
+    # row's y'y/X'y contribution and breaking cell-for-cell parity with
+    # the literal form, which sums the non-NULL label regardless
+    es = F.coalesce(
+        F.col(entries_col), F.array().cast("array<struct<i: long, x: long>>")
+    )
     if label_col:
         lab_entry = F.when(
             F.col(label_col).cast("long") != 0,

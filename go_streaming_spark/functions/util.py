@@ -99,18 +99,16 @@ def _estimated_input_splits(df: DataFrame) -> int | None:
     many-small-files scans and skip a needed widening).
 
     Returns ``None`` for frames with no input files (checkpointed,
-    in-memory) AND for frames whose plan is not a pure narrow chain
-    over the scan (:func:`_is_scan_rooted`) — ``inputFiles()`` is
+    in-memory).  The estimate only speaks for pure scans — callers
+    gate on :func:`_is_scan_rooted` first (``inputFiles()`` is
     non-empty for a join/aggregate over a scan too, but there the
-    partitioning is the SHUFFLE's, not the scan's, and the estimate
-    would be wrong in both directions.  The estimate only speaks for
-    scans.
+    partitioning is the SHUFFLE's, not the scan's).
     """
     import os
     from urllib.parse import unquote, urlparse
 
     files = df.inputFiles()
-    if not files or not _is_scan_rooted(df):
+    if not files:
         return None
     spark = df.sparkSession
     max_pb = _size_conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
@@ -157,27 +155,49 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     count is a plan-level estimate (:func:`_estimated_input_splits`) —
     no ``df.rdd`` conversion at query-build time.
 
-    Frames that are NOT scan-rooted (checkpointed / in-memory — no input
-    files — or shuffle-rooted: an aggregate/join/repartition over a scan
-    still reports the scan's ``inputFiles()`` but its partitioning is the
-    shuffle's) fall back to the REAL partition count via ``df.rdd``: for a
-    localCheckpointed frame the plan is already a materialized RDD scan,
-    so the conversion is trivial — and the count genuinely matters
-    there, because AQE coalesces small shuffles and a checkpoint can
-    materialize at ONE partition (measured: the ingest-survivors frame
-    does exactly that), which would serialize the downstream
-    shingle/index build on one core at any corpus size.  Only the
-    scan-rooted common path — where the plan→RDD conversion is the
-    expensive one — avoids ``.rdd`` entirely.
+    Three regimes by plan shape:
+
+    - **Checkpointed / in-memory** (no input files): the REAL count via
+      ``df.rdd`` — trivial (the plan is already a materialized RDD
+      scan) and the count genuinely matters: AQE coalesces small
+      shuffles, and a checkpoint can materialize at ONE partition
+      (measured: the ingest-survivors frame does exactly that), which
+      would serialize the downstream shingle/index build on one core
+      at any corpus size.
+    - **Scan-rooted** (pure narrow chain over files): the plan-level
+      file-split estimate — no ``.rdd`` conversion at all.
+    - **Lazy shuffle-rooted** (join/aggregate over a scan): the STATIC
+      shuffle width.  ``.rdd`` here would EXECUTE every upstream stage
+      under AQE (Dataset.rdd finalizes the adaptive plan) — the frame's
+      work would run twice.  AQE only coalesces the static width
+      downward for small outputs; a caller needing a hard guarantee on
+      a small-but-CPU-heavy frame should ``localCheckpoint()`` first
+      (the ingest path does), which lands in the first regime with the
+      real count.
     """
     if df.isStreaming:
         # micro-batch partitioning is the source's concern; input files
         # are unknowable before triggers fire
         return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    est = _estimated_input_splits(df)
-    if est is None:
+    if not df.inputFiles():
+        # checkpointed / in-memory: the plan is already a materialized
+        # RDD scan, so .rdd is trivial AND the real count matters (AQE
+        # can materialize a checkpoint at ONE partition)
         est = df.rdd.getNumPartitions()
+    elif _is_scan_rooted(df):
+        est = _estimated_input_splits(df)
+    else:
+        # LAZY shuffle-rooted frame (join/aggregate over a scan): the
+        # file estimate doesn't speak for it, but .rdd would be worse —
+        # under AQE, Dataset.rdd EXECUTES every upstream stage to
+        # finalize the plan, running the frame's work twice.  Use the
+        # static shuffle width (the plan-time partition count) instead:
+        # AQE only coalesces it downward for SMALL outputs, and a
+        # caller that needs a hard guarantee for a small-but-CPU-heavy
+        # frame localCheckpoints first (the ingest path does), landing
+        # in the branch above with the real count.
+        est = default_buckets(df.sparkSession)
     if est < target:
         return df.repartition(target)
     return df

@@ -91,12 +91,18 @@ def salted_agg(
     )
 
 
-def key_skew_stats(df, key_col: str, top: int = 10):
+def key_skew_stats(df, key_col: str, top: int | None = 10, with_ratio: bool = False):
     """Join/agg-key skew DIAGNOSTIC: per-key counts reduced to the facts
     that drive a salting decision — the ``top`` hottest keys, and each
     one's share of the total.  Run it on a join key BEFORE the join; a
     top-1 share over ~1/shuffle-partitions means one reducer owns that
     key and :func:`salted_join` / AQE skew-join is warranted.
+
+    ``top=None`` returns every key (unordered — callers wanting all
+    keys usually aggregate further).  ``with_ratio=True`` appends
+    ``ratio_to_mean`` (n_rows vs the mean per-key count) — the
+    imbalance signal shared with the IVF inverted-list audit
+    (``similarity.ivf_cell_stats`` is a thin wrapper over this).
 
     One map-side-combined groupBy + a TakeOrdered of the tiny count
     table; the share division is exact (int/int → double) so the output
@@ -107,17 +113,24 @@ def key_skew_stats(df, key_col: str, top: int = 10):
     counts = df.groupBy(F.col(key_col).alias("key")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
-    total = counts.agg(F.sum("n_rows").alias("__t"))
-    return (
-        counts.crossJoin(F.broadcast(total))
-        .select(
-            "key",
-            "n_rows",
-            q6(F.col("n_rows") / F.col("__t").cast("double")).alias("share"),
-        )
-        .orderBy(F.col("n_rows").desc(), F.col("key"))
-        .limit(top)
+    total = counts.agg(
+        F.sum("n_rows").alias("__t"), F.count(F.lit(1)).alias("__c")
     )
+    cols = [
+        F.col("key"),
+        F.col("n_rows"),
+        q6(F.col("n_rows") / F.col("__t").cast("double")).alias("share"),
+    ]
+    if with_ratio:
+        cols.append(
+            q6(
+                (F.col("n_rows") * F.col("__c")).cast("double") / F.col("__t")
+            ).alias("ratio_to_mean")
+        )
+    out = counts.crossJoin(F.broadcast(total)).select(*cols)
+    if top is None:
+        return out
+    return out.orderBy(F.col("n_rows").desc(), F.col("key")).limit(top)
 
 
 def adaptive_join(

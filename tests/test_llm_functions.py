@@ -3163,6 +3163,35 @@ def test_hashed_bucket_entries_match_wide_features(spark):
         assert dense == wide[r["id"]], r["id"]
 
 
+def test_gram_matrix_exploded_null_entries_keep_label(spark):
+    """A NULL entries array (NULL text upstream) must behave like an
+    all-zero feature row, not vanish: the row's y'y contribution has to
+    match the literal form, which sums the non-NULL label regardless."""
+    from go_streaming_spark.functions.stats import (
+        gram_matrix_exploded,
+        gram_matrix_long,
+    )
+
+    entries_t = "array<struct<i: long, x: long>>"
+    sparse_in = spark.createDataFrame(
+        [([(0, 2)], 1), (None, 1), ([(1, 3)], 0)],
+        f"entries {entries_t}, y long",
+    )
+    cells = {
+        (r["i"], r["j"]): r["v"]
+        for r in gram_matrix_exploded(sparse_in, "entries", 2, "y").collect()
+    }
+    wide = spark.createDataFrame(
+        [(2, 0, 1), (0, 0, 1), (0, 3, 0)], "f0 long, f1 long, y long"
+    )
+    lit_cells = {
+        (r["i"], r["j"]): r["v"]
+        for r in gram_matrix_long(wide, ["f0", "f1"], "y").collect()
+    }
+    assert all(cells.get(c, 0) == v for c, v in lit_cells.items())
+    assert cells[(2, 2)] == 2  # BOTH labeled rows' y² counted
+
+
 def test_ridge_fit_empty_input_raises_descriptive(spark):
     """gram_matrix_long over zero rows sums to NULL cells; the solver
     must name the real cause (empty training frame), not die on

@@ -642,6 +642,21 @@ def test_ivf_rebuild_restores_balance_and_recall(spark, tmp_path):
         == [tuple(r) for r in brute.collect()]
     )
 
+    # rebuild is row-count-preserving even when an id repeats in the
+    # layout (append takes no uniqueness responsibility): the map-only
+    # assignment emits one row per INPUT row — a join back on id would
+    # square the duplicates
+    dup_batch = allv.limit(1)
+    similarity.append_ivf_vectors(
+        dup_batch, "vec_id", "embedding", "label", path
+    )
+    n_in = allv.count() + 1
+    out2 = str(tmp_path / "ivf3")
+    similarity.rebuild_ivf_index(
+        spark, path, out2, "vec_id", "embedding", "label", k=10, iters=1
+    )
+    assert spark.read.parquet(f"{out2}/vectors").count() == n_in
+
 
 def test_spread_widens_narrow_checkpointed_frames(spark):
     """Checkpointed frames use their REAL partition count: AQE can
@@ -660,22 +675,27 @@ def test_spread_widens_narrow_checkpointed_frames(spark):
 
 def test_spread_widens_shuffle_rooted_frames(spark):
     """An aggregate over a scan still reports the scan's inputFiles(),
-    but its partitioning is the SHUFFLE's (AQE can coalesce it to one
-    partition); the file-split estimate must decline to speak (None) so
-    spread() falls back to the real count and widens — while pure
-    narrow chains keep the .rdd-free estimate."""
+    but its partitioning is the SHUFFLE's, not the scan's: the
+    file-split estimate must not speak for it (_is_scan_rooted False).
+    spread() sizes such LAZY frames by the static shuffle width —
+    calling .rdd would EXECUTE the whole frame under AQE just to read
+    a partition count — so with conf >= target the frame passes through
+    untouched, and a target above the conf width forces the widening."""
     from go_streaming_spark.functions.util import (
-        _estimated_input_splits,
+        _is_scan_rooted,
         spread,
     )
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     agg = docs.groupBy("lang").agg(F.count("*").alias("n"))
     assert agg.inputFiles()  # the trap: files visible, partitioning not the scan's
-    assert _estimated_input_splits(agg) is None
-    assert spread(agg, min_partitions=8).rdd.getNumPartitions() == 8
+    assert not _is_scan_rooted(agg)
     narrow_chain = docs.select("doc_id", "lang").filter("n_chars >= 0")
-    assert _estimated_input_splits(narrow_chain) is not None
+    assert _is_scan_rooted(narrow_chain)
+    conf_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert spread(agg, min_partitions=conf_width) is agg  # no .rdd, no shuffle
+    widened = spread(agg, min_partitions=conf_width + 8)
+    assert widened.rdd.getNumPartitions() == conf_width + 8
 
 
 def test_split_estimate_zero_open_cost_terminates(spark, tmp_path):
