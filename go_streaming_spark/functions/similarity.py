@@ -466,12 +466,20 @@ def save_ivf_index(
     inverted lists (``PartitionFilters`` in the plan), the untouched
     clusters' files are never listed, opened, or read.  Build once per
     corpus snapshot; append new vectors by writing additional files into
-    their cluster partitions."""
+    their cluster partitions.
+
+    The frame is repartitioned ON the cluster column before the write:
+    without it every input partition spills a file into every cluster
+    directory (tasks × clusters small files — at corpus scale the file
+    count, not the bytes, becomes the scan/list bottleneck, and locally
+    it made the snapshot write the dominant, high-variance cost of the
+    audit/probe gates); clustered, each task owns whole clusters and
+    writes one file per cluster it holds."""
     df.select(
         F.col(id_col), F.col(vec_col), F.col(cluster_col)
-    ).write.mode("overwrite").partitionBy(cluster_col).parquet(
-        f"{path}/vectors"
-    )
+    ).repartition(F.col(cluster_col)).write.mode("overwrite").partitionBy(
+        cluster_col
+    ).parquet(f"{path}/vectors")
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
@@ -488,12 +496,15 @@ def append_ivf_vectors(
     ``partitionBy``), so queries keep pruning to their probed lists and
     the centroids stay untouched (IVF assigns new vectors to existing
     cells; re-train centroids per snapshot rebuild, not per batch).
-    Batch cost ∝ batch size — the corpus is never rewritten."""
+    Batch cost ∝ batch size — the corpus is never rewritten.  Batches
+    are clustered before the write for the same file-count reason as
+    :func:`save_ivf_index` (tasks × clusters small files per append
+    compound fastest of all)."""
     df.select(
         F.col(id_col), F.col(vec_col), F.col(cluster_col)
-    ).write.mode("append").partitionBy(cluster_col).parquet(
-        f"{path}/vectors"
-    )
+    ).repartition(F.col(cluster_col)).write.mode("append").partitionBy(
+        cluster_col
+    ).parquet(f"{path}/vectors")
 
 
 # Rebuild threshold for ivf_needs_rebuild: a cell holding >4× the mean
