@@ -540,6 +540,25 @@ def test_ivf_append_matches_rebuild(spark, tmp_path):
     assert [tuple(r) for r in out.collect()] == [tuple(r) for r in mem.collect()]
 
 
+def test_ivf_write_one_file_per_cluster(spark, tmp_path):
+    """save_ivf_index must produce ONE part file per cluster directory
+    (the frame is clustered on the partition column before the write) —
+    unclustered, every input partition spills a file into every cluster
+    dir and the file count compounds tasks × clusters per snapshot."""
+    import glob
+
+    from go_streaming_spark.functions import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") != 0).repartition(8)
+    cent = similarity.label_centroids(corpus, "label", "embedding", dim=64)
+    path = str(tmp_path / "ivf")
+    similarity.save_ivf_index(corpus, "vec_id", "embedding", "label", cent, path)
+    for d in glob.glob(f"{path}/vectors/label=*"):
+        parts = glob.glob(f"{d}/part-*.parquet")
+        assert len(parts) == 1, (d, parts)
+
+
 def test_ivf_cell_stats_flags_skewed_appends(spark, tmp_path):
     """append_ivf_vectors never re-clusters, so a drifting ingest stream
     concentrates into few cells and probe cost quietly grows: the cell
