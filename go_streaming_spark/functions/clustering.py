@@ -85,6 +85,14 @@ def kmeans_assign_q(
     through (so callers that need (vec, cluster) together — the IVF
     rewrite — never pay a join back on id, which would also duplicate
     rows quadratically if ids repeat in the input)."""
+    reserved = {"id", "cluster", "_q", "_qb"}
+    clash = reserved.intersection(payload_cols)
+    if clash:
+        raise ValueError(
+            "kmeans_assign_q: payload_cols collide with reserved output"
+            f" names {sorted(clash)} — rename the payload columns before"
+            " assignment (reserved: id, cluster, _q, _qb)"
+        )
     base = quantize_embeddings(
         spread(df), id_col, vec_col, out_col="_q", payload_cols=payload_cols
     )

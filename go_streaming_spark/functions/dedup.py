@@ -1752,6 +1752,13 @@ def keep_best_per_component(
     return losers_removed.unionByName(kept_members)
 
 
+# lsh_recall_stats runs its exact side UNCAPPED by design; above this
+# many input docs it refuses to run without an explicit unbounded_ok —
+# the same refuse-the-quadratic-regime default as
+# DEFAULT_MAX_CANDIDATE_PAIRS on the pair joins.
+DEFAULT_MAX_RECALL_AUDIT_DOCS = 100_000
+
+
 def lsh_recall_stats(
     df: DataFrame,
     id_col: str,
@@ -1760,6 +1767,8 @@ def lsh_recall_stats(
     k: int = 16,
     rows_per_band: int = 4,
     threshold: float = 0.5,
+    max_docs: int = DEFAULT_MAX_RECALL_AUDIT_DOCS,
+    unbounded_ok: bool = False,
 ) -> DataFrame:
     """Measured RECALL of the banded MinHash index against exact
     n-gram-Jaccard ground truth — the parameter-tuning audit for
@@ -1782,9 +1791,31 @@ def lsh_recall_stats(
     pairs are a subset of the true pairs by construction, so
     ``recall = n_lsh / n_true`` needs no pair-level join; NULL when the
     sample has no true pairs.
+
+    The bounded-sample contract is ENFORCED, not just documented: inputs
+    above ``max_docs`` raise unless ``unbounded_ok=True`` — a caller
+    pointing the audit at a full corpus would otherwise run the exact
+    all-pairs inverted-index join at corpus scale (the one row-count
+    check is metadata-cheap next to the audit itself).  The two sides
+    each build their own cached shingle frame (``jaccard_pairs`` word
+    shingles, ``minhash_lsh_pairs`` shingle arrays), so the text
+    split/shingling runs roughly twice — accepted on a bounded sample;
+    thread a shared shingle frame only if the audit cadence ever makes
+    it the bottleneck.
     """
     from go_streaming_spark.functions.util import q6
 
+    if not unbounded_ok:
+        n_docs = df.count()
+        if n_docs > max_docs:
+            raise ValueError(
+                f"lsh_recall_stats: {n_docs} input docs exceeds the"
+                f" {max_docs}-doc audit bound and the exact ground-truth"
+                " side runs UNCAPPED (all-pairs inverted-index join) —"
+                " hash-select a sample first (e.g."
+                f" df.filter(col({id_col!r}) % 997 == 0)) or pass"
+                " unbounded_ok=True to accept the quadratic regime"
+            )
     true_n = (
         jaccard_pairs(
             df, id_col, text_col, n, threshold,

@@ -710,6 +710,14 @@ def quantize_embeddings(
 
     Map-only — no shuffle; emits (id, qvec array<tinyint>, qscale).
     """
+    clash = {"id", out_col, scale_col}.intersection(payload_cols)
+    if clash:
+        raise ValueError(
+            "quantize_embeddings: payload_cols collide with output"
+            f" names {sorted(clash)} — rename the payload columns or"
+            f" pick different out_col/scale_col (outputs: id, {out_col},"
+            f" {scale_col})"
+        )
     v = F.col(vec_col).cast("array<double>")
     amax = F.array_max(F.transform(v, F.abs))
     q = F.when(

@@ -70,6 +70,36 @@ def _is_scan_rooted(df: DataFrame) -> bool:
     return True
 
 
+def _static_repartition_width(df: DataFrame) -> int | None:
+    """Plan-static partition count of an explicit ``repartition(n)`` /
+    ``coalesce(n)`` sitting under (only) narrow nodes — readable from
+    the optimized logical plan WITHOUT executing anything: the
+    ``Repartition`` / ``RepartitionByExpression`` node carries its
+    numPartitions.  A caller that narrowed a frame on purpose
+    (``coalesce(1)`` before a tiny write, ``repartition(2)`` in a test)
+    would otherwise report the static shuffle width from
+    :func:`default_buckets` and silently skip the widening
+    :func:`spread` exists for.  Returns ``None`` when the topmost
+    shuffle is anything else (join/aggregate — the AQE-sized case)."""
+    try:
+        node = df._jdf.queryExecution().optimizedPlan()
+        while True:
+            name = node.nodeName()
+            if name == "Repartition":
+                return int(node.numPartitions())
+            if name == "RepartitionByExpression":
+                opt = node.optNumPartitions()
+                return int(opt.get()) if opt.isDefined() else None
+            if name not in _SCAN_SAFE_NODES:
+                return None
+            ch = node.children()
+            if ch.size() != 1:
+                return None
+            node = ch.apply(0)
+    except Exception:
+        return None
+
+
 def default_buckets(spark) -> int:
     """Default bucket count for bucketed-table writers: the session's
     shuffle partitions when that conf is numeric, else the cluster
@@ -191,13 +221,19 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         # LAZY shuffle-rooted frame (join/aggregate over a scan): the
         # file estimate doesn't speak for it, but .rdd would be worse —
         # under AQE, Dataset.rdd EXECUTES every upstream stage to
-        # finalize the plan, running the frame's work twice.  Use the
-        # static shuffle width (the plan-time partition count) instead:
-        # AQE only coalesces it downward for SMALL outputs, and a
-        # caller that needs a hard guarantee for a small-but-CPU-heavy
-        # frame localCheckpoints first (the ingest path does), landing
-        # in the branch above with the real count.
-        est = default_buckets(df.sparkSession)
+        # finalize the plan, running the frame's work twice.  An
+        # EXPLICIT repartition(n)/coalesce(n) root is the exception —
+        # its width is plan-static and a deliberately narrowed frame
+        # (coalesce(1)) must not read as "already wide".  For every
+        # other shuffle root use the static shuffle width (the
+        # plan-time partition count): AQE only coalesces it downward
+        # for SMALL outputs, and a caller that needs a hard guarantee
+        # for a small-but-CPU-heavy frame localCheckpoints first (the
+        # ingest path does), landing in the branch above with the real
+        # count.
+        est = _static_repartition_width(df)
+        if est is None:
+            est = default_buckets(df.sparkSession)
     if est < target:
         return df.repartition(target)
     return df

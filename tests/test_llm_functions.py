@@ -3253,3 +3253,54 @@ def test_lsh_recall_stats_counts_and_bounds(spark):
         "doc_id", "text", threshold=0.2,
     ).head()
     assert empty["n_true_pairs"] == 0 and empty["recall"] is None
+
+
+def test_lsh_recall_stats_refuses_unbounded_input(spark):
+    """The bounded-sample contract is enforced: above max_docs the audit
+    raises (its exact side runs the UNCAPPED all-pairs inverted-index
+    join) unless unbounded_ok=True explicitly accepts the quadratic
+    regime — the DEFAULT_MAX_CANDIDATE_PAIRS refusal pattern."""
+    import pytest as _pytest
+
+    from go_streaming_spark.functions.dedup import lsh_recall_stats
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc {i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError, match="audit bound"):
+        lsh_recall_stats(docs, "doc_id", "text", threshold=0.2, max_docs=5)
+    # explicit opt-in runs; the small-sample default bound never trips
+    assert (
+        lsh_recall_stats(
+            docs, "doc_id", "text", threshold=0.2, max_docs=5,
+            unbounded_ok=True,
+        ).head()
+        is not None
+    )
+
+
+def test_kmeans_assign_q_payload_collision_guard(spark):
+    """payload_cols colliding with the reserved output names (id,
+    cluster, _q, _qb) must raise descriptively instead of silently
+    emitting duplicate/ambiguous columns; same for quantize_embeddings'
+    output names."""
+    import pytest as _pytest
+
+    from go_streaming_spark.functions import clustering
+
+    emb = _emb(spark).limit(8)
+    cents = [[0] * 64, [1] * 64]
+    with _pytest.raises(ValueError, match="reserved"):
+        clustering.kmeans_assign_q(
+            emb, "vec_id", "embedding", cents, payload_cols=("cluster",)
+        )
+    with _pytest.raises(ValueError, match="collide"):
+        similarity.quantize_embeddings(
+            emb, "vec_id", "embedding", payload_cols=("qvec",)
+        )
+    # non-colliding payloads still pass through
+    out = clustering.kmeans_assign_q(
+        emb, "vec_id", "embedding", cents, payload_cols=("label",)
+    )
+    assert set(out.columns) == {"id", "cluster", "label"}

@@ -717,6 +717,44 @@ def test_spread_widens_shuffle_rooted_frames(spark):
     assert widened.rdd.getNumPartitions() == conf_width + 8
 
 
+def test_spread_reads_explicit_repartition_width_from_plan(spark):
+    """An explicit repartition(n)/coalesce(n) root is plan-static: its
+    numPartitions is readable from the optimized plan without executing
+    anything, so a deliberately NARROWED frame (coalesce(1) before a
+    compute-heavy stage) must be widened by spread() instead of
+    reporting the static shuffle width and silently passing through."""
+    from go_streaming_spark.functions.util import (
+        _static_repartition_width,
+        spread,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert _static_repartition_width(docs.repartition(2)) == 2
+    assert _static_repartition_width(docs.coalesce(1)) == 1
+    # narrow nodes above the Repartition preserve its width
+    assert (
+        _static_repartition_width(
+            docs.repartition(2).select("doc_id", "lang")
+        )
+        == 2
+    )
+    # keyed repartition with an explicit count is plan-static too
+    assert _static_repartition_width(docs.repartition(3, F.col("lang"))) == 3
+    # AQE-sized shuffles stay None (the default_buckets fallback)
+    assert (
+        _static_repartition_width(docs.groupBy("lang").count()) is None
+    )
+    # target == conf width: the default_buckets fallback would report
+    # "already wide enough" and pass the 1-partition frame through —
+    # the plan-static read is what makes this widen
+    conf_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert (
+        spread(docs.coalesce(1), min_partitions=conf_width)
+        .rdd.getNumPartitions()
+        == conf_width
+    )
+
+
 def test_split_estimate_zero_open_cost_terminates(spark, tmp_path):
     """spark.sql.files.openCostInBytes=0 is a legal conf; with total
     bytes < defaultParallelism the split size computed to 0 and the
