@@ -1592,8 +1592,9 @@ def hashed_bucket_features(
     bucket).
     """
     from go_streaming_spark.functions.dedup import md5_int
+    from go_streaming_spark.functions.util import spread
 
-    bound = df.select(
+    bound = spread(df).select(
         F.col(id_col).alias("id"),
         words_expr(F.lower(F.col(text_col))).alias("__toks"),
     ).withColumn(
@@ -1630,30 +1631,60 @@ def hashed_bucket_entries(
     pure whole-stage-codegen projection — zero shuffles, zero joins.
 
     Emits (id, entries, n_tokens).
+
+    Counting is a sorted RUN-LENGTH scan, not a per-distinct-bucket
+    filter-count: sort the bucket array once (O(tokens·log tokens)),
+    mark run starts positionally, and each entry's count is the gap to
+    the next start — O(1) indexed ``get`` on BOUND columns (the repo's
+    nested-HOF rule: an index lambda referencing an unmaterialized
+    array expression re-evaluates it per element).  The previous form
+    ran one ``size(filter(...))`` pass over the whole token-bucket
+    array per DISTINCT bucket — O(distinct·tokens) ≈ 10M comparisons
+    per 10k-token document at k=1024, the hot inner loop of the
+    realistic-width training path.
     """
     from go_streaming_spark.functions.dedup import md5_int
+    from go_streaming_spark.functions.util import spread
 
-    bound = df.select(
+    empty = F.array().cast("array<struct<i: long, x: long>>")
+    bound = spread(df).select(
         F.col(id_col).alias("id"),
         words_expr(F.lower(F.col(text_col))).alias("__toks"),
     ).withColumn(
         "__b",
-        F.transform(
-            F.col("__toks"),
-            lambda t: md5_int(F.concat_ws("|", F.lit(seed), t), 8) % k,
+        F.array_sort(
+            F.transform(
+                F.col("__toks"),
+                lambda t: md5_int(F.concat_ws("|", F.lit(seed), t), 8) % k,
+            )
+        ),
+    )
+    s = F.col("__b")
+    n = F.size(s)
+    # positions where a new run of equal buckets begins (0-based get:
+    # out-of-range/negative reads are NULL, and NULL != x is NULL-falsy,
+    # so only the p == 0 arm admits the first element)
+    bound = bound.withColumn(
+        "__starts",
+        F.filter(
+            F.sequence(F.lit(0), n - 1),
+            lambda p: (p == F.lit(0)) | (F.get(s, p) != F.get(s, p - 1)),
         ),
     )
     entries = F.transform(
-        F.array_distinct(F.col("__b")),
-        lambda b: F.struct(
-            b.cast("long").alias("i"),
-            F.size(F.filter(F.col("__b"), lambda x: x == b))
+        F.col("__starts"),
+        lambda p, j: F.struct(
+            F.get(s, p).cast("long").alias("i"),
+            (F.coalesce(F.get(F.col("__starts"), j + 1), n) - p)
             .cast("long")
             .alias("x"),
         ),
     )
     return bound.select(
         "id",
-        F.sort_array(entries).alias("entries"),
+        # n == 0 guard: sequence(0, -1) DESCENDS in Spark (it is not
+        # empty), which would fabricate a NULL-bucket entry; NULL token
+        # arrays propagate NULL through n as before
+        F.when(n == F.lit(0), empty).otherwise(entries).alias("entries"),
         F.size("__toks").cast("long").alias("n_tokens"),
     )

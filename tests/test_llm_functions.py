@@ -3163,6 +3163,52 @@ def test_hashed_bucket_entries_match_wide_features(spark):
         assert dense == wide[r["id"]], r["id"]
 
 
+def test_hashed_bucket_entries_run_length_edge_cases(spark):
+    """The sorted run-length counting path (r14 rewrite of the
+    per-distinct-bucket filter-count): exact Counter ground truth per
+    doc, sorted-by-i entries, and the degenerate shapes — empty text
+    (sequence(0,-1) DESCENDS in Spark; the guard must not fabricate a
+    NULL-bucket entry), NULL text (NULL propagates), one token, all
+    tokens identical, every bucket distinct."""
+    from collections import Counter
+
+    from go_streaming_spark.functions.dedup import md5_int  # noqa: F401
+    from go_streaming_spark.functions.text import hashed_bucket_entries
+
+    k = 16
+    rows = [
+        (1, "alpha beta gamma alpha beta alpha"),
+        (2, ""),
+        (3, None),
+        (4, "solo"),
+        (5, "same same same same"),
+        (6, " ".join(f"tok{i}" for i in range(40))),
+        (7, "   "),  # whitespace-only → zero tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r
+        for r in hashed_bucket_entries(docs, "doc_id", "text", k=k).collect()
+    }
+
+    import hashlib
+
+    def bucket(tok):
+        h = int(hashlib.md5(f"probe|{tok}".encode()).hexdigest()[:8], 16)
+        return h % k
+
+    for doc_id, text in rows:
+        r = out[doc_id]
+        if text is None:
+            assert r["entries"] is None
+            continue
+        toks = [t.lower() for t in text.split()]
+        expect = sorted(Counter(bucket(t) for t in toks).items())
+        got = [(e["i"], e["x"]) for e in r["entries"]]
+        assert got == expect, (doc_id, got, expect)
+        assert r["n_tokens"] == len(toks)
+
+
 def test_gram_matrix_exploded_null_entries_keep_label(spark):
     """A NULL entries array (NULL text upstream) must behave like an
     all-zero feature row, not vanish: the row's y'y contribution has to
