@@ -39,56 +39,56 @@ def entry(spark: SparkSession) -> DataFrame:
 # registered queries every query earns a hard row at least every 3
 # rounds.
 #
-# Round-13 gate (honoring the r12 pre-commitment): (a) NEW r13
-# registrations — never driver-gated ⇒ infinitely stale — in
-# registration order (there were no r12 reds to re-prove:
-# CORRECTNESS_r12 was 50/50 green, and no r12 registration missed the
-# cut); (b) the r7 alphabetical tail the r12 cut displaced
-# (window_sampling — the last r7-last-green name); (c) the
-# r8-last-green set re-enumerated from the CORRECTNESS_r01..r12 union
-# (49 names), alphabetical, to the 50 cut.
+# Round-14 gate (honoring the r13 pre-commitment): (a) NEW r14
+# registrations — never driver-gated ⇒ infinitely stale — alphabetical
+# (there were no r13 reds to re-prove: CORRECTNESS_r13 was 50/50 green,
+# and no r13 registration missed the cut); (b) the r8 alphabetical tail
+# the r13 cut displaced (8 names, stream_static_enrich onward); (c) the
+# r9-last-green set re-enumerated from the CORRECTNESS_r01..r13 union
+# (48 names), alphabetical, to the 50 cut (39 fit).
 #
-# r14 PRE-COMMITMENT: never-green names lead (any r13 registrations
-# that miss this round's 50 cut plus any r13 reds being re-proven);
-# then the stalest greens — the r8 alphabetical tail the r13 cut
-# displaced (stream_static_enrich, stream_window_join_left,
-# table_fingerprint, tokenize_wordcount, top_supplier_revenue,
-# topk_orders, value_percentiles, winsorized_stats), then the
-# r9-last-green set (ann_jl_topk onward, alphabetical), then r10 —
-# re-enumerated from CORRECTNESS history, oldest-green first,
-# alphabetical within a round, to fill 50.
+# r15 PRE-COMMITMENT: never-green names lead (any r14 registrations
+# that miss this round's 50 cut plus any r14 reds being re-proven);
+# then the stalest greens — the r9 alphabetical tail the r14 cut
+# displaced (stream_hist_value_percentiles, stream_hll_user_cardinality,
+# stream_session_window_count, stream_session_window_count_envelope,
+# temperature_mixture_counts, textrank_top_terms, timeseries_resample_6h,
+# vocab_oov_rates, zorder_locality_stats), then the r10-last-green set
+# (alphabetical), then r11 — re-enumerated from CORRECTNESS history,
+# oldest-green first, alphabetical within a round, to fill 50.
 GATE_PRIORITY = [
-    # (a) ALL EIGHT r13 registrations — never-gated, first hard rows
-    # (each late-r13 addition displaces an r8 name per the standing
-    # never-green-leads rule), alphabetical
-    "ann_ivf_cell_stats", "ann_ivf_rebuilt_topk",
-    "corpus_ingest_bucketed_survivors",
-    "corpus_ingest_two_batch_survivors", "dedup_lsh_recall",
-    "quality_probe_gram_sparse", "stream_ann_ivf_append",
-    "stream_corpus_ingest_survivors",
-    # (b) the r7 tail
-    "window_sampling",
-    # (c) the first 41 of the 49 r8-last-green names, alphabetical
-    "anti_join_no_urgent_customers", "bloom_join_urgent_revenue",
-    "chunk_documents", "cohort_retention_counts", "convert_long",
-    "cube_revenue", "decontaminate_counts", "dedup_incremental_bloom",
-    "dedup_prefix_jaccard", "dedup_spans_removed_counts",
-    "distinct_users_per_type", "doc_repetition_scores",
-    "filter_contains", "filter_even", "filter_odd", "filter_smaller",
-    "flatmap_chars", "grouping_sets_revenue", "hash_split_counts",
-    "hll_user_cardinality", "incremental_cube_update", "limit_first",
-    "mad_by_type", "map_affine", "mixture_sample_counts",
-    "multimodal_bmp_thumbnail_stats", "multimodal_wav_downsample_stats",
-    "nation_pair_volume", "observe_passthrough", "part_type_stats",
-    "promo_revenue_pct", "rank_distributions", "redact_pii",
-    "returned_item_customers", "salted_agg_status_totals",
-    "salted_join_type_revenue", "select_from_map",
-    "semi_join_urgent_customers", "stratified_sample_counts",
-    "stream_counting_window_sum", "stream_fan_in_sum",
-    # (8 never-gated r13 registrations + window_sampling + the first 41
-    # r8 names fill the 50 cut exactly; the r8 tail
-    # (stream_static_enrich onward) and the r9 set (ann_jl_topk onward)
-    # lead the stale greens next round per the pre-commitment)
+    # (a) ALL THREE r14 registrations — never-gated, first hard rows:
+    # the IVF serving-manifest flip, the end-to-end wide training loop,
+    # and the k=1024 sparse gram (alphabetical)
+    "ann_ivf_manifest_topk", "quality_linear_scores_wide",
+    "quality_probe_gram_wide",
+    # (b) the r8 tail the r13 cut displaced
+    "stream_static_enrich", "stream_window_join_left",
+    "table_fingerprint", "tokenize_wordcount", "top_supplier_revenue",
+    "topk_orders", "value_percentiles", "winsorized_stats",
+    # (c) the first 39 of the 48 r9-last-green names, alphabetical
+    "ann_jl_topk", "ann_pq_adc_topk", "bm25_doc_scores",
+    "bm25_topk_per_query", "cdc_latest_snapshot",
+    "corpus_ingest_clean_tokens", "cust_order_distribution",
+    "dedup_containment_pairs", "dedup_edit_distance",
+    "disjunctive_part_revenue", "dormant_rich_customers",
+    "dq_violation_counts", "event_transition_counts",
+    "hist_percentiles_by_type", "hist_value_percentiles",
+    "inverted_index_postings", "jl_projection_vectors",
+    "kmeans_cluster_stats", "kmeans_lloyd_centroids", "knn_join_topk",
+    "leakage_cross_split_pairs", "leakage_safe_split_counts",
+    "lm_bigram_quality", "multimodal_mp4_content_stats",
+    "nation_market_share", "negative_sample_pairs", "ols_trend_by_type",
+    "pii_audit_by_source", "pmi_top_bigrams", "quality_linear_scores",
+    "recency_weighted_counts", "scd2_order_history",
+    "semdedup_survivors", "shipping_priority_topn",
+    "snapshot_diff_orders", "stream_cms_word_counts",
+    "stream_dedup_exact_native", "stream_dq_violation_counts",
+    "stream_heavy_hitter_words",
+    # (3 never-gated r14 registrations + the 8-name r8 tail + the first
+    # 39 r9 names fill the 50 cut exactly; the r9 tail
+    # (stream_hist_value_percentiles onward) and the r10 set lead the
+    # stale greens next round per the pre-commitment)
 ]
 
 

@@ -115,6 +115,9 @@ HEADLINE = [
     "corpus_ingest_bucketed_survivors",  # ingest via bucketed catalog snapshot (round 13)
     "quality_probe_gram_sparse",     # exploded long-form gram, wide-k path (round 13)
     "ann_ivf_cell_stats",            # IVF inverted-list health audit (round 13)
+    "quality_probe_gram_wide",       # sparse gram AT k=1024, the realistic width (round 14)
+    "quality_linear_scores_wide",    # end-to-end wide train->score loop (round 14)
+    "ann_ivf_manifest_topk",         # IVF snapshot flip: rebuild+publish+probe (round 14)
 ]
 
 

@@ -613,6 +613,72 @@ def rebuild_ivf_index(
     )
 
 
+def publish_ivf_epoch(spark, root: str, index_path: str, epoch: int) -> None:
+    """Publish an IVF index snapshot to the serving manifest — the
+    missing piece between :func:`rebuild_ivf_index` (which writes to a
+    NEW path by design) and a production serving loop: queries resolve
+    the live index THROUGH ``{root}/manifest`` instead of a hard-coded
+    path, and a rebuild cuts over by appending one (epoch, path) row
+    AFTER its index write completes — write-manifest-last, so a reader
+    sees either the old epoch set or old+new, never a half-written
+    index.  This is the reference's drain-then-swap migration semantic
+    (``pkg/pubsub/pub_sub.go:54-74`` — the old stream serves until the
+    new one is ready, then the pointer flips) applied at the index
+    level.
+
+    The manifest is append-only history: :func:`current_ivf_epoch`
+    resolves the MAX epoch, superseded rows stay for rollback (publish
+    a higher epoch pointing at an older path) and audit.  Each publish
+    is one tiny single-file append — atomic enough on any
+    rename-on-commit filesystem; epochs must be monotonically assigned
+    by the (single) rebuild coordinator."""
+    if epoch < 0:
+        raise ValueError(f"publish_ivf_epoch: epoch must be >= 0, got {epoch}")
+    spark.createDataFrame(
+        [(int(epoch), index_path)], "epoch long, path string"
+    ).coalesce(1).write.mode("append").parquet(f"{root}/manifest")
+
+
+def current_ivf_epoch(spark, root: str):
+    """The live (epoch, path) row of a :func:`publish_ivf_epoch`
+    manifest — the max-epoch row; raises when nothing was published
+    (serving against an unpublished index is a deployment bug, not an
+    empty result)."""
+    row = (
+        spark.read.parquet(f"{root}/manifest")
+        .orderBy(F.col("epoch").desc())
+        .head()
+    )
+    if row is None:
+        raise ValueError(
+            f"current_ivf_epoch: no published epochs under {root}/manifest"
+        )
+    return row
+
+
+def ivf_manifest_topk(
+    spark,
+    root: str,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """:func:`ivf_pruned_topk` resolved THROUGH the serving manifest:
+    reads ``{root}/manifest`` for the live epoch's index path, then
+    probes that layout.  The query cost over the manifest itself is one
+    tiny parquet read; everything else is the partition-pruned probe.
+    A rebuild+publish between two calls flips which snapshot answers —
+    no caller config change, no downtime window."""
+    live = current_ivf_epoch(spark, root)
+    return ivf_pruned_topk(
+        spark, live["path"], id_col, vec_col, cluster_col, query_vec,
+        k=k, nprobe=nprobe,
+    )
+
+
 def ivf_pruned_topk(
     spark,
     path: str,

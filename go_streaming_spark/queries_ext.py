@@ -3825,3 +3825,224 @@ def stream_ann_ivf_append(spark, sf_dir):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@query("ann_ivf_manifest_topk", ORACLES["ann_cosine_topk"])
+def ann_ivf_manifest_topk(spark, sf_dir):
+    # the SNAPSHOT FLIP that closes the IVF serving loop (the reference's
+    # drain-then-swap migration semantic, pkg/pubsub/pub_sub.go:54-74, at
+    # the index level): epoch 0 = the label-clustered layout, published;
+    # rebuild to a NEW path (rebuild_ivf_index writes fresh Lloyd
+    # centroids + full re-assign); publish epoch 1 write-manifest-LAST.
+    # The probe resolves THROUGH the manifest — it must land on epoch 1
+    # and a full probe over it must equal brute-force cosine top-k over
+    # the corpus (the ann_cosine_topk oracle): the cutover may lose,
+    # duplicate, or mis-route nothing.
+    import shutil
+    import tempfile
+
+    from go_streaming_spark.functions import similarity
+    from go_streaming_spark.queries_llm import _emb
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    cent = similarity.label_centroids(corpus, "label", "embedding", dim=64)
+    tmp = tempfile.mkdtemp(prefix="ivf_manifest_")
+    try:
+        similarity.save_ivf_index(
+            corpus, "vec_id", "embedding", "label", cent, f"{tmp}/e0"
+        )
+        similarity.publish_ivf_epoch(spark, tmp, f"{tmp}/e0", epoch=0)
+        similarity.rebuild_ivf_index(
+            spark, f"{tmp}/e0", f"{tmp}/e1", "vec_id", "embedding", "label",
+            k=10, iters=3,
+        )
+        similarity.publish_ivf_epoch(spark, tmp, f"{tmp}/e1", epoch=1)
+        live = similarity.current_ivf_epoch(spark, tmp)
+        if live["epoch"] != 1 or live["path"] != f"{tmp}/e1":
+            raise AssertionError(
+                f"manifest resolved to stale epoch: {live.asDict()}"
+            )
+        out = similarity.ivf_manifest_topk(
+            spark, tmp, "vec_id", "embedding", "label", qv,
+            k=10, nprobe=10,
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _gram_wide_oracle(k: int = 1024, seed: str = "probe") -> str:
+    """Long-form oracle for the SPARSE gram at realistic width: the
+    k=8 oracle's one-UNION-arm-per-cell form would need ~526k arms at
+    k=1024; instead the nonzero (id, bucket, count) entries self-join on
+    id with bk_a <= bk_b — exactly the co-occurring upper-triangle cells
+    ``gram_matrix_exploded`` emits (zero cells absent on BOTH sides, all
+    int64-exact).  The label joins in as feature index ``k`` for docs
+    with y=1, mirroring the engine's label entry."""
+    return rf"""WITH t AS (SELECT doc_id AS id, lang,
+    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents),
+tok AS (SELECT id, unnest(w) AS tok FROM t),
+b AS (SELECT id, CAST('0x' || substr(md5('{seed}|' || tok), 1, 8) AS BIGINT)
+        % {k} AS bk FROM tok),
+cnt AS (SELECT id, bk, CAST(count(*) AS BIGINT) AS x FROM b GROUP BY id, bk),
+ent AS MATERIALIZED (SELECT id, bk, x FROM cnt
+      UNION ALL
+      SELECT id, CAST({k} AS BIGINT) AS bk, CAST(1 AS BIGINT) AS x
+      FROM t WHERE lang = 'en')
+SELECT a.bk AS i, c.bk AS j, CAST(sum(a.x * c.x) AS BIGINT) AS v
+FROM ent a JOIN ent c ON a.id = c.id AND a.bk <= c.bk
+GROUP BY 1, 2"""
+
+
+@query("quality_probe_gram_wide", _gram_wide_oracle())
+def quality_probe_gram_wide(spark, sf_dir):
+    # the sparse gram gate AT THE WIDTH THE FORM EXISTS FOR: k=1024
+    # hashed features (the realistic linear-probe width, where the
+    # literal agg would plan ~526k expressions and blow codegen),
+    # value-checked cell-for-cell against a long-form self-join oracle.
+    # The k=8 twin (quality_probe_gram_sparse) pins parity with the
+    # literal form; this row pins the width that matters.
+    from go_streaming_spark.functions.stats import gram_matrix_exploded
+    from go_streaming_spark.functions.text import hashed_bucket_entries
+    from go_streaming_spark.queries_llm import _docs
+
+    docs = _docs(spark, sf_dir)
+    ent = hashed_bucket_entries(docs, "doc_id", "text", k=1024, seed="probe")
+    lab = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("y"),
+    )
+    return gram_matrix_exploded(ent.join(lab, "id"), "entries", 1024, "y")
+
+
+def _scores_wide_oracle(k: int = 1024, seed: str = "probe") -> str:
+    """Derived-invariant oracle for the end-to-end wide training loop
+    (the compression_bounds_audit pattern — the ridge solve is the one
+    kernel DuckDB does not have): the feature-pipeline aggregates
+    (n_docs, sum_tokens, sum_nnz) are recomputed exactly in SQL, and the
+    literal ok flags certify the in-query exact checks — sparse-trained
+    weights bit-equal to dense-numpy-trained weights, and the
+    DISTRIBUTED int64 margin aggregates equal to the driver's numpy
+    margins from the same collected features.  Any feature/gram/solve/
+    scoring mis-wiring either hash-mismatches the aggregates or raises
+    inside the gate."""
+    return rf"""WITH t AS (SELECT doc_id AS id,
+    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents),
+tok AS (SELECT id, unnest(w) AS tok FROM t),
+b AS (SELECT id, CAST('0x' || substr(md5('{seed}|' || tok), 1, 8) AS BIGINT)
+        % {k} AS bk FROM tok)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_docs,
+       (SELECT CAST(count(*) AS BIGINT) FROM tok) AS sum_tokens,
+       (SELECT CAST(count(*) AS BIGINT)
+          FROM (SELECT DISTINCT id, bk FROM b)) AS sum_nnz,
+       1 AS w_ok, 1 AS margin_ok"""
+
+
+@query("quality_linear_scores_wide", _scores_wide_oracle())
+def quality_linear_scores_wide(spark, sf_dir):
+    # the END-TO-END training loop at realistic width, gate-proven:
+    # k=1024 hashed features (hashed_bucket_entries) -> distributed
+    # sparse gram (gram_matrix_exploded, ONE map-side-combined
+    # groupBy(i,j)) -> driver ridge solve (ridge_fit_from_gram) ->
+    # DISTRIBUTED scoring with the trained weights as a literal array.
+    # Verification is layered: (1) the sparse-gram-trained weights must
+    # be BIT-IDENTICAL to weights trained by dense numpy accumulation
+    # over the same collected features (identical int64 gram -> identical
+    # float64 solve — any divergence raises); (2) the distributed int64
+    # quantized-margin aggregates must equal numpy's exactly; (3) the
+    # SQL oracle hash-checks the feature-pipeline aggregates.  The
+    # collect of per-doc entries is the VERIFICATION harness (bounded:
+    # gate runs at sample scale); production trains from the distributed
+    # gram alone — fixed (nnz-bounded) state at any corpus size.
+    import numpy as np
+
+    from go_streaming_spark.functions.stats import (
+        gram_matrix_exploded,
+        ridge_fit_from_gram,
+    )
+    from go_streaming_spark.functions.text import hashed_bucket_entries
+    from go_streaming_spark.queries_llm import _docs
+
+    k, lam = 1024, 1.0
+    docs = _docs(spark, sf_dir)
+    ent = hashed_bucket_entries(docs, "doc_id", "text", k=k, seed="probe")
+    lab = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("y"),
+    )
+    joined = ent.join(lab, "id").localCheckpoint()
+
+    # --- train: distributed sparse gram -> driver solve -----------------
+    gram_rows = gram_matrix_exploded(joined, "entries", k, "y").collect()
+    w = ridge_fit_from_gram(gram_rows, k, lam=lam)
+
+    # --- verify the training against dense numpy on the same features --
+    collected = joined.select("entries", "y").collect()
+    X = np.zeros((len(collected), k), dtype=np.int64)
+    yv = np.zeros(len(collected), dtype=np.int64)
+    has_feats = np.ones(len(collected), dtype=bool)
+    for rix, row in enumerate(collected):
+        yv[rix] = row["y"]
+        if row["entries"] is None:
+            has_feats[rix] = False  # NULL text: zero features, y kept
+            continue
+        for e in row["entries"]:
+            X[rix, e["i"]] = e["x"]
+    xtx = (X.T @ X).astype(np.float64)
+    xty = (X.T @ yv).astype(np.float64)
+    w_np = np.linalg.solve(xtx + lam * np.eye(k), xty)
+    if not np.array_equal(w, w_np):
+        raise AssertionError(
+            "quality_linear_scores_wide: sparse-gram-trained weights !="
+            f" dense-numpy weights (max abs diff {np.abs(w - w_np).max()})"
+        )
+
+    # --- score distributed with the trained weights (quantized int64) --
+    w_q = np.floor(w * 1e6 + 0.5).astype(np.int64)
+    w_lit = "array(" + ",".join(f"{int(v)}L" for v in w_q) + ")"
+    margins = joined.select(
+        F.expr(
+            f"aggregate(entries, 0L, (acc, e) -> acc + e.x *"
+            f" element_at({w_lit}, CAST(e.i + 1 AS INT)))"
+        ).alias("margin_q"),
+        "n_tokens",
+        F.when(
+            F.col("entries").isNotNull(), F.size("entries")
+        ).cast("long").alias("nnz"),
+    )
+    agg = margins.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum("nnz").alias("sum_nnz"),
+        F.count("margin_q").alias("n_margins"),
+        F.sum("margin_q").alias("sum_margin"),
+        F.min("margin_q").alias("min_margin"),
+        F.max("margin_q").alias("max_margin"),
+    ).head()
+    mg = (X[has_feats] @ w_q)
+    expect = (
+        int(has_feats.sum()),
+        int(mg.sum()) if mg.size else None,
+        int(mg.min()) if mg.size else None,
+        int(mg.max()) if mg.size else None,
+    )
+    got = (agg["n_margins"], agg["sum_margin"],
+           agg["min_margin"], agg["max_margin"])
+    if got != expect:
+        raise AssertionError(
+            "quality_linear_scores_wide: distributed margin aggregates"
+            f" {got} != numpy {expect}"
+        )
+
+    return spark.createDataFrame(
+        [(agg["n_docs"], agg["sum_tokens"], agg["sum_nnz"], 1, 1)],
+        "n_docs long, sum_tokens long, sum_nnz long,"
+        " w_ok int, margin_ok int",
+    )

@@ -285,6 +285,72 @@ def test_ann_ivf_query_matches_bruteforce_when_probing_all(spark):
     assert allprobe == exact  # probing every cluster must equal brute force
 
 
+def test_ivf_manifest_epoch_flip_and_rollback(spark, tmp_path_factory):
+    """The serving-manifest lifecycle: queries resolve THROUGH the
+    max-epoch row; publishing a new epoch after a rebuild flips which
+    snapshot answers (write-manifest-last); superseded rows stay, so a
+    rollback is just a higher epoch pointing at the older path; an
+    unpublished manifest raises."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path_factory.mktemp("ivf_manifest"))
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    cent = similarity.label_centroids(corpus, "label", "embedding", dim=64)
+    nlabels = cent.count()
+
+    with _pytest.raises(Exception):
+        similarity.current_ivf_epoch(spark, root)
+
+    # epoch 0: a HALF corpus — a manifest probe must see only it
+    similarity.save_ivf_index(
+        corpus.filter(F.col("vec_id") % 2 == 0),
+        "vec_id", "embedding", "label", cent, f"{root}/e0",
+    )
+    similarity.publish_ivf_epoch(spark, root, f"{root}/e0", epoch=0)
+    live = similarity.current_ivf_epoch(spark, root)
+    assert (live["epoch"], live["path"]) == (0, f"{root}/e0")
+    half = {
+        r.id
+        for r in similarity.ivf_manifest_topk(
+            spark, root, "vec_id", "embedding", "label", qv,
+            k=10, nprobe=nlabels,
+        ).collect()
+    }
+    assert all(i % 2 == 0 for i in half)
+
+    # epoch 1: the full corpus; the SAME call now answers from it
+    similarity.save_ivf_index(
+        corpus, "vec_id", "embedding", "label", cent, f"{root}/e1"
+    )
+    similarity.publish_ivf_epoch(spark, root, f"{root}/e1", epoch=1)
+    exact = {
+        r.id
+        for r in similarity.cosine_topk(
+            corpus, "vec_id", "embedding", qv, 10
+        ).collect()
+    }
+    flipped = {
+        r.id
+        for r in similarity.ivf_manifest_topk(
+            spark, root, "vec_id", "embedding", "label", qv,
+            k=10, nprobe=nlabels,
+        ).collect()
+    }
+    assert flipped == exact
+
+    # rollback = epoch 2 pointing at the e0 path; history intact
+    similarity.publish_ivf_epoch(spark, root, f"{root}/e0", epoch=2)
+    rolled = similarity.current_ivf_epoch(spark, root)
+    assert (rolled["epoch"], rolled["path"]) == (2, f"{root}/e0")
+    assert spark.read.parquet(f"{root}/manifest").count() == 3
+
+    with _pytest.raises(ValueError, match="epoch"):
+        similarity.publish_ivf_epoch(spark, root, f"{root}/e0", epoch=-1)
+
+
 def test_exact_dedup_stream(spark, tmp_path_factory):
     from pyspark.sql import functions as F
 
