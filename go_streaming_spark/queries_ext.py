@@ -3995,8 +3995,20 @@ def quality_linear_scores_wide(spark, sf_dir):
             continue
         for e in row["entries"]:
             X[rix, e["i"]] = e["x"]
-    xtx = (X.T @ X).astype(np.float64)
-    xty = (X.T @ yv).astype(np.float64)
+    # float64 BLAS for the dense accumulation — numpy integer matmul is
+    # a naive non-BLAS loop (~60 s for 5000x1024 at sf0.1 vs ~0.5 s
+    # here) and the result is still EXACT: counts are non-negative, so
+    # every partial sum is a non-negative integer bounded by the final
+    # cell, and integers below 2^53 are exactly representable (guarded)
+    Xf = X.astype(np.float64)
+    xtx = Xf.T @ Xf
+    xty = Xf.T @ yv.astype(np.float64)
+    if xtx.max() >= 2.0**53 or xty.max() >= 2.0**53:
+        raise AssertionError(
+            "quality_linear_scores_wide: gram cell exceeds 2^53 — the"
+            " float64 verification path is no longer exact; shard the"
+            " verification sample"
+        )
     w_np = np.linalg.solve(xtx + lam * np.eye(k), xty)
     if not np.array_equal(w, w_np):
         raise AssertionError(
