@@ -173,7 +173,12 @@ def _system_busy_jiffies():
 
 def _tree_cpu_jiffies():
     """utime+stime jiffies of this process and every live descendant
-    (the JVM and its threads) — one /proc walk, a few ms."""
+    (the JVM and its threads) — one /proc walk, a few ms.  cutime/cstime
+    (CPU of REAPED children, rolled up to the parent at wait()) are
+    included: pyspark UDF workers come and go between samples, and
+    without the rollup a worker's jiffies VANISH from the walk when it
+    exits — the tree delta goes negative and the external-load estimate
+    explodes (a 198-core reading on a 32-core box, r14)."""
     try:
         me = os.getpid()
         stats = {}
@@ -187,7 +192,11 @@ def _tree_cpu_jiffies():
                 continue
             # comm may contain spaces/parens: split after the LAST ')'
             rest = raw[raw.rindex(")") + 2:].split()
-            stats[int(pid)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+            stats[int(pid)] = (
+                int(rest[1]),
+                int(rest[11]) + int(rest[12])
+                + int(rest[13]) + int(rest[14]),
+            )
         kids = {}
         for pid, (ppid, _) in stats.items():
             kids.setdefault(ppid, []).append(pid)
@@ -215,8 +224,15 @@ def _load_row(before, after):
     wall = t_a - t_b
     if None not in (busy_b, busy_a, tree_b, tree_a) and wall > 0:
         tick = os.sysconf("SC_CLK_TCK") or 100
-        own = (tree_a - tree_b) / tick / wall
-        ext = max(0.0, (busy_a - busy_b) / tick / wall - own)
+        ncpu = os.cpu_count() or 32
+        # own can still read slightly negative if an orphaned descendant
+        # was re-parented off our tree between samples — clamp both, and
+        # cap ext at the core count (nothing real can exceed it)
+        own = max(0.0, (tree_a - tree_b) / tick / wall)
+        ext = min(
+            float(ncpu),
+            max(0.0, (busy_a - busy_b) / tick / wall - own),
+        )
         row["own_cpu_cores"] = round(own, 2)
         row["ext_cpu_cores"] = round(ext, 2)
         row["contended"] = ext > EXT_CORES_CONTENDED
