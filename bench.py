@@ -118,6 +118,7 @@ HEADLINE = [
     "quality_probe_gram_wide",       # sparse gram AT k=1024, the realistic width (round 14)
     "quality_linear_scores_wide",    # end-to-end wide train->score loop (round 14)
     "ann_ivf_manifest_topk",         # IVF snapshot flip: rebuild+publish+probe (round 14)
+    "ann_filtered_topk",             # filtered ANN, over-probe escalation (round 14)
 ]
 
 

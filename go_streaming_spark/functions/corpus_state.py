@@ -195,6 +195,19 @@ class CorpusState:
             p.n, p.k, p.rows_per_band, p.gram_k, p.cms_depth, p.cms_width,
         )
 
+    @staticmethod
+    def load_published(spark: SparkSession, root: str) -> "CorpusState":
+        """Load the LIVE corpus snapshot through a
+        :func:`publish_corpus_epoch` manifest — the crawl loop's side of
+        the epoch-flip pattern (:func:`similarity.publish_ivf_epoch` is
+        the index side): each crawl run resolves the current epoch,
+        ingests against it, writes the evolved state as a NEW bucketed
+        prefix, and publishes the next epoch write-manifest-LAST — the
+        old snapshot keeps serving every reader until the flip, and a
+        half-written snapshot is never resolvable."""
+        live = current_corpus_epoch(spark, root)
+        return CorpusState.load_bucketed(spark, live["prefix"])
+
     # -- ingestion --------------------------------------------------------
     def ingest(
         self,
@@ -352,3 +365,50 @@ class CorpusState:
         )
         cleaned = dd.remove_spans(clean, spans, id_col, text_col)
         return cleaned, new_state
+
+
+# -- epoch manifest: the crawl loop's snapshot flip -------------------------
+def publish_corpus_epoch(
+    spark: SparkSession, root: str, table_prefix: str, epoch: int
+) -> None:
+    """Publish a :meth:`CorpusState.save_bucketed` snapshot to the crawl
+    loop's serving manifest — readers (:meth:`CorpusState.load_published`)
+    resolve the live snapshot THROUGH ``{root}/manifest`` instead of a
+    hard-coded table prefix, and a crawl run cuts over by appending one
+    (epoch, prefix) row AFTER its snapshot tables are fully written —
+    write-manifest-LAST, the reference's drain-then-swap migration
+    semantic (``pkg/pubsub/pub_sub.go:54-74``) at the corpus-state level,
+    mirroring :func:`similarity.publish_ivf_epoch` on the index side.
+
+    Append-only history: the max epoch is live, superseded prefixes stay
+    for rollback/audit (drop their tables only after retention); epochs
+    must be monotonically assigned by the (single) crawl coordinator."""
+    if epoch < 0:
+        raise ValueError(
+            f"publish_corpus_epoch: epoch must be >= 0, got {epoch}"
+        )
+    spark.createDataFrame(
+        [(int(epoch), table_prefix)], "epoch long, prefix string"
+    ).coalesce(1).write.mode("append").parquet(f"{root}/manifest")
+
+
+def current_corpus_epoch(spark: SparkSession, root: str):
+    """The live (epoch, prefix) row of a :func:`publish_corpus_epoch`
+    manifest — the max-epoch row; raises when nothing was published
+    (ingesting against an unpublished corpus is a deployment bug, not an
+    empty corpus)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        row = (
+            spark.read.parquet(f"{root}/manifest")
+            .orderBy(F.col("epoch").desc())
+            .head()
+        )
+    except AnalysisException:
+        row = None  # manifest path absent == nothing published
+    if row is None:
+        raise ValueError(
+            f"current_corpus_epoch: no published epochs under {root}/manifest"
+        )
+    return row

@@ -644,11 +644,16 @@ def current_ivf_epoch(spark, root: str):
     manifest — the max-epoch row; raises when nothing was published
     (serving against an unpublished index is a deployment bug, not an
     empty result)."""
-    row = (
-        spark.read.parquet(f"{root}/manifest")
-        .orderBy(F.col("epoch").desc())
-        .head()
-    )
+    from pyspark.errors import AnalysisException
+
+    try:
+        row = (
+            spark.read.parquet(f"{root}/manifest")
+            .orderBy(F.col("epoch").desc())
+            .head()
+        )
+    except AnalysisException:
+        row = None  # manifest path absent == nothing published
     if row is None:
         raise ValueError(
             f"current_ivf_epoch: no published epochs under {root}/manifest"
@@ -709,6 +714,72 @@ def ivf_pruned_topk(
         F.col(cluster_col).isin(probes)
     )
     return cosine_topk(cand, id_col, vec_col, query_vec, k)
+
+
+def ivf_filtered_topk(
+    spark,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    query_vec: list[float],
+    predicate,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """FILTERED vector search against a :func:`save_ivf_index` layout —
+    the production RAG/serving shape: a metadata predicate restricts
+    the candidates (pushed into the pruned parquet scan) and the top-k
+    ranks only surviving rows.
+
+    The hard part of filtered ANN is that a selective predicate starves
+    the probed cells: ``nprobe`` cells that would yield plenty of
+    unfiltered candidates may hold fewer than ``k`` matching rows, and
+    silently returning a short/worse list is the classic filtered-search
+    footgun.  This implements OVER-PROBE ESCALATION (the documented
+    practice in IVF systems — probe wider when the filter bites): probe
+    the ``nprobe`` nearest cells, and while fewer than ``k`` filtered
+    results exist, DOUBLE the probe width — each round scans only the
+    NEWLY probed cells (never rescans) and the running top-k merges
+    driver-side (bounded: ≤ k rows per round).  Terminates at ``k``
+    results or all cells probed; with all cells probed the result is
+    EXACT filtered brute force (the gate's regime).
+
+    Per-round cost stays a partition-pruned scan of the delta cells with
+    ``PushedFilters`` carrying the predicate — corpus size never enters;
+    the worst case (filter matches < k rows anywhere) degrades to one
+    full sweep of the inverted lists, which is what answering that query
+    requires.
+    """
+    cents = spark.read.parquet(f"{path}/centroids")
+    ncells = cents.count()
+    ranked = [
+        r["id"]
+        for r in cosine_topk(cents, cluster_col, "vec", query_vec, ncells)
+        .select("id")
+        .collect()
+    ]
+    vecs = spark.read.parquet(f"{path}/vectors")
+    best: list = []
+    schema = None
+    lo, hi = 0, min(max(1, nprobe), len(ranked))
+    while True:
+        delta = ranked[lo:hi]
+        cand = vecs.filter(F.col(cluster_col).isin(delta)).filter(predicate)
+        out = cosine_topk(cand, id_col, vec_col, query_vec, k)
+        schema = out.schema
+        best.extend(out.collect())
+        # merge: q6(cos) DESC (NULL zero-norm rows last), id ASC
+        best.sort(
+            key=lambda r: (
+                -(r["cos_sim"] if r["cos_sim"] is not None else float("-inf")),
+                r["id"],
+            )
+        )
+        best = best[:k]
+        if len(best) >= k or hi >= len(ranked):
+            return spark.createDataFrame(best, schema)
+        lo, hi = hi, min(hi * 2, len(ranked))
 
 
 def ivf_quantized_topk(

@@ -3600,6 +3600,74 @@ def corpus_ingest_two_batch_survivors(spark, sf_dir):
 
 
 @query(
+    "corpus_ingest_manifest_survivors",
+    ORACLES["corpus_ingest_two_batch_survivors"],
+)
+def corpus_ingest_manifest_survivors(spark, sf_dir):
+    # the crawl loop THROUGH published snapshot epochs (same oracle as
+    # the in-memory sequential gate — identical semantics, the durable
+    # physical path): epoch 0 = the built corpus state saved as bucketed
+    # catalog tables and PUBLISHED; each crawl run resolves the live
+    # epoch from the manifest (CorpusState.load_published), ingests its
+    # batch, writes the evolved state as a NEW prefix, and publishes the
+    # next epoch write-manifest-LAST — batch 2 must see batch 1's
+    # survivors ONLY via the published epoch-1 snapshot.  This is the
+    # drain-then-swap flip (pkg/pubsub/pub_sub.go:54-74) at the
+    # corpus-state level, value-checked end to end: any state-append
+    # path lost in the save_bucketed/publish/load_published round-trip
+    # hash-mismatches the staged two-round oracle.
+    import shutil
+    import tempfile
+    import uuid
+
+    from go_streaming_spark.functions.corpus_state import (
+        CorpusState,
+        current_corpus_epoch,
+        publish_corpus_epoch,
+    )
+    from go_streaming_spark.queries_llm import _docs
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 == 0)
+    b1 = docs.filter((F.col("doc_id") % 10).isin(1, 2, 3, 4))
+    b2 = docs.filter((F.col("doc_id") % 10).isin(5, 6, 7, 8, 9))
+    run = uuid.uuid4().hex[:8]
+    tmp = tempfile.mkdtemp(prefix="corpus_manifest_")
+    prefixes = [f"crawl_{run}_e0", f"crawl_{run}_e1"]
+    try:
+        state0 = CorpusState.build(
+            corpus, "doc_id", "text", n=3, k=16, rows_per_band=4, gram_k=8
+        )
+        state0.save_bucketed(prefixes[0], path=f"{tmp}/e0")
+        publish_corpus_epoch(spark, tmp, prefixes[0], epoch=0)
+
+        # crawl run 1: resolve -> ingest -> snapshot -> publish
+        live = CorpusState.load_published(spark, tmp)
+        clean1, state1 = live.ingest(b1, "doc_id", "text", threshold=0.2)
+        rows1 = clean1.select("doc_id", "dup_span_tokens").collect()
+        state1.save_bucketed(prefixes[1], path=f"{tmp}/e1")
+        publish_corpus_epoch(spark, tmp, prefixes[1], epoch=1)
+        if current_corpus_epoch(spark, tmp)["prefix"] != prefixes[1]:
+            raise AssertionError("manifest did not flip to epoch 1")
+
+        # crawl run 2: must see batch-1 survivors via the PUBLISHED epoch
+        live = CorpusState.load_published(spark, tmp)
+        clean2, _ = live.ingest(b2, "doc_id", "text", threshold=0.2)
+        rows2 = clean2.select("doc_id", "dup_span_tokens").collect()
+    finally:
+        for p in prefixes:
+            for t in ("digests", "minhash_bands", "minhash_shingles",
+                      "minhash_params", "grams", "cms", "params"):
+                spark.sql(f"DROP TABLE IF EXISTS {p}_{t}")
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(1, r["doc_id"], r["dup_span_tokens"]) for r in rows1]
+        + [(2, r["doc_id"], r["dup_span_tokens"]) for r in rows2],
+        "batch_no int, doc_id long, dup_span_tokens long",
+    )
+
+
+@query(
     "stream_corpus_ingest_survivors",
     ORACLES["corpus_ingest_two_batch_survivors"],
 )
@@ -3868,6 +3936,54 @@ def ann_ivf_manifest_topk(spark, sf_dir):
         out = similarity.ivf_manifest_topk(
             spark, tmp, "vec_id", "embedding", "label", qv,
             k=10, nprobe=10,
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "ann_filtered_topk",
+    # filtered vector search: metadata predicate + top-k (the RAG
+    # serving shape).  The predicate is selective enough (<k matches at
+    # gate scale) that over-probe escalation provably widens to ALL
+    # cells, so the result must equal exact filtered brute force — the
+    # short-list regime is precisely where filtered ANN silently loses
+    # results without escalation.
+    f"""WITH q AS (SELECT embedding::DOUBLE[] qv FROM embeddings WHERE vec_id=0),
+v AS (SELECT vec_id id, embedding::DOUBLE[] e FROM embeddings
+      WHERE vec_id <> 0 AND vec_id % 101 = 3)
+SELECT id, floor(({_COS_EXT('e', 'q.qv')})*1e6 + 0.5)/1e6 cos_sim FROM v, q
+ORDER BY cos_sim DESC, id LIMIT 10""",
+)
+def ann_filtered_topk(spark, sf_dir):
+    # filtered ANN through the persisted IVF layout: the vec_id % 101
+    # predicate starves every probed cell below k, so ivf_filtered_topk
+    # must escalate 2 -> 4 -> 8 -> all 10 cells (scanning only delta
+    # cells per round, merging the running top-k driver-side) and land
+    # on the exact filtered answer.  Unfiltered probe correctness is
+    # ann_ivf_pruned_topk's gate; this one pins the escalation.
+    import shutil
+    import tempfile
+
+    from go_streaming_spark.functions import similarity
+    from go_streaming_spark.queries_llm import _emb
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    cent = similarity.label_centroids(corpus, "label", "embedding", dim=64)
+    tmp = tempfile.mkdtemp(prefix="ivf_filtered_")
+    try:
+        similarity.save_ivf_index(
+            corpus, "vec_id", "embedding", "label", cent, tmp
+        )
+        out = similarity.ivf_filtered_topk(
+            spark, tmp, "vec_id", "embedding", "label", qv,
+            F.col("vec_id") % 101 == 3, k=10, nprobe=2,
         )
         rows = out.collect()
         schema = out.schema

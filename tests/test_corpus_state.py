@@ -254,3 +254,52 @@ def test_bucketed_snapshot_roundtrip_and_ingest_plan(spark):
                   "minhash_bands", "minhash_shingles", "minhash_params"):
             spark.sql(f"DROP TABLE IF EXISTS cs_t_{t}")
         shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_corpus_epoch_manifest_flip(spark, tmp_path):
+    """The crawl loop's snapshot flip: load_published resolves the
+    max-epoch prefix; publishing a new epoch after save_bucketed flips
+    which snapshot readers see; an unpublished manifest raises."""
+    import pytest
+
+    from go_streaming_spark.functions.corpus_state import (
+        current_corpus_epoch,
+        publish_corpus_epoch,
+    )
+
+    root = str(tmp_path / "crawl")
+    with pytest.raises(ValueError, match="no published epochs"):
+        current_corpus_epoch(spark, root)
+    with pytest.raises(ValueError, match="epoch"):
+        publish_corpus_epoch(spark, root, "x", epoch=-2)
+
+    docs0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    docs1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "completely different words here now")],
+        "doc_id long, text string",
+    )
+    try:
+        CorpusState.build(docs0, "doc_id", "text").save_bucketed(
+            "manifest_t_e0", path=str(tmp_path / "e0")
+        )
+        publish_corpus_epoch(spark, root, "manifest_t_e0", epoch=0)
+        assert CorpusState.load_published(spark, root).digests.count() == 1
+
+        CorpusState.build(docs1, "doc_id", "text").save_bucketed(
+            "manifest_t_e1", path=str(tmp_path / "e1")
+        )
+        publish_corpus_epoch(spark, root, "manifest_t_e1", epoch=1)
+        live = current_corpus_epoch(spark, root)
+        assert (live["epoch"], live["prefix"]) == (1, "manifest_t_e1")
+        assert CorpusState.load_published(spark, root).digests.count() == 2
+        # history intact for rollback/audit
+        assert spark.read.parquet(f"{root}/manifest").count() == 2
+    finally:
+        for p in ("manifest_t_e0", "manifest_t_e1"):
+            for t in ("digests", "minhash_bands", "minhash_shingles",
+                      "minhash_params", "grams", "cms", "params"):
+                spark.sql(f"DROP TABLE IF EXISTS {p}_{t}")

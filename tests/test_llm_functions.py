@@ -301,7 +301,7 @@ def test_ivf_manifest_epoch_flip_and_rollback(spark, tmp_path_factory):
     cent = similarity.label_centroids(corpus, "label", "embedding", dim=64)
     nlabels = cent.count()
 
-    with _pytest.raises(Exception):
+    with _pytest.raises(ValueError, match="no published epochs"):
         similarity.current_ivf_epoch(spark, root)
 
     # epoch 0: a HALF corpus — a manifest probe must see only it
@@ -349,6 +349,53 @@ def test_ivf_manifest_epoch_flip_and_rollback(spark, tmp_path_factory):
 
     with _pytest.raises(ValueError, match="epoch"):
         similarity.publish_ivf_epoch(spark, root, f"{root}/e0", epoch=-1)
+
+
+def test_ivf_filtered_topk_escalation(spark, tmp_path_factory):
+    """Filtered ANN over-probe escalation: (1) a predicate matching
+    fewer than k rows forces probing ALL cells — the result must be
+    EXACT filtered brute force; (2) a predicate confined to one cluster
+    (possibly far from the query) keeps escalating past empty probed
+    cells until that cluster is reached — the result must equal brute
+    force restricted to the predicate."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path_factory.mktemp("ivf_filtered"))
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    cent = similarity.label_centroids(corpus, "label", "embedding", dim=64)
+    similarity.save_ivf_index(corpus, "vec_id", "embedding", "label", cent, root)
+
+    def rows(df):
+        return [(r["id"], r["cos_sim"]) for r in df.collect()]
+
+    # (1) sparse predicate: < k matches anywhere -> exact brute force
+    pred = F.col("vec_id") % 101 == 3
+    n_match = corpus.filter(pred).count()
+    assert 0 < n_match < 10
+    got = similarity.ivf_filtered_topk(
+        spark, root, "vec_id", "embedding", "label", qv, pred,
+        k=10, nprobe=1,
+    )
+    exact = similarity.cosine_topk(
+        corpus.filter(pred), "vec_id", "embedding", qv, 10
+    )
+    assert rows(got) == rows(exact)
+    assert got.count() == n_match  # short list, not silently padded
+
+    # (2) single-cluster predicate with >= k matches: probed cells
+    # before it contribute nothing, so escalation must walk to it
+    lab = corpus.groupBy("label").count().orderBy("count").head()["label"]
+    pred2 = F.col("label") == lab
+    got2 = similarity.ivf_filtered_topk(
+        spark, root, "vec_id", "embedding", "label", qv, pred2,
+        k=5, nprobe=1,
+    )
+    exact2 = similarity.cosine_topk(
+        corpus.filter(pred2), "vec_id", "embedding", qv, 5
+    )
+    assert rows(got2) == rows(exact2)
 
 
 def test_exact_dedup_stream(spark, tmp_path_factory):
