@@ -230,6 +230,51 @@ def manifest() -> None:
     spark.stop()
 
 
+def filtered() -> None:
+    """ivf_filtered_topk per scale, both regimes: a selective predicate
+    that still yields >= k matches (escalation stops early — the probe
+    reads a ranked PREFIX of cells) and an ultra-selective one (< k
+    matches anywhere — escalation walks ALL cells, the exact-brute-force
+    regime).  The claim: cost is bounded by cells actually probed, not
+    corpus size, and the early-stop regime stays flat at 10×."""
+    from pyspark.sql import functions as F
+
+    from go_streaming_spark.functions import similarity
+
+    spark = _session("r14_filtered")
+    for sf, sf_dir in SCALES:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+        ]
+        corpus = emb.filter(F.col("vec_id") != 0)
+        cent = similarity.label_centroids(corpus, "label", "embedding", dim=64)
+        tmp = tempfile.mkdtemp(prefix=f"r14filt_{sf}_")
+        try:
+            similarity.save_ivf_index(
+                corpus, "vec_id", "embedding", "label", cent, tmp
+            )
+            res = {"shape": "ann_filtered_topk", "sf": sf,
+                   "rows": corpus.count()}
+            for tag, pred in (
+                ("early_stop", F.col("vec_id") % 101 == 3),
+                ("full_walk", F.col("vec_id") % 3001 == 3),
+            ):
+                res[f"{tag}_matches"] = corpus.filter(pred).count()
+                res[f"{tag}_probe_s"] = _min_of(
+                    3,
+                    lambda: similarity.ivf_filtered_topk(
+                        spark, tmp, "vec_id", "embedding", "label", qv,
+                        pred, k=10, nprobe=2,
+                    ).collect(),
+                )
+            print(json.dumps(res), flush=True)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else ""
     fn = {
@@ -237,6 +282,7 @@ if __name__ == "__main__":
         "stream_ingest": stream_ingest,
         "gram_wide": gram_wide,
         "manifest": manifest,
+        "filtered": filtered,
     }.get(cmd)
     if fn is None:
         print(__doc__)
