@@ -1217,3 +1217,157 @@ def embedding_dim_stats(
         F.sum("xq").alias("sum_q"),
         F.sum(F.col("xq") * F.col("xq")).alias("sumsq_q"),
     )
+
+
+def embedding_second_moments(
+    df: DataFrame, vec_col: str, dim: int, scale: float = 1e6
+) -> DataFrame:
+    """Exact upper-triangle second-moment matrix of the embedding corpus:
+    (i, j, v) with i <= j and v = Σ_rows q_i·q_j over µ-int quantized
+    components (q = floor(x·scale + 0.5) as int64) — the ONE-PASS
+    sufficient statistic for covariance / PCA.  Like the gram/tie-group
+    sketches, the statistic merges BY ADDITION across partitions,
+    batches, or corpus shards, so covariance at 100 TB costs one
+    map-side-combined aggregation and its state is the fixed
+    dim·(dim+1)/2 cells.
+
+    All-integer ⇒ exact and engine-portable (double summation is
+    order-dependent; the partition-stability trap `embedding_dim_stats`
+    documents).  Bound: |q| ≤ |x|·scale, so Σ q_i·q_j ≤ rows·(x_max·scale)²
+    — unit-norm embeddings (|x| ≤ 1) hold int64 to ~9×10⁶ rows per shard
+    at scale=1e6; larger corpora shard by id-hash and ADD the cells.
+
+    Implementation reuses :func:`stats.gram_matrix_exploded` (one
+    in-expression upper triangle + one map-side-combined groupBy) with
+    ``dense=True`` so cells whose components never co-occur emit explicit
+    zeros — cell-for-cell comparable to a direct SQL double sum.
+    """
+    from go_streaming_spark.functions.stats import gram_matrix_exploded
+
+    vec = F.col(vec_col).cast("array<double>")
+    q = F.transform(
+        vec, lambda x: F.floor(x * F.lit(scale) + F.lit(0.5)).cast("long")
+    )
+    entries = F.filter(
+        F.transform(
+            q,
+            lambda x, ix: F.struct(
+                ix.cast("long").alias("i"), x.alias("x")
+            ),
+        ),
+        lambda e: e["x"] != 0,
+    )
+    return gram_matrix_exploded(
+        df.select(entries.alias("__ent")), "__ent", dim, dense=True
+    )
+
+
+def pca_from_moments(moment_rows, dim_stat_rows, dim: int, k: int,
+                     scale: float = 1e6):
+    """Principal components from the collected distributed statistics —
+    driver cost is O(dim³) on a dim×dim matrix, INDEPENDENT of corpus
+    size (the ridge_fit_from_gram pattern: the data-sized work happened
+    in the one distributed pass).
+
+    ``moment_rows``: (i, j, v) cells from :func:`embedding_second_moments`
+    (collected — dim·(dim+1)/2 rows).  ``dim_stat_rows``: (d, n, sum_q)
+    rows from :func:`embedding_dim_stats`.  Components are computed over
+    the QUANTIZED values q/scale (exactly what the moment cells measure),
+    so engines that agree on the integer cells agree on the input matrix
+    bit-for-bit.
+
+    Returns ``(eigvals, components, mu, n)``: eigenvalues descending,
+    components as a (k, dim) row-orthonormal ndarray with a deterministic
+    sign convention (each component's largest-|coordinate| entry is
+    positive — eigenvectors are sign-ambiguous otherwise), µ the
+    per-dimension mean of q/scale.
+    """
+    import numpy as np
+
+    S = np.zeros((dim, dim), dtype=np.float64)
+    for r in moment_rows:
+        i, j, v = int(r["i"]), int(r["j"]), float(r["v"])
+        S[i, j] = S[j, i] = v / (scale * scale)
+    n = 0
+    mu = np.zeros(dim, dtype=np.float64)
+    for r in dim_stat_rows:
+        n = int(r["n"])
+        mu[int(r["d"])] = float(r["sum_q"]) / scale
+    if n <= 0:
+        raise ValueError("pca_from_moments: zero rows — empty corpus")
+    mu = mu / n
+    cov = S / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T.copy()
+    for c in range(comps.shape[0]):
+        if comps[c, np.argmax(np.abs(comps[c]))] < 0:
+            comps[c] = -comps[c]
+    return vals[order], comps, mu, n
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str,
+    components,
+    mu=None,
+    scale: float = 1e6,
+    out_col: str = "pc",
+) -> DataFrame:
+    """Distributed projection onto driver-computed components: appends
+    ``out_col`` = array<double> of scores w_c·(q/scale − µ).  The
+    components ship as straight-line literal arithmetic (the
+    ``dot_expr_unrolled`` trick — whole-stage codegen, no Python, no
+    shuffle: a map-only pass however large the corpus).  Centering folds
+    into a per-component constant (w·(x−µ) = w·x − w·µ), so the row-side
+    work is exactly one fused multiply-add chain per component.
+
+    Projects the QUANTIZED values q/scale — the same definition
+    :func:`pca_from_moments` trained on, keeping train and apply on one
+    arithmetic so invariants (Parseval etc.) hold to float precision.
+    """
+    import numpy as np
+
+    comps = np.asarray(components, dtype=np.float64)
+    offs = comps @ np.asarray(mu, dtype=np.float64) if mu is not None else (
+        np.zeros(comps.shape[0])
+    )
+    vec = F.col(vec_col).cast("array<double>")
+    qs = F.transform(
+        vec,
+        lambda x: F.floor(x * F.lit(scale) + F.lit(0.5)) / F.lit(scale),
+    )
+    bound = df.withColumn("__q", qs)
+    scores = []
+    for c in range(comps.shape[0]):
+        acc = F.lit(-float(offs[c]))
+        for d in range(comps.shape[1]):
+            w = float(comps[c, d])
+            if w != 0.0:
+                acc = acc + F.element_at(F.col("__q"), d + 1) * F.lit(w)
+        scores.append(acc)
+    return bound.withColumn(out_col, F.array(*scores)).drop("__q")
+
+
+def pca_embed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int,
+    scale: float = 1e6,
+    out_col: str = "pc",
+):
+    """One-stop distributed PCA: second moments + per-dim sums (two
+    bounded collects — dim·(dim+1)/2 and dim rows, never data-sized),
+    driver eigendecomposition, then the map-only projection.  Returns
+    ``(projected_df, eigvals)``.
+
+    The train→apply shape of the reference's continuous queries at
+    embedding scale: the heavy pass is declarative and
+    Catalyst-optimized; the driver holds only the fixed-size statistic.
+    """
+    moments = embedding_second_moments(df, vec_col, dim, scale).collect()
+    dstats = embedding_dim_stats(df, id_col, vec_col, dim).collect()
+    vals, comps, mu, _ = pca_from_moments(moments, dstats, dim, k, scale)
+    return pca_project(df, vec_col, comps, mu, scale, out_col), vals

@@ -4174,3 +4174,122 @@ def quality_linear_scores_wide(spark, sf_dir):
         "n_docs long, sum_tokens long, sum_nnz long,"
         " w_ok int, margin_ok int",
     )
+
+
+@query(
+    "embedding_second_moments",
+    # one-pass exact covariance statistic: upper-triangle Σ q_i·q_j over
+    # µ-int quantized components (i <= j) — int64-exact both engines,
+    # merges by addition across corpus shards (the sketch-state shape).
+    # Oracle evaluates every cell directly from the quantized lists.
+    """WITH e AS (SELECT list_transform(embedding::DOUBLE[],
+                    x -> CAST(floor(x*1e6 + 0.5) AS BIGINT)) AS q
+                  FROM embeddings),
+c AS (SELECT i.i, j.j FROM (SELECT unnest(range(1, 65)) AS i) i,
+                           (SELECT unnest(range(1, 65)) AS j) j
+      WHERE i.i <= j.j)
+SELECT CAST(c.i - 1 AS BIGINT) AS i, CAST(c.j - 1 AS BIGINT) AS j,
+       CAST(coalesce(sum(e.q[CAST(c.i AS INT)] * e.q[CAST(c.j AS INT)]), 0)
+            AS BIGINT) AS v
+FROM e, c GROUP BY 1, 2""",
+)
+def embedding_second_moments_q(spark, sf_dir):
+    from go_streaming_spark.functions import similarity
+    from go_streaming_spark.queries_llm import _emb
+
+    return similarity.embedding_second_moments(
+        _emb(spark, sf_dir), "embedding", dim=64
+    )
+
+
+@query(
+    "embedding_pca_parseval",
+    # end-to-end PCA invariant gate: full-rank components from the
+    # distributed moment statistic are orthonormal, so per-row
+    # Σ_c score_c² must equal the centered squared norm |q/1e6 − µ|² —
+    # which the oracle computes DIRECTLY from the table, no
+    # eigendecomposition involved.  Both engines quantize components to
+    # µ-ints first (the arithmetic the moments measure) and round the
+    # final double to 1e-4 — float64 noise between the two evaluation
+    # orders is ~1e-12, nine orders under the grid.
+    """WITH e AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+                    x -> floor(x*1e6 + 0.5)/1e6) AS q
+                  FROM embeddings),
+x AS (SELECT vec_id, unnest(range(1, 65)) AS d, q FROM e),
+v AS (SELECT vec_id, d, q[CAST(d AS INT)] AS x FROM x),
+m AS (SELECT d, avg(x) AS mu FROM v GROUP BY d)
+SELECT v.vec_id AS vec_id,
+       floor(sum((v.x - m.mu) * (v.x - m.mu)) * 1e4 + 0.5) / 1e4 AS ssq
+FROM v JOIN m USING (d) GROUP BY v.vec_id""",
+)
+def embedding_pca_parseval(spark, sf_dir):
+    # drive the WHOLE pca path — distributed moments → driver eigh →
+    # map-only projection — at full rank, then check the one invariant
+    # SQL can state without an eigensolver (Parseval: an orthonormal
+    # basis preserves centered norms).  A wrong moment cell, a
+    # non-orthonormal eigh result, or a projection slip all break it.
+    from go_streaming_spark.functions import similarity
+    from go_streaming_spark.queries_llm import _emb
+
+    emb = _emb(spark, sf_dir)
+    proj, _vals = similarity.pca_embed(
+        emb, "vec_id", "embedding", dim=64, k=64
+    )
+    ssq = F.aggregate(
+        F.col("pc"), F.lit(0.0), lambda acc, s: acc + s * s
+    )
+    return proj.select(
+        "vec_id",
+        (F.floor(ssq * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)).alias("ssq"),
+    )
+
+
+@query(
+    "training_shards_roundtrip",
+    # the FINAL pipeline step gated end-to-end: deterministic shuffle key
+    # → range-sharded sorted write → manifest invariants (disjoint sorted
+    # key ranges, row total preserved) asserted in-query → read back from
+    # the files and emit (doc_id, skey).  The oracle recomputes the key
+    # straight from the table, so any row the write dropped, duplicated,
+    # or mis-keyed hash-mismatches.
+    """SELECT doc_id, md5('shards|' || CAST(doc_id AS VARCHAR)) AS skey
+FROM documents""",
+)
+def training_shards_roundtrip(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from go_streaming_spark.queries_llm import _docs
+    from go_streaming_spark.sources.formats import write_training_shards
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(F.concat_ws("|", F.lit("shards"),
+                          F.col("doc_id").cast("string"))).alias("skey"),
+    )
+    n_docs = docs.count()
+    tmp = tempfile.mkdtemp(prefix="train_shards_")
+    try:
+        manifest = write_training_shards(
+            docs, f"{tmp}/shards", "skey", target_bytes=16 << 10,
+            mode="overwrite",
+        ).collect()
+        total = sum(r["n_rows"] for r in manifest)
+        if total != n_docs:
+            raise AssertionError(
+                f"shard manifest rows {total} != corpus rows {n_docs}"
+            )
+        ordered = sorted(manifest, key=lambda r: r["min_key"])
+        for a, b in zip(ordered, ordered[1:]):
+            if a["max_key"] > b["min_key"]:
+                raise AssertionError(
+                    "shard key ranges overlap: "
+                    f"{a['shard']}[..{a['max_key']}] vs "
+                    f"{b['shard']}[{b['min_key']}..]"
+                )
+        out = spark.read.parquet(f"{tmp}/shards").select("doc_id", "skey")
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

@@ -3463,3 +3463,111 @@ def test_kmeans_assign_q_payload_collision_guard(spark):
         emb, "vec_id", "embedding", cents, payload_cols=("label",)
     )
     assert set(out.columns) == {"id", "cluster", "label"}
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA (second moments → driver eigh → map-only projection)
+
+
+def _np_quantized(emb_rows, dim=64, scale=1e6):
+    import numpy as np
+
+    ids = [r["vec_id"] for r in emb_rows]
+    X = np.floor(
+        np.array([r["embedding"] for r in emb_rows], dtype=np.float64) * scale
+        + 0.5
+    ) / scale
+    return ids, X
+
+
+def test_second_moments_match_numpy_and_merge_by_addition(spark):
+    import numpy as np
+
+    from go_streaming_spark.functions.similarity import (
+        embedding_second_moments,
+    )
+
+    emb = _emb(spark)
+    rows = embedding_second_moments(emb, "embedding", 64).collect()
+    _, X = _np_quantized(emb.collect())
+    Q = np.rint(X * 1e6).astype(np.int64)
+    S = Q.T @ Q
+    assert len(rows) == 64 * 65 // 2
+    for r in rows:
+        assert r["v"] == S[r["i"], r["j"]], (r["i"], r["j"])
+
+    # the statistic is a sketch: cells ADD across corpus shards
+    a = embedding_second_moments(
+        emb.filter("vec_id % 2 = 0"), "embedding", 64
+    ).collect()
+    b = embedding_second_moments(
+        emb.filter("vec_id % 2 = 1"), "embedding", 64
+    ).collect()
+    merged = {}
+    for r in list(a) + list(b):
+        merged[(r["i"], r["j"])] = merged.get((r["i"], r["j"]), 0) + r["v"]
+    for r in rows:
+        assert merged[(r["i"], r["j"])] == r["v"]
+
+
+def test_pca_embed_matches_full_numpy_pca(spark):
+    import numpy as np
+
+    from go_streaming_spark.functions.similarity import pca_embed
+
+    emb = _emb(spark)
+    proj, vals = pca_embed(emb, "vec_id", "embedding", dim=64, k=8)
+    got = {r["vec_id"]: np.array(r["pc"]) for r in proj.collect()}
+
+    ids, X = _np_quantized(emb.collect())
+    mu = X.mean(axis=0)
+    cov = (X - mu).T @ (X - mu) / X.shape[0]
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:8]
+    comps = evecs[:, order].T.copy()
+    for c in range(8):
+        if comps[c, np.argmax(np.abs(comps[c]))] < 0:
+            comps[c] = -comps[c]
+    expect = (X - mu) @ comps.T
+
+    assert np.allclose(np.asarray(vals), evals[order], atol=1e-9)
+    for i, vid in enumerate(ids):
+        assert np.allclose(got[vid], expect[i], atol=1e-8), vid
+    # components explain variance in descending order and the top-8
+    # carry a real spectrum (not all-equal noise)
+    v = np.asarray(vals)
+    assert (v[:-1] >= v[1:] - 1e-12).all()
+
+
+def test_pca_project_is_map_only(spark):
+    import numpy as np
+
+    from go_streaming_spark.functions.similarity import pca_project
+
+    emb = _emb(spark)
+    comps = np.eye(4, 64)
+    plan = (
+        pca_project(emb, "embedding", comps, mu=np.zeros(64))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # projection must stay a scan-side map: no shuffle, no python worker
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_pca_parseval_full_rank(spark):
+    import numpy as np
+
+    from go_streaming_spark.functions.similarity import pca_embed
+
+    emb = _emb(spark)
+    proj, _ = pca_embed(emb, "vec_id", "embedding", dim=64, k=64)
+    rows = proj.collect()
+    ids, X = _np_quantized(rows)
+    mu_rows = np.floor(
+        np.array([r["embedding"] for r in rows], dtype=np.float64) * 1e6 + 0.5
+    ) / 1e6
+    mu = mu_rows.mean(axis=0)
+    for r, x in zip(rows, mu_rows):
+        ssq = float(np.sum(np.square(np.array(r["pc"]))))
+        assert abs(ssq - float(np.sum((x - mu) ** 2))) < 1e-9
