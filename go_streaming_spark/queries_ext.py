@@ -4293,3 +4293,62 @@ def training_shards_roundtrip(spark, sf_dir):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@query("stream_embedding_second_moments")
+def stream_embedding_second_moments(spark, sf_dir):
+    """The covariance statistic accumulated the STREAMING way: the
+    embedding corpus replays as real micro-batches and foreachBatch
+    ADD-merges each batch's moment cells into the running state — the
+    third mergeable-sketch ingestion proof (CMS = add, HLL = max, this
+    one = add over the fixed dim·(dim+1)/2 grid).  State is
+    localCheckpointed per batch and never grows past 2080 rows, so a
+    100 TB embedding stream trains PCA with driver-fixed memory and one
+    small shuffle per trigger.  Must equal the batch statistic CELL FOR
+    CELL, so it gates against the same oracle as
+    embedding_second_moments."""
+    import shutil
+    import tempfile
+
+    from go_streaming_spark.functions import similarity
+    from go_streaming_spark.queries_llm import _emb
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    tmp = tempfile.mkdtemp(prefix="stream_pca_")
+    try:
+        emb.repartition(4).write.mode("overwrite").parquet(f"{tmp}/emb")
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/emb")
+        )
+        holder = {"cells": None, "batches": 0}
+
+        def ingest(batch_df, _bid):
+            part = similarity.embedding_second_moments(
+                batch_df, "embedding", dim=64
+            )
+            merged = part if holder["cells"] is None else (
+                holder["cells"].unionByName(part)
+                .groupBy("i", "j")
+                .agg(F.sum("v").alias("v"))
+            )
+            holder["cells"] = merged.localCheckpoint()
+            holder["batches"] += 1
+
+        q = (
+            stream.writeStream.foreachBatch(ingest)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        assert holder["batches"] >= 2, "replay must produce real micro-batches"
+        rows = holder["cells"].collect()
+        schema = holder["cells"].schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+ORACLES["stream_embedding_second_moments"] = ORACLES["embedding_second_moments"]
