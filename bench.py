@@ -119,6 +119,9 @@ HEADLINE = [
     "quality_linear_scores_wide",    # end-to-end wide train->score loop (round 14)
     "ann_ivf_manifest_topk",         # IVF snapshot flip: rebuild+publish+probe (round 14)
     "ann_filtered_topk",             # filtered ANN, over-probe escalation (round 14)
+    "embedding_second_moments",      # one-pass exact covariance statistic (round 14)
+    "embedding_pca_parseval",        # moments -> driver eigh -> map-only projection (round 14)
+    "training_shards_roundtrip",     # final shard write + manifest + read-back (round 14)
 ]
 
 

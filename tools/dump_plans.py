@@ -57,6 +57,12 @@ EXTRA_AUDIT = [
 
 # red flags that are actually fine, with the reason they're fine
 KNOWN_BENIGN = {
+    "embedding_second_moments": (
+        "BroadcastNestedLoopJoin is the dim×dim dense-grid constructor"
+        " (range(64) crossJoin range(64) → 4096 rows, data-independent)"
+        " that left-joins the sparse moment cells so never-co-occurring"
+        " cells emit explicit zeros — O(dim²), never corpus-sized"
+    ),
     "dormant_rich_customers": (
         "BroadcastNestedLoopJoin is the 1-row broadcast positive-balance"
         " average scalar (crossJoin with a single-row filtered aggregate,"
