@@ -275,6 +275,58 @@ def filtered() -> None:
     spark.stop()
 
 
+def pca() -> None:
+    """embedding_second_moments / pca_embed / write_training_shards per
+    scale.  The claims: the moment statistic's collected state is FIXED
+    (2080 cells) whatever the corpus, its wall grows at most linearly
+    (one map-side-combined groupBy over Σ nnz² products), the projection
+    is a map-only pass, and the shard write is the one range shuffle any
+    global-order write pays."""
+    from pyspark.sql import functions as F
+
+    from go_streaming_spark.functions import similarity
+    from go_streaming_spark.sources.formats import write_training_shards
+
+    spark = _session("r14_pca")
+    for sf, sf_dir in SCALES:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        res = {"shape": "pca_and_shards", "sf": sf, "rows": emb.count()}
+        res["moments_s"] = _min_of(
+            3,
+            lambda: similarity.embedding_second_moments(
+                emb, "embedding", dim=64
+            ).collect(),
+        )
+        res["pca_embed_s"] = _min_of(
+            3,
+            lambda: similarity.pca_embed(
+                emb, "vec_id", "embedding", dim=64, k=8
+            )[0].select(F.sum(F.element_at("pc", 1))).collect(),
+        )
+        keyed = docs.select(
+            "doc_id",
+            F.md5(F.concat_ws("|", F.lit("shards"),
+                              F.col("doc_id").cast("string"))).alias("skey"),
+            "text",
+        )
+
+        def _write():
+            tmp = tempfile.mkdtemp(prefix=f"r14shards_{sf}_")
+            try:
+                m = write_training_shards(
+                    keyed, f"{tmp}/s", "skey", target_bytes=4 << 20,
+                    mode="overwrite",
+                ).collect()
+                res["n_shards"] = len(m)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+
+        res["shard_write_s"] = _min_of(3, _write)
+        print(json.dumps(res), flush=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else ""
     fn = {
@@ -283,6 +335,7 @@ if __name__ == "__main__":
         "gram_wide": gram_wide,
         "manifest": manifest,
         "filtered": filtered,
+        "pca": pca,
     }.get(cmd)
     if fn is None:
         print(__doc__)
