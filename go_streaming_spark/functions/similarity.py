@@ -1325,6 +1325,16 @@ def pca_project(
     Projects the QUANTIZED values q/scale — the same definition
     :func:`pca_from_moments` trained on, keeping train and apply on one
     arithmetic so invariants (Parseval etc.) hold to float precision.
+
+    Two physical forms, bit-identical results (same left-to-right
+    summation order): up to ~2k weight terms the projection unrolls to
+    straight-line literal arithmetic (whole-stage codegen — the hot
+    top-k reduction path); beyond that (e.g. full-rank 64×64 whitening)
+    unrolling janino-OOMs the generated class, so the matrix ships as a
+    LITERAL array<array<double>> and one nested-HOF expression
+    (zip_with over components, aggregate-fold per row) computes all
+    scores — interpreted evaluation, but k·dim multiply-adds per row
+    with zero codegen pressure at any width.
     """
     import numpy as np
 
@@ -1338,15 +1348,35 @@ def pca_project(
         lambda x: F.floor(x * F.lit(scale) + F.lit(0.5)) / F.lit(scale),
     )
     bound = df.withColumn("__q", qs)
-    scores = []
-    for c in range(comps.shape[0]):
-        acc = F.lit(-float(offs[c]))
-        for d in range(comps.shape[1]):
-            w = float(comps[c, d])
-            if w != 0.0:
-                acc = acc + F.element_at(F.col("__q"), d + 1) * F.lit(w)
-        scores.append(acc)
-    return bound.withColumn(out_col, F.array(*scores)).drop("__q")
+    if comps.size <= 2048:
+        # accumulate from 0.0 and subtract the offset LAST — the exact
+        # fold order of the HOF form below, so the two forms are
+        # bit-identical (zero-weight terms skip: adding ±0.0 is an IEEE
+        # no-op on any finite accumulator)
+        scores = []
+        for c in range(comps.shape[0]):
+            acc = F.lit(0.0)
+            for d in range(comps.shape[1]):
+                w = float(comps[c, d])
+                if w != 0.0:
+                    acc = acc + F.element_at(F.col("__q"), d + 1) * F.lit(w)
+            scores.append(acc - F.lit(float(offs[c])))
+        return bound.withColumn(out_col, F.array(*scores)).drop("__q")
+    wlit = F.array(*[
+        F.array(*[F.lit(float(w)) for w in row]) for row in comps
+    ])
+    olit = F.array(*[F.lit(float(o)) for o in offs])
+    score = F.zip_with(
+        wlit,
+        olit,
+        lambda w, o: F.aggregate(
+            F.zip_with(F.col("__q"), w, lambda x, wi: x * wi),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+        - o,
+    )
+    return bound.withColumn(out_col, score).drop("__q")
 
 
 def pca_embed(
@@ -1371,3 +1401,39 @@ def pca_embed(
     dstats = embedding_dim_stats(df, id_col, vec_col, dim).collect()
     vals, comps, mu, _ = pca_from_moments(moments, dstats, dim, k, scale)
     return pca_project(df, vec_col, comps, mu, scale, out_col), vals
+
+
+def pca_whiten(
+    df: DataFrame,
+    vec_col: str,
+    components,
+    eigvals,
+    mu,
+    eps: float = 1e-12,
+    scale: float = 1e6,
+    out_col: str = "z",
+) -> DataFrame:
+    """PCA whitening: scores scaled to unit variance per component —
+    z_c = w_c·(q/scale − µ)/√(λ_c + eps).  The standard conditioning
+    step before embedding clustering / SemDeDup (distances stop being
+    dominated by the top principal directions) and the Mahalanobis
+    transform: |z|² IS the Mahalanobis distance² from the corpus mean,
+    the statistically-calibrated embedding outlier score.
+
+    Folds the 1/√λ into the component literals, so it stays the same
+    map-only straight-line projection as :func:`pca_project` — whitening
+    a 100 TB corpus is one shuffle-free pass.
+    """
+    import numpy as np
+
+    comps = np.asarray(components, dtype=np.float64)
+    lam = np.asarray(eigvals, dtype=np.float64)
+    if lam.shape[0] != comps.shape[0]:
+        raise ValueError(
+            f"pca_whiten: {comps.shape[0]} components but {lam.shape[0]}"
+            " eigenvalues"
+        )
+    if (lam < -1e-9).any():
+        raise ValueError("pca_whiten: negative eigenvalue — not a covariance")
+    scaled = comps / np.sqrt(np.clip(lam, 0.0, None) + eps)[:, None]
+    return pca_project(df, vec_col, scaled, mu, scale, out_col)

@@ -4352,3 +4352,77 @@ def stream_embedding_second_moments(spark, sf_dir):
 
 
 ORACLES["stream_embedding_second_moments"] = ORACLES["embedding_second_moments"]
+
+
+@query(
+    "embedding_whitened_qc",
+    # derived-invariant oracle (the quality_linear_scores_wide pattern):
+    # whitening is the one kernel SQL lacks an eigensolver for, so the
+    # IDENTITY-COVARIANCE property is asserted IN-QUERY from distributed
+    # aggregates (every component: mean 0, variance 1) and the oracle
+    # hash-checks the data-derived scalars directly — n and the total
+    # centered sum of squares (= n·Σλ by the trace identity, but
+    # computed here straight from the table, no eig involved).
+    """WITH e AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+                    x -> floor(x*1e6 + 0.5)/1e6) AS q
+                  FROM embeddings),
+x AS (SELECT vec_id, unnest(range(1, 65)) AS d, q FROM e),
+v AS (SELECT vec_id, d, q[CAST(d AS INT)] AS x FROM x),
+m AS (SELECT d, avg(x) AS mu FROM v GROUP BY d)
+SELECT count(DISTINCT v.vec_id) AS n,
+       floor(sum((v.x - m.mu) * (v.x - m.mu)) * 1e4 + 0.5) / 1e4 AS tssq,
+       CAST(64 AS BIGINT) AS k, 1 AS unit_var_ok, 1 AS zero_mean_ok
+FROM v JOIN m USING (d)""",
+)
+def embedding_whitened_qc(spark, sf_dir):
+    """Whiten the corpus at full rank, then ask the question whitening
+    exists to answer: is the transformed covariance the identity?  One
+    distributed pass aggregates per-component Σz and Σz² (posexplode +
+    groupBy, map-side combined); the in-query assertion requires
+    mean ≈ 0 and variance ≈ 1 for EVERY component — a wrong moment
+    cell, eigenvalue, or scaling breaks some component far beyond the
+    1e-6 tolerance (float noise is ~1e-12)."""
+    from go_streaming_spark.functions import similarity
+    from go_streaming_spark.queries_llm import _emb
+
+    emb = _emb(spark, sf_dir)
+    moments = similarity.embedding_second_moments(
+        emb, "embedding", dim=64
+    ).collect()
+    dstats = similarity.embedding_dim_stats(
+        emb, "vec_id", "embedding", dim=64
+    ).collect()
+    vals, comps, mu, n = similarity.pca_from_moments(
+        moments, dstats, dim=64, k=64
+    )
+    z = similarity.pca_whiten(emb, "embedding", comps, vals, mu)
+    per_c = (
+        z.select(F.posexplode("z").alias("c", "zc"))
+        .groupBy("c")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("zc").alias("s1"),
+            F.sum(F.col("zc") * F.col("zc")).alias("s2"),
+        )
+        .collect()
+    )
+    assert len(per_c) == 64, f"expected 64 components, got {len(per_c)}"
+    bad = [
+        (r["c"], r["s1"] / r["n"], r["s2"] / r["n"])
+        for r in per_c
+        if abs(r["s1"] / r["n"]) > 1e-6 or abs(r["s2"] / r["n"] - 1.0) > 1e-6
+    ]
+    if bad:
+        raise AssertionError(
+            f"whitened covariance is not the identity: {bad[:4]}"
+        )
+    # the oracle-checkable scalars: total centered ssq == n·Σλ (trace
+    # identity) — emitted from the EIG side here, computed directly from
+    # the table on the oracle side; hash-equality closes the loop
+    import numpy as np
+
+    tssq = float(n * np.sum(np.asarray(vals)))
+    return spark.createDataFrame(
+        [(n, round(float(np.floor(tssq * 1e4 + 0.5)) / 1e4, 4), 64, 1, 1)],
+        "n long, tssq double, k long, unit_var_ok int, zero_mean_ok int",
+    )

@@ -3571,3 +3571,67 @@ def test_pca_parseval_full_rank(spark):
     for r, x in zip(rows, mu_rows):
         ssq = float(np.sum(np.square(np.array(r["pc"]))))
         assert abs(ssq - float(np.sum((x - mu) ** 2))) < 1e-9
+
+
+def test_pca_project_hof_form_bit_identical_to_unrolled(spark):
+    import numpy as np
+
+    from go_streaming_spark.functions.similarity import pca_project
+
+    emb = _emb(spark).limit(100)
+    rng = np.random.default_rng(7)
+    comps = rng.standard_normal((4, 64))
+    mu = rng.standard_normal(64) * 0.01
+    small = pca_project(emb, "embedding", comps, mu)           # 256 terms: unrolled
+    # pad with zero-rows to push past the unroll threshold — the extra
+    # components score 0-ish but force the HOF form; the first 4 must
+    # come out BIT-identical (same left-to-right summation order)
+    big = np.vstack([comps, np.zeros((40, 64))])
+    hof = pca_project(emb, "embedding", big, mu)
+    a = {r["vec_id"]: r["pc"][:4] for r in small.select("vec_id", "pc").collect()}
+    b = {r["vec_id"]: r["pc"][:4] for r in hof.select("vec_id", "pc").collect()}
+    for vid in a:
+        assert a[vid] == b[vid], vid
+
+
+def test_pca_whiten_identity_covariance_and_mahalanobis(spark):
+    import numpy as np
+
+    from go_streaming_spark.functions.similarity import (
+        embedding_dim_stats,
+        embedding_second_moments,
+        pca_from_moments,
+        pca_whiten,
+    )
+
+    emb = _emb(spark)
+    moments = embedding_second_moments(emb, "embedding", 64).collect()
+    dstats = embedding_dim_stats(emb, "vec_id", "embedding", 64).collect()
+    vals, comps, mu, n = pca_from_moments(moments, dstats, 64, 64)
+    rows = pca_whiten(emb, "embedding", comps, vals, mu).collect()
+    Z = np.array([r["z"] for r in rows])
+    cov = Z.T @ Z / Z.shape[0]
+    assert np.allclose(cov, np.eye(64), atol=1e-6)
+    assert np.allclose(Z.mean(axis=0), 0.0, atol=1e-9)
+
+    # |z|² is the Mahalanobis distance² from the corpus mean
+    _, X = _np_quantized(rows)
+    mu_np = X.mean(axis=0)
+    S = np.cov(X.T, bias=True)
+    inv = np.linalg.inv(S + 1e-12 * np.eye(64))
+    d2 = np.einsum("ij,jk,ik->i", X - mu_np, inv, X - mu_np)
+    z2 = (Z * Z).sum(axis=1)
+    assert np.allclose(z2, d2, rtol=1e-4)
+
+
+def test_pca_whiten_validates_inputs(spark):
+    import numpy as np
+    import pytest
+
+    from go_streaming_spark.functions.similarity import pca_whiten
+
+    emb = _emb(spark).limit(5)
+    with pytest.raises(ValueError, match="eigenvalue"):
+        pca_whiten(emb, "embedding", np.eye(2, 64), [1.0], np.zeros(64))
+    with pytest.raises(ValueError, match="negative"):
+        pca_whiten(emb, "embedding", np.eye(2, 64), [1.0, -0.5], np.zeros(64))
