@@ -122,6 +122,7 @@ HEADLINE = [
     "embedding_second_moments",      # one-pass exact covariance statistic (round 14)
     "embedding_pca_parseval",        # moments -> driver eigh -> map-only projection (round 14)
     "training_shards_roundtrip",     # final shard write + manifest + read-back (round 14)
+    "embedding_whitened_qc",         # full-rank whitening, identity-covariance check (round 14)
 ]
 
 
