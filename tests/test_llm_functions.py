@@ -3635,3 +3635,54 @@ def test_pca_whiten_validates_inputs(spark):
         pca_whiten(emb, "embedding", np.eye(2, 64), [1.0], np.zeros(64))
     with pytest.raises(ValueError, match="negative"):
         pca_whiten(emb, "embedding", np.eye(2, 64), [1.0, -0.5], np.zeros(64))
+
+
+def test_second_moments_pandas_impl_matches_expr_exactly(spark):
+    from go_streaming_spark.functions.similarity import (
+        embedding_second_moments,
+    )
+
+    emb = _emb(spark)
+    a = {
+        (r["i"], r["j"]): r["v"]
+        for r in embedding_second_moments(
+            emb, "embedding", 64, impl="expr"
+        ).collect()
+    }
+    b = {
+        (r["i"], r["j"]): r["v"]
+        for r in embedding_second_moments(
+            emb, "embedding", 64, impl="pandas"
+        ).collect()
+    }
+    assert a == b
+    # auto routes dense widths to the pandas path and both reject junk
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown impl"):
+        embedding_second_moments(emb, "embedding", 64, impl="nope")
+
+
+def test_second_moments_pandas_impl_handles_empty_and_null(spark):
+    from pyspark.sql import functions as F
+
+    from go_streaming_spark.functions.similarity import (
+        embedding_second_moments,
+    )
+
+    emb = _emb(spark)
+    empty = emb.filter("vec_id < 0")
+    rows = embedding_second_moments(empty, "embedding", 64, impl="pandas").collect()
+    assert all(r["v"] == 0 for r in rows) and len(rows) == 64 * 65 // 2
+
+    with_null = emb.limit(10).withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 2 == 0, F.col("embedding")),
+    )
+    a = embedding_second_moments(with_null, "embedding", 64, impl="pandas")
+    b = embedding_second_moments(
+        emb.limit(10).filter("vec_id % 2 = 0"), "embedding", 64, impl="pandas"
+    )
+    av = {(r["i"], r["j"]): r["v"] for r in a.collect()}
+    bv = {(r["i"], r["j"]): r["v"] for r in b.collect()}
+    assert av == bv
