@@ -315,7 +315,7 @@ def pca() -> None:
             tmp = tempfile.mkdtemp(prefix=f"r14shards_{sf}_")
             try:
                 m = write_training_shards(
-                    keyed, f"{tmp}/s", "skey", target_bytes=4 << 20,
+                    keyed, f"{tmp}/s", "skey", target_bytes=256 << 10,
                     mode="overwrite",
                 ).collect()
                 res["n_shards"] = len(m)
@@ -323,6 +323,37 @@ def pca() -> None:
                 shutil.rmtree(tmp, ignore_errors=True)
 
         res["shard_write_s"] = _min_of(3, _write)
+        print(json.dumps(res), flush=True)
+
+    # the real linearity claim needs data past stage-latency noise:
+    # deterministic synthetic corpora at 200k and 2M rows (10×), both
+    # moment impls A/B'd — the statistic's collected state is 2080
+    # cells at EVERY size
+    def _synth(n):
+        return spark.range(n).select(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda d: (
+                    F.hash(F.col("id") * F.lit(64) + d).cast("double")
+                    / F.lit(2.147483648e9)
+                ),
+            ).alias("embedding")
+        )
+
+    from go_streaming_spark.functions.util import spread
+
+    for n in (200_000, 2_000_000):
+        corp = spread(_synth(n)).localCheckpoint()
+        res = {"shape": "moments_synth", "rows": n}
+        impls = ("pandas", "expr") if n <= 200_000 else ("pandas",)
+        for impl in impls:
+            res[f"moments_{impl}_s"] = _min_of(
+                2,
+                lambda: similarity.embedding_second_moments(
+                    corp, "embedding", dim=64, impl=impl
+                ).collect(),
+            )
+        corp.unpersist()
         print(json.dumps(res), flush=True)
     spark.stop()
 
