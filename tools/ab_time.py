@@ -30,21 +30,29 @@ def main() -> None:
     ap.add_argument("-n", type=int, default=5)
     ap.add_argument("--sf", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--stat", choices=["min", "median"], default="min",
+                    help="median is the anchor rule for write-dominated"
+                         " lifecycle gates (BASELINE.md r14)")
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
 
     spark = get_session("ab_time")
     out = {}
+    runs = {}
     for name in args.queries:
         fn = QUERIES[name]
         fn(spark, args.sf).write.mode("overwrite").format("noop").save()
-        best = float("inf")
+        times = []
         for _ in range(args.n):
             t0 = time.perf_counter()
             fn(spark, args.sf).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        out[name] = round(best, 3)
-    print(json.dumps({"sf_dir": args.sf, "runs": args.n, "queries": out}))
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        stat = times[0] if args.stat == "min" else times[len(times) // 2]
+        out[name] = round(stat, 3)
+        runs[name] = [round(t, 3) for t in times]
+    print(json.dumps({"sf_dir": args.sf, "runs": args.n, "stat": args.stat,
+                      "queries": out, "times": runs}))
     spark.stop()
 
 
