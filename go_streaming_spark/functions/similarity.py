@@ -1221,7 +1221,7 @@ def embedding_dim_stats(
 
 def embedding_second_moments(
     df: DataFrame, vec_col: str, dim: int, scale: float = 1e6,
-    impl: str = "auto",
+    impl: str = "auto", augmented: bool = False,
 ) -> DataFrame:
     """Exact upper-triangle second-moment matrix of the embedding corpus:
     (i, j, v) with i <= j and v = Σ_rows q_i·q_j over µ-int quantized
@@ -1256,9 +1256,19 @@ def embedding_second_moments(
       exact integers.
 
     ``impl="auto"`` picks pandas for dense widths (dim ≥ 16), expr below.
+
+    ``augmented=True`` appends a constant component q_dim = scale (i.e.
+    the value 1.0 before quantization), the classic augmented-gram
+    trick: the (i, dim) cells then carry scale·Σ q_i (the per-dimension
+    sums) and the (dim, dim) corner carries n·scale² — so ONE pass over
+    the corpus yields second moments, means, AND the row count, and
+    :func:`pca_from_moments` needs no separate ``embedding_dim_stats``
+    scan.  The top-left dim×dim block is bit-identical to the
+    unaugmented statistic.
     """
     from go_streaming_spark.functions.stats import gram_matrix_exploded
 
+    m = dim + (1 if augmented else 0)
     if impl == "auto":
         impl = "pandas" if dim >= 16 else "expr"
     if impl == "expr":
@@ -1275,20 +1285,28 @@ def embedding_second_moments(
             ),
             lambda e: e["x"] != 0,
         )
+        if augmented:
+            entries = F.concat(
+                entries,
+                F.array(F.struct(
+                    F.lit(dim).cast("long").alias("i"),
+                    F.lit(int(scale)).cast("long").alias("x"),
+                )),
+            )
         return gram_matrix_exploded(
-            df.select(entries.alias("__ent")), "__ent", dim, dense=True
+            df.select(entries.alias("__ent")), "__ent", m, dense=True
         )
     if impl != "pandas":
         raise ValueError(f"embedding_second_moments: unknown impl {impl!r}")
 
     import numpy as np
 
-    iu, ju = (x.astype("int64") for x in np.triu_indices(dim))
+    iu, ju = (x.astype("int64") for x in np.triu_indices(m))
 
     def _cells(batches):
         import pandas as pd
 
-        S = np.zeros((dim, dim), dtype=np.int64)
+        S = np.zeros((m, m), dtype=np.int64)
         for pdf in batches:
             col = [v for v in pdf[vec_col] if v is not None]
             if not col:
@@ -1300,6 +1318,8 @@ def embedding_second_moments(
                     f" != dim {dim}"
                 )
             Q = np.floor(arr * scale + 0.5)  # integer-valued float64
+            if augmented:
+                Q = np.hstack([Q, np.full((Q.shape[0], 1), float(scale))])
             amax = float(np.abs(Q).max())
             # float64 BLAS is exact only while EVERY partial sum is an
             # integer below 2^53; products are signed here, so bound
@@ -1359,6 +1379,37 @@ def pca_from_moments(moment_rows, dim_stat_rows, dim: int, k: int,
     mu = mu / n
     cov = S / n - np.outer(mu, mu)
     vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T.copy()
+    for c in range(comps.shape[0]):
+        if comps[c, np.argmax(np.abs(comps[c]))] < 0:
+            comps[c] = -comps[c]
+    return vals[order], comps, mu, n
+
+
+def pca_from_augmented(moment_rows, dim: int, k: int, scale: float = 1e6):
+    """:func:`pca_from_moments` from ONE augmented statistic (no
+    separate dim-stats scan): ``moment_rows`` are the
+    (dim+1)(dim+2)/2 cells of ``embedding_second_moments(...,
+    augmented=True)`` — the (i, dim) column carries scale·Σ q_i and the
+    corner carries n·scale².  All divisions recover exact integers
+    below 2^53, so the derived covariance (and therefore the
+    components) is BIT-IDENTICAL to the two-pass path.
+    """
+    import numpy as np
+
+    m = dim + 1
+    A = np.zeros((m, m), dtype=np.float64)
+    for r in moment_rows:
+        i, j = int(r["i"]), int(r["j"])
+        A[i, j] = A[j, i] = float(r["v"])
+    n = int(round(A[dim, dim] / (scale * scale)))
+    if n <= 0:
+        raise ValueError("pca_from_augmented: zero rows — empty corpus")
+    S = A[:dim, :dim] / (scale * scale)
+    mu = (A[:dim, dim] / scale / scale) / n
+    cov = S / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
     order = np.argsort(vals)[::-1][:k]
     comps = vecs[:, order].T.copy()
     for c in range(comps.shape[0]):
@@ -1449,18 +1500,20 @@ def pca_embed(
     scale: float = 1e6,
     out_col: str = "pc",
 ):
-    """One-stop distributed PCA: second moments + per-dim sums (two
-    bounded collects — dim·(dim+1)/2 and dim rows, never data-sized),
-    driver eigendecomposition, then the map-only projection.  Returns
-    ``(projected_df, eigvals)``.
+    """One-stop distributed PCA: ONE augmented-moment pass over the
+    corpus (a single bounded collect — (dim+1)(dim+2)/2 cells, never
+    data-sized — carrying second moments, per-dim sums AND the row
+    count), driver eigendecomposition, then the map-only projection.
+    Returns ``(projected_df, eigvals)``.
 
     The train→apply shape of the reference's continuous queries at
     embedding scale: the heavy pass is declarative and
     Catalyst-optimized; the driver holds only the fixed-size statistic.
     """
-    moments = embedding_second_moments(df, vec_col, dim, scale).collect()
-    dstats = embedding_dim_stats(df, id_col, vec_col, dim).collect()
-    vals, comps, mu, _ = pca_from_moments(moments, dstats, dim, k, scale)
+    moments = embedding_second_moments(
+        df, vec_col, dim, scale, augmented=True
+    ).collect()
+    vals, comps, mu, _ = pca_from_augmented(moments, dim, k, scale)
     return pca_project(df, vec_col, comps, mu, scale, out_col), vals
 
 

@@ -4387,13 +4387,10 @@ def embedding_whitened_qc(spark, sf_dir):
 
     emb = _emb(spark, sf_dir)
     moments = similarity.embedding_second_moments(
-        emb, "embedding", dim=64
+        emb, "embedding", dim=64, augmented=True
     ).collect()
-    dstats = similarity.embedding_dim_stats(
-        emb, "vec_id", "embedding", dim=64
-    ).collect()
-    vals, comps, mu, n = similarity.pca_from_moments(
-        moments, dstats, dim=64, k=64
+    vals, comps, mu, n = similarity.pca_from_augmented(
+        moments, dim=64, k=64
     )
     z = similarity.pca_whiten(emb, "embedding", comps, vals, mu)
     per_c = (

@@ -3686,3 +3686,51 @@ def test_second_moments_pandas_impl_handles_empty_and_null(spark):
     av = {(r["i"], r["j"]): r["v"] for r in a.collect()}
     bv = {(r["i"], r["j"]): r["v"] for r in b.collect()}
     assert av == bv
+
+
+def test_augmented_moments_fold_in_sums_and_count(spark):
+    import numpy as np
+
+    from go_streaming_spark.functions.similarity import (
+        embedding_dim_stats,
+        embedding_second_moments,
+        pca_from_augmented,
+        pca_from_moments,
+    )
+
+    emb = _emb(spark)
+    for impl in ("pandas", "expr"):
+        aug = {
+            (r["i"], r["j"]): r["v"]
+            for r in embedding_second_moments(
+                emb, "embedding", 64, impl=impl, augmented=True
+            ).collect()
+        }
+        plain = {
+            (r["i"], r["j"]): r["v"]
+            for r in embedding_second_moments(
+                emb, "embedding", 64, impl=impl
+            ).collect()
+        }
+        # top-left block identical; last column = scale * per-dim sums;
+        # corner = n * scale^2
+        assert all(aug[c] == v for c, v in plain.items())
+        dstats = {r["d"]: r for r in embedding_dim_stats(
+            emb, "vec_id", "embedding", 64).collect()}
+        n = next(iter(dstats.values()))["n"]
+        assert aug[(64, 64)] == n * 10**12
+        for d in range(64):
+            assert aug[(d, 64)] == dstats[d]["sum_q"] * 10**6, d
+
+    # the one-pass eig result is BIT-identical to the two-pass path
+    aug_rows = embedding_second_moments(
+        emb, "embedding", 64, augmented=True
+    ).collect()
+    vals_a, comps_a, mu_a, n_a = pca_from_augmented(aug_rows, 64, 8)
+    moments = embedding_second_moments(emb, "embedding", 64).collect()
+    ds = embedding_dim_stats(emb, "vec_id", "embedding", 64).collect()
+    vals_b, comps_b, mu_b, n_b = pca_from_moments(moments, ds, 64, 8)
+    assert n_a == n_b
+    assert np.array_equal(mu_a, mu_b)
+    assert np.array_equal(np.asarray(vals_a), np.asarray(vals_b))
+    assert np.array_equal(comps_a, comps_b)
