@@ -1451,6 +1451,10 @@ def pca_project(
     import numpy as np
 
     comps = np.asarray(components, dtype=np.float64)
+    if comps.ndim != 2 or comps.shape[0] == 0:
+        raise ValueError(
+            "pca_project: components must be a non-empty (k, dim) matrix"
+        )
     offs = comps @ np.asarray(mu, dtype=np.float64) if mu is not None else (
         np.zeros(comps.shape[0])
     )

@@ -3734,3 +3734,16 @@ def test_augmented_moments_fold_in_sums_and_count(spark):
     assert np.array_equal(mu_a, mu_b)
     assert np.array_equal(np.asarray(vals_a), np.asarray(vals_b))
     assert np.array_equal(comps_a, comps_b)
+
+
+def test_pca_project_rejects_empty_components(spark):
+    import numpy as np
+    import pytest
+
+    from go_streaming_spark.functions.similarity import pca_project
+
+    emb = _emb(spark).limit(3)
+    with pytest.raises(ValueError, match="non-empty"):
+        pca_project(emb, "embedding", np.zeros((0, 64)))
+    with pytest.raises(ValueError, match="non-empty"):
+        pca_project(emb, "embedding", np.zeros(64))
