@@ -558,3 +558,95 @@ def sample_to_token_budget_per_stratum(
         .filter(F.col("__cum") <= F.lit(int(budget)))
         .drop("__h", "__b", "__off", "__cum")
     )
+
+
+def mixture_waterfill_plan(
+    df: DataFrame,
+    stratum_col: str,
+    token_col: str,
+    budget: int,
+    weights: dict[str, int] | None = None,
+) -> DataFrame:
+    """Token-budget mixture planning by WATERFILLING: given per-stratum
+    token totals T_s and target mixture weights w_s, allocate
+    used_s = min(T_s, t·w_s) with Σ used_s = budget — small sources
+    saturate (everything they have is taken) and their unused share
+    redistributes to the rest, the fixed point every ad-hoc
+    one-round `min(1, share·B/T)` plan misses.  This is the planning
+    step that decides per-source sampling rates BEFORE a 100 TB
+    mixture job runs.
+
+    Exact and engine-portable: strata sort ascending by T/w (tie:
+    stratum name); a stratum saturates iff
+    ``T_i·suffW_i ≤ (budget − prefT_i)·w_i`` — the cross-multiplied
+    integer form of "its ratio sits below the remaining water level" —
+    evaluated with int64 window sums; the unsaturated allocation is the
+    integer floor ``(budget − ΣT_saturated)·w_s div ΣW_unsaturated``.
+    No float enters any comparison or output.  Bound: budget·max(w)
+    must stay under 2^63 (shard budgets beyond).
+
+    ``weights``: integer weight per stratum (missing strata get 0 and
+    are excluded); ``None`` = uniform.  The aggregate frame is
+    |strata| rows — the windows are bounded by group cardinality,
+    never data-sized.  Emits (stratum, n_docs, n_tokens, w, saturated,
+    used_tokens) — used_tokens == n_tokens exactly when saturated.
+    """
+    if budget < 0:
+        raise ValueError("mixture_waterfill_plan: negative budget")
+    from pyspark.sql.window import Window
+
+    per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(token_col).cast("long")).alias("n_tokens"),
+    )
+    if weights is None:
+        per = per.withColumn("w", F.lit(1).cast("long"))
+    else:
+        spark = df.sparkSession
+        wdf = spark.createDataFrame(
+            [(k, int(v)) for k, v in weights.items()], "stratum string, w long"
+        )
+        per = per.join(F.broadcast(wdf), "stratum", "inner").filter(
+            F.col("w") > 0
+        )
+    w_asc = Window.orderBy(
+        (F.col("n_tokens").cast("double") / F.col("w").cast("double")),
+        "stratum",
+    )
+    ranked = per.select(
+        "stratum", "n_docs", "n_tokens", "w",
+        F.coalesce(
+            F.sum("n_tokens").over(
+                w_asc.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        ).alias("pref_t"),
+        F.sum("w").over(
+            w_asc.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        ).alias("suff_w"),
+    )
+    flagged = ranked.withColumn(
+        "saturated",
+        (
+            F.col("n_tokens") * F.col("suff_w")
+            <= (F.lit(int(budget)) - F.col("pref_t")) * F.col("w")
+        ).cast("int"),
+    )
+    totals = flagged.agg(
+        F.sum(F.when(F.col("saturated") == 1, F.col("n_tokens"))
+              .otherwise(F.lit(0))).alias("sat_t"),
+        F.sum(F.when(F.col("saturated") == 0, F.col("w"))
+              .otherwise(F.lit(0))).alias("unsat_w"),
+    )
+    return (
+        flagged.crossJoin(F.broadcast(totals))  # 1-row plan scalars
+        .select(
+            "stratum", "n_docs", "n_tokens", "w", "saturated",
+            F.when(F.col("saturated") == 1, F.col("n_tokens"))
+            .otherwise(
+                F.expr(f"({int(budget)}L - sat_t) * w div unsat_w")
+            )
+            .cast("long")
+            .alias("used_tokens"),
+        )
+    )

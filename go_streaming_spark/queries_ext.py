@@ -4423,3 +4423,50 @@ def embedding_whitened_qc(spark, sf_dir):
         [(n, round(float(np.floor(tssq * 1e4 + 0.5)) / 1e4, 4), 64, 1, 1)],
         "n long, tssq double, k long, unit_var_ok int, zero_mean_ok int",
     )
+
+
+_WF_BUDGET = 60_000
+_WF_W_SQL = ("CAST(CASE WHEN CAST(substr(source, 4) AS INT) % 5 = 0 THEN 12"
+             " ELSE 1 + CAST(substr(source, 4) AS INT) % 3 END AS BIGINT)")
+
+
+@query(
+    "mixture_waterfill_plan",
+    # token-budget mixture planning by waterfilling: strata sort by T/w,
+    # saturate while T_i*suffW <= (B - prefT)*w_i (cross-multiplied
+    # integer compare — no float in any decision), the rest split the
+    # remaining budget by weight with an integer-floor division.  The
+    # oracle replays the IDENTICAL window sums and integer arithmetic.
+    f"""WITH per AS (SELECT source AS stratum, count(*) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS n_tokens, {_WF_W_SQL} AS w
+      FROM documents GROUP BY source),
+r AS (SELECT *,
+    coalesce(sum(n_tokens) OVER (ORDER BY CAST(n_tokens AS DOUBLE)/w, stratum
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pref_t,
+    CAST(sum(w) OVER (ORDER BY CAST(n_tokens AS DOUBLE)/w, stratum
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS suff_w
+  FROM per),
+f AS (SELECT *, CASE WHEN n_tokens * suff_w <= ({_WF_BUDGET} - pref_t) * w
+                     THEN 1 ELSE 0 END AS saturated FROM r),
+t AS (SELECT CAST(coalesce(sum(CASE WHEN saturated = 1 THEN n_tokens END), 0)
+              AS BIGINT) AS sat_t,
+             CAST(coalesce(sum(CASE WHEN saturated = 0 THEN w END), 0)
+              AS BIGINT) AS unsat_w FROM f)
+SELECT stratum, n_docs, n_tokens, w, saturated,
+  CAST(CASE WHEN saturated = 1 THEN n_tokens
+       ELSE ({_WF_BUDGET} - sat_t) * w // unsat_w END AS BIGINT)
+    AS used_tokens
+FROM f, t""",
+)
+def mixture_waterfill_plan_q(spark, sf_dir):
+    from go_streaming_spark.functions import sampling
+    from go_streaming_spark.queries_llm import _docs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    srcs = [r[0] for r in docs.select("source").distinct().collect()]
+    weights = {
+        s: 12 if int(s[3:]) % 5 == 0 else 1 + int(s[3:]) % 3 for s in srcs
+    }
+    return sampling.mixture_waterfill_plan(
+        docs, "source", "n_chars", _WF_BUDGET, weights
+    )

@@ -3747,3 +3747,93 @@ def test_pca_project_rejects_empty_components(spark):
         pca_project(emb, "embedding", np.zeros((0, 64)))
     with pytest.raises(ValueError, match="non-empty"):
         pca_project(emb, "embedding", np.zeros(64))
+
+
+# ---------------------------------------------------------------------------
+# waterfill mixture planning
+
+
+def _waterfill_reference(T, W, budget):
+    """Brute fixed-point: bisect the water level t so Σ min(T, t·w) = B."""
+    if budget >= sum(T):
+        return list(T)
+    lo, hi = 0.0, max(t / w for t, w in zip(T, W)) + 1.0
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        used = sum(min(t, mid * w) for t, w in zip(T, W))
+        if used < budget:
+            lo = mid
+        else:
+            hi = mid
+    t = (lo + hi) / 2
+    return [min(ti, t * wi) for ti, wi in zip(T, W)]
+
+
+def test_waterfill_plan_matches_fixed_point(spark):
+    import random
+
+    from go_streaming_spark.functions.sampling import mixture_waterfill_plan
+
+    rng = random.Random(11)
+    for trial in range(6):
+        n_strata = rng.randint(2, 7)
+        rows, T, W = [], [], []
+        weights = {}
+        for s in range(n_strata):
+            tokens = rng.randint(1, 400)
+            w = rng.randint(1, 9)
+            T.append(tokens)
+            W.append(w)
+            weights[f"s{s}"] = w
+            left = tokens
+            while left > 0:
+                c = min(left, rng.randint(1, 60))
+                rows.append((f"s{s}", c))
+                left -= c
+        budget = rng.randint(0, sum(T) + 100)
+        df = spark.createDataFrame(rows, "src string, tok long")
+        got = {
+            r["stratum"]: r
+            for r in mixture_waterfill_plan(
+                df, "src", "tok", budget, weights
+            ).collect()
+        }
+        expect = _waterfill_reference(T, W, budget)
+        total_used = 0
+        for s in range(n_strata):
+            row = got[f"s{s}"]
+            assert row["n_tokens"] == T[s]
+            # exact plan within 1 of the float fixed point (engine floors)
+            assert abs(row["used_tokens"] - expect[s]) <= 1, (trial, s)
+            assert row["used_tokens"] <= T[s]
+            assert (row["saturated"] == 1) == (row["used_tokens"] == T[s]) or (
+                row["saturated"] == 0
+            )
+            total_used += row["used_tokens"]
+        assert total_used <= min(budget, sum(T))
+        # floors can undershoot by at most one token per unsaturated stratum
+        assert total_used >= min(budget, sum(T)) - n_strata
+
+
+def test_waterfill_plan_edges(spark):
+    import pytest
+
+    from go_streaming_spark.functions.sampling import mixture_waterfill_plan
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 5), ("b", 30)], "src string, tok long"
+    )
+    # budget covers everything: all saturated
+    rows = {r["stratum"]: r for r in mixture_waterfill_plan(
+        df, "src", "tok", 1000).collect()}
+    assert all(r["saturated"] == 1 and r["used_tokens"] == r["n_tokens"]
+               for r in rows.values())
+    # zero budget: nothing allocated
+    rows = {r["stratum"]: r for r in mixture_waterfill_plan(
+        df, "src", "tok", 0).collect()}
+    assert all(r["used_tokens"] == 0 for r in rows.values())
+    # strata missing from the weight map are excluded
+    rows = mixture_waterfill_plan(df, "src", "tok", 20, {"a": 1}).collect()
+    assert [r["stratum"] for r in rows] == ["a"]
+    with pytest.raises(ValueError, match="negative budget"):
+        mixture_waterfill_plan(df, "src", "tok", -1)
