@@ -123,6 +123,7 @@ HEADLINE = [
     "embedding_pca_parseval",        # moments -> driver eigh -> map-only projection (round 14)
     "training_shards_roundtrip",     # final shard write + manifest + read-back (round 14)
     "embedding_whitened_qc",         # full-rank whitening, identity-covariance check (round 14)
+    "mixture_waterfill_plan",        # token-budget waterfilling mixture planner (round 14)
 ]
 
 
