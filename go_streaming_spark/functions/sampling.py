@@ -566,6 +566,7 @@ def mixture_waterfill_plan(
     token_col: str,
     budget: int,
     weights: dict[str, int] | None = None,
+    pre_aggregated: bool = False,
 ) -> DataFrame:
     """Token-budget mixture planning by WATERFILLING: given per-stratum
     token totals T_s and target mixture weights w_s, allocate
@@ -590,15 +591,28 @@ def mixture_waterfill_plan(
     |strata| rows — the windows are bounded by group cardinality,
     never data-sized.  Emits (stratum, n_docs, n_tokens, w, saturated,
     used_tokens) — used_tokens == n_tokens exactly when saturated.
+
+    ``pre_aggregated=True`` takes ``df`` as the already-reduced
+    per-stratum state — (stratum_col, token_col, ``n_docs``) with one
+    row per stratum — the ADD-mergeable accumulator a streaming ingest
+    carries, so a live re-plan reads |strata| rows and never touches
+    raw data.
     """
     if budget < 0:
         raise ValueError("mixture_waterfill_plan: negative budget")
     from pyspark.sql.window import Window
 
-    per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.col(token_col).cast("long")).alias("n_tokens"),
-    )
+    if pre_aggregated:
+        per = df.select(
+            F.col(stratum_col).alias("stratum"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col(token_col).cast("long").alias("n_tokens"),
+        )
+    else:
+        per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(token_col).cast("long")).alias("n_tokens"),
+        )
     if weights is None:
         per = per.withColumn("w", F.lit(1).cast("long"))
     else:

@@ -4470,3 +4470,73 @@ def mixture_waterfill_plan_q(spark, sf_dir):
     return sampling.mixture_waterfill_plan(
         docs, "source", "n_chars", _WF_BUDGET, weights
     )
+
+
+@query("stream_mixture_waterfill_plan")
+def stream_mixture_waterfill_plan(spark, sf_dir):
+    """The mixture plan re-solved as the corpus STREAMS in: per-source
+    (n_docs, n_tokens) is ADD-mergeable state (the CMS shape), so each
+    micro-batch folds its counts into a localCheckpointed ≤|strata|-row
+    table and the waterfill re-plans from the state alone — the
+    live-dashboard question ("what rates should tonight's mixture job
+    use, given everything crawled so far?") answered without touching
+    raw data.  The final-trigger plan must equal the batch plan, so it
+    gates against the same oracle."""
+    import shutil
+    import tempfile
+
+    from go_streaming_spark.functions import sampling
+    from go_streaming_spark.queries_llm import _docs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    srcs = [r[0] for r in docs.select("source").distinct().collect()]
+    weights = {
+        s: 12 if int(s[3:]) % 5 == 0 else 1 + int(s[3:]) % 3 for s in srcs
+    }
+    tmp = tempfile.mkdtemp(prefix="stream_wf_")
+    try:
+        docs.repartition(4).write.mode("overwrite").parquet(f"{tmp}/docs")
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/docs")
+        )
+        holder = {"state": None, "batches": 0}
+
+        def ingest(batch_df, _bid):
+            part = batch_df.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.col("n_chars").cast("long")).alias("n_tokens"),
+            )
+            merged = part if holder["state"] is None else (
+                holder["state"].unionByName(part)
+                .groupBy("source")
+                .agg(
+                    F.sum("n_docs").alias("n_docs"),
+                    F.sum("n_tokens").alias("n_tokens"),
+                )
+            )
+            holder["state"] = merged.localCheckpoint()
+            holder["batches"] += 1
+
+        q = (
+            stream.writeStream.foreachBatch(ingest)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        assert holder["batches"] >= 2, "replay must produce real micro-batches"
+        # re-plan straight off the accumulated per-stratum state
+        out = sampling.mixture_waterfill_plan(
+            holder["state"], "source", "n_tokens", _WF_BUDGET, weights,
+            pre_aggregated=True,
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+ORACLES["stream_mixture_waterfill_plan"] = ORACLES["mixture_waterfill_plan"]
