@@ -57,6 +57,11 @@ EXTRA_AUDIT = [
 
 # red flags that are actually fine, with the reason they're fine
 KNOWN_BENIGN = {
+    "mixture_waterfill_plan": (
+        "BroadcastNestedLoopJoin is the 1-row broadcast plan-scalar"
+        " crossJoin (sat_t/unsat_w totals over the ≤|strata|-row plan"
+        " frame) — O(|strata|·1), never data-sized"
+    ),
     "embedding_second_moments": (
         "BroadcastNestedLoopJoin is the dim×dim dense-grid constructor"
         " (range(64) crossJoin range(64) → 4096 rows, data-independent)"
