@@ -221,10 +221,15 @@ def main() -> None:
             f"| {'yes' if a['pushed'] else '—'} | {a['codegen']} | {a['scan_cols']} "
             f"| {flags} |"
         )
-    if any(name in KNOWN_BENIGN for name, _ in rows):
+    flagged = {
+        name for name, a in rows
+        if not isinstance(a, str) and a["red_flags"]
+    }
+    if any(name in KNOWN_BENIGN for name in flagged):
         lines += ["", "Known-benign flags:", ""]
         for name, why in KNOWN_BENIGN.items():
-            lines.append(f"- `{name}`: {why}")
+            if name in flagged:
+                lines.append(f"- `{name}`: {why}")
     lines += [
         "",
         "Notes: exchange/codegen counts come from the pre-AQE plan text",
