@@ -213,6 +213,17 @@ EMB_QUERIES = [
                                   # path on zero/dup vectors — per-example
                                   # scratch index write + probe must equal
                                   # the in-memory oracle result exactly
+    "embedding_second_moments",   # r14: all-int64 moment cells via the
+                                  # Arrow/BLAS path on zero/dup/tiny/
+                                  # negative components — exact sums,
+                                  # chunk-bound arithmetic
+    # embedding_pca_parseval / embedding_whitened_qc are deliberately
+    # NOT fuzzed: their oracles compare two DIFFERENT float evaluation
+    # orders (eig path vs direct sums, agreeing to ~1e-12) under a 1e-4
+    # floor-quantize, and hypothesis' exact-tie corpora can construct
+    # values legitimately straddling a grid boundary; the
+    # identity-covariance invariant is asserted IN-QUERY at 1e-6 on any
+    # corpus regardless
 ]
 
 
