@@ -451,3 +451,106 @@ def ridge_fit_from_gram(rows, k: int, lam: float = 1.0):
         elif i < k and j == k:
             xty[i] = v
     return np.linalg.solve(xtx + lam * np.eye(k), xty)
+
+
+def cusum_alarms(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    seq_col: str,
+    value_col: str,
+    k: int,
+    h: int,
+    scale: float = 1e6,
+    bucket_col: Column | None = None,
+):
+    """Per-key CUSUM drift detection — the classic sequential
+    changepoint statistic S_n = max(0, S_{n-1} + (x_n − k)) with an
+    alarm when S_n > h — computed DISTRIBUTED via the closed form
+    S_n = P_n − min(0, min_{i≤n} P_i), P = prefix sum of (x − k): a
+    running max-recurrence becomes prefix sums plus a running minimum,
+    both window-expressible.
+
+    Scale shape: a naive per-key ordered window sorts each key's FULL
+    history in one task.  Instead rows bucket by an order-aligned range
+    (``bucket_col``, default the day of ``ts_col``) and the prefix/min
+    stitch in two levels — within-(key, bucket) windows (bounded by a
+    bucket's volume) plus one tiny per-(key, bucket) offsets frame
+    (≤ keys·buckets rows) carrying exclusive prefix totals and the
+    cross-bucket running minimum.  The same 256-bucket trick
+    ``sample_to_token_budget`` uses, applied per key.
+
+    All arithmetic is exact int64: values quantize to µ-ints (``q =
+    floor(x·scale + 0.5)``), ``k`` and ``h`` are given in the SAME
+    µ-int units.  Emits per key: n_events, n_alarms (rows with
+    cusum > h), max_cusum.
+    """
+    from pyspark.sql.window import Window
+
+    b = bucket_col if bucket_col is not None else F.to_date(F.col(ts_col))
+    d = (
+        F.floor(F.col(value_col).cast("double") * F.lit(scale) + F.lit(0.5))
+        .cast("long")
+        - F.lit(int(k))
+    )
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        b.alias("__b"),
+        F.col(ts_col).alias("__ts"),
+        F.col(seq_col).alias("__seq"),
+        d.alias("__d"),
+    )
+    w_in = Window.partitionBy("__k", "__b").orderBy("__ts", "__seq")
+    prefixed = base.select(
+        "__k", "__b", "__ts", "__seq", "__d",
+        F.sum("__d").over(w_in).alias("__wp"),
+    )
+    # the running min follows the SAME order as the prefix sum
+    within = prefixed.select(
+        "__k", "__b", "__d", "__wp",
+        F.min("__wp").over(
+            w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("__wmin"),
+    )
+    per_bucket = within.groupBy("__k", "__b").agg(
+        F.sum("__d").alias("__tot"),
+        F.min("__wp").alias("__bmin"),
+    )
+    w_b = Window.partitionBy("__k").orderBy("__b")
+    offsets = per_bucket.select(
+        "__k", "__b",
+        F.coalesce(
+            F.sum("__tot").over(
+                w_b.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        ).alias("__off"),
+        F.col("__bmin"),
+    ).select(
+        "__k", "__b", "__off",
+        F.least(
+            F.lit(0).cast("long"),
+            F.coalesce(
+                F.min(F.col("__off") + F.col("__bmin")).over(
+                    w_b.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        ).alias("__pgmin"),
+    )
+    joined = within.join(F.broadcast(offsets), ["__k", "__b"])
+    cusum = (
+        (F.col("__off") + F.col("__wp"))
+        - F.least(F.col("__pgmin"), F.col("__off") + F.col("__wmin"))
+    )
+    return (
+        joined.withColumn("__cusum", cusum)
+        .groupBy(F.col("__k").alias(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("__cusum") > F.lit(int(h))).cast("long")).alias(
+                "n_alarms"
+            ),
+            F.max("__cusum").alias("max_cusum"),
+        )
+    )

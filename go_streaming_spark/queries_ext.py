@@ -4540,3 +4540,43 @@ def stream_mixture_waterfill_plan(spark, sf_dir):
 
 
 ORACLES["stream_mixture_waterfill_plan"] = ORACLES["mixture_waterfill_plan"]
+
+
+_CUSUM_K = 60_000_000   # drift allowance, µ-value units (values avg ≈ 50)
+_CUSUM_H = 200_000_000  # alarm threshold, µ-value units
+
+
+@query(
+    "cusum_value_alarms",
+    # per-type CUSUM drift detection: S_n = max(0, S_{n-1} + (x−k)),
+    # alarm when S > h — via the closed form S = P − min(0, running
+    # min(P)), all exact µ-int arithmetic.  The engine computes it with
+    # two-level bucketed prefix/min stitching (no key-sized sort task);
+    # the oracle replays the plain per-key global window — identical
+    # integers, so the per-type alarm counts and maxima hash-match.
+    f"""WITH q AS (SELECT event_type, ts, event_id,
+        CAST(floor(value*1e6 + 0.5) AS BIGINT) - {_CUSUM_K} AS d
+      FROM events),
+p AS (SELECT event_type, ts, event_id,
+        sum(d) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS pp
+      FROM q),
+c AS (SELECT event_type,
+        pp - least(CAST(0 AS BIGINT),
+                   min(pp) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING)) AS s
+      FROM p)
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CASE WHEN s > {_CUSUM_H} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarms,
+       max(s) AS max_cusum
+FROM c GROUP BY event_type""",
+)
+def cusum_value_alarms(spark, sf_dir):
+    from go_streaming_spark.functions.stats import cusum_alarms
+
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    return cusum_alarms(
+        ev, "event_type", "ts", "event_id", "value", _CUSUM_K, _CUSUM_H
+    )

@@ -3837,3 +3837,75 @@ def test_waterfill_plan_edges(spark):
     assert [r["stratum"] for r in rows] == ["a"]
     with pytest.raises(ValueError, match="negative budget"):
         mixture_waterfill_plan(df, "src", "tok", -1)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection
+
+
+def _cusum_reference(rows, k, h):
+    """Sequential S_n = max(0, S_{n-1} + (q - k)) per key."""
+    import collections
+    import math
+
+    byk = collections.defaultdict(list)
+    for key, ts, seq, v in rows:
+        byk[key].append((ts, seq, v))
+    out = {}
+    for key, rs in byk.items():
+        rs.sort()
+        s, mx, na = 0, 0, 0
+        for _, _, v in rs:
+            s = max(0, s + math.floor(v * 1e6 + 0.5) - k)
+            mx = max(mx, s)
+            if s > h:
+                na += 1
+        out[key] = (len(rs), na, mx)
+    return out
+
+
+def test_cusum_alarms_match_sequential_reference(spark):
+    import datetime as dt
+    import random
+
+    from pyspark.sql import functions as F
+
+    from go_streaming_spark.functions.stats import cusum_alarms
+
+    rng = random.Random(5)
+    rows = []
+    seq = 0
+    for key in ("a", "b", "c"):
+        # spread across 6 days so the two-level bucket stitch is real
+        for day in range(6):
+            for _ in range(rng.randint(0, 25)):
+                seq += 1
+                ts = dt.datetime(2026, 1, 1 + day, rng.randint(0, 23),
+                                 rng.randint(0, 59))
+                rows.append((key, ts, seq, rng.uniform(0, 120)))
+    k, h = 55_000_000, 120_000_000
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, seq long, v double"
+    )
+    got = {
+        r["k"]: (r["n_events"], r["n_alarms"], r["max_cusum"])
+        for r in cusum_alarms(df, "k", "ts", "seq", "v", k, h).collect()
+    }
+    assert got == _cusum_reference(rows, k, h)
+
+    # one-bucket degenerate case (everything in a single day)
+    sub = [r for r in rows if r[1].day == 1]
+    df1 = spark.createDataFrame(
+        sub, "k string, ts timestamp, seq long, v double"
+    )
+    got1 = {
+        r["k"]: (r["n_events"], r["n_alarms"], r["max_cusum"])
+        for r in cusum_alarms(df1, "k", "ts", "seq", "v", k, h).collect()
+    }
+    assert got1 == _cusum_reference(sub, k, h)
+
+    # all-negative drift: cusum pinned at 0, no alarms
+    gotneg = cusum_alarms(
+        df, "k", "ts", "seq", "v", 1_000_000_000, 1
+    ).collect()
+    assert all(r["n_alarms"] == 0 and r["max_cusum"] == 0 for r in gotneg)
