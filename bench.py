@@ -124,6 +124,7 @@ HEADLINE = [
     "training_shards_roundtrip",     # final shard write + manifest + read-back (round 14)
     "embedding_whitened_qc",         # full-rank whitening, identity-covariance check (round 14)
     "mixture_waterfill_plan",        # token-budget waterfilling mixture planner (round 14)
+    "cusum_value_alarms",            # CUSUM drift detection, bucketed prefix stitch (round 14)
 ]
 
 
