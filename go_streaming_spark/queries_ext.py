@@ -4580,3 +4580,121 @@ def cusum_value_alarms(spark, sf_dir):
     return cusum_alarms(
         ev, "event_type", "ts", "event_id", "value", _CUSUM_K, _CUSUM_H
     )
+
+
+@query("stream_cusum_value_alarms")
+def stream_cusum_value_alarms(spark, sf_dir):
+    """CUSUM accumulated the STREAMING way: the event log replays in
+    timestamp order, one time-slice per micro-batch, and each trigger
+    runs the SAME distributed closed form WITHIN the batch (the batch
+    plays the bucket role of `cusum_alarms`' two-level stitch) against
+    a carried per-key state of exactly two numbers — the prefix-sum
+    offset P_end and the global running min(0, min P) — plus the
+    accumulated counts.  The state is ≤|keys| rows, every per-trigger
+    computation is window + aggregate (no driver-side row loop), and
+    batches extend the sequence in order — the ORDERED-state shape,
+    unlike the commutative CMS/HLL merges, which is precisely what a
+    time-ordered replay guarantees.  The final state must equal the
+    batch statistic, so it gates against the same oracle."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    ev = Engine(spark, sf_dir=sf_dir).stream("events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_cusum_")
+    try:
+        # slice by global time order so trigger order == event order
+        sliced = ev.withColumn(
+            "__slice", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+        )
+        for s in range(1, 5):
+            (sliced.filter(F.col("__slice") == s).drop("__slice")
+             .coalesce(1).write.mode("overwrite")
+             .parquet(f"{tmp}/ev/slice={s:02d}"))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/ev/slice=*")
+        )
+        # key -> (off, gmin, n, n_alarms, max_cusum); ≤|event types| rows
+        state: dict = {}
+        holder = {"batches": 0}
+
+        def ingest(batch_df, _bid):
+            w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+            pre = batch_df.withColumn(
+                "__d",
+                F.floor(F.col("value").cast("double") * F.lit(1e6)
+                        + F.lit(0.5)).cast("long") - F.lit(_CUSUM_K),
+            ).select(
+                "event_type", "ts", "event_id", "__d",
+                F.sum("__d").over(w).alias("__wp"),
+            )
+            pre = pre.select(
+                "event_type", "__d", "__wp",
+                F.min("__wp").over(
+                    w.rowsBetween(Window.unboundedPreceding,
+                                  Window.currentRow)
+                ).alias("__wmin"),
+            )
+            st_rows = [(k, v[0], v[1]) for k, v in state.items()]
+            stdf = spark.createDataFrame(
+                st_rows or [("__none__", 0, 0)],
+                "event_type string, __off long, __gmin long",
+            )
+            j = (
+                pre.join(F.broadcast(stdf), "event_type", "left")
+                .fillna({"__off": 0, "__gmin": 0})
+            )
+            cus = (
+                (F.col("__off") + F.col("__wp"))
+                - F.least(F.col("__gmin"),
+                          F.col("__off") + F.col("__wmin"))
+            )
+            agg = (
+                j.withColumn("__cusum", cus)
+                .groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum((F.col("__cusum") > F.lit(_CUSUM_H))
+                          .cast("long")).alias("na"),
+                    F.max("__cusum").alias("mx"),
+                    F.sum("__d").alias("tot"),
+                    F.min("__wp").alias("bmin"),
+                )
+                .collect()  # ≤|keys| rows — the bounded state update
+            )
+            for r in agg:
+                off, gmin, n, na, mx = state.get(
+                    r["event_type"], (0, 0, 0, 0, 0)
+                )
+                state[r["event_type"]] = (
+                    off + r["tot"],
+                    min(gmin, off + r["bmin"]),
+                    n + r["n"],
+                    na + r["na"],
+                    max(mx, r["mx"]),
+                )
+            holder["batches"] += 1
+
+        qr = (
+            stream.writeStream.foreachBatch(ingest)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        qr.awaitTermination()
+        assert holder["batches"] >= 2, "replay must produce real micro-batches"
+        out_rows = [(k, v[2], v[3], v[4]) for k, v in sorted(state.items())]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        out_rows,
+        "event_type string, n_events long, n_alarms long, max_cusum long",
+    )
+
+
+ORACLES["stream_cusum_value_alarms"] = ORACLES["cusum_value_alarms"]
