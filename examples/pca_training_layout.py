@@ -56,7 +56,19 @@ def main() -> None:
           f"χ²({DIM}) mean+4σ bar ({bar:.0f})")
     out.orderBy(F.desc("maha2")).show(3)
 
-    # 3. the deterministic training layout: seeded md5 shuffle key →
+    # 3. plan the mixture: waterfill the token budget over sources —
+    #    small sources saturate, their unused share redistributes
+    from go_streaming_spark.functions.sampling import mixture_waterfill_plan
+
+    srcs = [r[0] for r in docs.select("source").distinct().collect()]
+    weights = {s: 3 if int(s[3:]) % 5 == 0 else 1 for s in srcs}
+    plan = mixture_waterfill_plan(docs, "source", "n_chars",
+                                  budget=100_000, weights=weights)
+    sat = plan.filter("saturated = 1").count()
+    print(f"mixture plan: {sat} sources saturated; allocation:")
+    plan.orderBy(F.desc("used_tokens")).show(4)
+
+    # 4. the deterministic training layout: seeded md5 shuffle key →
     #    range-sharded sorted write; the manifest proves no shard was
     #    dropped and key ranges are disjoint
     keyed = docs.select(
