@@ -8,6 +8,8 @@ cross-inflate via GC pressure).
     python tools/r14_shapes_sweep.py stream_ingest  # per-trigger ingest wall vs the batch twin
     python tools/r14_shapes_sweep.py gram_wide      # k=1024 gram + end-to-end train->score loop
     python tools/r14_shapes_sweep.py manifest       # snapshot flip: per-epoch cost vs probe-through
+    python tools/r14_shapes_sweep.py filtered       # filtered ANN: early-stop + full-walk regimes
+    python tools/r14_shapes_sweep.py pca            # moments/pca/shards + impl A/B + synthetic 2M rows
 
 Each prints one JSON line per scale.  Requires /tmp/scale_sf1 (built by
 ``python tools/scale_sweep.py --build``).  Timings are min-of-N end-to-end
