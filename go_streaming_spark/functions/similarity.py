@@ -1555,3 +1555,28 @@ def pca_whiten(
         raise ValueError("pca_whiten: negative eigenvalue — not a covariance")
     scaled = comps / np.sqrt(np.clip(lam, 0.0, None) + eps)[:, None]
     return pca_project(df, vec_col, scaled, mu, scale, out_col)
+
+
+def embedding_dim_stats_by(
+    df: DataFrame, group_col: str, vec_col: str, dim: int
+) -> DataFrame:
+    """:func:`embedding_dim_stats` per group — the embedding DRIFT
+    monitor: exact per-(group, dimension) µ-int moment sums, from which
+    standardized mean differences between sources/labels/epochs derive
+    driver-side.  Same one-posexplode one-groupBy shape with the group
+    key carried; state is groups·dim rows, merges by addition.
+    """
+    from go_streaming_spark.functions.util import spread
+
+    vec = F.col(vec_col).cast("array<double>")
+    q = F.transform(
+        vec, lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long")
+    )
+    ex = spread(df).select(
+        F.col(group_col).alias("grp"), F.posexplode(q).alias("d", "xq")
+    )
+    return ex.groupBy("grp", "d").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("sum_q"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sumsq_q"),
+    )

@@ -4698,3 +4698,25 @@ def stream_cusum_value_alarms(spark, sf_dir):
 
 
 ORACLES["stream_cusum_value_alarms"] = ORACLES["cusum_value_alarms"]
+
+
+@query(
+    "embedding_dim_stats_by_label",
+    # per-(label, dimension) exact µ-int moment sums — the embedding
+    # drift monitor between cohorts; integer-exact both engines (the
+    # embedding_dim_stats idiom with the group key carried)
+    """SELECT label AS grp, d - 1 AS d, count(*) AS n,
+  CAST(sum(xq) AS BIGINT) AS sum_q,
+  CAST(sum(xq * xq) AS BIGINT) AS sumsq_q
+FROM (SELECT label, unnest(range(1, 65)) AS d, e FROM
+        (SELECT label, embedding::DOUBLE[] AS e FROM embeddings)),
+LATERAL (SELECT CAST(floor(e[CAST(d AS INT)] * 1e6 + 0.5) AS BIGINT) AS xq) x
+GROUP BY 1, 2""",
+)
+def embedding_dim_stats_by_label(spark, sf_dir):
+    from go_streaming_spark.functions import similarity
+    from go_streaming_spark.queries_llm import _emb
+
+    return similarity.embedding_dim_stats_by(
+        _emb(spark, sf_dir), "label", "embedding", dim=64
+    )

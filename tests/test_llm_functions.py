@@ -3909,3 +3909,26 @@ def test_cusum_alarms_match_sequential_reference(spark):
         df, "k", "ts", "seq", "v", 1_000_000_000, 1
     ).collect()
     assert all(r["n_alarms"] == 0 and r["max_cusum"] == 0 for r in gotneg)
+
+
+def test_dim_stats_by_group_partitions_the_global_stats(spark):
+    from go_streaming_spark.functions.similarity import (
+        embedding_dim_stats,
+        embedding_dim_stats_by,
+    )
+
+    emb = _emb(spark)
+    grouped = embedding_dim_stats_by(emb, "label", "embedding", 64).collect()
+    total = {r["d"]: r for r in embedding_dim_stats(
+        emb, "vec_id", "embedding", 64).collect()}
+    # group stats are a partition of the corpus stats: sums add up exactly
+    import collections
+
+    acc = collections.defaultdict(lambda: [0, 0, 0])
+    for r in grouped:
+        acc[r["d"]][0] += r["n"]
+        acc[r["d"]][1] += r["sum_q"]
+        acc[r["d"]][2] += r["sumsq_q"]
+    for d, (n, s1, s2) in acc.items():
+        t = total[d]
+        assert (n, s1, s2) == (t["n"], t["sum_q"], t["sumsq_q"]), d
