@@ -125,6 +125,7 @@ HEADLINE = [
     "embedding_whitened_qc",         # full-rank whitening, identity-covariance check (round 14)
     "mixture_waterfill_plan",        # token-budget waterfilling mixture planner (round 14)
     "cusum_value_alarms",            # CUSUM drift detection, bucketed prefix stitch (round 14)
+    "embedding_dim_stats_by_label",  # grouped embedding drift stats (round 14)
 ]
 
 
