@@ -4720,3 +4720,69 @@ def embedding_dim_stats_by_label(spark, sf_dir):
     return similarity.embedding_dim_stats_by(
         _emb(spark, sf_dir), "label", "embedding", dim=64
     )
+
+
+@query("stream_embedding_dim_stats_by_label")
+def stream_embedding_dim_stats_by_label(spark, sf_dir):
+    """The cohort drift monitor accumulated the STREAMING way: the
+    embedding corpus replays as real micro-batches and foreachBatch
+    ADD-merges each batch's per-(group, dimension) moment cells into
+    the running state — all three statistics (n, sum_q, sumsq_q) merge
+    by addition, so the carried state is groups·dim rows whatever the
+    corpus size.  At 100 TB this is the per-crawl-epoch drift check:
+    each arriving cohort folds into the grid in one small shuffle per
+    trigger, and standardized mean differences between labels/epochs
+    derive driver-side from the fixed-size state.  Must equal the
+    batch statistic CELL FOR CELL, so it gates against the same oracle
+    as embedding_dim_stats_by_label."""
+    import shutil
+    import tempfile
+
+    from go_streaming_spark.functions import similarity
+    from go_streaming_spark.queries_llm import _emb
+
+    emb = _emb(spark, sf_dir).select("vec_id", "label", "embedding")
+    tmp = tempfile.mkdtemp(prefix="stream_dimstats_")
+    try:
+        emb.repartition(4).write.mode("overwrite").parquet(f"{tmp}/emb")
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/emb")
+        )
+        holder = {"cells": None, "batches": 0}
+
+        def ingest(batch_df, _bid):
+            part = similarity.embedding_dim_stats_by(
+                batch_df, "label", "embedding", dim=64
+            )
+            merged = part if holder["cells"] is None else (
+                holder["cells"].unionByName(part)
+                .groupBy("grp", "d")
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.sum("sum_q").alias("sum_q"),
+                    F.sum("sumsq_q").alias("sumsq_q"),
+                )
+            )
+            holder["cells"] = merged.localCheckpoint()
+            holder["batches"] += 1
+
+        q = (
+            stream.writeStream.foreachBatch(ingest)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        assert holder["batches"] >= 2, "replay must produce real micro-batches"
+        rows = holder["cells"].collect()
+        schema = holder["cells"].schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+ORACLES["stream_embedding_dim_stats_by_label"] = ORACLES[
+    "embedding_dim_stats_by_label"
+]
