@@ -1580,3 +1580,42 @@ def embedding_dim_stats_by(
         F.sum("xq").alias("sum_q"),
         F.sum(F.col("xq") * F.col("xq")).alias("sumsq_q"),
     )
+
+
+def smd_from_dim_stats(stats: DataFrame, group_a, group_b) -> DataFrame:
+    """Per-dimension standardized mean difference between two cohorts,
+    derived from an :func:`embedding_dim_stats_by` frame — the drift
+    NUMBER the monitor exists to produce: smd_d = (µ_a − µ_b) /
+    sqrt((σ²_a + σ²_b) / 2) with population variances, computed in
+    µ-int units (SMD is scale-invariant, so the quantization scale
+    cancels).  Runs entirely on the groups·dim-row statistic — one
+    conditional aggregation per dimension, never touching the corpus —
+    which is the point: at 100 TB the expensive pass produced the
+    moment cells once; every cohort comparison after that is a
+    bounded-frame query.  ``smd_q6`` is NULL where the pooled variance
+    is not positive (both cohorts constant on that dimension).
+    Output: (d, n_a, n_b, smd_q6)."""
+    from go_streaming_spark.functions.util import q6
+
+    a = F.col("grp") == F.lit(group_a)
+    b = F.col("grp") == F.lit(group_b)
+    p = stats.groupBy("d").agg(
+        F.sum(F.when(a, F.col("n"))).alias("n_a"),
+        F.sum(F.when(a, F.col("sum_q"))).alias("s_a"),
+        F.sum(F.when(a, F.col("sumsq_q"))).alias("ss_a"),
+        F.sum(F.when(b, F.col("n"))).alias("n_b"),
+        F.sum(F.when(b, F.col("sum_q"))).alias("s_b"),
+        F.sum(F.when(b, F.col("sumsq_q"))).alias("ss_b"),
+    )
+    mu_a = F.col("s_a").cast("double") / F.col("n_a")
+    mu_b = F.col("s_b").cast("double") / F.col("n_b")
+    var_a = F.col("ss_a").cast("double") / F.col("n_a") - mu_a * mu_a
+    var_b = F.col("ss_b").cast("double") / F.col("n_b") - mu_b * mu_b
+    pooled = (var_a + var_b) / F.lit(2.0)
+    return p.select(
+        "d",
+        "n_a",
+        "n_b",
+        F.when(pooled > F.lit(0.0), q6((mu_a - mu_b) / F.sqrt(pooled)))
+        .alias("smd_q6"),
+    )

@@ -4786,3 +4786,49 @@ def stream_embedding_dim_stats_by_label(spark, sf_dir):
 ORACLES["stream_embedding_dim_stats_by_label"] = ORACLES[
     "embedding_dim_stats_by_label"
 ]
+
+
+@query(
+    "embedding_smd_label_pair",
+    # per-dimension standardized mean difference between cohorts 3 and
+    # 7, derived from the grouped moment cells — the oracle replays the
+    # IDENTICAL double-op chain (µ-int sums → conditional per-dim
+    # pivot → mu/var/pooled/smd in the same IEEE order, q6-quantized);
+    # sums over the BIGINT cells re-cast to BIGINT (DuckDB sums to
+    # HUGEINT), division/sqrt guarded by the same pooled>0 CASE
+    """WITH cells AS (
+  SELECT label AS grp, d - 1 AS d, count(*) AS n,
+    CAST(sum(xq) AS BIGINT) AS sum_q,
+    CAST(sum(xq * xq) AS BIGINT) AS sumsq_q
+  FROM (SELECT label, unnest(range(1, 65)) AS d, e FROM
+          (SELECT label, embedding::DOUBLE[] AS e FROM embeddings)),
+  LATERAL (SELECT CAST(floor(e[CAST(d AS INT)] * 1e6 + 0.5) AS BIGINT) AS xq) x
+  GROUP BY 1, 2),
+p AS (
+  SELECT d,
+    CAST(sum(n) FILTER (WHERE grp = 3) AS BIGINT) AS n_a,
+    CAST(sum(sum_q) FILTER (WHERE grp = 3) AS BIGINT) AS s_a,
+    CAST(sum(sumsq_q) FILTER (WHERE grp = 3) AS BIGINT) AS ss_a,
+    CAST(sum(n) FILTER (WHERE grp = 7) AS BIGINT) AS n_b,
+    CAST(sum(sum_q) FILTER (WHERE grp = 7) AS BIGINT) AS s_b,
+    CAST(sum(sumsq_q) FILTER (WHERE grp = 7) AS BIGINT) AS ss_b
+  FROM cells GROUP BY d)
+SELECT d, n_a, n_b,
+  CASE WHEN pooled > 0.0
+       THEN floor(((mu_a - mu_b) / sqrt(pooled)) * 1e6 + 0.5) / 1e6
+  END AS smd_q6
+FROM p,
+LATERAL (SELECT CAST(s_a AS DOUBLE) / n_a AS mu_a,
+                CAST(s_b AS DOUBLE) / n_b AS mu_b) m,
+LATERAL (SELECT CAST(ss_a AS DOUBLE) / n_a - mu_a * mu_a AS var_a,
+                CAST(ss_b AS DOUBLE) / n_b - mu_b * mu_b AS var_b) v,
+LATERAL (SELECT (var_a + var_b) / 2.0 AS pooled) pp""",
+)
+def embedding_smd_label_pair(spark, sf_dir):
+    from go_streaming_spark.functions import similarity
+    from go_streaming_spark.queries_llm import _emb
+
+    stats = similarity.embedding_dim_stats_by(
+        _emb(spark, sf_dir), "label", "embedding", dim=64
+    )
+    return similarity.smd_from_dim_stats(stats, 3, 7)

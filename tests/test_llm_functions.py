@@ -3932,3 +3932,48 @@ def test_dim_stats_by_group_partitions_the_global_stats(spark):
     for d, (n, s1, s2) in acc.items():
         t = total[d]
         assert (n, s1, s2) == (t["n"], t["sum_q"], t["sumsq_q"]), d
+
+
+def test_smd_from_dim_stats(spark):
+    import math
+
+    from go_streaming_spark.functions.similarity import (
+        embedding_dim_stats_by,
+        smd_from_dim_stats,
+    )
+
+    emb = _emb(spark)
+    stats = embedding_dim_stats_by(emb, "label", "embedding", 64)
+
+    # a cohort against itself: every dimension reads exactly 0
+    self_rows = smd_from_dim_stats(stats, 3, 3).collect()
+    assert len(self_rows) == 64
+    assert all(r["smd_q6"] == 0.0 for r in self_rows)
+
+    # cross-cohort: matches the numpy-double recomputation from the
+    # same integer sums, in the same op order
+    by_cell = {(r["grp"], r["d"]): r for r in stats.collect()}
+    for r in smd_from_dim_stats(stats, 3, 7).collect():
+        ra, rb = by_cell[(3, r["d"])], by_cell[(7, r["d"])]
+        assert (r["n_a"], r["n_b"]) == (ra["n"], rb["n"])
+        mu_a = ra["sum_q"] / ra["n"]
+        mu_b = rb["sum_q"] / rb["n"]
+        var_a = ra["sumsq_q"] / ra["n"] - mu_a * mu_a
+        var_b = rb["sumsq_q"] / rb["n"] - mu_b * mu_b
+        pooled = (var_a + var_b) / 2.0
+        want = (
+            math.floor((mu_a - mu_b) / math.sqrt(pooled) * 1e6 + 0.5) / 1e6
+            if pooled > 0.0 else None
+        )
+        assert r["smd_q6"] == want, r["d"]
+
+    # constant dimensions in both cohorts: pooled variance 0 -> NULL
+    const = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", [1.0, 2.0]),
+         ("b", [3.0, 2.0]), ("b", [3.0, 2.0])],
+        "grp_src string, vec array<double>",
+    )
+    cstats = embedding_dim_stats_by(const, "grp_src", "vec", 2)
+    got = {r["d"]: r["smd_q6"]
+           for r in smd_from_dim_stats(cstats, "a", "b").collect()}
+    assert got[0] is None and got[1] is None
