@@ -126,6 +126,7 @@ HEADLINE = [
     "mixture_waterfill_plan",        # token-budget waterfilling mixture planner (round 14)
     "cusum_value_alarms",            # CUSUM drift detection, bucketed prefix stitch (round 14)
     "embedding_dim_stats_by_label",  # grouped embedding drift stats (round 14)
+    "value_psi_by_type",             # epoch-vs-epoch PSI drift, smoothed log terms (round 14)
 ]
 
 

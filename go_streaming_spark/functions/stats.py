@@ -121,6 +121,76 @@ def categorical_tv_drift(
     )
 
 
+def categorical_psi_drift(
+    keyed: DataFrame, group_col: str, key_col: str, epoch_col: str
+) -> DataFrame:
+    """Population stability index between two epochs of each group's
+    distribution over ``key_col`` — the industry-standard "has this
+    feature shifted since the reference snapshot" number, complementing
+    :func:`categorical_tv_drift` (group vs corpus, bounded metric) with
+    an epoch-vs-epoch comparison whose log-ratio terms weight tail
+    shifts more heavily: PSI = Σ_k (p_k − q_k)·ln(p_k / q_k).
+
+    Input is one row per OBSERVATION (group, key, epoch) with
+    ``epoch_col`` ∈ {0, 1} (0 = reference, 1 = current); output one row
+    per group: (group, n_a, n_b, n_bins, psi_u) with ``psi_u`` the PSI
+    in 1e-9 units (BIGINT — divide by 1e9 for the conventional number;
+    PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted).
+
+    Determinism: probabilities are Laplace-smoothed over the group's
+    union support — p = (c+1)/(n+B) with B the group's observed-key
+    count — so both epochs are strictly positive on every observed key
+    (an epoch-absent key contributes its prior mass, and a group with
+    an EMPTY epoch still produces a defined, large PSI).  Each key's
+    term is quantized to int64 at 1e9 BEFORE summing, so the result is
+    exact integer algebra over per-key doubles computed in one fixed
+    IEEE op order — no order-sensitive float accumulation anywhere.
+
+    Shuffles: one map-side-combined groupBy(group, key) (the counts are
+    the statistic — epochs pivot in the same pass), one bounded
+    groupBy(group) over it, one broadcast join of the ≤|groups|-row
+    totals back.  State is (group, key) pairs — at 100 TB, bins × groups,
+    never observations."""
+    gk = (
+        keyed.select(
+            F.col(group_col).alias("grp"),
+            F.col(key_col).alias("k"),
+            F.col(epoch_col).alias("e"),
+        )
+        .groupBy("grp", "k")
+        .agg(
+            F.sum(F.when(F.col("e") == 0, 1).otherwise(0)).alias("c_a"),
+            F.sum(F.when(F.col("e") == 1, 1).otherwise(0)).alias("c_b"),
+        )
+        # two consumers (per-group totals + the term join) — same
+        # ReuseExchange pruning hazard as categorical_tv_drift, so
+        # materialize the small aggregate once
+        .localCheckpoint()
+    )
+    tot = gk.groupBy("grp").agg(
+        F.sum("c_a").alias("n_a"),
+        F.sum("c_b").alias("n_b"),
+        F.count(F.lit(1)).alias("bg"),
+    )
+    j = gk.join(F.broadcast(tot), "grp")
+    pa = (F.col("c_a").cast("double") + F.lit(1.0)) / (
+        F.col("n_a") + F.col("bg")
+    )
+    pb = (F.col("c_b").cast("double") + F.lit(1.0)) / (
+        F.col("n_b") + F.col("bg")
+    )
+    u = F.floor((pa - pb) * F.log(pa / pb) * F.lit(1e9) + F.lit(0.5)).cast(
+        "long"
+    )
+    return (
+        j.groupBy("grp", "n_a", "n_b", "bg")
+        .agg(F.sum(u).alias("psi_u"))
+        .selectExpr(
+            f"grp AS {group_col}", "n_a", "n_b", "bg AS n_bins", "psi_u"
+        )
+    )
+
+
 def classifier_auc(
     df: DataFrame,
     score_col: str,

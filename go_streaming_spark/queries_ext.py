@@ -2339,6 +2339,52 @@ def value_drift_by_type(spark, sf_dir):
 
 
 @query(
+    "value_psi_by_type",
+    # population stability index per event_type between the two halves
+    # of the month — value_drift_by_type's bins with the EPOCH axis:
+    # Laplace-smoothed over the group's union support, per-bin log
+    # terms quantized to 1e-9 int64 before summing (exact integer
+    # algebra over one fixed IEEE op chain; DuckDB sums re-cast from
+    # HUGEINT)
+    """WITH b AS (SELECT event_type AS grp,
+    least(greatest(CAST(floor((CAST(value AS DOUBLE) - 0.0) * 8.192)
+      AS BIGINT), 0), 4095) AS k,
+    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END AS e
+  FROM events WHERE value IS NOT NULL),
+gk AS (SELECT grp, k,
+    CAST(sum(CASE WHEN e = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+    CAST(sum(CASE WHEN e = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+  FROM b GROUP BY 1, 2),
+tot AS (SELECT grp, CAST(sum(c_a) AS BIGINT) AS n_a,
+    CAST(sum(c_b) AS BIGINT) AS n_b, count(*) AS bg
+  FROM gk GROUP BY 1)
+SELECT grp AS event_type, n_a, n_b, bg AS n_bins,
+  CAST(sum(u) AS BIGINT) AS psi_u
+FROM gk JOIN tot USING (grp),
+LATERAL (SELECT (CAST(c_a AS DOUBLE) + 1.0) / (n_a + bg) AS pa,
+                (CAST(c_b AS DOUBLE) + 1.0) / (n_b + bg) AS pb) p,
+LATERAL (SELECT CAST(floor((pa - pb) * ln(pa / pb) * 1e9 + 0.5)
+                     AS BIGINT) AS u) t
+GROUP BY 1, 2, 3, 4""",
+)
+def value_psi_by_type(spark, sf_dir):
+    from go_streaming_spark.functions.stats import categorical_psi_drift
+
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    v = F.col("value").cast("double")
+    scale = 4096.0 / 500.0  # ONE Python double literal, both engines
+    raw = F.floor((v - F.lit(0.0)) * F.lit(scale)).cast("long")
+    binned = ev.filter(v.isNotNull()).select(
+        "event_type",
+        F.least(F.greatest(raw, F.lit(0)), F.lit(4095)).alias("bin"),
+        F.when(
+            F.col("ts") < F.to_timestamp(F.lit("2024-01-16 00:00:00")), 0
+        ).otherwise(1).alias("epoch"),
+    )
+    return categorical_psi_drift(binned, "event_type", "bin", "epoch")
+
+
+@query(
     "cheapest_supplier_per_part",
     # TPC-H Q2's argmin shape on the available tables: per part, the
     # supplier offering the lowest unit price.  Oracle = window row_number;

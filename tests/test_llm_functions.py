@@ -2538,6 +2538,53 @@ def test_token_tv_drift_hand_computed(spark):
     assert out2["g2"] == 250000
 
 
+def test_categorical_psi_drift_hand_computed(spark):
+    """PSI must match a literal Python recomputation of the smoothed
+    log-ratio sum; identical epochs score exactly 0; an empty epoch is
+    still defined (prior mass only) and large."""
+    import math
+
+    from go_streaming_spark.functions.stats import categorical_psi_drift
+
+    def ref_psi(cells):
+        # cells: {key: (c_a, c_b)} for one group — replicate the exact
+        # smoothing and quantization
+        n_a = sum(a for a, _ in cells.values())
+        n_b = sum(b for _, b in cells.values())
+        bg = len(cells)
+        u = 0
+        for a, b in cells.values():
+            pa = (float(a) + 1.0) / (n_a + bg)
+            pb = (float(b) + 1.0) / (n_b + bg)
+            u += math.floor((pa - pb) * math.log(pa / pb) * 1e9 + 0.5)
+        return n_a, n_b, bg, u
+
+    rows = []
+    # g1: identical epochs -> PSI 0
+    for e in (0, 1):
+        rows += [("g1", "x", e)] * 3 + [("g1", "y", e)] * 1
+    # g2: mass moves x->y between epochs
+    rows += [("g2", "x", 0)] * 4 + [("g2", "y", 0)] * 1
+    rows += [("g2", "x", 1)] * 1 + [("g2", "y", 1)] * 4
+    # g3: epoch 1 empty (two keys — a single-key support is a point
+    # mass on both sides and correctly scores 0)
+    rows += [("g3", "x", 0)] * 4 + [("g3", "y", 0)] * 1
+    df = spark.createDataFrame(rows, "grp_src string, key string, e int")
+    got = {r["grp_src"]: r for r in
+           categorical_psi_drift(df, "grp_src", "key", "e").collect()}
+
+    assert got["g1"]["psi_u"] == 0
+    want = {"g1": ref_psi({"x": (3, 3), "y": (1, 1)}),
+            "g2": ref_psi({"x": (4, 1), "y": (1, 4)}),
+            "g3": ref_psi({"x": (4, 0), "y": (1, 0)})}
+    for g, (n_a, n_b, bg, u) in want.items():
+        r = got[g]
+        assert (r["n_a"], r["n_b"], r["n_bins"], r["psi_u"]) == \
+            (n_a, n_b, bg, u), g
+    assert got["g2"]["psi_u"] > 100_000_000  # 0.1+ = drifting
+    assert got["g3"]["n_b"] == 0 and got["g3"]["psi_u"] > 0
+
+
 def test_mixed_language_flags_detects_code_switch(spark):
     from go_streaming_spark.functions.text import mixed_language_flags
 
