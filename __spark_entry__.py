@@ -47,9 +47,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # r9-last-green set re-enumerated from the CORRECTNESS_r01..r13 union
 # (48 names), alphabetical, to the 50 cut (37 fit).
 #
-# r15 PRE-COMMITMENT: never-green names lead — the thirteen late-r14
+# r15 PRE-COMMITMENT: never-green names lead — the fourteen late-r14
 # registrations that post-date this round's 50 cut
-# (cusum_value_alarms, embedding_dim_stats_by_label,
+# (cusum_value_alarms, doc_char_entropy, embedding_dim_stats_by_label,
 # embedding_pca_parseval, embedding_second_moments,
 # embedding_smd_label_pair, embedding_whitened_qc,
 # mixture_waterfill_plan,

@@ -127,6 +127,7 @@ HEADLINE = [
     "cusum_value_alarms",            # CUSUM drift detection, bucketed prefix stitch (round 14)
     "embedding_dim_stats_by_label",  # grouped embedding drift stats (round 14)
     "value_psi_by_type",             # epoch-vs-epoch PSI drift, smoothed log terms (round 14)
+    "doc_char_entropy",              # per-doc char entropy, map-only run-length scan (round 14)
 ]
 
 

@@ -2385,6 +2385,31 @@ def value_psi_by_type(spark, sf_dir):
 
 
 @query(
+    "doc_char_entropy",
+    # per-doc Shannon entropy over the [a-z0-9 ] projection — the
+    # oracle counts characters the groupBy way and quantizes each
+    # (k/n)*ln(n/k) term to 1e-9 int64 before the integer sum, the
+    # same fixed IEEE op chain as the engine's run-length form
+    """WITH c AS (SELECT doc_id,
+    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS t
+  FROM documents),
+ch AS (SELECT doc_id, length(t) AS n, unnest(string_split(t, '')) AS ch
+  FROM c WHERE length(t) > 0),
+k AS (SELECT doc_id, any_value(n) AS n, ch, count(*) AS k
+  FROM ch GROUP BY doc_id, ch)
+SELECT doc_id, n AS n_chars,
+  CAST(sum(CAST(floor((CAST(k AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / k)
+    * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS ent_u
+FROM k GROUP BY doc_id, n""",
+)
+def doc_char_entropy(spark, sf_dir):
+    from go_streaming_spark.functions.text import char_entropy_scores
+
+    docs = Engine(spark, sf_dir=sf_dir).stream("documents")
+    return char_entropy_scores(docs, "doc_id", "text")
+
+
+@query(
     "cheapest_supplier_per_part",
     # TPC-H Q2's argmin shape on the available tables: per part, the
     # supplier offering the lowest unit price.  Oracle = window row_number;

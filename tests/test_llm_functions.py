@@ -2585,6 +2585,52 @@ def test_categorical_psi_drift_hand_computed(spark):
     assert got["g3"]["n_b"] == 0 and got["g3"]["psi_u"] > 0
 
 
+def test_char_entropy_scores_hand_computed(spark):
+    """Entropy must match the literal per-character recomputation;
+    constant docs read 0; the ASCII projection and empty-projection
+    omission behave as documented; the plan is shuffle-free."""
+    import math
+
+    from go_streaming_spark.functions.text import char_entropy_scores
+
+    def ref_ent(text):
+        import collections
+
+        t = "".join(c for c in text.lower() if c.isascii()
+                    and (c.isalnum() or c == " "))
+        n = len(t)
+        counts = collections.Counter(t)
+        return n, sum(
+            math.floor((k / n) * math.log(n / k) * 1e9 + 0.5)
+            for k in counts.values()
+        )
+
+    docs = [
+        (1, "aaaa"),                      # constant -> 0
+        (2, "ab"),                        # uniform 2 -> ln 2
+        (3, "abcd"),                      # uniform 4 -> ln 4
+        (4, "Hello, World! 123"),         # projection: case+punct folded
+        (5, "!!!???"),                    # empty projection -> omitted
+        (6, "the quick brown fox jumps"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = char_entropy_scores(df, "doc_id", "text")
+    got = {r["doc_id"]: (r["n_chars"], r["ent_u"]) for r in out.collect()}
+
+    assert set(got) == {1, 2, 3, 4, 6}  # doc 5 omitted
+    assert got[1][1] == 0
+    # uniform docs: entropy ~ ln(alphabet size), within quantization
+    assert abs(got[2][1] / 1e9 - math.log(2.0)) < 1e-8
+    assert abs(got[3][1] / 1e9 - math.log(4.0)) < 1e-8
+    for doc_id, text in docs:
+        if doc_id in got:
+            assert got[doc_id] == ref_ent(text), doc_id
+
+    # map-only: no Exchange anywhere in the executed plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_mixed_language_flags_detects_code_switch(spark):
     from go_streaming_spark.functions.text import mixed_language_flags
 
