@@ -167,6 +167,20 @@ def categorical_psi_drift(
         # materialize the small aggregate once
         .localCheckpoint()
     )
+    return psi_from_epoch_counts(gk, out_group_col=group_col)
+
+
+def psi_from_epoch_counts(
+    gk: DataFrame, out_group_col: str = "grp"
+) -> DataFrame:
+    """The PSI derivation of :func:`categorical_psi_drift` from an
+    already-counted (grp, k, c_a, c_b) frame — the piece a STREAMING
+    accumulator calls on its carried state: per-(group, key) epoch
+    counts merge by addition across triggers, and this turns the final
+    state into the per-group PSI rows.  The input should be
+    materialized (checkpointed state or a localCheckpointed aggregate);
+    the work here runs on ≤ groups·keys rows with the ≤|groups|-row
+    totals broadcast."""
     tot = gk.groupBy("grp").agg(
         F.sum("c_a").alias("n_a"),
         F.sum("c_b").alias("n_b"),
@@ -186,7 +200,7 @@ def categorical_psi_drift(
         j.groupBy("grp", "n_a", "n_b", "bg")
         .agg(F.sum(u).alias("psi_u"))
         .selectExpr(
-            f"grp AS {group_col}", "n_a", "n_b", "bg AS n_bins", "psi_u"
+            f"grp AS {out_group_col}", "n_a", "n_b", "bg AS n_bins", "psi_u"
         )
     )
 

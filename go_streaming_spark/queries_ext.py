@@ -2384,6 +2384,83 @@ def value_psi_by_type(spark, sf_dir):
     return categorical_psi_drift(binned, "event_type", "bin", "epoch")
 
 
+@query("stream_value_psi_by_type")
+def stream_value_psi_by_type(spark, sf_dir):
+    """The PSI monitor accumulated the STREAMING way — the production
+    shape: a frozen reference epoch vs a live stream, with each trigger
+    folding its batch's (group, bin, epoch) counts into the carried
+    state BY ADDITION and the PSI derivable from the ≤ groups·bins-row
+    state after (or between) any trigger.  Must equal the batch
+    statistic, so it gates against the same oracle as
+    value_psi_by_type."""
+    import shutil
+    import tempfile
+
+    from go_streaming_spark.functions.stats import psi_from_epoch_counts
+
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    src = ev.select("event_type", "ts", "value")
+    tmp = tempfile.mkdtemp(prefix="stream_psi_")
+    try:
+        src.repartition(4).write.mode("overwrite").parquet(f"{tmp}/ev")
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/ev")
+        )
+        holder = {"state": None, "batches": 0}
+
+        def ingest(batch_df, _bid):
+            v = F.col("value").cast("double")
+            scale = 4096.0 / 500.0
+            raw = F.floor((v - F.lit(0.0)) * F.lit(scale)).cast("long")
+            part = (
+                batch_df.filter(v.isNotNull())
+                .select(
+                    F.col("event_type").alias("grp"),
+                    F.least(F.greatest(raw, F.lit(0)), F.lit(4095))
+                    .alias("k"),
+                    F.when(
+                        F.col("ts")
+                        < F.to_timestamp(F.lit("2024-01-16 00:00:00")),
+                        0,
+                    ).otherwise(1).alias("e"),
+                )
+                .groupBy("grp", "k")
+                .agg(
+                    F.sum(F.when(F.col("e") == 0, 1).otherwise(0))
+                    .alias("c_a"),
+                    F.sum(F.when(F.col("e") == 1, 1).otherwise(0))
+                    .alias("c_b"),
+                )
+            )
+            merged = part if holder["state"] is None else (
+                holder["state"].unionByName(part)
+                .groupBy("grp", "k")
+                .agg(F.sum("c_a").alias("c_a"), F.sum("c_b").alias("c_b"))
+            )
+            holder["state"] = merged.localCheckpoint()
+            holder["batches"] += 1
+
+        q = (
+            stream.writeStream.foreachBatch(ingest)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        assert holder["batches"] >= 2, "replay must produce real micro-batches"
+        out = psi_from_epoch_counts(holder["state"], "event_type")
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+ORACLES["stream_value_psi_by_type"] = ORACLES["value_psi_by_type"]
+
+
 @query(
     "doc_char_entropy",
     # per-doc Shannon entropy over the [a-z0-9 ] projection — the
