@@ -1594,7 +1594,16 @@ def smd_from_dim_stats(stats: DataFrame, group_a, group_b) -> DataFrame:
     moment cells once; every cohort comparison after that is a
     bounded-frame query.  ``smd_q6`` is NULL where the pooled variance
     is not positive (both cohorts constant on that dimension).
-    Output: (d, n_a, n_b, smd_q6)."""
+    Output: (d, n_a, n_b, smd_q6).
+
+    The two NULL regimes are distinguishable BY the count columns —
+    check them: a cohort value absent from ``stats`` (a typo'd label,
+    an epoch that never arrived) yields NULL ``n_a``/``n_b`` on every
+    row alongside the NULL ``smd_q6``, while the benign constant-
+    dimension case carries real counts.  A monitor that alarms on
+    drift should treat NULL counts as a configuration error, not as
+    "no drift" (no corpus-sized validation pass is spent here — the
+    signal is in the output by construction)."""
     from go_streaming_spark.functions.util import q6
 
     a = F.col("grp") == F.lit(group_a)

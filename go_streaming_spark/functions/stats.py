@@ -146,6 +146,12 @@ def categorical_psi_drift(
     exact integer algebra over per-key doubles computed in one fixed
     IEEE op order — no order-sensitive float accumulation anywhere.
 
+    Rows whose ``epoch_col`` is NULL or outside {0, 1} are EXCLUDED
+    before counting (they belong to neither distribution): without the
+    filter they would mint (group, key) support rows with zero counts
+    on both sides, silently inflating B and skewing every smoothed
+    probability.
+
     Shuffles: one map-side-combined groupBy(group, key) (the counts are
     the statistic — epochs pivot in the same pass), one bounded
     groupBy(group) over it, one broadcast join of the ≤|groups|-row
@@ -157,6 +163,7 @@ def categorical_psi_drift(
             F.col(key_col).alias("k"),
             F.col(epoch_col).alias("e"),
         )
+        .filter(F.col("e").isin(0, 1))
         .groupBy("grp", "k")
         .agg(
             F.sum(F.when(F.col("e") == 0, 1).otherwise(0)).alias("c_a"),

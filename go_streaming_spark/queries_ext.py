@@ -2300,6 +2300,33 @@ def stream_dq_violation_counts(spark, sf_dir):
     return holder["state"].select("rule", "n_rows", "n_violations")
 
 
+def _value_bin_expr():
+    """The events-value histogram bin — domain [0, 500), 4096 bins,
+    clamped edges.  ONE definition shared by the TV gate, the PSI gate,
+    and the PSI streaming twin (the oracles hard-code the same 8.192
+    scale; change it here and in all three oracle strings together)."""
+    v = F.col("value").cast("double")
+    scale = 4096.0 / 500.0  # ONE Python double literal, both engines
+    raw = F.floor((v - F.lit(0.0)) * F.lit(scale)).cast("long")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(4095))
+
+
+_PSI_EPOCH_CUTOVER = "2024-01-16 00:00:00"
+
+
+def _psi_value_obs(df):
+    """value_psi_by_type's statistic projection — (grp, k, e) with the
+    bin and the epoch boundary defined ONCE for the batch gate and the
+    streaming twin's per-trigger ingest."""
+    return df.filter(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("grp"),
+        _value_bin_expr().alias("k"),
+        F.when(
+            F.col("ts") < F.to_timestamp(F.lit(_PSI_EPOCH_CUTOVER)), 0
+        ).otherwise(1).alias("e"),
+    )
+
+
 @query(
     "value_drift_by_type",
     # numeric drift monitor: TV distance between each event_type's VALUE
@@ -2328,12 +2355,8 @@ def value_drift_by_type(spark, sf_dir):
     from go_streaming_spark.functions.stats import categorical_tv_drift
 
     ev = Engine(spark, sf_dir=sf_dir).stream("events")
-    v = F.col("value").cast("double")
-    scale = 4096.0 / 500.0  # ONE Python double literal, both engines
-    raw = F.floor((v - F.lit(0.0)) * F.lit(scale)).cast("long")
-    binned = ev.filter(v.isNotNull()).select(
-        "event_type",
-        F.least(F.greatest(raw, F.lit(0)), F.lit(4095)).alias("bin"),
+    binned = ev.filter(F.col("value").isNotNull()).select(
+        "event_type", _value_bin_expr().alias("bin")
     )
     return categorical_tv_drift(binned, "event_type", "bin")
 
@@ -2371,17 +2394,10 @@ def value_psi_by_type(spark, sf_dir):
     from go_streaming_spark.functions.stats import categorical_psi_drift
 
     ev = Engine(spark, sf_dir=sf_dir).stream("events")
-    v = F.col("value").cast("double")
-    scale = 4096.0 / 500.0  # ONE Python double literal, both engines
-    raw = F.floor((v - F.lit(0.0)) * F.lit(scale)).cast("long")
-    binned = ev.filter(v.isNotNull()).select(
-        "event_type",
-        F.least(F.greatest(raw, F.lit(0)), F.lit(4095)).alias("bin"),
-        F.when(
-            F.col("ts") < F.to_timestamp(F.lit("2024-01-16 00:00:00")), 0
-        ).otherwise(1).alias("epoch"),
+    obs = _psi_value_obs(ev)
+    return categorical_psi_drift(obs, "grp", "k", "e").withColumnRenamed(
+        "grp", "event_type"
     )
-    return categorical_psi_drift(binned, "event_type", "bin", "epoch")
 
 
 @query("stream_value_psi_by_type")
@@ -2411,21 +2427,8 @@ def stream_value_psi_by_type(spark, sf_dir):
         holder = {"state": None, "batches": 0}
 
         def ingest(batch_df, _bid):
-            v = F.col("value").cast("double")
-            scale = 4096.0 / 500.0
-            raw = F.floor((v - F.lit(0.0)) * F.lit(scale)).cast("long")
             part = (
-                batch_df.filter(v.isNotNull())
-                .select(
-                    F.col("event_type").alias("grp"),
-                    F.least(F.greatest(raw, F.lit(0)), F.lit(4095))
-                    .alias("k"),
-                    F.when(
-                        F.col("ts")
-                        < F.to_timestamp(F.lit("2024-01-16 00:00:00")),
-                        0,
-                    ).otherwise(1).alias("e"),
-                )
+                _psi_value_obs(batch_df)
                 .groupBy("grp", "k")
                 .agg(
                     F.sum(F.when(F.col("e") == 0, 1).otherwise(0))

@@ -2584,6 +2584,17 @@ def test_categorical_psi_drift_hand_computed(spark):
     assert got["g2"]["psi_u"] > 100_000_000  # 0.1+ = drifting
     assert got["g3"]["n_b"] == 0 and got["g3"]["psi_u"] > 0
 
+    # NULL / out-of-domain epochs are excluded BEFORE counting: they
+    # must not mint support rows that skew the smoothing
+    dirty = rows + [("g1", "z", None), ("g1", "z", 7), ("g2", "x", -1)]
+    df2 = spark.createDataFrame(dirty, "grp_src string, key string, e int")
+    got2 = {r["grp_src"]: r for r in
+            categorical_psi_drift(df2, "grp_src", "key", "e").collect()}
+    for g in ("g1", "g2", "g3"):
+        r, r2 = got[g], got2[g]
+        assert (r2["n_a"], r2["n_b"], r2["n_bins"], r2["psi_u"]) == \
+            (r["n_a"], r["n_b"], r["n_bins"], r["psi_u"]), g
+
 
 def test_char_entropy_scores_hand_computed(spark):
     """Entropy must match the literal per-character recomputation;
@@ -4067,6 +4078,18 @@ def test_smd_from_dim_stats(spark):
         "grp_src string, vec array<double>",
     )
     cstats = embedding_dim_stats_by(const, "grp_src", "vec", 2)
-    got = {r["d"]: r["smd_q6"]
-           for r in smd_from_dim_stats(cstats, "a", "b").collect()}
-    assert got[0] is None and got[1] is None
+    got = {r["d"]: r for r in
+           smd_from_dim_stats(cstats, "a", "b").collect()}
+    assert got[0]["smd_q6"] is None and got[1]["smd_q6"] is None
+    # ...with REAL counts: the benign constant-dim NULL is
+    # distinguishable from a misconfigured cohort
+    assert got[0]["n_a"] == 2 and got[0]["n_b"] == 2
+
+    # an ABSENT cohort signals through NULL counts on every row — a
+    # monitor must treat NULL n_a/n_b as a configuration error, never
+    # as "no drift"
+    absent = {r["d"]: r for r in
+              smd_from_dim_stats(cstats, "a", "zz").collect()}
+    assert all(r["n_b"] is None and r["smd_q6"] is None
+               for r in absent.values())
+    assert all(r["n_a"] == 2 for r in absent.values())
