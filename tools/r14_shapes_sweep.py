@@ -360,6 +360,39 @@ def pca() -> None:
     spark.stop()
 
 
+def drift() -> None:
+    """The late-r14 drift-family registrations per scale: grouped
+    moment cells + SMD derivation (bounded-statistic claim), PSI
+    (map-side-combined pivot, bounded shuffles), char entropy
+    (map-only, linear in bytes — the correct shape), and the
+    grouped-stats + PSI streaming twins (flat per-trigger state)."""
+    from go_streaming_spark.functions import similarity
+    from go_streaming_spark.queries import QUERIES
+    import go_streaming_spark.queries_llm  # noqa: F401
+    import go_streaming_spark.queries_ext  # noqa: F401
+
+    spark = _session("r14_drift")
+    for sf, sf_dir in SCALES:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        res = {"shape": "drift_family", "sf": sf, "rows": emb.count()}
+        stats = similarity.embedding_dim_stats_by(
+            emb, "label", "embedding", dim=64
+        )
+        res["dim_stats_by_s"] = _min_of(3, lambda: stats.count())
+        res["smd_s"] = _min_of(
+            3, lambda: similarity.smd_from_dim_stats(stats, 3, 7).collect()
+        )
+        for q in ("value_psi_by_type", "doc_char_entropy",
+                  "stream_embedding_dim_stats_by_label",
+                  "stream_value_psi_by_type"):
+            n = 2 if q.startswith("stream_") else 3
+            res[f"{q}_s"] = _min_of(
+                n, lambda q=q: QUERIES[q](spark, sf_dir).count()
+            )
+        print(json.dumps(res), flush=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else ""
     fn = {
@@ -369,6 +402,7 @@ if __name__ == "__main__":
         "manifest": manifest,
         "filtered": filtered,
         "pca": pca,
+        "drift": drift,
     }.get(cmd)
     if fn is None:
         print(__doc__)
