@@ -47,7 +47,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # r9-last-green set re-enumerated from the CORRECTNESS_r01..r13 union
 # (48 names), alphabetical, to the 50 cut (37 fit).
 #
-# r15 PRE-COMMITMENT: never-green names lead — the fifteen late-r14
+# r15 PRE-COMMITMENT: never-green names lead — the sixteen late-r14
 # registrations that post-date this round's 50 cut
 # (cusum_value_alarms, doc_char_entropy, embedding_dim_stats_by_label,
 # embedding_pca_parseval, embedding_second_moments,
@@ -57,7 +57,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # stream_embedding_second_moments,
 # stream_mixture_waterfill_plan, stream_value_psi_by_type,
 # training_shards_roundtrip,
-# value_psi_by_type, alphabetical) plus any r14 reds being
+# value_psi_by_type, value_psi_ref_bins, alphabetical) plus any r14
+# reds being
 # re-proven; then the stalest greens — the r9 alphabetical tail the r14 cut
 # displaced (stream_dq_violation_counts, stream_heavy_hitter_words,
 # stream_hist_value_percentiles, stream_hll_user_cardinality,

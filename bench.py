@@ -128,6 +128,7 @@ HEADLINE = [
     "embedding_dim_stats_by_label",  # grouped embedding drift stats (round 14)
     "value_psi_by_type",             # epoch-vs-epoch PSI drift, smoothed log terms (round 14)
     "doc_char_entropy",              # per-doc char entropy, map-only run-length scan (round 14)
+    "value_psi_ref_bins",            # PSI over reference-epoch decile bins (round 14)
 ]
 
 

@@ -2314,6 +2314,15 @@ def _value_bin_expr():
 _PSI_EPOCH_CUTOVER = "2024-01-16 00:00:00"
 
 
+def _psi_epoch_expr():
+    """0 = reference epoch, 1 = current — ONE boundary definition for
+    every PSI registration (fixed-width bins, reference-quantile bins,
+    and the streaming ingest)."""
+    return F.when(
+        F.col("ts") < F.to_timestamp(F.lit(_PSI_EPOCH_CUTOVER)), 0
+    ).otherwise(1)
+
+
 def _psi_value_obs(df):
     """value_psi_by_type's statistic projection — (grp, k, e) with the
     bin and the epoch boundary defined ONCE for the batch gate and the
@@ -2321,9 +2330,7 @@ def _psi_value_obs(df):
     return df.filter(F.col("value").isNotNull()).select(
         F.col("event_type").alias("grp"),
         _value_bin_expr().alias("k"),
-        F.when(
-            F.col("ts") < F.to_timestamp(F.lit(_PSI_EPOCH_CUTOVER)), 0
-        ).otherwise(1).alias("e"),
+        _psi_epoch_expr().alias("e"),
     )
 
 
@@ -2395,6 +2402,80 @@ def value_psi_by_type(spark, sf_dir):
 
     ev = Engine(spark, sf_dir=sf_dir).stream("events")
     obs = _psi_value_obs(ev)
+    return categorical_psi_drift(obs, "grp", "k", "e").withColumnRenamed(
+        "grp", "event_type"
+    )
+
+
+@query(
+    "value_psi_ref_bins",
+    # PSI over EQUI-DEPTH bins learned from the reference epoch — the
+    # production binning practice (fixed-width bins under-resolve the
+    # dense region of a skewed feature): the reference epoch's q6'd
+    # deciles become the boundaries, every row bins by count-of-
+    # boundaries-below, then the identical smoothed log-term chain.
+    # quantile_cont == Spark's percentile (the value_percentiles
+    # precedent), q6-floored so boundary representation ties cannot
+    # split the engines
+    f"""WITH ref AS (SELECT
+    {', '.join(f"floor(quantile_cont(value, {i / 10}) * 1e6 + 0.5) / 1e6"
+               f" AS b{i}" for i in range(1, 10))}
+  FROM events
+  WHERE value IS NOT NULL AND ts < TIMESTAMP '{_PSI_EPOCH_CUTOVER}'),
+b AS (SELECT event_type AS grp,
+    {' + '.join(f"CAST(value > b{i} AS INT)" for i in range(1, 10))} AS k,
+    CASE WHEN ts < TIMESTAMP '{_PSI_EPOCH_CUTOVER}' THEN 0 ELSE 1 END AS e
+  FROM events, ref WHERE value IS NOT NULL),
+gk AS (SELECT grp, k,
+    CAST(sum(CASE WHEN e = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+    CAST(sum(CASE WHEN e = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+  FROM b GROUP BY 1, 2),
+tot AS (SELECT grp, CAST(sum(c_a) AS BIGINT) AS n_a,
+    CAST(sum(c_b) AS BIGINT) AS n_b, count(*) AS bg
+  FROM gk GROUP BY 1)
+SELECT grp AS event_type, n_a, n_b, bg AS n_bins,
+  CAST(sum(u) AS BIGINT) AS psi_u
+FROM gk JOIN tot USING (grp),
+LATERAL (SELECT (CAST(c_a AS DOUBLE) + 1.0) / (n_a + bg) AS pa,
+                (CAST(c_b AS DOUBLE) + 1.0) / (n_b + bg) AS pb) p,
+LATERAL (SELECT CAST(floor((pa - pb) * ln(pa / pb) * 1e9 + 0.5)
+                     AS BIGINT) AS u) t
+GROUP BY 1, 2, 3, 4""",
+)
+def value_psi_ref_bins(spark, sf_dir):
+    """PSI with the bins LEARNED from the reference epoch: its exact
+    deciles (one distributed percentile aggregation over the reference
+    rows, a 1-row 9-column frame broadcast back) define equi-depth
+    boundaries, so the reference distribution is near-uniform across
+    bins and the monitor's resolution follows the data instead of the
+    [0, 500) prior.  At 100 TB the boundary aggregation is the only
+    data-sized addition over value_psi_by_type — a single exact
+    percentile pass (swap in approx_percentile at extreme scale; the
+    boundary frame stays 1 row either way)."""
+    from go_streaming_spark.functions.stats import categorical_psi_drift
+    from go_streaming_spark.functions.util import q6
+
+    ev = Engine(spark, sf_dir=sf_dir).stream("events")
+    v = F.col("value").cast("double")
+    ref = (
+        ev.filter(v.isNotNull() & (_psi_epoch_expr() == 0))
+        .agg(*[
+            q6(F.percentile(v, F.lit(i / 10))).alias(f"b{i}")
+            for i in range(1, 10)
+        ])
+    )
+    k = sum(
+        (v > F.col(f"b{i}")).cast("int") for i in range(1, 10)
+    )
+    obs = (
+        ev.filter(v.isNotNull())
+        .crossJoin(F.broadcast(ref))
+        .select(
+            F.col("event_type").alias("grp"),
+            k.alias("k"),
+            _psi_epoch_expr().alias("e"),
+        )
+    )
     return categorical_psi_drift(obs, "grp", "k", "e").withColumnRenamed(
         "grp", "event_type"
     )

@@ -2596,6 +2596,48 @@ def test_categorical_psi_drift_hand_computed(spark):
             (r["n_a"], r["n_b"], r["n_bins"], r["psi_u"]), g
 
 
+def test_value_psi_ref_bins_equidepth(spark):
+    """The learned-boundary PSI: reference-epoch deciles must produce
+    near-uniform reference bins (the point of equi-depth binning), the
+    bin index stays in [0, 9], and the PSI output carries the full
+    per-group contract."""
+    from go_streaming_spark.queries import QUERIES
+    import go_streaming_spark.queries_ext as qe
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    v = F.col("value").cast("double")
+    ref = ev.filter(v.isNotNull() & (qe._psi_epoch_expr() == 0))
+    n_ref = ref.count()
+
+    from go_streaming_spark.functions.util import q6
+
+    bounds = ref.agg(*[
+        q6(F.percentile(v, F.lit(i / 10))).alias(f"b{i}")
+        for i in range(1, 10)
+    ]).collect()[0]
+    bs = [bounds[f"b{i}"] for i in range(1, 10)]
+    assert bs == sorted(bs)
+
+    # equi-depth: every decile bin of the REFERENCE epoch holds ~n/10
+    k = sum((v > F.lit(b)).cast("int") for b in bs)
+    counts = {r["k"]: r["c"] for r in
+              ref.groupBy(k.alias("k")).agg(F.count(F.lit(1)).alias("c"))
+              .collect()}
+    assert set(counts) <= set(range(10))
+    for c in counts.values():
+        assert abs(c - n_ref / 10) <= max(2.0, 0.02 * n_ref)
+
+    out = QUERIES["value_psi_ref_bins"](spark, SF).collect()
+    assert {r["event_type"] for r in out} == {
+        r["event_type"] for r in ev.select("event_type").distinct().collect()
+    }
+    for r in out:
+        assert 1 <= r["n_bins"] <= 10
+        assert r["psi_u"] is not None and r["n_a"] > 0
+
+
 def test_char_entropy_scores_hand_computed(spark):
     """Entropy must match the literal per-character recomputation;
     constant docs read 0; the ASCII projection and empty-projection

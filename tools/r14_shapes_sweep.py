@@ -382,7 +382,8 @@ def drift() -> None:
         res["smd_s"] = _min_of(
             3, lambda: similarity.smd_from_dim_stats(stats, 3, 7).collect()
         )
-        for q in ("value_psi_by_type", "doc_char_entropy",
+        for q in ("value_psi_by_type", "value_psi_ref_bins",
+                  "doc_char_entropy",
                   "stream_embedding_dim_stats_by_label",
                   "stream_value_psi_by_type"):
             n = 2 if q.startswith("stream_") else 3
