@@ -382,31 +382,31 @@ def publish_corpus_epoch(
 
     Append-only history: the max epoch is live, superseded prefixes stay
     for rollback/audit (drop their tables only after retention); epochs
-    must be monotonically assigned by the (single) crawl coordinator."""
+    must be monotonically assigned by the (single) crawl coordinator.
+    On local roots the 1-row part file is written driver-side
+    (:func:`util.append_manifest_row` — a pointer flip is control-plane
+    metadata, not a Spark job)."""
+    from go_streaming_spark.functions.util import append_manifest_row
+
     if epoch < 0:
         raise ValueError(
             f"publish_corpus_epoch: epoch must be >= 0, got {epoch}"
         )
-    spark.createDataFrame(
-        [(int(epoch), table_prefix)], "epoch long, prefix string"
-    ).coalesce(1).write.mode("append").parquet(f"{root}/manifest")
+    append_manifest_row(
+        spark, f"{root}/manifest",
+        {"epoch": int(epoch), "prefix": table_prefix},
+    )
 
 
 def current_corpus_epoch(spark: SparkSession, root: str):
     """The live (epoch, prefix) row of a :func:`publish_corpus_epoch`
     manifest — the max-epoch row; raises when nothing was published
     (ingesting against an unpublished corpus is a deployment bug, not an
-    empty corpus)."""
-    from pyspark.errors import AnalysisException
+    empty corpus).  Local roots resolve driver-side
+    (:func:`util.read_manifest_max`)."""
+    from go_streaming_spark.functions.util import read_manifest_max
 
-    try:
-        row = (
-            spark.read.parquet(f"{root}/manifest")
-            .orderBy(F.col("epoch").desc())
-            .head()
-        )
-    except AnalysisException:
-        row = None  # manifest path absent == nothing published
+    row = read_manifest_max(spark, f"{root}/manifest", "epoch")
     if row is None:
         raise ValueError(
             f"current_corpus_epoch: no published epochs under {root}/manifest"

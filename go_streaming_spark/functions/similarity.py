@@ -631,29 +631,27 @@ def publish_ivf_epoch(spark, root: str, index_path: str, epoch: int) -> None:
     a higher epoch pointing at an older path) and audit.  Each publish
     is one tiny single-file append — atomic enough on any
     rename-on-commit filesystem; epochs must be monotonically assigned
-    by the (single) rebuild coordinator."""
+    by the (single) rebuild coordinator.  On local roots the 1-row part
+    file is written driver-side (:func:`util.append_manifest_row` — a
+    pointer flip is control-plane metadata, not a Spark job)."""
+    from go_streaming_spark.functions.util import append_manifest_row
+
     if epoch < 0:
         raise ValueError(f"publish_ivf_epoch: epoch must be >= 0, got {epoch}")
-    spark.createDataFrame(
-        [(int(epoch), index_path)], "epoch long, path string"
-    ).coalesce(1).write.mode("append").parquet(f"{root}/manifest")
+    append_manifest_row(
+        spark, f"{root}/manifest", {"epoch": int(epoch), "path": index_path}
+    )
 
 
 def current_ivf_epoch(spark, root: str):
     """The live (epoch, path) row of a :func:`publish_ivf_epoch`
     manifest — the max-epoch row; raises when nothing was published
     (serving against an unpublished index is a deployment bug, not an
-    empty result)."""
-    from pyspark.errors import AnalysisException
+    empty result).  Local roots resolve driver-side
+    (:func:`util.read_manifest_max` — the manifest is tiny by design)."""
+    from go_streaming_spark.functions.util import read_manifest_max
 
-    try:
-        row = (
-            spark.read.parquet(f"{root}/manifest")
-            .orderBy(F.col("epoch").desc())
-            .head()
-        )
-    except AnalysisException:
-        row = None  # manifest path absent == nothing published
+    row = read_manifest_max(spark, f"{root}/manifest", "epoch")
     if row is None:
         raise ValueError(
             f"current_ivf_epoch: no published epochs under {root}/manifest"

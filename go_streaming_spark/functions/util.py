@@ -22,6 +22,102 @@ def q6(c: Column) -> Column:
     return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
 
+def _local_fs_path(path: str) -> str | None:
+    """The bare filesystem path when ``path`` is local (no scheme, or an
+    explicit ``file:`` URI), else ``None``.  Driver-side parquet I/O only
+    applies to local paths; anything else must go through a Spark job."""
+    if path.startswith("file://"):
+        rest = path[len("file://"):]
+        return rest or "/"
+    if "://" not in path:
+        return path
+    return None
+
+
+def append_manifest_row(spark, dir_path: str, row: dict) -> None:
+    """Append ONE manifest row as a parquet part file under ``dir_path``
+    — the epoch-flip commit shared by the IVF and corpus-snapshot
+    serving manifests.
+
+    Manifests are control-plane metadata (a handful of rows by design),
+    so on a local filesystem the row is written DRIVER-SIDE via pyarrow
+    (~ms) instead of scheduling a whole Spark job for a 1-row frame —
+    the same driver-written commit-file pattern table formats use, and
+    optimization-guide §5's "the driver should do almost no data work"
+    does not make a 1-row pointer flip data work.  Measured: each
+    publish was a ~1.5-2 s Spark job inside the lifecycle gates; the
+    driver write is ~5 ms.  Non-local roots keep the Spark write (same
+    file-per-append layout either way; readers cannot tell them apart).
+
+    ``row`` value types map int → int64, everything else → string —
+    exactly the two manifest schemas in this repo.
+    """
+    local = _local_fs_path(dir_path)
+    if local is not None:
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        fields, arrays = [], []
+        for k, v in row.items():
+            if isinstance(v, bool) or not isinstance(v, int):
+                fields.append(pa.field(k, pa.string()))
+                arrays.append(pa.array([str(v)], pa.string()))
+            else:
+                fields.append(pa.field(k, pa.int64()))
+                arrays.append(pa.array([int(v)], pa.int64()))
+        os.makedirs(local, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_arrays(arrays, schema=pa.schema(fields)),
+            os.path.join(local, f"part-{uuid.uuid4().hex}.parquet"),
+        )
+        return
+    schema = ", ".join(
+        f"{k} long" if isinstance(v, int) and not isinstance(v, bool)
+        else f"{k} string"
+        for k, v in row.items()
+    )
+    spark.createDataFrame([tuple(row.values())], schema).coalesce(1) \
+        .write.mode("append").parquet(dir_path)
+
+
+def read_manifest_max(spark, dir_path: str, order_col: str):
+    """Resolve the live (max-``order_col``) row of an append-only
+    manifest directory; ``None`` when nothing was ever published.  Local
+    paths read driver-side (pyarrow over the part files — the manifest
+    is tiny by design); non-local roots pay the one small Spark read."""
+    local = _local_fs_path(dir_path)
+    if local is not None:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+        from pyspark.sql import Row
+
+        files = sorted(glob.glob(os.path.join(local, "*.parquet")))
+        if not files:
+            return None
+        best = None
+        for f in files:
+            t = pq.read_table(f)
+            for rec in t.to_pylist():
+                if best is None or rec[order_col] > best[order_col]:
+                    best = rec
+        return Row(**best) if best is not None else None
+    from pyspark.errors import AnalysisException
+
+    try:
+        return (
+            spark.read.parquet(dir_path)
+            .orderBy(F.col(order_col).desc())
+            .head()
+        )
+    except AnalysisException:
+        return None
+
+
 def _size_conf_bytes(spark, key: str, default: int) -> int:
     """Parse a Spark byte-size conf value ("134217728b", "128MB", "4m")."""
     try:

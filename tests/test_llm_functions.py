@@ -351,6 +351,40 @@ def test_ivf_manifest_epoch_flip_and_rollback(spark, tmp_path_factory):
         similarity.publish_ivf_epoch(spark, root, f"{root}/e0", epoch=-1)
 
 
+def test_manifest_driver_side_io_interops_with_spark(spark, tmp_path_factory):
+    """r14 optimization: local-root manifest appends/reads run driver-side
+    (util.append_manifest_row / read_manifest_max) instead of a Spark job
+    per 1-row flip.  The two writers must interoperate file-for-file:
+    Spark reads a pyarrow-written manifest, the driver-side reader
+    resolves the max epoch across a MIXED directory, and file:// URIs
+    hit the same driver path."""
+    from go_streaming_spark.functions.util import (
+        append_manifest_row,
+        read_manifest_max,
+    )
+
+    root = str(tmp_path_factory.mktemp("manifest_io"))
+    man = f"{root}/manifest"
+    assert read_manifest_max(spark, man, "epoch") is None
+
+    # driver-side (pyarrow) row + a Spark-written row in one directory
+    append_manifest_row(spark, man, {"epoch": 0, "path": "/p0"})
+    spark.createDataFrame(
+        [(1, "/p1")], "epoch long, path string"
+    ).coalesce(1).write.mode("append").parquet(man)
+    append_manifest_row(spark, f"file://{man}", {"epoch": 2, "path": "/p2"})
+
+    live = read_manifest_max(spark, man, "epoch")
+    assert (live["epoch"], live["path"]) == (2, "/p2")
+    live_uri = read_manifest_max(spark, f"file://{man}", "epoch")
+    assert (live_uri["epoch"], live_uri["path"]) == (2, "/p2")
+
+    # Spark sees every row of the mixed directory with one schema
+    rows = {(r["epoch"], r["path"])
+            for r in spark.read.parquet(man).collect()}
+    assert rows == {(0, "/p0"), (1, "/p1"), (2, "/p2")}
+
+
 def test_ivf_filtered_topk_escalation(spark, tmp_path_factory):
     """Filtered ANN over-probe escalation: (1) a predicate matching
     fewer than k rows forces probing ALL cells — the result must be
