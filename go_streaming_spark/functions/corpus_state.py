@@ -256,7 +256,15 @@ class CorpusState:
         it lazy (single consumer, no materialization cost)."""
         from pyspark.sql.window import Window
 
-        # (1) exact: unseen digests, unique in batch (lowest id wins)
+        # (1) exact: unseen digests, unique in batch (lowest id wins).
+        # localCheckpoint: the near-dup stage consumes this frame THREE
+        # times (batch signature build, verification shingle union, final
+        # anti-join), and each lazy re-execution re-pays the in-batch
+        # row_number window AND the corpus-digest distinct + anti-join —
+        # measured ~1.5 s/query of pure recompute at sf0.1 (guide §5:
+        # materialize a reused intermediate when recomputing beats the
+        # memory cost; batch-sized, same bound as the survivors
+        # checkpoint below)
         uniq = (
             batch.withColumn("__h", F.md5(F.col(text_col)))
             .withColumn(
@@ -269,6 +277,7 @@ class CorpusState:
                 "__h", "left_anti",
             )
             .drop("__h", "__rn")
+            .localCheckpoint()
         )
         # (2) near-dup vs corpus index + in-batch resolution
         survivors = dd.incremental_minhash_dedup_full(

@@ -203,6 +203,60 @@ PROFILES = {
 }
 
 
+def prof_ingest_fine(spark, sf_dir):
+    """Mirror CorpusState._ingest_core stage by stage (timing lens)."""
+    from pyspark.sql.window import Window
+
+    from go_streaming_spark.functions import dedup as dd
+    from go_streaming_spark.functions.corpus_state import CorpusState
+    from go_streaming_spark.queries_llm import _docs
+
+    fz = Fence()
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 == 0)
+    batch = docs.filter(F.col("doc_id") % 10 != 0)
+    state = CorpusState.build(
+        corpus, "doc_id", "text", n=3, k=16, rows_per_band=4, gram_k=8)
+    fz.lap("build (lazy)")
+    id_col, text_col, threshold = "doc_id", "text", 0.2
+    uniq = (
+        batch.withColumn("__h", F.md5(F.col(text_col)))
+        .withColumn("__rn", F.row_number().over(
+            Window.partitionBy("__h").orderBy(id_col)))
+        .filter(F.col("__rn") == 1)
+        .join(state.digests.select(F.col("content_hash").alias("__h")),
+              "__h", "left_anti")
+        .drop("__h", "__rn"))
+    uniq.write.mode("overwrite").format("noop").save()
+    fz.lap("stage1 exact dedup (noop probe)")
+    s1 = dd.incremental_minhash_dedup(
+        uniq, None, id_col, text_col, state.n, state.k,
+        state.rows_per_band, threshold, index=state.minhash)
+    s1.write.mode("overwrite").format("noop").save()
+    fz.lap("stage2a batch-vs-corpus minhash (noop probe)")
+    survivors = dd.incremental_minhash_dedup_full(
+        uniq, None, id_col, text_col, state.n, state.k,
+        state.rows_per_band, threshold, index=state.minhash)
+    fz.lap("stage2 full (localCheckpoint + in-batch CC loop)")
+    spans = dd.duplicated_spans_against_index(
+        survivors, state.grams, id_col, text_col, state.gram_k)
+    span_tokens = spans.groupBy(F.col("id").alias("__sid")).agg(
+        F.sum("span_tokens").alias("dup_span_tokens"))
+    clean = (
+        survivors.join(span_tokens, survivors[id_col] == F.col("__sid"),
+                       "left")
+        .withColumn("dup_span_tokens",
+                    F.coalesce("dup_span_tokens", F.lit(0)).cast("long"))
+        .drop("__sid"))
+    clean.select("doc_id", "dup_span_tokens").write.mode(
+        "overwrite").format("noop").save()
+    fz.lap("stage3 spans vs gram index + final noop")
+    fz.report("corpus_ingest_survivors FINE")
+
+
+PROFILES["ingest_fine"] = prof_ingest_fine
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get(
