@@ -457,15 +457,18 @@ def dedup_against_index(
     """
     n, k, rows_per_band = index.n, index.k, index.rows_per_band
     sh_new = shingle_arrays(new_df, id_col, text_col, n)
-    # the batch shingles feed the signature AND the verification union;
+    # the batch shingles feed the signature AND the verification join;
     # the one-shot convenience wrapper asks for a cache (identical plans
-    # share one entry, so re-runs stay bounded) — ingestion LOOPS must
-    # keep the default: each micro-batch is a new plan, and per-call cache
-    # entries would accumulate in executor storage (batches are small, so
-    # computing their shingles twice is the cheaper trade)
+    # share one entry, so re-runs stay bounded) — ingestion LOOPS get a
+    # per-plan localCheckpoint instead: it materializes the batch-sized
+    # frame once for both consumers without the unbounded cache-registry
+    # growth a per-micro-batch .cache() would cause (each batch is a new
+    # plan; blocks are released with the plan)
     if _cache_batch_shingles and not new_df.isStreaming:
         sh_new = sh_new.cache()
         _register_convenience_cache(sh_new, [sh_new])
+    elif not new_df.isStreaming:
+        sh_new = sh_new.localCheckpoint()
     sig_new = minhash_signatures_wide(new_df, id_col, text_col, n, k, shingles=sh_new)
     bands_new = band_keys(sig_new, k, rows_per_band)
     a, b = bands_new.alias("a"), index.bands.alias("b")
@@ -474,10 +477,15 @@ def dedup_against_index(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # pair-oriented exact verification over batch∪corpus shingle arrays
-    sh_all = sh_new.unionByName(index.shingles)
+    # pair-oriented exact verification, ASYMMETRIC by construction:
+    # id_a comes from the batch's bands, id_b from the corpus index's —
+    # joining each side against only its own shingle frame executes the
+    # corpus shingle source ONCE (the previous batch∪corpus union ran it
+    # once per join side: 2× the corpus shingle work per ingest batch,
+    # whether computed fresh or scanned from a snapshot table)
     verified = jaccard_verify_pairs(
-        candidates, None, id_col, text_col, n, shingles=sh_all
+        candidates, None, id_col, text_col, n,
+        shingles=sh_new, shingles_b=index.shingles,
     )
     flagged = (
         verified.filter(F.col("jaccard") >= threshold)
@@ -873,6 +881,7 @@ def jaccard_verify_pairs(
     text_col: str,
     n: int = 3,
     shingles: DataFrame | None = None,
+    shingles_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard for an explicit candidate-pair set (id_a, id_b).
 
@@ -883,10 +892,17 @@ def jaccard_verify_pairs(
     LSH at scale: cost ∝ |candidates|, not |docs with shared shingles|².
 
     ``shingles``: optionally pass a precomputed :func:`shingle_arrays` frame.
+    ``shingles_b``: optionally a DIFFERENT shingle frame for the ``id_b``
+    side — when the pair set is bipartite by construction (batch ids left,
+    corpus ids right, as in :func:`dedup_against_index`), joining each side
+    against only ITS shingle source avoids executing a batch∪corpus union
+    twice; with one frame the union's corpus half was recomputed/re-scanned
+    per side (2× the corpus shingle work per ingest batch).
     """
     sh = shingles if shingles is not None else shingle_arrays(df, id_col, text_col, n)
+    sh_b = shingles_b if shingles_b is not None else sh
     a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("_sa"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("_sb"))
+    b = sh_b.select(F.col("id").alias("id_b"), F.col("shingles").alias("_sb"))
     joined = pairs.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("_sa", "_sb"))
     union = F.size("_sa") + F.size("_sb") - inter
