@@ -375,28 +375,40 @@ class MinHashIndex(NamedTuple):
         :meth:`load_bucketed` — a path-level parquet read would drop the
         bucket spec and silently reintroduce the exchange.
         """
-        from go_streaming_spark.functions.util import default_buckets
+        from go_streaming_spark.functions.util import (
+            default_buckets,
+            run_concurrent,
+        )
         from go_streaming_spark.sources.formats import write_bucketed
 
         spark = self.bands.sparkSession
         nb = n_buckets or default_buckets(spark)
-        write_bucketed(
-            self.bands, f"{table_prefix}_bands", ["band", "band_key"], nb,
-            sort_cols=["band", "band_key"],
-            path=f"{path}/bands" if path else None,
-        )
-        write_bucketed(
-            self.shingles, f"{table_prefix}_shingles", ["id"], nb,
-            sort_cols=["id"],
-            path=f"{path}/shingles" if path else None,
-        )
-        w = spark.createDataFrame(
-            [(self.n, self.k, self.rows_per_band)],
-            "n int, k int, rows_per_band int",
-        ).write.mode("overwrite")
-        if path:
-            w = w.option("path", f"{path}/params")
-        w.saveAsTable(f"{table_prefix}_params")
+
+        def _params():
+            w = spark.createDataFrame(
+                [(self.n, self.k, self.rows_per_band)],
+                "n int, k int, rows_per_band int",
+            ).write.mode("overwrite")
+            if path:
+                w = w.option("path", f"{path}/params")
+            w.saveAsTable(f"{table_prefix}_params")
+
+        # the three tables share no dependency — overlap their write jobs
+        # (guide §2.6); sequential, each paid its own scheduling tail
+        run_concurrent([
+            lambda: write_bucketed(
+                self.bands, f"{table_prefix}_bands",
+                ["band", "band_key"], nb,
+                sort_cols=["band", "band_key"],
+                path=f"{path}/bands" if path else None,
+            ),
+            lambda: write_bucketed(
+                self.shingles, f"{table_prefix}_shingles", ["id"], nb,
+                sort_cols=["id"],
+                path=f"{path}/shingles" if path else None,
+            ),
+            _params,
+        ])
 
     @staticmethod
     def load_bucketed(spark, table_prefix: str) -> "MinHashIndex":

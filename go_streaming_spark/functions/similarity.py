@@ -475,12 +475,19 @@ def save_ivf_index(
     it made the snapshot write the dominant, high-variance cost of the
     audit/probe gates); clustered, each task owns whole clusters and
     writes one file per cluster it holds."""
-    df.select(
-        F.col(id_col), F.col(vec_col), F.col(cluster_col)
-    ).repartition(F.col(cluster_col)).write.mode("overwrite").partitionBy(
-        cluster_col
-    ).parquet(f"{path}/vectors")
-    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    from go_streaming_spark.functions.util import run_concurrent
+
+    # vectors and centroids share no dependency — overlap the two write
+    # jobs (guide §2.6)
+    run_concurrent([
+        lambda: df.select(
+            F.col(id_col), F.col(vec_col), F.col(cluster_col)
+        ).repartition(F.col(cluster_col)).write.mode("overwrite").partitionBy(
+            cluster_col
+        ).parquet(f"{path}/vectors"),
+        lambda: centroids.write.mode("overwrite")
+        .parquet(f"{path}/centroids"),
+    ])
 
 
 def append_ivf_vectors(
@@ -750,10 +757,14 @@ def ivf_filtered_topk(
     requires.
     """
     cents = spark.read.parquet(f"{path}/centroids")
-    ncells = cents.count()
+    # rank ALL cells in one job: an unbounded limit folds the previous
+    # count() + top-ncells pair of jobs into one (the centroid table is
+    # |clusters| rows by construction — tiny at any corpus size)
     ranked = [
         r["id"]
-        for r in cosine_topk(cents, cluster_col, "vec", query_vec, ncells)
+        for r in cosine_topk(
+            cents, cluster_col, "vec", query_vec, 2_147_483_647
+        )
         .select("id")
         .collect()
     ]

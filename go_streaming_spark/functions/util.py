@@ -118,6 +118,23 @@ def read_manifest_max(spark, dir_path: str, order_col: str):
         return None
 
 
+def run_concurrent(tasks, max_workers: int = 4):
+    """Run independent Spark actions/writes concurrently from a small
+    driver thread pool (optimization guide §2.6: actions are only
+    sequential because driver code calls them sequentially; overlapping
+    independent jobs lets one job's tasks backfill executors freed by
+    another's tail).  Used by the snapshot writers, whose per-table
+    writes share no dependency.  Results keep input order; the first
+    exception propagates."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(tasks) <= 1 or os.environ.get("GS_SEQ_WRITES") == "1":
+        return [t() for t in tasks]
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(tasks))) as ex:
+        return [f.result() for f in [ex.submit(t) for t in tasks]]
+
+
 def _size_conf_bytes(spark, key: str, default: int) -> int:
     """Parse a Spark byte-size conf value ("134217728b", "128MB", "4m")."""
     try:
