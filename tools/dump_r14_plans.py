@@ -117,6 +117,27 @@ DUMPS = {
 }
 
 
+def plans_ingest_survivors(spark, sf_dir, tag):
+    from go_streaming_spark.queries import QUERIES
+    out = QUERIES["corpus_ingest_survivors"](spark, sf_dir)
+    _dump(tag, "corpus_ingest_survivors",
+          "returned frame IS the full lazy ingest plan (exact dedup ->"
+          " LSH vs index -> verify -> CC -> span join)",
+          [("query frame", out)])
+
+
+def plans_pq_adc(spark, sf_dir, tag):
+    from go_streaming_spark.queries import QUERIES
+    out = QUERIES["ann_pq_adc_topk"](spark, sf_dir)
+    _dump(tag, "ann_pq_adc_topk",
+          "returned frame IS the encode+ADC top-k plan",
+          [("query frame", out)])
+
+
+DUMPS["corpus_ingest_survivors"] = plans_ingest_survivors
+DUMPS["ann_pq_adc_topk"] = plans_pq_adc
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("tag", choices=["before", "after"])
