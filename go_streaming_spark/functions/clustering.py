@@ -158,33 +158,73 @@ def kmeans_fit(
     integer centroids (means re-quantized with floor(sum/count + 1/2),
     so every iteration stays exact-integer and bit-reproducible).
 
-    Per iteration: one map-only assignment + one groupBy(cluster)
-    carrying (dim+1) int64 partial sums per cluster per partition — the
-    collected update is k×(dim+1) ints, bounded by construction.  Empty
-    clusters keep their previous centroid (no respawn heuristics — the
-    deterministic choice)."""
+    Per iteration: ONE shuffle-free mapInPandas pass fuses the E-step
+    (exact-int64 nearest-centroid, the :func:`_nearest_centroid_udf`
+    arithmetic) with the per-PARTITION (cluster, n, Σ components)
+    partial sums; the driver merges k×partitions bounded rows by
+    integer addition, so the result is bit-identical to the previous
+    assignment + groupBy(cluster) shape while dropping one shuffle and
+    a 65-expression aggregate parse per iteration (guide §2.4: remove
+    shuffles outright — the M-step's sums commute, no exchange needed).
+    Empty clusters keep their previous centroid (no respawn heuristics
+    — the deterministic choice)."""
+    import numpy as np
+    import pandas as pd
+
     dim = len(centroids[0])
     base = quantize_embeddings(df, id_col, vec_col, out_col="_q").select(
-        "id", F.expr("transform(_q, x -> CAST(x AS BIGINT))").alias("_qb")
+        F.expr("transform(_q, x -> CAST(x AS BIGINT))").alias("_qb")
     )
-    sum_aliases = ", ".join(f"sum(_qb[{i}]) AS s{i}" for i in range(dim))
     for _ in range(iters):
-        nearest = _nearest_centroid_udf(centroids)
-        asg = base.select(nearest(F.col("_qb")).alias("cluster"), "_qb")
-        # one parsed SQL aggregate list (the label_centroids lesson:
-        # Column-by-Column composition costs ~dim py4j round-trips)
-        rows = (
-            asg.groupBy("cluster")
-            .agg(F.expr("count(*) AS n"), *[F.expr(e) for e in sum_aliases.split(", ")])
-            .collect()
-        )
-        new = [list(c) for c in centroids]
+        C = np.asarray(centroids, dtype=np.int64)
+
+        def _partials(batches, C=C):
+            n_acc = np.zeros(C.shape[0], dtype=np.int64)
+            s_acc = np.zeros((C.shape[0], dim), dtype=np.int64)
+            for pdf in batches:
+                vals = pdf["_qb"].to_numpy()
+                live = [v for v in vals if v is not None]
+                if len(live) != len(vals):
+                    raise ValueError(
+                        "kmeans_fit: NULL quantized vector — drop NULL"
+                        " embeddings before fitting"
+                    )
+                if not live:
+                    continue
+                Q = np.asarray([np.asarray(v, dtype=np.int64) for v in live])
+                D = np.empty((Q.shape[0], C.shape[0]), dtype=np.int64)
+                for c in range(C.shape[0]):
+                    diff = Q - C[c]
+                    D[:, c] = np.einsum("ij,ij->i", diff, diff)
+                asg = D.argmin(axis=1)
+                for c in np.unique(asg):
+                    rows_c = Q[asg == c]
+                    n_acc[c] += rows_c.shape[0]
+                    s_acc[c] += rows_c.sum(axis=0)
+            hit = np.nonzero(n_acc)[0]
+            yield pd.DataFrame({
+                "cluster": hit.astype("int64"),
+                "n": n_acc[hit],
+                "sums": [s_acc[c] for c in hit],
+            })
+
+        rows = base.mapInPandas(
+            _partials, "cluster long, n long, sums array<long>"
+        ).collect()
+        n_tot = [0] * len(centroids)
+        s_tot = [[0] * dim for _ in centroids]
         for r in rows:
             cl = int(r["cluster"])
-            n = int(r["n"])
+            n_tot[cl] += int(r["n"])
+            s = r["sums"]
+            for i in range(dim):
+                s_tot[cl][i] += int(s[i])
+        new = [list(c) for c in centroids]
+        for cl in range(len(centroids)):
+            n = n_tot[cl]
             if n > 0:
                 new[cl] = [
-                    int((int(r[f"s{i}"]) * 2 + n) // (2 * n))  # floor(s/n + 1/2)
+                    (s_tot[cl][i] * 2 + n) // (2 * n)  # floor(s/n + 1/2)
                     for i in range(dim)
                 ]
         centroids = new

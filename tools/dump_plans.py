@@ -68,6 +68,12 @@ KNOWN_BENIGN = {
         " that left-joins the sparse moment cells so never-co-occurring"
         " cells emit explicit zeros — O(dim²), never corpus-sized"
     ),
+    "quality_probe_gram_sparse": (
+        "BroadcastNestedLoopJoin is the (k+1)×(k+1) dense-grid constructor"
+        " (range(9) crossJoin range(9) at the gate's k=8) left-joining the"
+        " sparse cells for explicit zeros — the embedding_second_moments"
+        " shape, O(k²), never corpus-sized"
+    ),
     "dormant_rich_customers": (
         "BroadcastNestedLoopJoin is the 1-row broadcast positive-balance"
         " average scalar (crossJoin with a single-row filtered aggregate,"
