@@ -336,27 +336,33 @@ def main():
         telemetry[name] = _load_row(before, _sample_load())
 
     total = round(sum(t for t in timings.values() if t > 0), 3)
-    record = {
+    # The PRINTED one-line record is the driver contract and must stay
+    # small: the r13 line (~10 KB once telemetry + anchored ratios were
+    # embedded) was truncated in the driver's bounded tail capture and
+    # failed to parse, silently destroying the r14 round-over-round
+    # comparison (PERF_r14 prev_bench_ok=false).  So the printed line
+    # carries ONLY the contract fields {metric, value, unit, queries, sf}
+    # (~3 KB at 102 queries); the full record — per-query load telemetry
+    # (see _load_row), the contended list and the anchored-ratio block —
+    # persists to BENCH_LOCAL_LATEST.json, which nothing truncates.
+    printed = {
         "metric": "headline_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        # per-query machine-load samples (see _load_row): reads with
-        # contended=true were taken while >EXT_CORES_CONTENDED cores of
-        # NON-bench CPU ran on the box — adjudicate those against the
-        # committed quiet record instead of the anchor
+    }
+    record = {
+        **printed,
+        # reads with contended=true were taken while >EXT_CORES_CONTENDED
+        # cores of NON-bench CPU ran on the box — adjudicate those against
+        # the committed quiet record instead of the anchor
         "telemetry": telemetry,
         "contended_queries": sorted(
             n for n, t in telemetry.items() if t.get("contended")
         ),
     }
     record.update(_anchored_ratios(timings, sf))
-    # The driver records only a bounded TAIL of our stdout; the r8 run
-    # truncated the leading queries out of the captured JSON.  Persist
-    # the full record to a repo file the driver can't truncate, then
-    # print the compact one-line contract (3-decimal seconds, separators
-    # without spaces) — small enough to survive any reasonable capture.
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -366,7 +372,7 @@ def main():
             fh.write("\n")
     except OSError as exc:
         print(f"bench: could not persist repo copy: {exc}", file=sys.stderr)
-    print(json.dumps(record, separators=(",", ":")))
+    print(json.dumps(printed, separators=(",", ":")))
     spark.stop()
 
 

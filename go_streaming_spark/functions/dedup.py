@@ -452,6 +452,7 @@ def dedup_against_index(
     text_col: str,
     threshold: float = 0.5,
     _cache_batch_shingles: bool = False,
+    _return_parts: bool = False,
 ) -> DataFrame:
     """Drop NEW-batch documents with an exact-Jaccard match ≥ ``threshold``
     among their MinHash-LSH candidates in a prebuilt corpus
@@ -466,8 +467,25 @@ def dedup_against_index(
     :func:`incremental_minhash_dedup_full`.  Ids must be unique ACROSS
     batch and corpus: a shared id would collide in the verification
     shingle union.
+
+    Physical shape (guide §3.1/§8): the BATCH is the bounded side of this
+    op by contract (a crawl micro-batch vs the accumulated corpus), so by
+    default every batch-derived frame — band keys, candidate pairs with
+    their batch shingles, flagged ids — is BROADCAST and the corpus-scale
+    frames (``index.bands``, ``index.shingles``) are only ever scanned in
+    place, map-side: the corpus never shuffles, at any corpus size.
+    ``GS_INGEST_BROADCAST=0`` (or a streaming batch, which cannot build a
+    broadcast) falls back to the shuffle-join plan — use it when batches
+    are NOT bounded (broadcasting a multi-GB batch risks driver/executor
+    memory; guide §3.1's sizing caveats apply to the batch here).
     """
+    import os
+
     n, k, rows_per_band = index.n, index.k, index.rows_per_band
+    bcast = (
+        not new_df.isStreaming
+        and os.environ.get("GS_INGEST_BROADCAST") != "0"
+    )
     sh_new = shingle_arrays(new_df, id_col, text_col, n)
     # the batch shingles feed the signature AND the verification join;
     # the one-shot convenience wrapper asks for a cache (identical plans
@@ -483,10 +501,25 @@ def dedup_against_index(
         sh_new = sh_new.localCheckpoint()
     sig_new = minhash_signatures_wide(new_df, id_col, text_col, n, k, shingles=sh_new)
     bands_new = band_keys(sig_new, k, rows_per_band)
-    a, b = bands_new.alias("a"), index.bands.alias("b")
+    if _return_parts and not new_df.isStreaming:
+        # a caller will REUSE the batch band keys (see
+        # incremental_minhash_dedup_full's in-batch stage): materialize
+        # them once — batch-bounded narrow rows (k/r per doc) — so the
+        # 16-minhash signature pass runs once, not once per consumer
+        bands_new = bands_new.localCheckpoint()
+    a = bands_new.select(
+        F.col("id").alias("id_a"), "band", "band_key"
+    )
+    if bcast:
+        # broadcast the batch bands into the corpus band index: the
+        # candidate join is a map-side hash join over the index scan —
+        # no exchange on EITHER side (the batch side folds into the
+        # broadcast build)
+        a = F.broadcast(a)
+    b = index.bands.select(F.col("id").alias("id_b"), "band", "band_key")
     candidates = (
         a.join(b, ["band", "band_key"])
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select("id_a", "id_b")
         .distinct()
     )
     # pair-oriented exact verification, ASYMMETRIC by construction:
@@ -494,17 +527,28 @@ def dedup_against_index(
     # joining each side against only its own shingle frame executes the
     # corpus shingle source ONCE (the previous batch∪corpus union ran it
     # once per join side: 2× the corpus shingle work per ingest batch,
-    # whether computed fresh or scanned from a snapshot table)
+    # whether computed fresh or scanned from a snapshot table); on the
+    # broadcast path the (pairs ⋈ batch-shingles) relation — bounded by
+    # batch × capped bucket collisions — additionally broadcasts into the
+    # corpus shingle scan, so verification is map-only too
     verified = jaccard_verify_pairs(
         candidates, None, id_col, text_col, n,
         shingles=sh_new, shingles_b=index.shingles,
+        broadcast_pairs=bcast,
     )
     flagged = (
         verified.filter(F.col("jaccard") >= threshold)
         .select(F.col("id_a").alias(id_col))
         .distinct()
     )
-    return new_df.join(flagged, id_col, "left_anti")
+    if bcast:
+        # flagged ⊆ batch ids: broadcast it so the final anti-join never
+        # shuffles the batch either
+        flagged = F.broadcast(flagged)
+    out = new_df.join(flagged, id_col, "left_anti")
+    if _return_parts:
+        return out, sh_new, bands_new
+    return out
 
 
 def incremental_minhash_dedup(
@@ -518,6 +562,7 @@ def incremental_minhash_dedup(
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
     index: MinHashIndex | None = None,
+    _return_parts: bool = False,
 ) -> DataFrame:
     """Incremental NEAR-dup dedup: from a NEW batch, keep only documents
     with no exact-Jaccard match ≥ ``threshold`` among their MinHash-LSH
@@ -556,9 +601,12 @@ def incremental_minhash_dedup(
             )
         return dedup_against_index(
             new_df, index, id_col, text_col, threshold,
-            _cache_batch_shingles=True,
+            _cache_batch_shingles=True, _return_parts=_return_parts,
         )
-    return dedup_against_index(new_df, index, id_col, text_col, threshold)
+    return dedup_against_index(
+        new_df, index, id_col, text_col, threshold,
+        _return_parts=_return_parts,
+    )
 
 
 def incremental_minhash_dedup_full(
@@ -593,16 +641,61 @@ def incremental_minhash_dedup_full(
     """
     from go_streaming_spark.functions.graph import dedup_components
 
-    survivors = incremental_minhash_dedup(
+    if new_df.isStreaming:
+        # stage 2's convergence loop runs driver actions anyway (wrap in
+        # foreachBatch); keep the self-contained shape for streaming frames
+        survivors = incremental_minhash_dedup(
+            new_df, corpus_df, id_col, text_col, n, k, rows_per_band,
+            threshold, max_bucket_size, index=index,
+        ).localCheckpoint()
+        pairs = minhash_lsh_pairs(
+            survivors, id_col, text_col, n, k, rows_per_band, threshold,
+            max_bucket_size,
+        )
+        comps = dedup_components(pairs)
+        drop = comps.filter(F.col("doc_id") != F.col("cluster_id")).select(
+            F.col("doc_id").alias(id_col)
+        )
+        return survivors.join(drop, id_col, "left_anti")
+
+    s1, sh_new, bands_new = incremental_minhash_dedup(
         new_df, corpus_df, id_col, text_col, n, k, rows_per_band,
-        threshold, max_bucket_size, index=index,
-    ).localCheckpoint()  # consumed ≥2× (pair gen + final anti-join) and by
-    # the component loop's action rounds — materialize the batch-vs-corpus
-    # stage once; batch-sized, so executor storage cost is one batch
-    pairs = minhash_lsh_pairs(
-        survivors, id_col, text_col, n, k, rows_per_band, threshold,
-        max_bucket_size,
+        threshold, max_bucket_size, index=index, _return_parts=True,
     )
+    survivors = s1.localCheckpoint()  # consumed ≥2× (pair gen + final
+    # anti-join) and by the component loop's action rounds — materialize
+    # the batch-vs-corpus stage once; batch-sized, so executor storage
+    # cost is one batch
+    # Stage 2 pair generation REUSES stage 1's batch shingle + band-key
+    # frames (shingles and band keys are per-row properties of the same
+    # text, so filtering them to the survivor ids ≡ recomputing them over
+    # the survivors): re-shingling + re-minhashing the batch a second
+    # time was the single biggest redundant compute in the ingest path
+    # (guide §1.2 step 1: don't compute things twice).  All frames here
+    # are batch-bounded — broadcast the survivor-id filters and one side
+    # of the band self-join so stage 2 adds no wide exchange.
+    ids = survivors.select(F.col(id_col).alias("id"))
+    bands_s = bands_new.join(F.broadcast(ids), "id", "left_semi")
+    if max_bucket_size:
+        from pyspark.sql.window import Window
+
+        wsz = Window.partitionBy("band", "band_key")
+        bands_s = (
+            bands_s.withColumn("_sz", F.count(F.lit(1)).over(wsz))
+            .filter(F.col("_sz") <= max_bucket_size)
+            .drop("_sz")
+        )
+    sh_s = sh_new.join(F.broadcast(ids), "id", "left_semi")
+    a, b = bands_s.alias("a"), bands_s.alias("b")
+    candidates = (
+        a.join(F.broadcast(b), ["band", "band_key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    pairs = jaccard_verify_pairs(
+        candidates, None, id_col, text_col, n, shingles=sh_s
+    ).filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
     comps = dedup_components(pairs)
     drop = comps.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col)
@@ -894,6 +987,7 @@ def jaccard_verify_pairs(
     n: int = 3,
     shingles: DataFrame | None = None,
     shingles_b: DataFrame | None = None,
+    broadcast_pairs: bool = False,
 ) -> DataFrame:
     """Exact Jaccard for an explicit candidate-pair set (id_a, id_b).
 
@@ -910,12 +1004,26 @@ def jaccard_verify_pairs(
     against only ITS shingle source avoids executing a batch∪corpus union
     twice; with one frame the union's corpus half was recomputed/re-scanned
     per side (2× the corpus shingle work per ingest batch).
+    ``broadcast_pairs``: when the pair set AND the ``id_a`` shingle source
+    are bounded (the ingest-batch contract), broadcast (pairs ⋈ _sa) into
+    the ``id_b`` shingle scan so the big side never shuffles — same rows,
+    different physical plan.
     """
     sh = shingles if shingles is not None else shingle_arrays(df, id_col, text_col, n)
     sh_b = shingles_b if shingles_b is not None else sh
     a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("_sa"))
     b = sh_b.select(F.col("id").alias("id_b"), F.col("shingles").alias("_sb"))
-    joined = pairs.join(a, "id_a").join(b, "id_b")
+    if broadcast_pairs:
+        # the pair set and the id_a shingle source are BOUNDED (batch-side
+        # by contract): attach _sa inside the bounded subtree and broadcast
+        # the (pair, _sa) relation into the id_b shingle scan — the big
+        # (corpus) side is verified MAP-SIDE, zero corpus-side exchange
+        # (guide §3.1 broadcast-the-side-that-fits / §8 decide-with-small-
+        # rows).  Inner joins commute, so the result is identical to the
+        # shuffle form.
+        joined = b.join(F.broadcast(pairs.join(F.broadcast(a), "id_a")), "id_b")
+    else:
+        joined = pairs.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("_sa", "_sb"))
     union = F.size("_sa") + F.size("_sb") - inter
     return joined.select(
