@@ -201,34 +201,58 @@ def bloom_build(
 ) -> DataFrame:
     """Build the filter table (word, bits) over ``key_col``.
 
-    One explode (k rows per input) + one map-side-combined bit_or groupBy;
-    the shuffle carries at most ``ceil(m_bits/60)`` words per partition.
-    Merge two filters (e.g. per-snapshot builds) by unioning and bit_or
-    on word.
+    SHUFFLE-FREE (guide §2.4): probe bit positions stay a codegen'd JVM
+    projection (identical integer arithmetic to :func:`bloom_probe_bits`
+    membership probes), and each partition bit-ors its rows into one
+    bounded ≤ ``ceil(m_bits/60)``-word table inside a vectorized
+    ``mapInPandas`` (``np.bitwise_or.at`` — unbuffered in-place OR, exact
+    under duplicate indices).  The output holds PER-PARTITION partial
+    tables: possibly several rows per word, to be or-merged by any
+    consumer (:func:`bloom_maybe_contains` accumulates ``|=``; merge two
+    filters by unioning frames — a groupBy+bit_or is optional
+    compaction, not required).  The previous explode(k)+groupBy paid a
+    full exchange of k·rows probe rows to produce the same bounded
+    table.
 
     NULL keys are dropped at build: they can never match an equi-join, and
     a NULL probe key evaluates to NULL membership (filtered out) anyway.
     """
+    import numpy as np
+    import pandas as pd
+
     if not 1 <= k <= len(MINHASH_A):
         raise ValueError(f"k must be in [1, {len(MINHASH_A)}]")
     df = df.filter(F.col(key_col).isNotNull())
     key = F.col(key_col)
     probes = F.array(*[bloom_probe_bits(key, j, m_bits) for j in range(k)])
-    return (
-        spread(df)
-        .select(F.explode(probes).alias("bit"))
-        .select(
-            (F.col("bit") / BLOOM_WORD).cast("long").alias("word"),
-            # call_function: the F.shiftleft wrapper only takes a literal
-            # shift; SQL shiftleft accepts a Column
-            F.call_function(
-                "shiftleft",
-                F.lit(1).cast("long"),
-                (F.col("bit") % BLOOM_WORD).cast("int"),
-            ).alias("b"),
+    n_words = (m_bits + BLOOM_WORD - 1) // BLOOM_WORD
+
+    def _partials(batches):
+        table = np.zeros(n_words, dtype=np.int64)
+        for pdf in batches:
+            vals = pdf["_p"].to_numpy()
+            if not len(vals):
+                continue
+            bits = np.concatenate(
+                [np.asarray(v, dtype=np.int64) for v in vals]
+            )
+            words = bits // BLOOM_WORD
+            masks = np.left_shift(
+                np.int64(1), (bits % BLOOM_WORD).astype(np.int64)
+            )
+            np.bitwise_or.at(table, words, masks)
+        hit = np.nonzero(table)[0]
+        yield pd.DataFrame(
+            {"word": hit.astype("int64"), "bits": table[hit]}
         )
-        .groupBy("word")
-        .agg(F.bit_or("b").alias("bits"))
+
+    # no spread(): the per-row work (k hash expressions + a vectorized
+    # bit-or) is cheap, so scan splits provide all the parallelism this
+    # single-pass build needs — widening would reintroduce the very
+    # exchange this build exists to avoid
+    return (
+        df.select(probes.alias("_p"))
+        .mapInPandas(_partials, "word long, bits long")
     )
 
 
@@ -248,7 +272,12 @@ def bloom_maybe_contains(
     for r in bloom.collect():
         if r["word"] is None:  # defensive vs filters built before the NULL guard
             continue
-        table[r["word"]] = r["bits"]
+        # ACCUMULATE with |=, never assign: bloom_build emits
+        # per-partition PARTIAL tables (several rows per word), and a
+        # caller may hand us unioned per-snapshot filters — last-write-
+        # wins would silently lose bits (false negatives, breaking the
+        # soundness contract)
+        table[r["word"]] |= r["bits"]
     arr = F.lit(table)
     cond = None
     for j in range(k):

@@ -1807,13 +1807,14 @@ def test_bloom_no_false_negatives_and_merge(spark):
         keys.filter(F.expr("CAST(substr(key, 2) AS INT) % 2 = 1")),
         "key", k=4, m_bits=4096,
     )
-    merged = (
-        left.unionByName(right)
-        .groupBy("word")
-        .agg(F.bit_or("bits").alias("bits"))
-    )
-    whole = {(r.word, r.bits) for r in bloom.collect()}
-    assert {(r.word, r.bits) for r in merged.collect()} == whole
+    # bloom_build emits per-partition PARTIAL tables (r15): canonicalize
+    # each side with the documented or-merge before comparing — the
+    # merged halves must equal the filter built on the union
+    def canon(f):
+        rows = f.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+        return {(r.word, r.bits) for r in rows.collect()}
+
+    assert canon(left.unionByName(right)) == canon(bloom)
 
 
 def test_bloom_incremental_dedup_equals_exact(spark):
